@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Indexer, Search}
+
+/** The operator inventory (SURVEY.md §2) as named queries with DuckDB oracles.
+  * Split into thematic traits; assembled here.
+  */
+object Queries {
+
+  /** q1_agg — TPC-H Q1-style grouped aggregation (A1-family: hash agg with
+    * partial aggregation; no join). SURVEY §2.4.
+    */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("double").as("sum_disc_price"),
+        avg(col("l_discount")).cast("double").as("avg_disc"),
+        count(lit(1)).cast("long").as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS sum_disc_price,
+      |  CAST(avg(l_discount) AS DOUBLE) AS avg_disc,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql
+  )
+}

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  * All reads are plain parquet scans — column pruning and filter pushdown
+  * reach the scan via Catalyst (verify with .explain: PushedFilters/ReadSchema).
+  */
+object Tables {
+  def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/lineitem.parquet")
+  def orders(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/orders.parquet")
+  def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/customer.parquet")
+  def supplier(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/supplier.parquet")
+  def part(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/part.parquet")
+  def nation(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/nation.parquet")
+  def region(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/region.parquet")
+  def events(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/events.parquet")
+  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents with doc_id kept as the source long — cast to string only where
+    * reference-format parity (FIXTURES.md A1) requires it.
+    */
+  def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
+}

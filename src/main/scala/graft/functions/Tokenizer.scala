@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Single source of truth for text tokenization (reference: the four parallel
+  * copies of `re.sub(r'[^\w\s]', ' ', s.lower()).split()` at
+  * app/mapreduce/mapper1.py:7, mapper3.py:7, app/query.py:84, app/app.py:13).
+  *
+  * Python `\w` is Unicode-aware; Java's is ASCII by default, so the pattern
+  * carries the `(?U)` flag for parity (`héllo`, `naïve_word`, digits and `_`
+  * are kept; em-dash and other punctuation split).
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions` — no
+  * UDFs — so the tokenizer stays inside WholeStageCodegen and Catalyst can
+  * push the surrounding projection into the scan.
+  */
+object Tokenizer {
+
+  /** `[^\w\s]` with Unicode character classes, as a Java regex. */
+  val NonWordPattern = "(?U)[^\\w\\s]"
+
+  /** Lowercase, strip punctuation to spaces, split on whitespace runs,
+    * drop empty tokens. Returns `array<string>`.
+    */
+  def tokenize(c: Column): Column =
+    filter(
+      split(regexp_replace(lower(c), NonWordPattern, " "), "\\s+"),
+      t => t =!= lit(""))
+
+  /** Token count = reference "document length"
+    * (app/mapreduce/mapper3.py:7 `len(tokenize(text))`).
+    */
+  def tokenCount(c: Column): Column = size(tokenize(c))
+
+  /** `(pos, term)` pairs — use with `select($"doc_id", posexplode(...))`
+    * (reference `enumerate(tokens)`, app/mapreduce/mapper1.py:17).
+    */
+  def tokens(c: Column): Column = tokenize(c)
+
+  /** Whitespace-normalize: collapse runs, trim edges (reference title UDF,
+    * app/prepare_data.py:23-29 — built-in here, no UDF needed).
+    */
+  def normalizeWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** Character n-gram shingles over the whitespace-normalized lowercase text,
+    * as `array<string>`. Used by MinHash / SimHash dedup. Built from
+    * `sequence` + `transform` so it stays declarative (no UDF).
+    * NB: Spark `sequence(a, b)` descends when a > b, hence the `when` guard.
+    */
+  def charShingles(c: Column, n: Int): Column = {
+    val s = normalizeWhitespace(lower(c))
+    when(length(s) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n))))
+  }
+
+  /** Token n-gram shingles (e.g. 3-token shingles joined by a space). */
+  def tokenShingles(c: Column, n: Int): Column = {
+    val toks = tokenize(c)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+}

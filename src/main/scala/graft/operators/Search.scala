@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The flagship ranking query — the reference's entire `query.py` driver loop
+  * (app/query.py:149-197) re-expressed as ONE lazy DataFrame plan:
+  *
+  *   terms ⋈ term_df ⋈ postings ⋈ doc_info
+  *     → withColumn(score) → groupBy(doc_id).sum → orderBy desc → limit k
+  *
+  * Catalyst/AQE picks the physical strategy. The query-terms side is a tiny
+  * literal relation, so both term joins become broadcast hash joins with the
+  * terms side broadcast — postings are filtered to the query terms *at the
+  * probe*, never materialized in full. The final top-k plans as
+  * TakeOrderedAndProject (bounded per-partition heap + driver merge), the
+  * distributed equivalent of the reference's `takeOrdered(10)`.
+  *
+  * Scale: with postings bucketed by term, the only remaining shuffle is the
+  * per-doc score sum over the (small) candidate set. No collect() anywhere
+  * until the final k rows.
+  */
+object Search {
+
+  /** Tokenize the query string driver-side (it is a scalar, not data). */
+  def queryTerms(spark: SparkSession, query: String): DataFrame = {
+    import spark.implicits._
+    // Same semantics as Tokenizer.tokenize, applied to one scalar string.
+    val toks = "(?U)[^\\w\\s]".r.replaceAllIn(query.toLowerCase, " ")
+      .split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    toks.toDF("term")
+  }
+
+  /** Full search over pre-built index DataFrames.
+    * @param postings (term, doc_id, tf, ...)
+    * @param termDf   (term, df)
+    * @param docInfo  (doc_id, length) — plus any metadata columns to carry
+    */
+  def search(spark: SparkSession, query: String,
+             postings: DataFrame, termDf: DataFrame, docInfo: DataFrame,
+             k: Int = 10): DataFrame = {
+    // Collection stats (A4/A5). Computed as one tiny aggregate; at cluster
+    // scale this is a cached scalar per index build, not per query.
+    val statsRow = docInfo.agg(
+      count(lit(1)).as("n_docs"), avg(col("length")).as("avg_len")).head()
+    val nDocs = statsRow.getLong(0).toDouble
+    val avgLen = statsRow.getDouble(1)
+
+    val terms = queryTerms(spark, query)
+
+    // J1 + P6: inner join drops df==0 terms (terms absent from the index
+    // simply have no match). Broadcast the tiny terms relation.
+    val withIdf = broadcast(terms)
+      .join(termDf, "term")
+      .withColumn("idf", BM25.idf(lit(nDocs), col("df")))
+
+    // J2: postings fetch; J3: doc length attach; J4: stats are literals.
+    val scored = withIdf
+      .join(postings.select("term", "doc_id", "tf"), "term")
+      .join(docInfo.select("doc_id", "length"), "doc_id")
+      .withColumn("score",
+        BM25.termScore(col("tf"), col("idf"), col("length"), lit(avgLen)))
+
+    // A6 + T1: per-doc sum (partial agg map-side), then top-k with a
+    // deterministic (score DESC, doc_id ASC) tiebreak (SURVEY.md §7.6).
+    scored.groupBy("doc_id")
+      .agg(sum(col("score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Convenience: index documents (doc_id, text) in-memory and search. */
+  def searchDocs(spark: SparkSession, docs: DataFrame, query: String,
+                 k: Int = 10): DataFrame = {
+    val p = Indexer.postings(docs)
+    search(spark, query, p, Indexer.termDf(p), Indexer.docInfo(docs), k)
+  }
+}

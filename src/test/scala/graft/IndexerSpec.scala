@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Indexer, Search, BM25}
+
+/** Hand-computed index + BM25 assertions on a 4-doc corpus
+  * (SURVEY.md §5 test strategy 1 & 3).
+  */
+class IndexerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    ("d1", "spark makes big data simple"),
+    ("d2", "big data big wins"),
+    ("d3", "simple spark"),
+    ("d4", "")
+  ).toDF("doc_id", "text")
+
+  test("postings: tf and sorted positions") {
+    val p = Indexer.postings(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(2), r.getSeq[Int](3))).toMap
+    assert(p(("big", "d2")) == (2, Seq(0, 2)))
+    assert(p(("spark", "d1")) == (1, Seq(0)))
+    assert(p(("data", "d2")) == (1, Seq(1)))
+    assert(!p.keySet.exists(_._2 == "d4"))
+  }
+
+  test("termDf: distinct doc count per term") {
+    val df = Indexer.termDf(Indexer.postings(docs))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(df("big") == 2)      // d1, d2 (tf 2 in d2 still df 1)
+    assert(df("spark") == 2)    // d1, d3
+    assert(df("wins") == 1)
+  }
+
+  test("docInfo: token counts incl. empty doc") {
+    val di = Indexer.docInfo(docs)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(di == Map("d1" -> 5, "d2" -> 4, "d3" -> 2, "d4" -> 0))
+  }
+
+  test("BM25 formula matches hand computation") {
+    // N=4, avgdl=(5+4+2+0)/4=2.75; query 'big': df=2, idf=ln(4/2)=ln 2
+    // d2: tf=2, dl=4 -> ln2 * 2*2 / (2 + 1*(0.25 + 0.75*4/2.75))
+    val res = Search.searchDocs(spark, docs, "big", k = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val idf = math.log(2.0)
+    val d2 = idf * 2 * 2 / (2 + (0.25 + 0.75 * 4 / 2.75))
+    val d1 = idf * 1 * 2 / (1 + (0.25 + 0.75 * 5 / 2.75))
+    assert(math.abs(res("d2") - d2) < 1e-12)
+    assert(math.abs(res("d1") - d1) < 1e-12)
+    assert(res.size == 2)
+  }
+
+  test("multi-term query sums per-term scores; ties broken by doc_id") {
+    val rows = Search.searchDocs(spark, docs, "simple spark", k = 10).collect()
+    // d3 ('simple spark', dl=2) must outrank d1 (same terms, dl=5)
+    assert(rows.head.getString(0) == "d3")
+    assert(rows.map(_.getString(0)).toSet == Set("d1", "d3"))
+    // scores strictly descending (no ties here, but ordering holds)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+  }
+
+  test("query terms absent from index are dropped (P6 semi-join semantics)") {
+    val rows = Search.searchDocs(spark, docs, "nonexistent simple", k = 10).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("d1", "d3"))
+  }
+
+  test("idf floor: term in every doc gets idf ln(max(1, N/df))") {
+    // 'big' in 2 of 4 docs -> N/df=2. A term in all docs: N/df=1 -> idf=0.
+    val allDocs = Seq(("a", "x"), ("b", "x")).toDF("doc_id", "text")
+    val res = Search.searchDocs(spark, allDocs, "x", k = 10).collect()
+    assert(res.forall(_.getDouble(1) == 0.0))
+  }
+}

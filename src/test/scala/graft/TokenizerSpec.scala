@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Tokenizer
+
+/** Parity vectors for the reference tokenizer
+  * `re.sub(r'[^\w\s]', ' ', s.lower()).split()` — Python Unicode `\w`
+  * (SURVEY.md §2.8 F2, §7.6). Expected values computed with CPython re.
+  */
+class TokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tok(s: String): Seq[String] =
+    Seq(s).toDF("text")
+      .select(Tokenizer.tokenize(col("text")).as("t"))
+      .head().getSeq[String](0)
+
+  test("basic lowercase + punctuation split") {
+    assert(tok("Hello, World!") == Seq("hello", "world"))
+  }
+  test("unicode letters kept (Python \\w parity)") {
+    assert(tok("héllo wörld") == Seq("héllo", "wörld"))
+  }
+  test("underscore and digits kept") {
+    assert(tok("naïve_word x2 3rd") == Seq("naïve_word", "x2", "3rd"))
+  }
+  test("em-dash splits") {
+    assert(tok("foo—bar") == Seq("foo", "bar"))
+  }
+  test("punctuation runs collapse; edges trimmed") {
+    assert(tok("  ...a--b!!  ") == Seq("a", "b"))
+  }
+  test("empty and whitespace-only -> no tokens") {
+    assert(tok("") == Seq())
+    assert(tok("   \t\n ") == Seq())
+  }
+  test("token count = doc length") {
+    val n = Seq("a b  c\td").toDF("text")
+      .select(Tokenizer.tokenCount(col("text"))).head().getInt(0)
+    assert(n == 4)
+  }
+  test("normalizeWhitespace collapses runs and trims") {
+    val s = Seq("  a \t b\n\nc ").toDF("text")
+      .select(Tokenizer.normalizeWhitespace(col("text"))).head().getString(0)
+    assert(s == "a b c")
+  }
+  test("token shingles") {
+    val sh = Seq("a b c d").toDF("text")
+      .select(Tokenizer.tokenShingles(col("text"), 2).as("s"))
+      .head().getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c d"))
+  }
+  test("token shingles shorter than n -> empty") {
+    val sh = Seq("a").toDF("text")
+      .select(Tokenizer.tokenShingles(col("text"), 3).as("s"))
+      .head().getSeq[String](0)
+    assert(sh == Seq())
+  }
+  test("char shingles") {
+    val sh = Seq("abcd").toDF("text")
+      .select(Tokenizer.charShingles(col("text"), 3).as("s"))
+      .head().getSeq[String](0)
+    assert(sh == Seq("abc", "bcd"))
+  }
+}
