@@ -35,11 +35,11 @@ object Queries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1Agg _)
-  )
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q1_agg" -> (q1Agg _)) ++
+      graft.queries.RelationalQueries.queries
 
-  val oracles: Map[String, String] = Map(
-    "q1_agg" -> q1AggSql
-  )
+  val oracles: Map[String, String] =
+    Map("q1_agg" -> q1AggSql) ++
+      graft.queries.RelationalQueries.oracles
 }

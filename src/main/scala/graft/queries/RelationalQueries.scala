@@ -1,0 +1,384 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** General relational operator inventory (SURVEY.md §2.2-2.7) over the
+  * TPC-H-ish tables. Every query is a declarative plan: filters/projections
+  * push to the parquet scan, small dimension tables broadcast, aggregations
+  * run partial->final, top-k plans as TakeOrderedAndProject.
+  *
+  * All timestamps are emitted as formatted strings (UTC) and all aggregates
+  * cast to bigint/double so the DuckDB compare sees identical schemas.
+  */
+object RelationalQueries {
+
+  // ---- P1/P7: projection + predicate pushdown --------------------------------
+  def scanFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount") > lit(0.05))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("double").as("price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val scanFilterSql: String =
+    """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DOUBLE) AS price
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- J (multi-way join) + A: TPC-H Q3-style --------------------------------
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    // customer is ~1/400 of lineitem: broadcast it through the orders join.
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3ShippingSql: String =
+    """SELECT l_orderkey, o_orderpriority,
+      |  CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  // ---- J: 5-way star join through region/nation (TPC-H Q5 shape) -------------
+  def q5StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val region = broadcast(Tables.region(s, dir))
+    val nation = broadcast(Tables.nation(s, dir))
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val sup = broadcast(Tables.supplier(s, dir))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(nation, cust("c_nationkey") === nation("n_nationkey"))
+      .join(region, nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).cast("long").as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q5StarJoinSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ---- Outer join with null handling -----------------------------------------
+  def leftOuterOrders(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(sum("l_quantity").as("qty"))
+      .filter(col("qty") > 150)
+    Tables.orders(s, dir)
+      .join(bigOrders, col("o_orderkey") === bigOrders("l_orderkey"), "left_outer")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).cast("long").as("n_orders"),
+        count(col("l_orderkey")).cast("long").as("n_big"),
+        sum(coalesce(col("qty"), lit(0.0))).cast("double").as("big_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val leftOuterOrdersSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(count(b.l_orderkey) AS BIGINT) AS n_big,
+      |  CAST(sum(COALESCE(b.qty, 0.0)) AS DOUBLE) AS big_qty
+      |FROM orders LEFT OUTER JOIN
+      |  (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem
+      |   GROUP BY l_orderkey HAVING sum(l_quantity) > 150) b
+      |ON o_orderkey = b.l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- Semi / anti joins (P6 and its dual) -----------------------------------
+  def semiJoinCustomers(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, dir)
+      .join(urgent, col("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal").cast("double").as("acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  val semiJoinCustomersSql: String =
+    """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  def antiJoinCustomers(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, dir)
+      .join(urgent, col("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val antiJoinCustomersSql: String =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- T1: global top-k with deterministic tiebreak --------------------------
+  def topkOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice").cast("double").as("total"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy(col("total").desc, col("o_orderkey").asc)
+      .limit(25)
+
+  val topkOrdersSql: String =
+    """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |ORDER BY total DESC, o_orderkey ASC
+      |LIMIT 25""".stripMargin
+
+  // ---- Window: rank per group (top-3 orders per customer) --------------------
+  def windowTopPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("total"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val windowTopPerGroupSql: String =
+    """SELECT o_custkey, rn, o_orderkey, total FROM (
+      |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS total,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---- Window: running sum + lag over event time -----------------------------
+  def windowRunningRevenue(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") % 100 === 0)
+      .withColumn("running_total",
+        sum(col("o_totalprice")).over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("prev_price",
+        lag(col("o_totalprice"), 1).over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate").asc, col("o_orderkey").asc))
+          .cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("od"),
+        col("o_totalprice").cast("double").as("price"),
+        col("running_total"), col("prev_price"))
+      .orderBy("o_custkey", "od", "o_orderkey")
+  }
+
+  val windowRunningRevenueSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od,
+      |  CAST(o_totalprice AS DOUBLE) AS price,
+      |  CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  CAST(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS DOUBLE) AS prev_price
+      |FROM orders
+      |WHERE o_custkey % 100 = 0
+      |ORDER BY o_custkey, od, o_orderkey""".stripMargin
+
+  // ---- Set operations ---------------------------------------------------------
+  def setOpsSegments(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val urgentCust = ord.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    val highCust = ord.filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("custkey"))
+    val both = urgentCust.intersect(highCust).withColumn("bucket", lit("both"))
+    val urgentOnly = urgentCust.except(highCust).withColumn("bucket", lit("urgent_only"))
+    val all = urgentCust.union(highCust).distinct().withColumn("bucket", lit("any"))
+    both.union(urgentOnly).union(all)
+      .groupBy("bucket").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy("bucket")
+  }
+
+  val setOpsSegmentsSql: String =
+    """WITH urgent AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |high AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000),
+      |labeled AS (
+      |  SELECT custkey, 'both' AS bucket FROM (SELECT custkey FROM urgent INTERSECT SELECT custkey FROM high)
+      |  UNION ALL
+      |  SELECT custkey, 'urgent_only' AS bucket FROM (SELECT custkey FROM urgent EXCEPT SELECT custkey FROM high)
+      |  UNION ALL
+      |  SELECT custkey, 'any' AS bucket FROM (SELECT custkey FROM urgent UNION SELECT custkey FROM high)
+      |)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n
+      |FROM labeled GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---- Rollup with grouping indicator ----------------------------------------
+  def rollupPricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).cast("long").as("n"),
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("lvl"))
+      .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus"))
+
+  val rollupPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS lvl
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin
+
+  // ---- Distinct aggregates ----------------------------------------------------
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).cast("long").as("n_parts"),
+        countDistinct(col("l_suppkey")).cast("long").as("n_supps"),
+        count(lit(1)).cast("long").as("n"))
+      .orderBy("l_returnflag")
+
+  val distinctAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- Exact percentiles (interpolated, matches quantile_cont) ---------------
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").cast("double").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").cast("double").as("p50"),
+        expr("percentile(l_extendedprice, 0.75)").cast("double").as("p75"),
+        expr("percentile(l_extendedprice, 0.95)").cast("double").as("p95"))
+      .orderBy("l_linestatus")
+
+  val percentilesSql: String =
+    """SELECT l_linestatus,
+      |  CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE) AS p25,
+      |  CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50,
+      |  CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE) AS p75,
+      |  CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS p95
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // ---- Scalar function sampler (string/case/conditional) ---------------------
+  def scalarFunctions(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 200)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        length(col("c_name")).cast("long").as("name_len"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        concat_ws("/", col("c_mktsegment"), col("c_nationkey")).as("seg_nation"),
+        when(col("c_acctbal") < 0, lit("neg"))
+          .when(col("c_acctbal") < 5000, lit("mid"))
+          .otherwise(lit("high")).as("bal_bucket"),
+        round(abs(col("c_acctbal")), 1).cast("double").as("abs_bal"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("-")).as("seg_or_dash"))
+      .orderBy("c_custkey")
+
+  val scalarFunctionsSql: String =
+    """SELECT c_custkey,
+      |  upper(c_name) AS uname,
+      |  CAST(length(c_name) AS BIGINT) AS name_len,
+      |  substring(c_name, 1, 8) AS prefix,
+      |  concat_ws('/', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+      |  CASE WHEN c_acctbal < 0 THEN 'neg'
+      |       WHEN c_acctbal < 5000 THEN 'mid'
+      |       ELSE 'high' END AS bal_bucket,
+      |  CAST(round(abs(c_acctbal), 1) AS DOUBLE) AS abs_bal,
+      |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '-') AS seg_or_dash
+      |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin
+
+  // ---- Deterministic sample + limit (P2/P3 made oracle-checkable) ------------
+  def sampleLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 97 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("qty"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  val sampleLimitSql: String =
+    """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty
+      |FROM lineitem WHERE l_orderkey % 97 = 0
+      |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_filter" -> (scanFilter _),
+    "q3_shipping" -> (q3Shipping _),
+    "q5_star_join" -> (q5StarJoin _),
+    "left_outer_orders" -> (leftOuterOrders _),
+    "semi_join_customers" -> (semiJoinCustomers _),
+    "anti_join_customers" -> (antiJoinCustomers _),
+    "topk_orders" -> (topkOrders _),
+    "window_top_per_group" -> (windowTopPerGroup _),
+    "window_running_revenue" -> (windowRunningRevenue _),
+    "setops_segments" -> (setOpsSegments _),
+    "rollup_pricing" -> (rollupPricing _),
+    "distinct_agg" -> (distinctAgg _),
+    "percentiles" -> (percentiles _),
+    "scalar_functions" -> (scalarFunctions _),
+    "sample_limit" -> (sampleLimit _))
+
+  val oracles: Map[String, String] = Map(
+    "scan_filter" -> scanFilterSql,
+    "q3_shipping" -> q3ShippingSql,
+    "q5_star_join" -> q5StarJoinSql,
+    "left_outer_orders" -> leftOuterOrdersSql,
+    "semi_join_customers" -> semiJoinCustomersSql,
+    "anti_join_customers" -> antiJoinCustomersSql,
+    "topk_orders" -> topkOrdersSql,
+    "window_top_per_group" -> windowTopPerGroupSql,
+    "window_running_revenue" -> windowRunningRevenueSql,
+    "setops_segments" -> setOpsSegmentsSql,
+    "rollup_pricing" -> rollupPricingSql,
+    "distinct_agg" -> distinctAggSql,
+    "percentiles" -> percentilesSql,
+    "scalar_functions" -> scalarFunctionsSql,
+    "sample_limit" -> sampleLimitSql)
+}
