@@ -31,14 +31,13 @@ object Search {
     toks.toDF("term")
   }
 
-  /** Full search over pre-built index DataFrames.
-    * @param postings (term, doc_id, tf, ...)
-    * @param termDf   (term, df)
-    * @param docInfo  (doc_id, length) — plus any metadata columns to carry
+  /** Per-(term, doc) BM25 components for a query — the plan up to but
+    * excluding the final per-doc sum (reference J1+J2+J3+F9+F10).
+    * Columns: (term, doc_id, tf, idf, length, score).
     */
-  def search(spark: SparkSession, query: String,
-             postings: DataFrame, termDf: DataFrame, docInfo: DataFrame,
-             k: Int = 10): DataFrame = {
+  def termComponents(spark: SparkSession, query: String,
+                     postings: DataFrame, termDf: DataFrame,
+                     docInfo: DataFrame): DataFrame = {
     // Collection stats (A4/A5). Computed as one tiny aggregate; at cluster
     // scale this is a cached scalar per index build, not per query.
     val statsRow = docInfo.agg(
@@ -55,19 +54,28 @@ object Search {
       .withColumn("idf", BM25.idf(lit(nDocs), col("df")))
 
     // J2: postings fetch; J3: doc length attach; J4: stats are literals.
-    val scored = withIdf
+    withIdf
       .join(postings.select("term", "doc_id", "tf"), "term")
       .join(docInfo.select("doc_id", "length"), "doc_id")
       .withColumn("score",
         BM25.termScore(col("tf"), col("idf"), col("length"), lit(avgLen)))
+  }
 
+  /** Full search over pre-built index DataFrames.
+    * @param postings (term, doc_id, tf, ...)
+    * @param termDf   (term, df)
+    * @param docInfo  (doc_id, length) — plus any metadata columns to carry
+    */
+  def search(spark: SparkSession, query: String,
+             postings: DataFrame, termDf: DataFrame, docInfo: DataFrame,
+             k: Int = 10): DataFrame =
     // A6 + T1: per-doc sum (partial agg map-side), then top-k with a
     // deterministic (score DESC, doc_id ASC) tiebreak (SURVEY.md §7.6).
-    scored.groupBy("doc_id")
+    termComponents(spark, query, postings, termDf, docInfo)
+      .groupBy("doc_id")
       .agg(sum(col("score")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
-  }
 
   /** Convenience: index documents (doc_id, text) in-memory and search. */
   def searchDocs(spark: SparkSession, docs: DataFrame, query: String,

@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Indexer, Search}
+
+/** The reference's own pipeline (index build + BM25 ranking, SURVEY.md §2/§3)
+  * as oracle-checked queries over the `documents` table. Index-table schemas
+  * mirror the reference Cassandra DDL (doc_id as string — FIXTURES.md A2);
+  * the DuckDB oracles rebuild the same tables with an identical tokenizer
+  * (regexp_replace + split; ASCII corpus so Java/Python/RE2 `\w` agree —
+  * Unicode parity is locked by TokenizerSpec instead).
+  */
+object TextIndexQueries {
+
+  /** Query string shared between Spark side and oracle SQL. */
+  val SearchQuery = "spark filter join stream data"
+  val SearchTerms: Seq[String] = SearchQuery.split(" ").toSeq
+
+  /** DuckDB CTE fragment: tokenized documents (docs_l: doc_id, l) and
+    * per-token rows (toks: doc_id, term, pos).
+    */
+  private val TokCte =
+    """docs_l AS (
+      |  SELECT doc_id, list_filter(string_split_regex(
+      |    regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+      |    x -> x <> '') AS l
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+      |  FROM docs_l)""".stripMargin
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+
+  private def docsStr(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+
+  // ---- A1: postings ----------------------------------------------------------
+  def indexPostings(s: SparkSession, dir: String): DataFrame =
+    Indexer.postings(docsStr(s, dir))
+      .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"),
+        array_join(col("positions").cast("array<string>"), ",").as("positions_csv"))
+      .orderBy("term", "doc_id")
+
+  val indexPostingsSql: String =
+    s"""WITH $TokCte
+       |SELECT term, CAST(doc_id AS VARCHAR) AS doc_id,
+       |  CAST(count(*) AS BIGINT) AS tf,
+       |  array_to_string(list(pos ORDER BY pos), ',') AS positions_csv
+       |FROM toks GROUP BY term, doc_id
+       |ORDER BY term, doc_id""".stripMargin
+
+  // ---- A2: document frequency ------------------------------------------------
+  def indexTermDf(s: SparkSession, dir: String): DataFrame =
+    Indexer.termDf(Indexer.postings(docs(s, dir)))
+      .select(col("term"), col("df").cast("long").as("df"))
+      .orderBy("term")
+
+  val indexTermDfSql: String =
+    s"""WITH $TokCte
+       |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |FROM toks GROUP BY term ORDER BY term""".stripMargin
+
+  // ---- A3: doc info ----------------------------------------------------------
+  def indexDocInfo(s: SparkSession, dir: String): DataFrame =
+    Indexer.docInfo(docsStr(s, dir))
+      .select(col("doc_id"), col("length").cast("long").as("length"))
+      .orderBy("doc_id")
+
+  val indexDocInfoSql: String =
+    s"""WITH $TokCte
+       |SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       |  CAST(len(l) AS BIGINT) AS length
+       |FROM docs_l ORDER BY doc_id""".stripMargin
+
+  // ---- A4/A5: collection stats -----------------------------------------------
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    Indexer.docInfo(docs(s, dir))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        avg(col("length")).cast("double").as("avg_len"))
+
+  val corpusStatsSql: String =
+    s"""WITH $TokCte
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(avg(len(l)) AS DOUBLE) AS avg_len
+       |FROM docs_l""".stripMargin
+
+  // ---- Flagship: full BM25 ranking -------------------------------------------
+  private def indexTriple(s: SparkSession, dir: String) = {
+    val d = docs(s, dir)
+    val p = Indexer.postings(d)
+    (p, Indexer.termDf(p), Indexer.docInfo(d))
+  }
+
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val (p, tdf, di) = indexTriple(s, dir)
+    Search.search(s, SearchQuery, p, tdf, di, k = 10)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("score").cast("double").as("score"))
+  }
+
+  private def termListSql = SearchTerms.map(t => s"'$t'").mkString("[", ",", "]")
+
+  val bm25SearchSql: String =
+    s"""WITH $TokCte,
+       |postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+       |term_df AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+       |doc_info AS (SELECT doc_id, len(l) AS length FROM docs_l),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(length) AS avgdl FROM doc_info),
+       |q AS (SELECT unnest($termListSql) AS term),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |    ln(greatest(1.0, s.n / greatest(1.0, CAST(d.df AS DOUBLE)))) * p.tf * 2.0 /
+       |      (p.tf + (0.25 + 0.75 * di.length / s.avgdl)) AS score
+       |  FROM q JOIN term_df d USING(term) JOIN postings p USING(term)
+       |       JOIN doc_info di USING(doc_id), stats s)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(score) AS DOUBLE) AS score
+       |FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  // ---- Per-term score breakdown (J2 + F9/F10 without the final agg) ----------
+  def bm25TermScores(s: SparkSession, dir: String): DataFrame = {
+    val (p, tdf, di) = indexTriple(s, dir)
+    Search.termComponents(s, SearchQuery, p, tdf, di)
+      .select(col("term"), col("doc_id").cast("long").as("doc_id"),
+        col("tf").cast("long").as("tf"), col("idf").cast("double").as("idf"),
+        col("score").cast("double").as("score"))
+      .orderBy("term", "doc_id")
+  }
+
+  val bm25TermScoresSql: String =
+    s"""WITH $TokCte,
+       |postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+       |term_df AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+       |doc_info AS (SELECT doc_id, len(l) AS length FROM docs_l),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(length) AS avgdl FROM doc_info),
+       |q AS (SELECT unnest($termListSql) AS term)
+       |SELECT p.term, CAST(p.doc_id AS BIGINT) AS doc_id,
+       |  CAST(p.tf AS BIGINT) AS tf,
+       |  CAST(ln(greatest(1.0, s.n / greatest(1.0, CAST(d.df AS DOUBLE)))) AS DOUBLE) AS idf,
+       |  CAST(ln(greatest(1.0, s.n / greatest(1.0, CAST(d.df AS DOUBLE)))) * p.tf * 2.0 /
+       |    (p.tf + (0.25 + 0.75 * di.length / s.avgdl)) AS DOUBLE) AS score
+       |FROM q JOIN term_df d USING(term) JOIN postings p USING(term)
+       |     JOIN doc_info di USING(doc_id), stats s
+       |ORDER BY term, doc_id""".stripMargin
+
+  // ---- P6 + dual: query terms in / not in the index vocabulary ---------------
+  private val ProbeTerms = Seq("spark", "xyzzy", "data", "qwerty", "join")
+  private def probeTermsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    ProbeTerms.toDF("term")
+  }
+  private def probeTermsSql = ProbeTerms.map(t => s"'$t'").mkString("[", ",", "]")
+
+  def termsInVocab(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Indexer.termDf(Indexer.postings(docs(s, dir)))
+    probeTermsDf(s).join(vocab, Seq("term"), "left_semi").orderBy("term")
+  }
+
+  val termsInVocabSql: String =
+    s"""WITH $TokCte
+       |SELECT term FROM (SELECT unnest($probeTermsSql) AS term) q
+       |WHERE EXISTS (SELECT 1 FROM toks t WHERE t.term = q.term)
+       |ORDER BY term""".stripMargin
+
+  def termsNotInVocab(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Indexer.termDf(Indexer.postings(docs(s, dir)))
+    probeTermsDf(s).join(vocab, Seq("term"), "left_anti").orderBy("term")
+  }
+
+  val termsNotInVocabSql: String =
+    s"""WITH $TokCte
+       |SELECT term FROM (SELECT unnest($probeTermsSql) AS term) q
+       |WHERE NOT EXISTS (SELECT 1 FROM toks t WHERE t.term = q.term)
+       |ORDER BY term""".stripMargin
+
+  // ---- Phrase search via positions (beyond-reference: positions are stored
+  //      but never read in the reference, app/query.py:115-119) ---------------
+  val PhraseFirst = "filter"
+  val PhraseSecond = "join"
+
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val tp = Indexer.tokenPositions(docs(s, dir))
+    val t1 = tp.filter(col("term") === PhraseFirst)
+      .select(col("doc_id").as("d1"), col("pos").as("p1"))
+    val t2 = tp.filter(col("term") === PhraseSecond)
+      .select(col("doc_id").as("d2"), col("pos").as("p2"))
+    t1.join(t2, t1("d1") === t2("d2") && t2("p2") === t1("p1") + 1)
+      .groupBy(col("d1").cast("long").as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"))
+      .orderBy("doc_id")
+  }
+
+  val phraseSearchSql: String =
+    s"""WITH $TokCte
+       |SELECT CAST(t1.doc_id AS BIGINT) AS doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences
+       |FROM toks t1 JOIN toks t2
+       |  ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       |WHERE t1.term = '$PhraseFirst' AND t2.term = '$PhraseSecond'
+       |GROUP BY t1.doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- F7/F8: data-prep projection (normalize + sanitized filename) ----------
+  def docPrep(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(
+        col("doc_id").cast("string").as("doc_id"),
+        graft.functions.Tokenizer.normalizeWhitespace(col("text")).as("norm_text"),
+        regexp_replace(
+          regexp_replace(concat(col("doc_id"), lit("_"), substring(col("text"), 1, 30)), " ", "_"),
+          "[^a-zA-Z0-9_-]", "").as("filename"))
+      .orderBy(col("doc_id"))
+
+  val docPrepSql: String =
+    """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+      |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm_text,
+      |  regexp_replace(
+      |    regexp_replace(CAST(doc_id AS VARCHAR) || '_' || substring(text, 1, 30), ' ', '_', 'g'),
+      |    '[^a-zA-Z0-9_-]', '', 'g') AS filename
+      |FROM documents WHERE doc_id < 100
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "index_postings" -> (indexPostings _),
+    "index_term_df" -> (indexTermDf _),
+    "index_doc_info" -> (indexDocInfo _),
+    "corpus_stats" -> (corpusStats _),
+    "bm25_search" -> (bm25Search _),
+    "bm25_term_scores" -> (bm25TermScores _),
+    "terms_in_vocab" -> (termsInVocab _),
+    "terms_not_in_vocab" -> (termsNotInVocab _),
+    "phrase_search" -> (phraseSearch _),
+    "doc_prep" -> (docPrep _))
+
+  val oracles: Map[String, String] = Map(
+    "index_postings" -> indexPostingsSql,
+    "index_term_df" -> indexTermDfSql,
+    "index_doc_info" -> indexDocInfoSql,
+    "corpus_stats" -> corpusStatsSql,
+    "bm25_search" -> bm25SearchSql,
+    "bm25_term_scores" -> bm25TermScoresSql,
+    "terms_in_vocab" -> termsInVocabSql,
+    "terms_not_in_vocab" -> termsNotInVocabSql,
+    "phrase_search" -> phraseSearchSql,
+    "doc_prep" -> docPrepSql)
+}
