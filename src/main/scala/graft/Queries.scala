@@ -38,10 +38,12 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] =
     Map("q1_agg" -> (q1Agg _)) ++
       graft.queries.RelationalQueries.queries ++
-      graft.queries.TextIndexQueries.queries
+      graft.queries.TextIndexQueries.queries ++
+      graft.queries.EventQueries.queries
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++
       graft.queries.RelationalQueries.oracles ++
-      graft.queries.TextIndexQueries.oracles
+      graft.queries.TextIndexQueries.oracles ++
+      graft.queries.EventQueries.oracles
 }

@@ -15,7 +15,16 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/part.parquet")
   def nation(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/nation.parquet")
   def region(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/region.parquet")
-  def events(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/events.parquet")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses natively.
+    * Read it as raw nanos (legacy conf) and convert to a microsecond
+    * timestamp — the same truncation DuckDB applies when it reads NANOS into
+    * its µs TIMESTAMP, so oracle epoch arithmetic agrees exactly.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / lit(1000)).cast("long")))
+  }
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
 
   /** documents with doc_id kept as the source long — cast to string only where

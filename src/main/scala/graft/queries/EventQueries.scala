@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Event-time operators over the `events` table (SURVEY.md §7.5 extension
+  * scope): tumbling/sliding windows, JSON extraction, sessionization,
+  * pivot, latest-per-key dedup. Batch forms here (oracle-checkable); the
+  * same plans run under Structured Streaming in graft.streaming.
+  *
+  * Both engines read the parquet `timestamp[ns]` column truncated to
+  * microseconds, so epoch arithmetic agrees bit-for-bit; window starts are
+  * emitted as formatted UTC strings.
+  */
+object EventQueries {
+
+  // ---- Tumbling window aggregation -------------------------------------------
+  def eventsTumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("value")).cast("double").as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  val eventsTumblingSql: String =
+    """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(value) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- Sliding window (1h window, 30m slide => 2 windows per event) ----------
+  def eventsSliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        avg(col("value")).cast("double").as("avg_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n"), col("avg_value"))
+      .orderBy("window_start")
+
+  val eventsSlidingSql: String =
+    """WITH both_offsets AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', ts) AS w, value FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS w, value FROM events)
+      |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(avg(value) AS DOUBLE) AS avg_value
+      |FROM both_offsets GROUP BY w ORDER BY 1""".stripMargin
+
+  // ---- from_json extraction + aggregation ------------------------------------
+  def eventsJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k",
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        avg(col("k")).cast("double").as("avg_k"),
+        max(col("k")).cast("long").as("max_k"),
+        min(col("k")).cast("long").as("min_k"))
+      .orderBy("event_type")
+
+  val eventsJsonSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(avg(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) AS avg_k,
+      |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- Sessionization: 30-minute inactivity gap ------------------------------
+  // lag -> gap flag -> running sum = session id; then per-user session stats.
+  // The same lag+cumsum shape a streaming flatMapGroupsWithState implements
+  // incrementally (graft.streaming.Sessionize).
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sessions = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (col("ts").cast("double") - col("prev_ts").cast("double")) > 1800.0, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("session_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        sum(col("session_events")).cast("long").as("n_events"),
+        max(col("session_events")).cast("long").as("max_session_events"))
+      .orderBy("user_id")
+  }
+
+  val eventsSessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |sessions AS (
+      |  SELECT user_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |per_session AS (
+      |  SELECT user_id, session_id, count(*) AS session_events
+      |  FROM sessions GROUP BY user_id, session_id)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(sum(session_events) AS BIGINT) AS n_events,
+      |  CAST(max(session_events) AS BIGINT) AS max_session_events
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- Pivot: per-day counts by event type ------------------------------------
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def eventsPivotDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      .groupBy("day")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .select(col("day") +: EventTypes.map(t => col(t).cast("long").as(t)): _*)
+      .orderBy("day")
+
+  val eventsPivotDailySql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+      |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+      |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+      |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+      |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- Latest event per user (dedup-by-key, keep newest) ---------------------
+  def eventsLatestPerUser(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy("user_id")
+  }
+
+  val eventsLatestPerUserSql: String =
+    """SELECT user_id, event_id, event_type,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling" -> (eventsTumbling _),
+    "events_sliding" -> (eventsSliding _),
+    "events_json" -> (eventsJson _),
+    "events_sessionize" -> (eventsSessionize _),
+    "events_pivot_daily" -> (eventsPivotDaily _),
+    "events_latest_per_user" -> (eventsLatestPerUser _))
+
+  val oracles: Map[String, String] = Map(
+    "events_tumbling" -> eventsTumblingSql,
+    "events_sliding" -> eventsSlidingSql,
+    "events_json" -> eventsJsonSql,
+    "events_sessionize" -> eventsSessionizeSql,
+    "events_pivot_daily" -> eventsPivotDailySql,
+    "events_latest_per_user" -> eventsLatestPerUserSql)
+}
