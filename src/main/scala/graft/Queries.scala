@@ -39,11 +39,13 @@ object Queries {
     Map("q1_agg" -> (q1Agg _)) ++
       graft.queries.RelationalQueries.queries ++
       graft.queries.TextIndexQueries.queries ++
-      graft.queries.EventQueries.queries
+      graft.queries.EventQueries.queries ++
+      graft.queries.TextAnalysisQueries.queries
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++
       graft.queries.RelationalQueries.oracles ++
       graft.queries.TextIndexQueries.oracles ++
-      graft.queries.EventQueries.oracles
+      graft.queries.EventQueries.oracles ++
+      graft.queries.TextAnalysisQueries.oracles
 }

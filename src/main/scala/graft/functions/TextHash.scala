@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing primitives.
+  *
+  * Built on md5 (identical hex output in Spark, DuckDB, Python, …) rather
+  * than engine-native hash() functions, whose algorithms differ. A 60-bit
+  * prefix of the digest is parsed as int64: Spark `conv(hex,16,10)`,
+  * DuckDB `CAST('0x'||hex AS BIGINT)`. All downstream arithmetic stays
+  * below 2^63 (values are reduced mod P first), so no overflow on either
+  * engine — DuckDB errors on int64 overflow rather than wrapping.
+  *
+  * These feed document fingerprinting, MinHash, SimHash and LSH bucketing;
+  * everything is a codegen'd Column expression (no UDF).
+  */
+object TextHash {
+
+  /** Large prime modulus for rolling/minhash arithmetic. */
+  val P = 1000000007L
+
+  /** 60-bit md5-prefix hash of a string column. */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** hash64 reduced mod P (fits comfortably in later products). */
+  def hashMod(c: Column): Column = hash64(c) % lit(P)
+
+  /** Order-sensitive polynomial fingerprint of a token array:
+    * fp = fold(0, (acc, t) => (acc * 1000003 + hashMod(t)) mod P).
+    */
+  def fingerprint(tokens: Column): Column =
+    aggregate(tokens, lit(0L),
+      (acc, t) => (acc * lit(1000003L) + hashMod(t)) % lit(P))
+
+  /** The i-th MinHash signature over a token/shingle array:
+    * min over elements of (a_i * h(x) + b_i) mod P, with (a_i, b_i) derived
+    * deterministically from the seed index (no RNG — reproducible across
+    * engines and runs).
+    */
+  def minHash(tokens: Column, i: Int): Column = {
+    val a = 2L * i + 1  // odd multiplier
+    val b = 1099511628211L % P * (i + 1) % P
+    array_min(transform(tokens,
+      t => (hashMod(t) * lit(a) + lit(b)) % lit(P)))
+  }
+
+  /** SimHash over a token array with `bits` bit positions (default 32):
+    * for each bit j, sum +1/-1 votes of each token's hash bit; the signature
+    * packs the sign bits. Expressed as a fold over bit positions.
+    */
+  def simHash(tokens: Column, bits: Int = 32): Column = {
+    val votes = (0 until bits).map { j =>
+      // vote_j = sum over tokens of (bit_j(h) * 2 - 1)
+      val bitSum = aggregate(tokens, lit(0L),
+        (acc, t) => acc + (shiftright(hash64(t), j) % lit(2L)) * lit(2L) - lit(1L))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    votes.reduce(_ + _)
+  }
+}

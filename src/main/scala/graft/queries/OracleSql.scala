@@ -1,0 +1,35 @@
+package graft.queries
+
+/** Shared DuckDB SQL fragments used by multiple oracle queries. */
+object OracleSql {
+
+  /** Tokenized documents: docs_l (doc_id, l: list<varchar>) and
+    * toks (doc_id, term, pos) — the SQL mirror of Tokenizer.tokenize.
+    */
+  val TokCte: String =
+    """docs_l AS (
+      |  SELECT doc_id, list_filter(string_split_regex(
+      |    regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+      |    x -> x <> '') AS l
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+      |  FROM docs_l)""".stripMargin
+
+  /** 60-bit md5-prefix hash of a SQL expression (mirror of TextHash.hash64). */
+  def hash64(expr: String): String =
+    s"CAST('0x' || substring(md5($expr), 1, 15) AS BIGINT)"
+
+  /** hash64 mod P (mirror of TextHash.hashMod). */
+  def hashMod(expr: String): String =
+    s"(${hash64(expr)} % 1000000007)"
+
+  /** Polynomial fingerprint over a list expression (mirror of
+    * TextHash.fingerprint): fold with init 0 via list_prepend.
+    */
+  def fingerprint(listExpr: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform($listExpr, x -> ${hashMod("x")})),
+       |  (a, b) -> (a * 1000003 + b) % 1000000007)""".stripMargin
+}

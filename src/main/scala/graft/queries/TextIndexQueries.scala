@@ -19,18 +19,7 @@ object TextIndexQueries {
   val SearchQuery = "spark filter join stream data"
   val SearchTerms: Seq[String] = SearchQuery.split(" ").toSeq
 
-  /** DuckDB CTE fragment: tokenized documents (docs_l: doc_id, l) and
-    * per-token rows (toks: doc_id, term, pos).
-    */
-  private val TokCte =
-    """docs_l AS (
-      |  SELECT doc_id, list_filter(string_split_regex(
-      |    regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
-      |    x -> x <> '') AS l
-      |  FROM documents),
-      |toks AS (
-      |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
-      |  FROM docs_l)""".stripMargin
+  private val TokCte = OracleSql.TokCte
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"), col("text"))
