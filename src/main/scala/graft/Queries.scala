@@ -40,12 +40,14 @@ object Queries {
       graft.queries.RelationalQueries.queries ++
       graft.queries.TextIndexQueries.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.TextAnalysisQueries.queries
+      graft.queries.TextAnalysisQueries.queries ++
+      graft.queries.DedupQueries.queries
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++
       graft.queries.RelationalQueries.oracles ++
       graft.queries.TextIndexQueries.oracles ++
       graft.queries.EventQueries.oracles ++
-      graft.queries.TextAnalysisQueries.oracles
+      graft.queries.TextAnalysisQueries.oracles ++
+      graft.queries.DedupQueries.oracles
 }

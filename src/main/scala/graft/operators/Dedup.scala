@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextHash, Tokenizer}
+
+/** Deduplication operators for large-scale corpus curation.
+  *
+  * Scale design (100 TB): every variant is candidate-generation + verify —
+  * never an unblocked O(n²) cross join.
+  *  - exact: one hash-groupBy (single shuffle on the digest).
+  *  - MinHash/LSH: signatures are one narrow shuffle-free projection; the
+  *    band-bucket self-join only expands real collisions. Band count / row
+  *    count tune the jaccard-recall curve.
+  *  - SimHash: one token explode + hash-groupBy; pairs blocked on a
+  *    signature half (pigeonhole), hamming-verified with bit_count.
+  *  - n-gram: inverted shingle index; pairs materialize only for docs that
+  *    actually share a shingle, verified with exact set jaccard.
+  * All hashes are TextHash md5-based — deterministic across engines/runs.
+  */
+object Dedup {
+
+  /** Exact dedup bookkeeping: per-row digest, group size, and a
+    * deterministic keeper flag (min id per digest group).
+    * Expects (idCol, textCol); emits (id, digest, group_size, keep).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("digest"))
+    docs.select(col(idCol).as("id"),
+        md5(Tokenizer.normalizeWhitespace(col(textCol))).as("digest"))
+      .withColumn("group_size", count(lit(1)).over(w).cast("long"))
+      .withColumn("keep", col("id") === min(col("id")).over(w))
+  }
+
+  /** MinHash signature columns mh0..mh{n-1} over a distinct-element array. */
+  def minHashSignatures(set: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => TextHash.minHash(set, i).as(s"mh$i"))
+
+  /** LSH candidate pairs from a signature table (id, mh0..mh{n-1}):
+    * bands of `rowsPerBand` signatures; pairs sharing any full band collide.
+    * Emits distinct (id_a, id_b), id_a < id_b.
+    */
+  def lshCandidates(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        struct((0 until rowsPerBand).map(r =>
+          col(s"mh${b * rowsPerBand + r}").as(s"r$r")): _*).as("h"))
+    }
+    val banded = sigs.select(col("id"), explode(array(bandStructs: _*)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact set jaccard between two array columns (distinct semantics). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Per-id 32-bit SimHash from exploded (id, term) rows: hash each term
+    * once, sum ±1 votes per bit, pack sign bits. One shuffle (the groupBy).
+    */
+  def simHashSignatures(tokens: DataFrame, bits: Int = 32): DataFrame = {
+    // Hash once per token row (projected before the agg so md5 isn't
+    // re-evaluated per bit), then 32 partial-aggregated vote sums.
+    val hashed = tokens.select(col("id"), TextHash.hash64(col("term")).as("h"))
+    val voteCols = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"v$j")
+    }
+    val packed = (0 until bits).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.groupBy(col("id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"), packed.as("simhash"))
+  }
+
+  /** Hamming distance between two packed signature columns. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+}

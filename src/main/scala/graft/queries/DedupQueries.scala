@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextHash, Tokenizer}
+import graft.operators.Dedup
+
+/** Deduplication query inventory over `documents` (and `embeddings` for the
+  * cosine variant). Every oracle implements the identical algorithm in
+  * DuckDB SQL — possible because all hashing is md5-based (OracleSql.hash64).
+  *
+  * Subset filters (doc_id % k) bound candidate volume: the synthetic corpus
+  * draws from a small shared vocabulary, so unigram jaccard between random
+  * docs averages 0.61 — adversarially dense for LSH. Real corpora are
+  * sparser; the operators themselves are linear + collision-bounded.
+  */
+object DedupQueries {
+
+  private val P = TextHash.P
+  private val NumHashes = 8
+  private val RowsPerBand = 2
+
+  /** (a_i, b_i) for the i-th minhash — must mirror TextHash.minHash. */
+  private def mhParams(i: Int): (Long, Long) =
+    (2L * i + 1, 1099511628211L % P * (i + 1) % P)
+
+  // ---- Exact dedup ------------------------------------------------------------
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("digest"),
+        col("group_size"), col("keep"))
+      .orderBy("doc_id")
+
+  val dedupExactSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS digest
+      |  FROM documents)
+      |SELECT doc_id, digest,
+      |  CAST(count(*) OVER (PARTITION BY digest) AS BIGINT) AS group_size,
+      |  doc_id = min(doc_id) OVER (PARTITION BY digest) AS keep
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---- MinHash + LSH near-dup -------------------------------------------------
+  // Subset doc_id % 5 = 0; distinct unigram token sets; 8 hashes, 4 bands of 2;
+  // band-collision candidates verified with exact jaccard >= 0.8.
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(s, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id"),
+        array_distinct(Tokenizer.tokenize(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val sigs = sets.select(
+      col("id") +: Dedup.minHashSignatures(col("toks"), NumHashes): _*)
+    val cands = Dedup.lshCandidates(sigs, NumHashes, RowsPerBand)
+    val sa = sets.select(col("id").as("id_a"), col("toks").as("toks_a"))
+    val sb = sets.select(col("id").as("id_b"), col("toks").as("toks_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", Dedup.jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
+        col("jaccard").cast("double").as("jaccard"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  val dedupMinhashLshSql: String = {
+    val mhExprs = (0 until NumHashes).map { i =>
+      val (a, b) = mhParams(i)
+      s"list_min(list_transform(toks, x -> (${OracleSql.hashMod("x")} * $a + $b) % $P)) AS mh$i"
+    }.mkString(",\n    ")
+    val bandArms = (0 until NumHashes / RowsPerBand).map { bnd =>
+      val h1 = s"mh${bnd * RowsPerBand}"
+      val h2 = s"mh${bnd * RowsPerBand + 1}"
+      s"SELECT id, $bnd AS band, $h1 AS h1, $h2 AS h2 FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sets AS (
+       |  SELECT doc_id AS id, list_distinct(list_filter(string_split_regex(
+       |    regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'),
+       |    x -> x <> '')) AS toks
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |nonempty AS (SELECT * FROM sets WHERE len(toks) > 0),
+       |sigs AS (
+       |  SELECT id, toks,
+       |    $mhExprs
+       |  FROM nonempty),
+       |bands AS (
+       |  $bandArms),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.id < b.id)
+       |SELECT c.id_a AS doc_id_a, c.id_b AS doc_id_b,
+       |  CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
+       |    len(list_distinct(sa.toks || sb.toks)) AS jaccard
+       |FROM cands c
+       |JOIN nonempty sa ON c.id_a = sa.id
+       |JOIN nonempty sb ON c.id_b = sb.id
+       |WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
+       |    len(list_distinct(sa.toks || sb.toks)) >= 0.8
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+  }
+
+  // ---- SimHash near-dup -------------------------------------------------------
+  // 32-bit simhash; candidate pairs share a 16-bit half (pigeonhole blocking);
+  // verified hamming <= 6. Subset doc_id % 3 = 0.
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+    val tokens = docs.select(col("doc_id").as("id"),
+        explode(Tokenizer.tokenize(col("text"))).as("term"))
+    val sigs = Dedup.simHashSignatures(tokens)
+      .withColumn("lo", col("simhash") % 65536)
+      .withColumn("hi", (col("simhash") / 65536).cast("long"))
+    val a = sigs.select(col("id").as("id_a"), col("simhash").as("sh_a"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = sigs.select(col("id").as("id_b"), col("simhash").as("sh_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    a.join(b, col("id_a") < col("id_b") &&
+        (col("lo_a") === col("lo_b") || col("hi_a") === col("hi_b")))
+      .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= 6)
+      .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
+        col("sh_a").as("simhash_a"), col("sh_b").as("simhash_b"), col("hamming"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  val dedupSimhashSql: String = {
+    val votes = (0 until 32).map { j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n    ")
+    val pack = (0 until 32).map { j =>
+      s"CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH ${OracleSql.TokCte},
+       |hashed AS (
+       |  SELECT doc_id AS id, ${OracleSql.hash64("term")} AS h
+       |  FROM toks WHERE doc_id % 3 = 0),
+       |votes AS (
+       |  SELECT id,
+       |    $votes
+       |  FROM hashed GROUP BY id),
+       |sigs AS (
+       |  SELECT id, $pack AS simhash FROM votes),
+       |halved AS (
+       |  SELECT id, simhash, simhash % 65536 AS lo,
+       |    CAST(simhash // 65536 AS BIGINT) AS hi
+       |  FROM sigs)
+       |SELECT a.id AS doc_id_a, b.id AS doc_id_b,
+       |  a.simhash AS simhash_a, b.simhash AS simhash_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM halved a JOIN halved b
+       |  ON a.id < b.id AND (a.lo = b.lo OR a.hi = b.hi)
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+  }
+
+  // ---- n-gram (3-shingle) jaccard near-dup ------------------------------------
+  // Candidate generation via the inverted shingle index (pairs that share a
+  // shingle), verified with exact shingle-set jaccard.
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+    val sets = docs.select(col("doc_id").as("id"),
+        array_distinct(Tokenizer.tokenShingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    val a = inv.alias("a")
+    val b = inv.alias("b")
+    val cands = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    val sa = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val sb = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.02)
+      .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
+        col("shared").cast("long").as("shared_shingles"),
+        col("jaccard").cast("double").as("jaccard"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |sh3 AS (
+       |  SELECT t1.doc_id AS id,
+       |    t1.term || ' ' || t2.term || ' ' || t3.term AS shingle
+       |  FROM toks t1
+       |  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       |  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+       |  WHERE t1.doc_id % 2 = 0),
+       |sets AS (
+       |  SELECT id, list_distinct(list(shingle)) AS sh FROM sh3 GROUP BY id),
+       |inv AS (SELECT id, unnest(sh) AS shingle FROM sets),
+       |cands AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY a.id, b.id HAVING count(*) >= 2)
+       |SELECT c.id_a AS doc_id_a, c.id_b AS doc_id_b,
+       |  CAST(c.shared AS BIGINT) AS shared_shingles,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    len(list_distinct(sa.sh || sb.sh)) AS jaccard
+       |FROM cands c
+       |JOIN sets sa ON c.id_a = sa.id
+       |JOIN sets sb ON c.id_b = sb.id
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    len(list_distinct(sa.sh || sb.sh)) >= 0.02
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
+  // ---- Embedding-cosine near-dup ----------------------------------------------
+  // All-pairs within the vec_id % 5 = 0 subset; exact double-precision
+  // cosine; threshold calibrated to the synthetic distribution (max ~0.46).
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    val dot = aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _)
+    val na = sqrt(aggregate(col("va"), lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(col("vb"), lit(0.0), (acc, x) => acc + x * x))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", dot / (na * nb))
+      .filter(col("cosine") >= 0.35)
+      .select(col("id_a").as("vec_id_a"), col("id_b").as("vec_id_b"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("vec_id_a", "vec_id_b")
+  }
+
+  val dedupEmbeddingCosineSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id % 5 = 0),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+      |    list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+      |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id)
+      |SELECT vec_id_a, vec_id_b, CAST(cosine AS DOUBLE) AS cosine
+      |FROM pairs WHERE cosine >= 0.35
+      |ORDER BY vec_id_a, vec_id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosineSql)
+}

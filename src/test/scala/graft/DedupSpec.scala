@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextHash, Tokenizer}
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash64 matches the cross-engine md5-prefix value") {
+    // DuckDB: CAST('0x'||substring(md5('abc'),1,15) AS BIGINT) = 648541476951500027
+    val h = Seq("abc").toDF("s").select(TextHash.hash64(col("s"))).head().getLong(0)
+    assert(h == 648541476951500027L)
+  }
+
+  test("fingerprint: empty tokens -> 0; order-sensitive") {
+    val fps = Seq("a b", "b a", "").toDF("text")
+      .select(TextHash.fingerprint(Tokenizer.tokenize(col("text"))).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps(2) == 0L)
+    assert(fps(0) != fps(1)) // order matters
+  }
+
+  test("exact dedup: duplicates share digest, min id kept") {
+    val docs = Seq((1L, "same  text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val res = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // whitespace-normalized: docs 1 and 2 are identical
+    assert(res(1L) == (2L, true))
+    assert(res(2L) == (2L, false))
+    assert(res(3L) == (1L, true))
+  }
+
+  test("minhash: identical sets -> identical signatures; LSH finds the pair") {
+    val sets = Seq((1L, Seq("x", "y", "z")), (2L, Seq("z", "y", "x")),
+      (3L, Seq("p", "q", "r"))).toDF("id", "toks")
+    val sigs = sets.select(col("id") +: Dedup.minHashSignatures(col("toks"), 8): _*)
+    val rows = sigs.collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(rows(1L) == rows(2L)) // same set, order-insensitive
+    assert(rows(1L) != rows(3L))
+    val cands = Dedup.lshCandidates(sigs, 8, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs hamming 0; disjoint docs differ") {
+    val toks = Seq((1L, "aa"), (1L, "bb"), (2L, "aa"), (2L, "bb"), (3L, "zz"))
+      .toDF("id", "term")
+    val sigs = Dedup.simHashSignatures(toks).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("jaccard on array columns") {
+    val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("x", "y").select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+}
