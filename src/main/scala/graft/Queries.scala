@@ -41,7 +41,8 @@ object Queries {
       graft.queries.TextIndexQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.TextAnalysisQueries.queries ++
-      graft.queries.DedupQueries.queries
+      graft.queries.DedupQueries.queries ++
+      graft.queries.SimilarityQueries.queries
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++
@@ -49,5 +50,6 @@ object Queries {
       graft.queries.TextIndexQueries.oracles ++
       graft.queries.EventQueries.oracles ++
       graft.queries.TextAnalysisQueries.oracles ++
-      graft.queries.DedupQueries.oracles
+      graft.queries.DedupQueries.oracles ++
+      graft.queries.SimilarityQueries.oracles
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>` cast to double for exact cross-engine arithmetic).
+  *
+  * Two paths:
+  *  - brute-force: probes × corpus cosine + per-probe top-k. The probe set
+  *    is broadcast; the corpus is never shuffled. Baseline and verifier.
+  *  - random-hyperplane LSH: deterministic md5-derived hyperplanes bucket
+  *    every vector (narrow, shuffle-free per vector); probes only score
+  *    their own bucket. At 100 TB the bucket join replaces the full scan —
+  *    candidate volume scales with bucket occupancy, not corpus size.
+  *
+  * No RNG anywhere: hyperplane components derive from hash64(j || '_' || d),
+  * so Spark, DuckDB and any future engine build identical planes.
+  */
+object Similarity {
+
+  /** Cosine between two double-array columns (sequential fold — same
+    * evaluation order as DuckDB's list_dot_product).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine top-k: every probe against the full corpus.
+    * @param probes (id, v) — small; broadcast
+    * @param corpus (id, v)
+    */
+  def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val p = probes.select(col("id").as("probe_id"), col("v").as("pv"))
+    val c = corpus.select(col("id").as("cand_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    broadcast(p).join(c, col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine", cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("cosine"))
+  }
+
+  /** Deterministic hyperplane component for (plane j, dimension d):
+    * uniform in [-1, 1] with 1/1000 resolution.
+    */
+  def planeComponent(j: Column, d: Column): Column =
+    (TextHash.hash64(concat(j.cast("string"), lit("_"), d.cast("string")))
+      % 2001 - 1000) / 1000.0
+
+  /** Bucket each vector by the sign pattern of `numPlanes` hyperplane dots.
+    * Input (id, v); output (id, v, bucket).
+    */
+  def lshBuckets(spark: SparkSession, vectors: DataFrame, numPlanes: Int,
+                 dim: Int): DataFrame = {
+    val planes = spark.range(numPlanes).select(col("id").as("j"))
+      .crossJoin(spark.range(dim).select(col("id").as("d")))
+      .select(col("j"), col("d"), planeComponent(col("j"), col("d")).as("p"))
+    val comps = vectors.select(col("id"), posexplode(col("v")).as(Seq("d", "x")))
+    val dots = comps.join(broadcast(planes), "d")
+      .groupBy(col("id"), col("j"))
+      .agg(sum(col("x") * col("p")).as("dot"))
+    val buckets = dots.groupBy(col("id"))
+      .agg(sum(when(col("dot") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+        .otherwise(0L)).as("bucket"))
+    vectors.join(buckets, "id")
+  }
+
+  /** LSH-bucketed top-k: probes only score candidates in their bucket. */
+  def lshTopK(spark: SparkSession, probes: DataFrame, corpus: DataFrame,
+              k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val cb = lshBuckets(spark, corpus, numPlanes, dim)
+      .select(col("id").as("cand_id"), col("v").as("cv"), col("bucket"))
+    val pb = lshBuckets(spark, probes, numPlanes, dim)
+      .select(col("id").as("probe_id"), col("v").as("pv"), col("bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    broadcast(pb).join(cb, Seq("bucket"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine", cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("cosine"),
+        col("bucket"))
+  }
+}

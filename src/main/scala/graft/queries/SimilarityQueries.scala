@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Similarity-search inventory over `embeddings` (vec_id, embedding
+  * array<float>, label): brute-force cosine top-k (baseline), random-
+  * hyperplane LSH top-k (scale path), per-label norm stats.
+  */
+object SimilarityQueries {
+
+  private val K = 5
+  private val NumPlanes = 8
+  private val Dim = 64
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+
+  private def probes(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("id") % 50 === 0)
+
+  private val EmbCte =
+    """emb AS (
+      |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |         label
+      |  FROM embeddings),
+      |probes AS (SELECT * FROM emb WHERE id % 50 = 0)""".stripMargin
+
+  private val CosineSql =
+    """list_dot_product(p.v, c.v) /
+      |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v)))""".stripMargin
+
+  // ---- Brute-force cosine top-k ----------------------------------------------
+  def annBruteForce(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(probes(s, dir), emb(s, dir), K)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("probe_id", "rank")
+
+  val annBruteForceSql: String =
+    s"""WITH $EmbCte,
+       |scored AS (
+       |  SELECT p.id AS probe_id, c.id AS cand_id,
+       |    $CosineSql AS cosine
+       |  FROM probes p JOIN emb c ON p.id <> c.id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine
+       |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
+
+  // ---- LSH-bucketed top-k ----------------------------------------------------
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(s, probes(s, dir), emb(s, dir), K, NumPlanes, Dim)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        col("cosine").cast("double").as("cosine"), col("bucket"))
+      .orderBy("probe_id", "rank")
+
+  val annLshSql: String = {
+    val planeHash = OracleSql.hash64("concat(CAST(j AS VARCHAR), '_', CAST(d AS VARCHAR))")
+    s"""WITH $EmbCte,
+       |planes AS (
+       |  SELECT j, d, ($planeHash % 2001 - 1000) / 1000.0 AS p
+       |  FROM range($NumPlanes) t1(j), range($Dim) t2(d)),
+       |comps AS (
+       |  SELECT id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM emb),
+       |dots AS (
+       |  SELECT id, j, sum(x * p) AS dot
+       |  FROM comps JOIN planes USING (d) GROUP BY id, j),
+       |buckets AS (
+       |  SELECT id, sum(CASE WHEN dot > 0
+       |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY id),
+       |scored AS (
+       |  SELECT p.id AS probe_id, c.id AS cand_id, pb.bucket,
+       |    $CosineSql AS cosine
+       |  FROM probes p
+       |  JOIN buckets pb ON p.id = pb.id
+       |  JOIN buckets cb ON pb.bucket = cb.bucket AND cb.id <> p.id
+       |  JOIN emb c ON c.id = cb.id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine, bucket
+       |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
+  }
+
+  // ---- Per-label embedding norm stats ----------------------------------------
+  def embeddingNorms(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        avg(col("norm")).cast("double").as("avg_norm"),
+        min(col("norm")).cast("double").as("min_norm"),
+        max(col("norm")).cast("double").as("max_norm"))
+      .orderBy("label")
+
+  val embeddingNormsSql: String =
+    s"""WITH $EmbCte,
+       |norms AS (SELECT label, sqrt(list_dot_product(v, v)) AS norm FROM emb)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(avg(norm) AS DOUBLE) AS avg_norm,
+       |  CAST(min(norm) AS DOUBLE) AS min_norm,
+       |  CAST(max(norm) AS DOUBLE) AS max_norm
+       |FROM norms GROUP BY label ORDER BY label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_force" -> (annBruteForce _),
+    "ann_lsh" -> (annLsh _),
+    "embedding_norms" -> (embeddingNorms _))
+
+  val oracles: Map[String, String] = Map(
+    "ann_brute_force" -> annBruteForceSql,
+    "ann_lsh" -> annLshSql,
+    "embedding_norms" -> embeddingNormsSql)
+}
