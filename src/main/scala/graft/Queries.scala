@@ -42,7 +42,8 @@ object Queries {
       graft.queries.EventQueries.queries ++
       graft.queries.TextAnalysisQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.SimilarityQueries.queries
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++
@@ -51,5 +52,6 @@ object Queries {
       graft.queries.EventQueries.oracles ++
       graft.queries.TextAnalysisQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
-      graft.queries.SimilarityQueries.oracles
+      graft.queries.SimilarityQueries.oracles ++
+      graft.queries.MultimodalQueries.oracles
 }

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Multimodal
+
+/** Multimodal plumbing as an oracle-checked query: binary payloads from
+  * documents -> partition-batched stub feature extraction -> long-format
+  * (media_id, feature_idx, value) rows. The oracle recomputes the byte
+  * histogram relationally (ASCII corpus: byte == codepoint).
+  */
+object MultimodalQueries {
+
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+    Multimodal.extractFeatures(s, media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        posexplode(col("features")).as(Seq("feature_idx", "value")))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("feature_idx").cast("long").as("feature_idx"),
+        col("value").cast("double").as("value"))
+      .orderBy("media_id", "feature_idx")
+  }
+
+  val multimodalFeaturesSql: String =
+    s"""WITH chars AS (
+       |  SELECT doc_id, 'text/' || lang AS kind, length(text) AS n_bytes,
+       |    unicode(substring(text, CAST(i AS INT), 1)) % ${Multimodal.FeatureDim} AS bucket
+       |  FROM documents, generate_series(1, 4096) t(i)
+       |  WHERE i <= length(text)),
+       |counts AS (
+       |  SELECT doc_id, kind, n_bytes, bucket, count(*) AS c
+       |  FROM chars GROUP BY doc_id, kind, n_bytes, bucket),
+       |grid AS (
+       |  SELECT d.doc_id, 'text/' || d.lang AS kind, length(d.text) AS n_bytes, f.feature_idx
+       |  FROM documents d, (SELECT unnest(range(${Multimodal.FeatureDim})) AS feature_idx) f)
+       |SELECT g.doc_id AS media_id, g.kind, CAST(g.n_bytes AS BIGINT) AS n_bytes,
+       |  CAST(g.feature_idx AS BIGINT) AS feature_idx,
+       |  CAST(CASE WHEN g.n_bytes = 0 THEN 0.0
+       |       ELSE COALESCE(c.c, 0) * 1.0 / g.n_bytes END AS DOUBLE) AS value
+       |FROM grid g LEFT JOIN counts c
+       |  ON g.doc_id = c.doc_id AND g.feature_idx = c.bucket
+       |ORDER BY media_id, feature_idx""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_features" -> (multimodalFeatures _))
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_features" -> multimodalFeaturesSql)
+}

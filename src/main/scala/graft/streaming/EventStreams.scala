@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the event pipeline. The windowed
+  * aggregation is the SAME declarative plan as the batch query
+  * (EventQueries.eventsTumbling) applied to a streaming source — Spark's
+  * incremental planner handles state; the batch oracle validates semantics.
+  *
+  * Sessionization is genuinely stateful and uses
+  * flatMapGroupsWithState: per-user state tracks the open session; closed
+  * sessions are emitted as soon as a later event (or timeout) proves the
+  * 30-minute gap. At scale, state is partitioned by user_id across
+  * executors and checkpointed incrementally.
+  */
+object EventStreams {
+
+  val SessionGapSeconds = 1800L
+
+  case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+  case class OpenSession(startMicros: Long, lastMicros: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, start_micros: Long, end_micros: Long,
+                        n_events: Long)
+
+  /** Tumbling-window counts; run identically over readStream or read. */
+  def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Full-microsecond epoch of a Timestamp (getTime alone drops sub-ms). */
+  def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+  /** Stateful sessionization over a typed event stream. Emits each session
+    * when it closes (next event past the gap, or processing-time timeout
+    * flushes the open session).
+    */
+  def sessionize(spark: SparkSession, events: Dataset[EventRow],
+                 useTimeout: Boolean = true): Dataset[SessionOut] = {
+    import spark.implicits._
+    // Production uses a processing-time timeout so idle users' open
+    // sessions eventually flush; NoTimeout keeps micro-batch tests
+    // quiescent (armed timeouts re-trigger empty batches forever under
+    // processAllAvailable).
+    val timeoutConf =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(userId, s.startMicros, s.lastMicros, s.nEvents)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toVector.sortBy(r => (micros(r.ts), r.event_id))
+            var open = state.getOption
+            val closed = Vector.newBuilder[SessionOut]
+            sorted.foreach { r =>
+              val m = micros(r.ts)
+              open match {
+                case Some(s) if m - s.lastMicros <= SessionGapSeconds * 1000000L =>
+                  open = Some(s.copy(lastMicros = m, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.startMicros, s.lastMicros, s.nEvents)
+                  open = Some(OpenSession(m, m, 1))
+                case None =>
+                  open = Some(OpenSession(m, m, 1))
+              }
+            }
+            open match {
+              case Some(s) =>
+                state.update(s)
+                if (useTimeout) state.setTimeoutDuration("30 seconds")
+              case None => state.remove()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

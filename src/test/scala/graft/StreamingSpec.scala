@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{EventRow, SessionOut}
+
+/** Drives the streaming plans with MemoryStream and checks them against the
+  * equivalent batch computation (SURVEY.md §2.9 extension scope).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String = "click"): EventRow =
+    EventRow(id, new Timestamp(1704067200000L + minute * 60000L), user, typ, 1.0)
+
+  test("streaming windowed counts equal the batch plan on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      ev(1, 5, 1), ev(2, 20, 1, "view"), ev(3, 61, 2), ev(4, 62, 2), ev(5, 125, 3))
+    val stream = MemoryStream[EventRow]
+    stream.addData(events: _*)
+    val q = EventStreams.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("wc_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("wc_out")
+      .select(col("window_start").cast("long"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStreams.windowedCounts(events.toDF())
+      .select(col("window_start").cast("long"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("stateful sessionize emits closed sessions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.sessionize(spark, stream.toDS(), useTimeout = false)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events 10 min apart (one open session)
+      stream.addData(ev(1, 0, 1), ev(2, 10, 1))
+      q.processAllAvailable()
+      // batch 2: 40 min gap -> closes session 1, opens session 2;
+      // user 2 starts its own session
+      stream.addData(ev(3, 50, 1), ev(4, 55, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("sess_out").as[SessionOut].collect()
+    assert(closed.length == 1)
+    val s = closed.head
+    assert(s.user_id == 1L && s.n_events == 2L)
+    assert(s.end_micros - s.start_micros == 10L * 60 * 1000000)
+  }
+
+  test("multimodal stub features: histogram sums to 1, batch shape preserved") {
+    val docs = Seq((1L, "aaab", "en"), (2L, "", "de"))
+      .toDF("doc_id", "text", "lang")
+    val media = graft.operators.Multimodal.mediaFromDocuments(docs)
+    val feats = graft.operators.Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes == 4)
+    assert(math.abs(feats(1L).features.sum - 1.0) < 1e-12)
+    // 'a' = 97 -> bucket 1 (97 % 16), three of four bytes
+    assert(math.abs(feats(1L).features(97 % 16) - 0.75) < 1e-12)
+    assert(feats(2L).features.forall(_ == 0.0))
+  }
+}
