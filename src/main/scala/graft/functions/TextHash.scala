@@ -34,16 +34,42 @@ object TextHash {
     aggregate(tokens, lit(0L),
       (acc, t) => (acc * lit(1000003L) + hashMod(t)) % lit(P))
 
+  /** n-gram shingle hashes from an already-hashed token array (`array<long>`,
+    * values < P): each shingle hash is the polynomial combine of its n token
+    * hashes — one md5 per token instead of one per shingle, and no string
+    * concatenation. hashCombine(h1..hn) = fold((acc*1000003 + h) mod P).
+    */
+  def hashedShingles(tokenHashes: Column, n: Int): Column = {
+    val toks = tokenHashes
+    // aliased "0".."n-1" so arrays_zip field names are positional even for
+    // named attribute inputs (see Tokenizer.shinglesOf)
+    val shifted = (0 until n).map { i =>
+      val c = if (i == 0) toks
+        else slice(toks, lit(i + 1), greatest(size(toks) - i, lit(0)))
+      c.as(i.toString)
+    }
+    val combined = transform(arrays_zip(shifted: _*), s =>
+      (0 until n).map(i => s.getField(i.toString))
+        .foldLeft(lit(0L): Column)((acc, h) => (acc * lit(1000003L) + h) % lit(P)))
+    slice(combined, lit(1), greatest(size(toks) - (n - 1), lit(0)))
+  }
+
   /** The i-th MinHash signature over a token/shingle array:
     * min over elements of (a_i * h(x) + b_i) mod P, with (a_i, b_i) derived
     * deterministically from the seed index (no RNG — reproducible across
     * engines and runs).
     */
-  def minHash(tokens: Column, i: Int): Column = {
+  def minHash(tokens: Column, i: Int): Column =
+    minHashOfHashes(transform(tokens, hashMod(_)), i)
+
+  /** MinHash over an already-hashed (`array<long>`, values < P) column —
+    * lets callers hash each element once and reuse the longs for the
+    * jaccard verify too.
+    */
+  def minHashOfHashes(hashes: Column, i: Int): Column = {
     val a = 2L * i + 1  // odd multiplier
     val b = 1099511628211L % P * (i + 1) % P
-    array_min(transform(tokens,
-      t => (hashMod(t) * lit(a) + lit(b)) % lit(P)))
+    array_min(transform(hashes, h => (h * lit(a) + lit(b)) % lit(P)))
   }
 
   /** SimHash over a token array with `bits` bit positions (default 32):

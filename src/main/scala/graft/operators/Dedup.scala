@@ -38,6 +38,10 @@ object Dedup {
   def minHashSignatures(set: Column, numHashes: Int): Seq[Column] =
     (0 until numHashes).map(i => TextHash.minHash(set, i).as(s"mh$i"))
 
+  /** Same, over an already-hashed `array<long>` set. */
+  def minHashSignaturesHashed(set: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => TextHash.minHashOfHashes(set, i).as(s"mh$i"))
+
   /** LSH candidate pairs from a signature table (id, mh0..mh{n-1}):
     * bands of `rowsPerBand` signatures; pairs sharing any full band collide.
     * Emits distinct (id_a, id_b), id_a < id_b.

@@ -21,6 +21,7 @@ object DedupQueries {
   private val P = TextHash.P
   private val NumHashes = 8
   private val RowsPerBand = 2
+  private val MaxShingleDf = 20
 
   /** (a_i, b_i) for the i-th minhash — must mirror TextHash.minHash. */
   private def mhParams(i: Int): (Long, Long) =
@@ -46,13 +47,17 @@ object DedupQueries {
   // Subset doc_id % 5 = 0; distinct unigram token sets; 8 hashes, 4 bands of 2;
   // band-collision candidates verified with exact jaccard >= 0.8.
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // Tokens hashed to long once; both the signatures and the jaccard
+    // verify run on the long sets (same md5 hash in the oracle).
     val sets = Tables.documents(s, dir)
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id").as("id"),
-        array_distinct(Tokenizer.tokenize(col("text"))).as("toks"))
+        array_distinct(transform(Tokenizer.tokenize(col("text")),
+          t => TextHash.hashMod(t))).as("toks"))
       .filter(size(col("toks")) > 0)
+      .cache()
     val sigs = sets.select(
-      col("id") +: Dedup.minHashSignatures(col("toks"), NumHashes): _*)
+      col("id") +: Dedup.minHashSignaturesHashed(col("toks"), NumHashes): _*)
     val cands = Dedup.lshCandidates(sigs, NumHashes, RowsPerBand)
     val sa = sets.select(col("id").as("id_a"), col("toks").as("toks_a"))
     val sb = sets.select(col("id").as("id_b"), col("toks").as("toks_b"))
@@ -67,7 +72,7 @@ object DedupQueries {
   val dedupMinhashLshSql: String = {
     val mhExprs = (0 until NumHashes).map { i =>
       val (a, b) = mhParams(i)
-      s"list_min(list_transform(toks, x -> (${OracleSql.hashMod("x")} * $a + $b) % $P)) AS mh$i"
+      s"list_min(list_transform(toks, x -> (x * $a + $b) % $P)) AS mh$i"
     }.mkString(",\n    ")
     val bandArms = (0 until NumHashes / RowsPerBand).map { bnd =>
       val h1 = s"mh${bnd * RowsPerBand}"
@@ -75,9 +80,11 @@ object DedupQueries {
       s"SELECT id, $bnd AS band, $h1 AS h1, $h2 AS h2 FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH sets AS (
-       |  SELECT doc_id AS id, list_distinct(list_filter(string_split_regex(
-       |    regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'),
-       |    x -> x <> '')) AS toks
+       |  SELECT doc_id AS id, list_distinct(list_transform(
+       |    list_filter(string_split_regex(
+       |      regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'),
+       |      x -> x <> ''),
+       |    x -> ${OracleSql.hashMod("x")})) AS toks
        |  FROM documents WHERE doc_id % 5 = 0),
        |nonempty AS (SELECT * FROM sets WHERE len(toks) > 0),
        |sigs AS (
@@ -108,15 +115,22 @@ object DedupQueries {
     val docs = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
     val tokens = docs.select(col("doc_id").as("id"),
         explode(Tokenizer.tokenize(col("text"))).as("term"))
+    // cached: the signature table feeds both half-joins and the verify
     val sigs = Dedup.simHashSignatures(tokens)
       .withColumn("lo", col("simhash") % 65536)
       .withColumn("hi", (col("simhash") / 65536).cast("long"))
+      .cache()
     val a = sigs.select(col("id").as("id_a"), col("simhash").as("sh_a"),
       col("lo").as("lo_a"), col("hi").as("hi_a"))
     val b = sigs.select(col("id").as("id_b"), col("simhash").as("sh_b"),
       col("lo").as("lo_b"), col("hi").as("hi_b"))
-    a.join(b, col("id_a") < col("id_b") &&
-        (col("lo_a") === col("lo_b") || col("hi_a") === col("hi_b")))
+    // OR of two equalities would plan as a nested-loop cross join; a union
+    // of two hash joins + pair distinct is the scalable equivalent.
+    val byLo = a.join(b, col("lo_a") === col("lo_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    val byHi = a.join(b, col("hi_a") === col("hi_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    byLo.union(byHi).distinct()
       .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= 6)
       .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
@@ -159,12 +173,32 @@ object DedupQueries {
   // shingle), verified with exact shingle-set jaccard.
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
-    val sets = docs.select(col("doc_id").as("id"),
-        array_distinct(Tokenizer.tokenShingles(col("text"), 3)).as("sh"))
+    // Tokens md5-hashed once, 3-shingle hashes built by polynomial combine
+    // of token hashes: the inverted index, the pair join and the jaccard
+    // verify all run on longs, with no per-shingle md5 or string concat
+    // (identical combine in the oracle, so results match exactly).
+    // The cache() is a materialization barrier: without it, Catalyst's
+    // project-collapse inlines the md5 transform into each of the n shifted
+    // slice() references and the hashing runs n+2 times per doc.
+    val hashedToks = docs.select(col("doc_id").as("id"),
+        transform(Tokenizer.tokenize(col("text")),
+          t => TextHash.hashMod(t)).as("th"))
+      .cache()
+    val sets = hashedToks.select(col("id"),
+        array_distinct(TextHash.hashedShingles(col("th"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
     val inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
-    val a = inv.alias("a")
-    val b = inv.alias("b")
+    // Stop-shingle cap: shingles present in > MaxShingleDf docs are
+    // discriminating nothing and would expand the pair join quadratically
+    // (the synthetic corpus's tiny vocabulary makes this extreme). Standard
+    // candidate-generation hygiene at scale; mirrored in the oracle.
+    val rare = inv.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+      .select("shingle")
+    val invRare = inv.join(rare, "shingle")
+    val a = invRare.alias("a")
+    val b = invRare.alias("b")
     val cands = a.join(b, col("a.shingle") === col("b.shingle") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -184,19 +218,24 @@ object DedupQueries {
 
   val dedupNgramJaccardSql: String =
     s"""WITH ${OracleSql.TokCte},
+       |th AS (
+       |  SELECT doc_id, pos, ${OracleSql.hashMod("term")} AS h
+       |  FROM toks WHERE doc_id % 2 = 0),
        |sh3 AS (
        |  SELECT t1.doc_id AS id,
-       |    t1.term || ' ' || t2.term || ' ' || t3.term AS shingle
-       |  FROM toks t1
-       |  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
-       |  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
-       |  WHERE t1.doc_id % 2 = 0),
+       |    (((t1.h * 1000003 + t2.h) % 1000000007) * 1000003 + t3.h) % 1000000007 AS shingle
+       |  FROM th t1
+       |  JOIN th t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       |  JOIN th t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
        |sets AS (
        |  SELECT id, list_distinct(list(shingle)) AS sh FROM sh3 GROUP BY id),
        |inv AS (SELECT id, unnest(sh) AS shingle FROM sets),
+       |rare AS (
+       |  SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= $MaxShingleDf),
+       |inv_rare AS (SELECT inv.id, inv.shingle FROM inv JOIN rare USING (shingle)),
        |cands AS (
        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
-       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+       |  FROM inv_rare a JOIN inv_rare b ON a.shingle = b.shingle AND a.id < b.id
        |  GROUP BY a.id, b.id HAVING count(*) >= 2)
        |SELECT c.id_a AS doc_id_a, c.id_b AS doc_id_b,
        |  CAST(c.shared AS BIGINT) AS shared_shingles,
@@ -218,11 +257,9 @@ object DedupQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
     val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
-    val dot = aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _)
-    val na = sqrt(aggregate(col("va"), lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(col("vb"), lit(0.0), (acc, x) => acc + x * x))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", dot / (na * nb))
+      .withColumn("cosine",
+        graft.operators.Similarity.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= 0.35)
       .select(col("id_a").as("vec_id_a"), col("id_b").as("vec_id_b"),
         col("cosine").cast("double").as("cosine"))

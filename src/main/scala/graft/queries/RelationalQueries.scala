@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -286,14 +286,17 @@ object RelationalQueries {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---- Exact percentiles (interpolated, matches quantile_cont) ---------------
+  /** Exact interpolated percentiles via graft.operators.Quantiles — a
+    * two-pass distributed selection that stays parallel even with only two
+    * groups (window/percentile formulations collapse to one task per group).
+    */
   def percentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_linestatus"))
-      .agg(
-        expr("percentile(l_extendedprice, 0.25)").cast("double").as("p25"),
-        expr("percentile(l_extendedprice, 0.5)").cast("double").as("p50"),
-        expr("percentile(l_extendedprice, 0.75)").cast("double").as("p75"),
-        expr("percentile(l_extendedprice, 0.95)").cast("double").as("p95"))
+    graft.operators.Quantiles.exactQuantiles(
+      Tables.lineitem(s, dir), "l_linestatus", "l_extendedprice",
+      Seq(0.25, 0.5, 0.75, 0.95))
+      .select(col("l_linestatus"),
+        col("q0").as("p25"), col("q1").as("p50"),
+        col("q2").as("p75"), col("q3").as("p95"))
       .orderBy("l_linestatus")
 
   val percentilesSql: String =

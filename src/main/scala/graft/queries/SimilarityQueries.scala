@@ -95,7 +95,7 @@ object SimilarityQueries {
   // ---- Per-label embedding norm stats ----------------------------------------
   def embeddingNorms(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("norm", sqrt(graft.plans.VectorExprs.dot(col("v"), col("v"))))
       .groupBy(col("label"))
       .agg(count(lit(1)).cast("long").as("n"),
         avg(col("norm")).cast("double").as("avg_norm"),
