@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.io.{BufferedWriter, File, FileWriter}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Tokenizer
+
+/** The reference's data-preparation stage and file formats
+  * (SURVEY.md §2.1 S1-S8, §3.3), Spark-native:
+  *
+  *  - prepare: select/sample/limit + whitespace-normalized title
+  *    (app/prepare_data.py:19-29 — the Python UDF becomes a built-in
+  *    expression)
+  *  - TSV sink/scan: the MapReduce interchange format
+  *    (app/prepare_data.py:41, mapper stdin parsing)
+  *  - per-document text files: the foreach side-effect sink
+  *    (app/prepare_data.py:31-38), as foreachPartition
+  *  - raw text-dir scan replacing the `hdfs dfs -cat` subprocess reads
+  *    (app/app.py:74-104)
+  */
+object Pipelines {
+
+  val DocSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("title", StringType),
+    StructField("text", StringType)))
+
+  /** P1-P3 + F7: project, Bernoulli-sample (seed 0), cap at n, normalize
+    * title whitespace. Mirrors app/prepare_data.py:19-29.
+    */
+  def prepare(docs: DataFrame, n: Int, totalCount: Long): DataFrame = {
+    val fraction = math.min(1.0, if (totalCount == 0) 1.0 else 100.0 * n / totalCount)
+    docs.select(col("id"), col("title"), col("text"))
+      .sample(fraction, seed = 0)
+      .limit(n)
+      .withColumn("title", Tokenizer.normalizeWhitespace(col("title")))
+  }
+
+  /** S2: tab-separated sink, overwrite (app/prepare_data.py:41). */
+  def writeTsv(df: DataFrame, path: String): Unit =
+    df.write.option("sep", "\t").mode("overwrite").csv(path)
+
+  /** S4: quote-aware TSV scan (the MR mappers' csv.reader semantics). */
+  def readTsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").schema(DocSchema).csv(path)
+
+  /** F8: sanitize a filename exactly like the reference
+    * (spaces -> _, then keep only [a-zA-Z0-9_-]; app/prepare_data.py:32-33).
+    */
+  def sanitizeName(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(c, " ", "_"), "[^a-zA-Z0-9_-]", "")
+
+  /** S3/U2: one `<id>_<sanitized title>.txt` per document, written from the
+    * executors via foreachPartition (app/prepare_data.py:31-38). `outDir`
+    * must be visible to all executors (local FS in local mode).
+    */
+  def writePerDocFiles(docs: DataFrame, outDir: String): Unit = {
+    new File(outDir).mkdirs()
+    docs.select(
+        sanitizeName(concat_ws("_", col("id"), col("title"))).as("fname"),
+        col("text"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val w = new BufferedWriter(new FileWriter(new File(outDir, r.getString(0) + ".txt")))
+          try w.write(if (r.isNullAt(1)) "" else r.getString(1)) finally w.close()
+        }
+      }
+  }
+
+  /** S5: read a directory of text files as (path, value) rows. */
+  def readTextDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.text(dir).withColumn("path", input_file_name())
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Indexer, Search, SkewJoin}
+
+/** Property-based invariants (SURVEY.md §5.4), driven by raw ScalaCheck
+  * generators over fixed seeds (the scalatestplus bridge isn't in the
+  * offline dependency cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "naïve_word")
+  private val docGen = Gen.listOfN(8, word).map(_.mkString(" "))
+  private val corpusGen: Gen[List[(String, String)]] =
+    Gen.chooseNum(1, 6).flatMap(k =>
+      Gen.listOfN(k, docGen).map(_.zipWithIndex.map { case (t, i) => (s"d$i", t) }))
+
+  private def forAll(g: Gen[List[(String, String)]], n: Int = 10)(
+      check: List[(String, String)] => Unit): Unit =
+    (1 to n).foreach { i =>
+      check(g.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    }
+
+  test("sum(tf) per term == total occurrences; df == docs containing term") {
+    forAll(corpusGen) { corpus =>
+      val docs = corpus.toDF("doc_id", "text")
+      val postings = Indexer.postings(docs).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      val truth = corpus.flatMap { case (id, text) =>
+        text.split(" ").filter(_.nonEmpty).map(t => (t.toLowerCase, id))
+      }
+      // tf sums
+      val tfByTerm = postings.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val occByTerm = truth.groupBy(_._1).view.mapValues(_.size).toMap
+      assert(tfByTerm == occByTerm)
+      // df
+      val df = Indexer.termDf(Indexer.postings(docs)).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      val dfTruth = truth.distinct.groupBy(_._1).view.mapValues(_.size).toMap
+      assert(df == dfTruth)
+    }
+  }
+
+  test("scores positive; top-k invariant under input repartitioning") {
+    forAll(corpusGen) { corpus =>
+      val docs = corpus.toDF("doc_id", "text")
+      val r1 = Search.searchDocs(spark, docs, "alpha beta", 10).collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+      val r2 = Search.searchDocs(spark, docs.repartition(7), "alpha beta", 10)
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      // idf floors at 0 when a term hits every doc, so scores are >= 0
+      assert(r1.forall(_._2 >= 0))
+      assert(r1.map(_._1).sameElements(r2.map(_._1)))
+      r1.zip(r2).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
+  test("salted join equals plain join on skewed data") {
+    val skewed = (1 to 2000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"v$i"))
+      .toDF("k", "payload")
+    val dim = Seq((1L, "hot"), (2L, "a"), (30L, "b")).toDF("k", "name")
+    val plain = skewed.join(dim, "k").select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val salted = SkewJoin.saltedInnerJoin(skewed, dim, "k", buckets = 8)
+      .select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("SQL function registration: graft_* callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val toks = spark.sql("SELECT graft_tokenize('Hello, Wörld! x2') AS t")
+      .head().getSeq[String](0)
+    assert(toks == Seq("hello", "wörld", "x2"))
+    val dot = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+    val idf = spark.sql("SELECT graft_bm25_idf(4.0d, 2) AS i").head().getDouble(0)
+    assert(math.abs(idf - math.log(2.0)) < 1e-12)
+    // SQL path computes the same values as the Column API path
+    val h = spark.sql("SELECT graft_hash64('abc') AS h").head().getLong(0)
+    assert(h == 648541476951500027L)
+    val fpSql = spark.sql("SELECT graft_fingerprint(graft_tokenize('a b c')) AS f")
+      .head().getLong(0)
+    val fpCol = Seq("a b c").toDF("t")
+      .select(graft.functions.TextHash.fingerprint(
+        graft.functions.Tokenizer.tokenize(col("t")))).head().getLong(0)
+    assert(fpSql == fpCol)
+    // extensions entry point builds the same registrations
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+}
