@@ -162,7 +162,46 @@ object EventQueries {
       |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---- As-of join: each purchase matched to the user's latest prior signup --
+  def eventsAsofSignup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin
+      .asOfPrior(purchases, signups, "user_id", "ts", "ts", "event_id")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("asof.event_id").as("signup_id"),
+        date_format(col("asof.ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
+      .orderBy("purchase_id")
+  }
+
+  val eventsAsofSignupSql: String =
+    """WITH u AS (
+      |  SELECT user_id, ts, 1 AS side, event_id AS l_event,
+      |         CAST(NULL AS BIGINT) AS r_event, CAST(NULL AS TIMESTAMP) AS r_ts
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, 0 AS side, NULL, event_id, ts
+      |  FROM events WHERE event_type = 'signup'),
+      |m AS (
+      |  SELECT *,
+      |    last_value(r_event IGNORE NULLS) OVER w AS sid,
+      |    last_value(r_ts IGNORE NULLS) OVER w AS sts
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY ts ASC, side ASC, r_event ASC NULLS LAST
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT l_event AS purchase_id, user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  sid AS signup_id,
+      |  strftime(sts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+      |FROM m WHERE side = 1 ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_asof_signup" -> (eventsAsofSignup _),
     "events_tumbling" -> (eventsTumbling _),
     "events_sliding" -> (eventsSliding _),
     "events_json" -> (eventsJson _),
@@ -171,6 +210,7 @@ object EventQueries {
     "events_latest_per_user" -> (eventsLatestPerUser _))
 
   val oracles: Map[String, String] = Map(
+    "events_asof_signup" -> eventsAsofSignupSql,
     "events_tumbling" -> eventsTumblingSql,
     "events_sliding" -> eventsSlidingSql,
     "events_json" -> eventsJsonSql,

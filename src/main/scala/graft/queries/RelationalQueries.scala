@@ -351,7 +351,37 @@ object RelationalQueries {
       |FROM lineitem WHERE l_orderkey % 97 = 0
       |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin
 
+  // ---- Rows-only queries (no SQL oracle: nondeterministic-across-engines
+  //      by nature; driver records the weaker rows>0 check) ----------------
+
+  /** P2: true Bernoulli sample (seed-deterministic within Spark). */
+  def sampleBernoulli(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).sample(0.1, seed = 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  /** A2-scalable variant: HLL++ approximate distinct counts. */
+  def distinctApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+      .orderBy("l_returnflag")
+
+  /** T-digest approximate percentiles (scalable alternative to Quantiles). */
+  def percentilesApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 10000)")
+        .as("approx_ps"))
+      .select(col("l_linestatus"),
+        col("approx_ps").getItem(0).as("p25"), col("approx_ps").getItem(1).as("p50"),
+        col("approx_ps").getItem(2).as("p75"), col("approx_ps").getItem(3).as("p95"))
+      .orderBy("l_linestatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_bernoulli" -> (sampleBernoulli _),
+    "distinct_approx" -> (distinctApprox _),
+    "percentiles_approx" -> (percentilesApprox _),
     "scan_filter" -> (scanFilter _),
     "q3_shipping" -> (q3Shipping _),
     "q5_star_join" -> (q5StarJoin _),
