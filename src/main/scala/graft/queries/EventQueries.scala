@@ -162,6 +162,42 @@ object EventQueries {
       |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---- Native session windows (30-min gap), the Spark-idiomatic form of
+  //      eventsSessionize; oracle derives identical sessions via lag+cumsum
+  //      (gap >= 30min opens a session: session_window intervals are
+  //      half-open [start, last+gap)) --------------------------------------
+  def eventsSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("value")).cast("double").as("total_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
+  val eventsSessionWindowSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(value) AS DOUBLE) AS total_value
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   // ---- As-of join: each purchase matched to the user's latest prior signup --
   def eventsAsofSignup(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -201,6 +237,7 @@ object EventQueries {
       |FROM m WHERE side = 1 ORDER BY purchase_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_session_window" -> (eventsSessionWindow _),
     "events_asof_signup" -> (eventsAsofSignup _),
     "events_tumbling" -> (eventsTumbling _),
     "events_sliding" -> (eventsSliding _),
@@ -210,6 +247,7 @@ object EventQueries {
     "events_latest_per_user" -> (eventsLatestPerUser _))
 
   val oracles: Map[String, String] = Map(
+    "events_session_window" -> eventsSessionWindowSql,
     "events_asof_signup" -> eventsAsofSignupSql,
     "events_tumbling" -> eventsTumblingSql,
     "events_sliding" -> eventsSlidingSql,

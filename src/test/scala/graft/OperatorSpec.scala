@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Quantiles}
+
+/** Direct unit specs for the standalone operators (beyond the oracle gate). */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Quantiles matches a locally sorted computation, many partitions") {
+    val vals = (1 to 997).map(i => ("g" + (i % 3), (i * 37 % 1000).toDouble))
+    val df = vals.toDF("g", "v").repartition(13)
+    val got = Quantiles.exactQuantiles(df, "g", "v", Seq(0.0, 0.25, 0.5, 0.9, 1.0))
+      .collect().map(r => r.getString(0) -> (1 to 5).map(r.getDouble)).toMap
+    vals.groupBy(_._1).foreach { case (g, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.size
+      Seq(0.0, 0.25, 0.5, 0.9, 1.0).zipWithIndex.foreach { case (p, i) =>
+        val r = (n - 1) * p
+        val lo = math.floor(r).toInt
+        val hi = math.ceil(r).toInt
+        val expected = sorted(lo) * (1 - (r - lo)) + sorted(hi) * (r - lo)
+        assert(math.abs(got(g)(i) - expected) < 1e-9,
+          s"group $g p$p: got ${got(g)(i)} expected $expected")
+      }
+    }
+  }
+
+  test("AsOfJoin: latest prior right row; ties at same ts resolved by tiebreak") {
+    def ts(m: Int) = new Timestamp(1704067200000L + m * 60000L)
+    val left = Seq((1L, ts(10), "p1"), (1L, ts(30), "p2"), (2L, ts(5), "p3"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (101L, 1L, ts(5)),   // before p1
+      (102L, 1L, ts(10)),  // simultaneous with p1 (same ts)
+      (103L, 1L, ts(25)),  // before p2
+      (104L, 2L, ts(50)))  // after p3 -> p3 unmatched
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.asOfPrior(left, right, "user_id", "ts", "ts", "event_id")
+      .select(col("tag"), col("asof.event_id"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out("p1") == 102L) // simultaneous right visible; higher id wins ties
+    assert(out("p2") == 103L)
+    assert(out("p3") == -1L)  // nothing prior
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val l = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // bucketed co-located join: no shuffle before the join itself
+    // (the only exchange allowed is the post-join aggregation one)
+    val joinPart = plan.split("SortMergeJoin|ShuffledHashJoin").drop(1).mkString
+    assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join inputs were shuffled:\n$plan")
+    assert(joined.count() > 0)
+  }
+}
