@@ -74,6 +74,49 @@ object Similarity {
     vectors.join(buckets, "id")
   }
 
+  /** IVF-style ANN: assign every corpus vector to its nearest coarse
+    * centroid (broadcast centroid set, one narrow pass); probes score only
+    * the inverted lists of their `nprobe` closest centroids. Candidate
+    * volume ~ nprobe/nlist of the corpus instead of all of it.
+    *
+    * Centroids here are a deterministic sample of the corpus (training-free
+    * IVF); a k-means refinement would slot in without changing the plan
+    * shape.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = centroids.select(col("id").as("cent_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    vectors.crossJoin(broadcast(c))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+      .withColumn("cr", row_number().over(w))
+      .filter(col("cr") === 1)
+      .select(col("id"), col("v"), col("cent_id"))
+  }
+
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids)
+      .select(col("id").as("cand_id"), col("v").as("cv"), col("cent_id"))
+    val c = centroids.select(col("id").as("cent_id"), col("v").as("cv0"))
+    val pw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("psim").desc, col("cent_id").asc)
+    val probeCents = probes.select(col("id").as("probe_id"), col("v").as("pv"))
+      .crossJoin(broadcast(c))
+      .withColumn("psim", cosine(col("pv"), col("cv0")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("cent_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    broadcast(probeCents).join(assigned, Seq("cent_id"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine", cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("cosine"))
+  }
+
   /** LSH-bucketed top-k: probes only score candidates in their bucket. */
   def lshTopK(spark: SparkSession, probes: DataFrame, corpus: DataFrame,
               k: Int, numPlanes: Int, dim: Int): DataFrame = {

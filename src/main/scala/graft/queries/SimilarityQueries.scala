@@ -92,6 +92,51 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
   }
 
+  // ---- IVF-bucketed top-k ----------------------------------------------------
+  private val NProbe = 2
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val centroids = emb(s, dir).filter(col("id") % 29 === 0)
+    Similarity.ivfTopK(probes(s, dir), emb(s, dir), centroids, K, NProbe)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val annIvfSql: String =
+    s"""WITH $EmbCte,
+       |cents AS (SELECT id AS cent_id, v AS cv0 FROM emb WHERE id % 29 = 0),
+       |assigned AS (
+       |  SELECT id AS cand_id, v AS cv, cent_id FROM (
+       |    SELECT e.id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.id ORDER BY
+       |        list_dot_product(e.v, c.cv0) /
+       |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv0, c.cv0)))
+       |        DESC, c.cent_id ASC) AS cr
+       |    FROM emb e, cents c) t
+       |  WHERE cr = 1),
+       |probe_cents AS (
+       |  SELECT probe_id, pv, cent_id FROM (
+       |    SELECT p.id AS probe_id, p.v AS pv, c.cent_id,
+       |      row_number() OVER (PARTITION BY p.id ORDER BY
+       |        list_dot_product(p.v, c.cv0) /
+       |          (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.cv0, c.cv0)))
+       |        DESC, c.cent_id ASC) AS pr
+       |    FROM probes p, cents c) t
+       |  WHERE pr <= $NProbe),
+       |scored AS (
+       |  SELECT pc.probe_id, a.cand_id,
+       |    list_dot_product(pc.pv, a.cv) /
+       |      (sqrt(list_dot_product(pc.pv, pc.pv)) * sqrt(list_dot_product(a.cv, a.cv))) AS cosine
+       |  FROM probe_cents pc JOIN assigned a ON pc.cent_id = a.cent_id
+       |  WHERE pc.probe_id <> a.cand_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine
+       |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
+
   // ---- Per-label embedding norm stats ----------------------------------------
   def embeddingNorms(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
@@ -115,10 +160,12 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
     "embedding_norms" -> (embeddingNorms _))
 
   val oracles: Map[String, String] = Map(
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,
+    "ann_ivf" -> annIvfSql,
     "embedding_norms" -> embeddingNormsSql)
 }

@@ -58,6 +58,38 @@ class StreamingSpec extends SparkSpec {
     assert(s.end_micros - s.start_micros == 10L * 60 * 1000000)
   }
 
+  test("file-source streaming: parquet dir drives the windowed plan") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val batch = Seq(ev(1, 5, 1), ev(2, 20, 1, "view"), ev(3, 61, 2)).toDF()
+    batch.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(batch.schema).parquet(srcDir)
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.format("memory").queryName("fs_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("fs_out").agg(sum("n")).head().getLong(0)
+    assert(n == 3L)
+  }
+
+  test("streaming exact dedup: dropDuplicates removes repeats across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1, 1, 1), ev(2, 2, 1))
+      q.processAllAvailable()
+      stream.addData(ev(2, 2, 1), ev(3, 3, 2)) // event 2 is a replay
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dd_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)))
+  }
+
   test("multimodal stub features: histogram sums to 1, batch shape preserved") {
     val docs = Seq((1L, "aaab", "en"), (2L, "", "de"))
       .toDF("doc_id", "text", "lang")
