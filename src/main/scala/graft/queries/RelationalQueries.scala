@@ -185,6 +185,22 @@ object RelationalQueries {
       |WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
+  // ---- Same result via the typed top-k Aggregator (partial-agg path:
+  //      k rows per group per map task cross the shuffle, vs the window
+  //      formulation shuffling every row) ---------------------------------
+  def aggTopPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val topk = graft.functions.TopKAgg.topK(3)
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("o_custkey"), (col("i") + 1).cast("long").as("rn"),
+        col("s.id").as("o_orderkey"), col("s.score").cast("double").as("total"))
+      .orderBy("o_custkey", "rn")
+  }
+  // oracle: identical result set to window_top_per_group
+  val aggTopPerGroupSql: String = windowTopPerGroupSql
+
   // ---- Window: running sum + lag over event time -----------------------------
   def windowRunningRevenue(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir)
@@ -390,6 +406,7 @@ object RelationalQueries {
     "anti_join_customers" -> (antiJoinCustomers _),
     "topk_orders" -> (topkOrders _),
     "window_top_per_group" -> (windowTopPerGroup _),
+    "agg_top_per_group" -> (aggTopPerGroup _),
     "window_running_revenue" -> (windowRunningRevenue _),
     "setops_segments" -> (setOpsSegments _),
     "rollup_pricing" -> (rollupPricing _),
@@ -407,6 +424,7 @@ object RelationalQueries {
     "anti_join_customers" -> antiJoinCustomersSql,
     "topk_orders" -> topkOrdersSql,
     "window_top_per_group" -> windowTopPerGroupSql,
+    "agg_top_per_group" -> aggTopPerGroupSql,
     "window_running_revenue" -> windowRunningRevenueSql,
     "setops_segments" -> setOpsSegmentsSql,
     "rollup_pricing" -> rollupPricingSql,
