@@ -48,6 +48,23 @@ object Indexer {
     docs.select(col("doc_id"),
       Tokenizer.tokenCount(col("text")).as("length"))
 
+  /** Incremental index growth: merge a new (disjoint) document batch into
+    * existing index tables WITHOUT re-tokenizing the old corpus.
+    * postings/docInfo union (doc sets disjoint => no key collisions);
+    * term_df merges by summing per-term counts. At 100 TB this turns
+    * corpus append from a full reindex into work proportional to the batch.
+    */
+  def appendIndex(existing: (DataFrame, DataFrame, DataFrame),
+                  newDocs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val (oldPostings, oldTermDf, oldDocInfo) = existing
+    val p = postings(newDocs)
+    val mergedPostings = oldPostings.unionByName(p)
+    val mergedTermDf = oldTermDf.unionByName(termDf(p))
+      .groupBy("term").agg(sum(col("df")).cast("int").as("df"))
+    val mergedDocInfo = oldDocInfo.unionByName(docInfo(newDocs))
+    (mergedPostings, mergedTermDf, mergedDocInfo)
+  }
+
   /** Build and persist all three index tables as parquet (replaces Cassandra).
     * Partitioned by the shuffle that produced them; at cluster scale the
     * postings table would additionally be bucketed by `term` so the query

@@ -140,6 +140,32 @@ object TextIndexQueries {
        |     JOIN doc_info di USING(doc_id), stats s
        |ORDER BY term, doc_id""".stripMargin
 
+  // ---- Flagship again, but 100% Spark SQL text over the registered
+  //      graft_* functions — proves the SQL API surface computes the same
+  //      plan/results as the Column API (same DuckDB oracle) ---------------
+  def bm25SearchSqlApi(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    Tables.documents(s, dir).createOrReplaceTempView("graft_docs")
+    s.sql(
+      s"""WITH toks AS (
+         |  SELECT doc_id, explode(graft_tokenize(text)) AS term FROM graft_docs),
+         |postings AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+         |term_df AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+         |doc_info AS (
+         |  SELECT doc_id, graft_token_count(text) AS length FROM graft_docs),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(length) AS avgdl FROM doc_info),
+         |q AS (SELECT explode(array(${SearchTerms.map(t => s"'$t'").mkString(",")})) AS term),
+         |scored AS (
+         |  SELECT p.doc_id,
+         |    graft_bm25_score(p.tf, graft_bm25_idf(s.n, d.df), di.length, s.avgdl) AS score
+         |  FROM q JOIN term_df d USING (term) JOIN postings p USING (term)
+         |       JOIN doc_info di USING (doc_id) CROSS JOIN stats s)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(score) AS DOUBLE) AS score
+         |FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+  }
+
   // ---- P6 + dual: query terms in / not in the index vocabulary ---------------
   private val ProbeTerms = Seq("spark", "xyzzy", "data", "qwerty", "join")
   private def probeTermsDf(s: SparkSession): DataFrame = {
@@ -223,6 +249,7 @@ object TextIndexQueries {
     "index_doc_info" -> (indexDocInfo _),
     "corpus_stats" -> (corpusStats _),
     "bm25_search" -> (bm25Search _),
+    "bm25_search_sql_api" -> (bm25SearchSqlApi _),
     "bm25_term_scores" -> (bm25TermScores _),
     "terms_in_vocab" -> (termsInVocab _),
     "terms_not_in_vocab" -> (termsNotInVocab _),
@@ -235,6 +262,7 @@ object TextIndexQueries {
     "index_doc_info" -> indexDocInfoSql,
     "corpus_stats" -> corpusStatsSql,
     "bm25_search" -> bm25SearchSql,
+    "bm25_search_sql_api" -> bm25SearchSql,
     "bm25_term_scores" -> bm25TermScoresSql,
     "terms_in_vocab" -> termsInVocabSql,
     "terms_not_in_vocab" -> termsNotInVocabSql,

@@ -68,6 +68,22 @@ class IndexerSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSet == Set("d1", "d3"))
   }
 
+  test("incremental append == full reindex on the union corpus") {
+    val batch1 = Seq(("d1", "spark makes big data simple"),
+      ("d2", "big data big wins")).toDF("doc_id", "text")
+    val batch2 = Seq(("d3", "simple spark"), ("d4", "fresh words here"))
+      .toDF("doc_id", "text")
+    val full = batch1.union(batch2)
+    val p1 = Indexer.postings(batch1)
+    val (mp, mdf, mdi) = Indexer.appendIndex(
+      (p1, Indexer.termDf(p1), Indexer.docInfo(batch1)), batch2)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(key(mp) == key(Indexer.postings(full)))
+    assert(key(mdf) == key(Indexer.termDf(Indexer.postings(full))))
+    assert(key(mdi) == key(Indexer.docInfo(full)))
+  }
+
   test("idf floor: term in every doc gets idf ln(max(1, N/df))") {
     // 'big' in 2 of 4 docs -> N/df=2. A term in all docs: N/df=1 -> idf=0.
     val allDocs = Seq(("a", "x"), ("b", "x")).toDF("doc_id", "text")
