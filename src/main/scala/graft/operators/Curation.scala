@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextAnalysis, TextHash, Tokenizer}
+
+/** Composed corpus-curation pipeline — the end-to-end LLM-training-data
+  * flow the individual operators exist for:
+  *
+  *   quality gate -> language gate -> exact dedup -> prefix-fingerprint
+  *   near-dedup -> curated rows with provenance metrics
+  *
+  * Every stage is a narrow projection or one hash-shuffle; the pipeline is
+  * a single lazy plan (no driver materialization between stages), so it
+  * scales with partition count. Prefix-fingerprint near-dedup (first-k-token
+  * fingerprint collision) is the linear-cost family member; the MinHash /
+  * SimHash operators in Dedup are the recall-heavier alternatives.
+  */
+object Curation {
+
+  val PrefixTokens = 16
+
+  /** Quality metrics used by the gate (mirrors TextAnalysisQueries). */
+  def qualityExpr(text: Column): Column = {
+    val toks = Tokenizer.tokenize(text)
+    val nTokens = size(toks).cast("double")
+    val avgTokLen = when(nTokens === 0, 0.0)
+      .otherwise(length(array_join(toks, "")).cast("double") / nTokens)
+    val nChars = length(text).cast("double")
+    val punct = TextAnalysis.charClassCount(text, "(?U)[^\\w\\s]").cast("double")
+    val digits = TextAnalysis.charClassCount(text, "[0-9]").cast("double")
+    val punctRatio = when(nChars === 0, 0.0).otherwise(punct / nChars)
+    val digitRatio = when(nChars === 0, 0.0).otherwise(digits / nChars)
+    when(nTokens === 0, 0.0).otherwise(
+      least(lit(1.0), avgTokLen / 8.0) * (lit(1.0) - punctRatio) * (lit(1.0) - digitRatio))
+  }
+
+  /** @param docs (doc_id, text, lang); returns curated docs with metrics. */
+  def curate(docs: DataFrame, minQuality: Double,
+             keepLangs: Seq[String]): DataFrame = {
+    val toks = Tokenizer.tokenize(col("text"))
+    val gated = docs
+      .withColumn("quality", qualityExpr(col("text")))
+      .filter(col("quality") >= minQuality && col("lang").isInCollection(keepLangs))
+      .withColumn("digest", md5(Tokenizer.normalizeWhitespace(col("text"))))
+      .withColumn("prefix_fp",
+        TextHash.fingerprint(slice(toks, 1, PrefixTokens)))
+      .withColumn("n_tokens", size(toks).cast("long"))
+    // exact dedup then prefix-fingerprint near-dedup, min doc_id kept
+    val exactW = Window.partitionBy(col("digest"))
+    val prefixW = Window.partitionBy(col("prefix_fp"))
+    gated
+      .withColumn("keep_exact", col("doc_id") === min(col("doc_id")).over(exactW))
+      .filter(col("keep_exact"))
+      .withColumn("keep_prefix", col("doc_id") === min(col("doc_id")).over(prefixW))
+      .filter(col("keep_prefix"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality").cast("double").as("quality"), col("prefix_fp"))
+  }
+}

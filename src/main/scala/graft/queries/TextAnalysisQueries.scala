@@ -148,13 +148,51 @@ object TextAnalysisQueries {
        |FROM documents d JOIN docs_l ON d.doc_id = docs_l.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- Composed curation pipeline --------------------------------------------
+  def curationPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation
+      .curate(Tables.documents(s, dir), minQuality = 0.4,
+        keepLangs = Seq("en", "de", "es"))
+      .orderBy("doc_id")
+
+  val curationPipelineSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |m AS (
+       |  SELECT d.doc_id, d.lang, docs_l.l,
+       |    CAST(len(l) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(l) = 0 THEN 0.0 ELSE
+       |      least(1.0, (length(array_to_string(l, '')) * 1.0 / len(l)) / 8.0) *
+       |      (1.0 - CASE WHEN length(d.text) = 0 THEN 0.0 ELSE
+       |        (length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(d.text) END) *
+       |      (1.0 - CASE WHEN length(d.text) = 0 THEN 0.0 ELSE
+       |        (length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g'))) * 1.0 / length(d.text) END)
+       |    END AS quality,
+       |    md5(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS digest,
+       |    ${OracleSql.fingerprint(s"l[1:${graft.operators.Curation.PrefixTokens}]")} AS prefix_fp
+       |  FROM documents d JOIN docs_l ON d.doc_id = docs_l.doc_id),
+       |gated AS (
+       |  SELECT * FROM m
+       |  WHERE quality >= 0.4 AND lang IN ('en', 'de', 'es')),
+       |exact_kept AS (
+       |  SELECT * FROM (SELECT *,
+       |    min(doc_id) OVER (PARTITION BY digest) AS keeper FROM gated)
+       |  WHERE doc_id = keeper),
+       |prefix_kept AS (
+       |  SELECT * FROM (SELECT *,
+       |    min(doc_id) OVER (PARTITION BY prefix_fp) AS pkeeper FROM exact_kept)
+       |  WHERE doc_id = pkeeper)
+       |SELECT doc_id, lang, n_tokens, CAST(quality AS DOUBLE) AS quality, prefix_fp
+       |FROM prefix_kept ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_pipeline" -> (curationPipeline _),
     "token_stats" -> (tokenStats _),
     "lang_id" -> (langId _),
     "quality_score" -> (qualityScore _),
     "doc_fingerprint" -> (docFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "curation_pipeline" -> curationPipelineSql,
     "token_stats" -> tokenStatsSql,
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,

@@ -59,6 +59,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fingerprints and minhash signatures invariant under repartitioning") {
+    forAll(corpusGen, n = 5) { corpus =>
+      val docs = corpus.toDF("doc_id", "text")
+      def fps(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), graft.functions.TextHash.fingerprint(
+          graft.functions.Tokenizer.tokenize(col("text"))).as("fp"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(fps(docs) == fps(docs.repartition(5)))
+    }
+  }
+
+  test("JSONL round-trip preserves documents") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val docs = Seq(("a", "text with \"quotes\" and\ttabs"), ("b", ""))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(docs.schema).json(dir)
+    assert(back.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "text with \"quotes\" and\ttabs"), ("b", "")))
+  }
+
   test("salted join equals plain join on skewed data") {
     val skewed = (1 to 2000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"v$i"))
       .toDF("k", "payload")
