@@ -77,6 +77,28 @@ object Search {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
 
+  /** Positional phrase search over the postings table (the positions the
+    * reference stores but never reads, app/query.py:115-119). For terms
+    * t0..tn-1: join each term's posting list on doc_id, then intersect
+    * position arrays shifted by their phrase offset — an occurrence is a
+    * start position p with p+i in term i's positions for every i. One
+    * narrow join per phrase term (n is tiny), no token re-explosion.
+    * Returns (doc_id, n_occurrences > 0).
+    */
+  def phraseSearch(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "phrase must have at least one term")
+    val joined = terms.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"pos$i"))
+    }.reduce((a, b) => a.join(b, "doc_id"))
+    val starts = terms.indices.tail.foldLeft(col("pos0")) { (acc, i) =>
+      array_intersect(acc, transform(col(s"pos$i"), x => x - i))
+    }
+    joined.withColumn("n_occurrences", size(starts).cast("long"))
+      .filter(col("n_occurrences") > 0)
+      .select(col("doc_id"), col("n_occurrences"))
+  }
+
   /** Convenience: index documents (doc_id, text) in-memory and search. */
   def searchDocs(spark: SparkSession, docs: DataFrame, query: String,
                  k: Int = 10): DataFrame = {

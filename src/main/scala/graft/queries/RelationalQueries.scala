@@ -367,6 +367,25 @@ object RelationalQueries {
       |FROM lineitem WHERE l_orderkey % 97 = 0
       |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin
 
+  // ---- Salted skew join, oracle-checked against the plain join semantics ----
+  def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedInnerJoin(li, ord, "l_orderkey", buckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("l_quantity")).cast("double").as("qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val skewSaltedJoinSql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---- Rows-only queries (no SQL oracle: nondeterministic-across-engines
   //      by nature; driver records the weaker rows>0 check) ----------------
 
@@ -395,6 +414,7 @@ object RelationalQueries {
       .orderBy("l_linestatus")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_salted_join" -> (skewSaltedJoin _),
     "sample_bernoulli" -> (sampleBernoulli _),
     "distinct_approx" -> (distinctApprox _),
     "percentiles_approx" -> (percentilesApprox _),
@@ -416,6 +436,7 @@ object RelationalQueries {
     "sample_limit" -> (sampleLimit _))
 
   val oracles: Map[String, String] = Map(
+    "skew_salted_join" -> skewSaltedJoinSql,
     "scan_filter" -> scanFilterSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_star_join" -> q5StarJoinSql,

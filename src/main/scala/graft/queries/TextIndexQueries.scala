@@ -243,7 +243,25 @@ object TextIndexQueries {
       |FROM documents WHERE doc_id < 100
       |ORDER BY doc_id""".stripMargin
 
+  // ---- 3-word positional phrase via the generalized operator -----------------
+  val Phrase3 = Seq("slow", "hash", "batch")
+
+  def phraseSearch3(s: SparkSession, dir: String): DataFrame =
+    Search.phraseSearch(Indexer.postings(docs(s, dir)), Phrase3)
+      .orderBy("doc_id")
+
+  val phraseSearch3Sql: String =
+    s"""WITH $TokCte
+       |SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+       |FROM toks t1
+       |JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       |JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+       |WHERE t1.term = '${Phrase3(0)}' AND t2.term = '${Phrase3(1)}'
+       |  AND t3.term = '${Phrase3(2)}'
+       |GROUP BY t1.doc_id ORDER BY t1.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "phrase_search3" -> (phraseSearch3 _),
     "index_postings" -> (indexPostings _),
     "index_term_df" -> (indexTermDf _),
     "index_doc_info" -> (indexDocInfo _),
@@ -257,6 +275,7 @@ object TextIndexQueries {
     "doc_prep" -> (docPrep _))
 
   val oracles: Map[String, String] = Map(
+    "phrase_search3" -> phraseSearch3Sql,
     "index_postings" -> indexPostingsSql,
     "index_term_df" -> indexTermDfSql,
     "index_doc_info" -> indexDocInfoSql,

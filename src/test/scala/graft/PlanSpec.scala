@@ -1,0 +1,49 @@
+package graft
+
+/** Plan-quality regression guards: assert the physical properties the
+  * engine is designed around (pushdown, broadcast, top-k operator, no
+  * accidental cartesian products) so later changes can't silently regress
+  * them. String-level checks over the executed plan.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Queries.all(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("scan_filter pushes predicates and prunes columns at the parquet scan") {
+    val p = plan("scan_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)"),
+      s"no pushed filters:\n$p")
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q3/q5 join small dimensions via broadcast, not shuffle, and plan TakeOrdered") {
+    val p3 = plan("q3_shipping")
+    assert(p3.contains("BroadcastHashJoin"), s"q3 lost its broadcast join:\n$p3")
+    assert(p3.contains("TakeOrderedAndProject"), s"q3 top-k not TakeOrdered:\n$p3")
+    val p5 = plan("q5_star_join")
+    assert(p5.contains("BroadcastHashJoin"), "q5 lost its broadcast joins")
+  }
+
+  test("bm25_search plans broadcast term joins and partial aggregation") {
+    val p = plan("bm25_search")
+    assert(p.contains("BroadcastHashJoin"), "terms join should broadcast")
+    assert(p.contains("HashAggregate"), "score sum should hash-aggregate")
+    assert(p.contains("TakeOrderedAndProject"), "top-k should be TakeOrdered")
+  }
+
+  test("simhash candidate join is hash-based, not a nested loop") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"simhash pair join regressed to a nested loop:\n$p")
+  }
+
+  test("grouped aggregations use partial (map-side) aggregation") {
+    val p = plan("q1_agg")
+    // partial + final pairs appear as two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+}
