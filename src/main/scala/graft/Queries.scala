@@ -43,7 +43,8 @@ object Queries {
       graft.queries.TextAnalysisQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.FunctionQueries.queries
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++
@@ -53,5 +54,6 @@ object Queries {
       graft.queries.TextAnalysisQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++
-      graft.queries.MultimodalQueries.oracles
+      graft.queries.MultimodalQueries.oracles ++
+      graft.queries.FunctionQueries.oracles
 }
