@@ -48,6 +48,32 @@ class OperatorSpec extends SparkSpec {
     assert(out("p3") == -1L)  // nothing prior
   }
 
+  test("partitioned write enables partition pruning at read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("lang") === "en")
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"no partition pruning in plan:\n$plan")
+    val full = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("lang") === "en").count()
+    assert(q.head().getLong(0) == full)
+  }
+
+  test("observe() exposes pipeline metrics without a second pass") {
+    val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .observe("li_metrics", count(lit(1)).as("rows"),
+        sum(col("l_quantity")).as("qty"))
+      .filter(col("l_quantity") > 25)
+    // metrics attach to the execution that ran; count() would build its own
+    val filtered = df.collect().length
+    val m = df.queryExecution.observedMetrics("li_metrics")
+    assert(m.getAs[Long]("rows") > filtered) // metrics observed pre-filter
+    assert(m.getAs[Double]("qty") > 0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val o = Tables.orders(spark, "/root/testdata/sf0.001")
