@@ -367,6 +367,29 @@ object RelationalQueries {
       |FROM lineitem WHERE l_orderkey % 97 = 0
       |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin
 
+  // ---- Unpivot/melt: wide per-flag aggregates back to long form --------------
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).cast("double").as("qty"),
+        sum(col("l_extendedprice")).cast("double").as("price"),
+        sum(col("l_discount")).cast("double").as("disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")), "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
+  val unpivotMetricsSql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(l_quantity) AS DOUBLE) AS qty,
+      |    CAST(sum(l_extendedprice) AS DOUBLE) AS price,
+      |    CAST(sum(l_discount) AS DOUBLE) AS disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, 'qty' AS metric, qty AS value FROM wide
+      |UNION ALL SELECT l_returnflag, 'price', price FROM wide
+      |UNION ALL SELECT l_returnflag, 'disc', disc FROM wide
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   // ---- Salted skew join, oracle-checked against the plain join semantics ----
   def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -394,6 +417,13 @@ object RelationalQueries {
     Tables.lineitem(s, dir).sample(0.1, seed = 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
 
+  /** Stratified sample: per-stratum fractions (engine-specific RNG). */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .stat.sampleBy("l_returnflag",
+        Map("A" -> 0.05, "N" -> 0.2, "R" -> 0.05), seed = 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+
   /** A2-scalable variant: HLL++ approximate distinct counts. */
   def distinctApprox(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -415,7 +445,9 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_salted_join" -> (skewSaltedJoin _),
+    "unpivot_metrics" -> (unpivotMetrics _),
     "sample_bernoulli" -> (sampleBernoulli _),
+    "sample_stratified" -> (sampleStratified _),
     "distinct_approx" -> (distinctApprox _),
     "percentiles_approx" -> (percentilesApprox _),
     "scan_filter" -> (scanFilter _),
@@ -437,6 +469,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "skew_salted_join" -> skewSaltedJoinSql,
+    "unpivot_metrics" -> unpivotMetricsSql,
     "scan_filter" -> scanFilterSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_star_join" -> q5StarJoinSql,
