@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The flagship ranking query — the reference's entire `query.py` driver loop
@@ -76,6 +77,38 @@ object Search {
       .agg(sum(col("score")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+
+  /** Batch search: score a whole TABLE of queries in one lazy plan — the
+    * 100-TB serving pattern (thousands of queries per pass, one shuffle
+    * set, no per-query driver round-trips; collection stats join in as a
+    * broadcast singleton rather than a driver action).
+    *
+    * @param queries (query_id, query_text)
+    * @return top-k per query: (query_id, rank, doc_id, score)
+    */
+  def batchSearch(queries: DataFrame,
+                  postings: DataFrame, termDf: DataFrame, docInfo: DataFrame,
+                  k: Int = 10): DataFrame = {
+    val stats = docInfo.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("length")).as("avg_len"))
+    val qTerms = queries.select(col("query_id"),
+        explode(array_distinct(
+          graft.functions.Tokenizer.tokenize(col("query_text")))).as("term"))
+    val scored = broadcast(qTerms)
+      .join(termDf, "term")
+      .join(postings.select("term", "doc_id", "tf"), "term")
+      .join(docInfo.select("doc_id", "length"), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", BM25.termScore(col("tf"),
+        BM25.idf(col("n_docs"), col("df")), col("length"), col("avg_len")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
 
   /** Positional phrase search over the postings table (the positions the
     * reference stores but never reads, app/query.py:115-119). For terms

@@ -114,6 +114,53 @@ object TextIndexQueries {
        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(score) AS DOUBLE) AS score
        |FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  // ---- Batch multi-query search: one plan scores a query TABLE ---------------
+  val BatchQueries: Seq[(String, String)] = Seq(
+    ("q1", "spark filter join"),
+    ("q2", "customer order data"),
+    ("q3", "window stream merge sort"))
+
+  def bm25BatchSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (p, tdf, di) = indexTriple(s, dir)
+    Search.batchSearch(BatchQueries.toDF("query_id", "query_text"), p, tdf, di, k = 5)
+      .select(col("query_id"), col("rank"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("score").cast("double").as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val bm25BatchSearchSql: String = {
+    val qArms = BatchQueries.map { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => s"'$t'").mkString("[", ",", "]")
+      s"SELECT '$id' AS query_id, unnest($toks) AS term"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $TokCte,
+       |postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+       |term_df AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+       |doc_info AS (SELECT doc_id, len(l) AS length FROM docs_l),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(length) AS avgdl FROM doc_info),
+       |q AS (
+       |  $qArms),
+       |scored AS (
+       |  SELECT q.query_id, p.doc_id,
+       |    ln(greatest(1.0, s.n / greatest(1.0, CAST(d.df AS DOUBLE)))) * p.tf * 2.0 /
+       |      (p.tf + (0.25 + 0.75 * di.length / s.avgdl)) AS score
+       |  FROM q JOIN term_df d USING(term) JOIN postings p USING(term)
+       |       JOIN doc_info di USING(doc_id), stats s),
+       |summed AS (
+       |  SELECT query_id, doc_id, sum(score) AS score
+       |  FROM scored GROUP BY query_id, doc_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM summed)
+       |SELECT query_id, rank, CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(score AS DOUBLE) AS score
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- Per-term score breakdown (J2 + F9/F10 without the final agg) ----------
   def bm25TermScores(s: SparkSession, dir: String): DataFrame = {
     val (p, tdf, di) = indexTriple(s, dir)
@@ -268,6 +315,7 @@ object TextIndexQueries {
     "corpus_stats" -> (corpusStats _),
     "bm25_search" -> (bm25Search _),
     "bm25_search_sql_api" -> (bm25SearchSqlApi _),
+    "bm25_batch_search" -> (bm25BatchSearch _),
     "bm25_term_scores" -> (bm25TermScores _),
     "terms_in_vocab" -> (termsInVocab _),
     "terms_not_in_vocab" -> (termsNotInVocab _),
@@ -282,6 +330,7 @@ object TextIndexQueries {
     "corpus_stats" -> corpusStatsSql,
     "bm25_search" -> bm25SearchSql,
     "bm25_search_sql_api" -> bm25SearchSql,
+    "bm25_batch_search" -> bm25BatchSearchSql,
     "bm25_term_scores" -> bm25TermScoresSql,
     "terms_in_vocab" -> termsInVocabSql,
     "terms_not_in_vocab" -> termsNotInVocabSql,
