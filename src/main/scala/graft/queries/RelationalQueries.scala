@@ -367,6 +367,83 @@ object RelationalQueries {
       |FROM lineitem WHERE l_orderkey % 97 = 0
       |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin
 
+  // ---- Statistical aggregates -------------------------------------------------
+  def statsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        corr(col("l_quantity"), col("l_extendedprice")).cast("double").as("corr_qty_price"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).cast("double").as("covar_qty_price"),
+        stddev_samp(col("l_extendedprice")).cast("double").as("sd_price"),
+        var_samp(col("l_discount")).cast("double").as("var_disc"))
+      .orderBy("l_returnflag")
+
+  val statsAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(corr(l_quantity, l_extendedprice) AS DOUBLE) AS corr_qty_price,
+      |  CAST(covar_samp(l_quantity, l_extendedprice) AS DOUBLE) AS covar_qty_price,
+      |  CAST(stddev_samp(l_extendedprice) AS DOUBLE) AS sd_price,
+      |  CAST(var_samp(l_discount) AS DOUBLE) AS var_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- Conditional / boolean aggregates ---------------------------------------
+  def conditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count_if(col("o_totalprice") > 200000).cast("long").as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_orderstatus") === "F").as("any_final"),
+        sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0))
+          .cast("double").as("open_total"))
+      .orderBy("o_orderpriority")
+
+  val conditionalAggSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) FILTER (o_totalprice > 200000) AS BIGINT) AS n_big,
+      |  bool_and(o_totalprice > 0) AS all_positive,
+      |  bool_or(o_orderstatus = 'F') AS any_final,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END) AS DOUBLE) AS open_total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- Z-score standardization (feature engineering) --------------------------
+  def zscoreValues(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 1000)
+      .withColumn("mu", avg(col("l_extendedprice")).over(w))
+      .withColumn("sd", stddev_samp(col("l_extendedprice")).over(w))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        ((col("l_extendedprice") - col("mu")) / col("sd")).cast("double").as("z"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val zscoreValuesSql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag,
+      |  CAST((l_extendedprice - avg(l_extendedprice) OVER w) /
+      |       (stddev_samp(l_extendedprice) OVER w) AS DOUBLE) AS z
+      |FROM lineitem WHERE l_orderkey < 1000
+      |WINDOW w AS (PARTITION BY l_returnflag)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- RFM features per customer ----------------------------------------------
+  def customerRfm(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit("1998-12-31").cast("date"),
+          max(col("o_orderdate")).cast("date")).cast("long").as("recency_days"),
+        count(lit(1)).cast("long").as("frequency"),
+        sum(col("o_totalprice")).cast("double").as("monetary"))
+      .orderBy("o_custkey")
+
+  val customerRfmSql: String =
+    """SELECT o_custkey,
+      |  CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '1998-12-31') AS BIGINT) AS recency_days,
+      |  CAST(count(*) AS BIGINT) AS frequency,
+      |  CAST(sum(o_totalprice) AS DOUBLE) AS monetary
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   // ---- Unpivot/melt: wide per-flag aggregates back to long form --------------
   def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -446,6 +523,10 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_salted_join" -> (skewSaltedJoin _),
     "unpivot_metrics" -> (unpivotMetrics _),
+    "stats_agg" -> (statsAgg _),
+    "conditional_agg" -> (conditionalAgg _),
+    "zscore_values" -> (zscoreValues _),
+    "customer_rfm" -> (customerRfm _),
     "sample_bernoulli" -> (sampleBernoulli _),
     "sample_stratified" -> (sampleStratified _),
     "distinct_approx" -> (distinctApprox _),
@@ -470,6 +551,10 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "skew_salted_join" -> skewSaltedJoinSql,
     "unpivot_metrics" -> unpivotMetricsSql,
+    "stats_agg" -> statsAggSql,
+    "conditional_agg" -> conditionalAggSql,
+    "zscore_values" -> zscoreValuesSql,
+    "customer_rfm" -> customerRfmSql,
     "scan_filter" -> scanFilterSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_star_join" -> q5StarJoinSql,
