@@ -22,8 +22,10 @@ object Tables {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `div` (integer division): `/` on longs routes through DOUBLE, whose
+    // 53-bit mantissa mis-rounds epoch-nanos by ±1us at 2024 magnitudes
     s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000)).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
 

@@ -236,7 +236,34 @@ object EventQueries {
       |  strftime(sts, '%Y-%m-%d %H:%M:%S') AS signup_ts
       |FROM m WHERE side = 1 ORDER BY purchase_id""".stripMargin
 
+  // ---- Bucketed range join: purchases within 30 min after a click ------------
+  def eventsClickToPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("r_t"),
+        col("event_id").as("purchase_id"))
+    graft.operators.RangeJoin
+      .timeRangePairs(clicks, purchases, "user_id", 1800L * 1000000)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        ((col("r_t") - col("t")) / 1e6).cast("double").as("delta_s"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  val eventsClickToPurchaseSql: String =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+      |  CAST((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0 AS DOUBLE) AS delta_s
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND epoch_us(p.ts) >= epoch_us(c.ts)
+      | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+      |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_click_to_purchase" -> (eventsClickToPurchase _),
     "events_session_window" -> (eventsSessionWindow _),
     "events_asof_signup" -> (eventsAsofSignup _),
     "events_tumbling" -> (eventsTumbling _),
@@ -247,6 +274,7 @@ object EventQueries {
     "events_latest_per_user" -> (eventsLatestPerUser _))
 
   val oracles: Map[String, String] = Map(
+    "events_click_to_purchase" -> eventsClickToPurchaseSql,
     "events_session_window" -> eventsSessionWindowSql,
     "events_asof_signup" -> eventsAsofSignupSql,
     "events_tumbling" -> eventsTumblingSql,
