@@ -367,6 +367,25 @@ object RelationalQueries {
       |FROM lineitem WHERE l_orderkey % 97 = 0
       |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin
 
+  // ---- collect_set / collect_list with deterministic serialization -----------
+  def collectAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 50)
+      .groupBy(col("o_custkey"))
+      .agg(
+        array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        count(lit(1)).cast("long").as("n"))
+      .orderBy("o_custkey")
+
+  val collectAggSql: String =
+    """SELECT o_custkey,
+      |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+      |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM orders WHERE o_custkey < 50
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   // ---- Statistical aggregates -------------------------------------------------
   def statsAgg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -523,6 +542,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_salted_join" -> (skewSaltedJoin _),
     "unpivot_metrics" -> (unpivotMetrics _),
+    "collect_agg" -> (collectAgg _),
     "stats_agg" -> (statsAgg _),
     "conditional_agg" -> (conditionalAgg _),
     "zscore_values" -> (zscoreValues _),
@@ -551,6 +571,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "skew_salted_join" -> skewSaltedJoinSql,
     "unpivot_metrics" -> unpivotMetricsSql,
+    "collect_agg" -> collectAggSql,
     "stats_agg" -> statsAggSql,
     "conditional_agg" -> conditionalAggSql,
     "zscore_values" -> zscoreValuesSql,

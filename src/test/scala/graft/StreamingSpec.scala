@@ -71,6 +71,27 @@ class StreamingSpec extends SparkSpec {
     assert(n == 3L)
   }
 
+  test("streaming parquet sink with checkpoint: exactly-once file output") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stream = MemoryStream[EventRow]
+    val q = stream.toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1, 1, 1), ev(2, 2, 1))
+      q.processAllAvailable()
+      stream.addData(ev(3, 3, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == 3)
+    assert(back.select("event_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 3L)))
+  }
+
   test("streaming exact dedup: dropDuplicates removes repeats across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventRow]
