@@ -137,6 +137,37 @@ object SimilarityQueries {
        |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
 
+  // ---- Quantized ANN (rows-only): int8 vectors for the coarse pass, exact
+  //      double cosine re-rank of the shortlist. The memory/bandwidth story
+  //      at scale: 4 bytes/dim -> 1 byte/dim for the scan, full precision
+  //      only on candidates. Quantization rounding is engine-specific, so
+  //      no SQL oracle (driver records rows>0).
+  def annQuantized(s: SparkSession, dir: String): DataFrame = {
+    val shortlist = 20
+    val q = emb(s, dir).withColumn("maxabs",
+        array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv", transform(col("v"),
+        x => round(x / col("maxabs") * 127).cast("int")))
+    val probes = q.filter(col("id") % 50 === 0)
+      .select(col("id").as("probe_id"), col("v").as("pv"), col("qv").as("pqv"))
+    val cands = q.select(col("id").as("cand_id"), col("v").as("cv"), col("qv").as("cqv"))
+    val qdot = aggregate(zip_with(col("pqv"), col("cqv"), _ * _), lit(0L), _ + _)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+      .orderBy(col("qscore").desc, col("cand_id").asc)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    broadcast(probes).join(cands, col("probe_id") =!= col("cand_id"))
+      .withColumn("qscore", qdot)
+      .withColumn("qrank", row_number().over(cw))
+      .filter(col("qrank") <= shortlist)          // coarse int8 shortlist
+      .withColumn("cosine", Similarity.cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)                   // exact re-rank
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
   // ---- Per-label embedding norm stats ----------------------------------------
   def embeddingNorms(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
@@ -161,6 +192,7 @@ object SimilarityQueries {
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_quantized" -> (annQuantized _),
     "embedding_norms" -> (embeddingNorms _))
 
   val oracles: Map[String, String] = Map(
