@@ -236,6 +236,37 @@ object RelationalQueries {
       |WHERE o_custkey % 100 = 0
       |ORDER BY o_custkey, od, o_orderkey""".stripMargin
 
+  // ---- Window rank statistics -------------------------------------------------
+  def windowRankStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("total"),
+        percent_rank().over(w).cast("double").as("pct_rank"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        cume_dist().over(w).cast("double").as("cdist"),
+        nth_value(col("o_orderkey"), 1).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cheapest_so_far"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  val windowRankStatsSql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |  CAST(o_totalprice AS DOUBLE) AS total,
+      |  CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  CAST(cume_dist() OVER w AS DOUBLE) AS cdist,
+      |  nth_value(o_orderkey, 1) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest_so_far
+      |FROM orders WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice ASC, o_orderkey ASC)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   // ---- Set operations ---------------------------------------------------------
   def setOpsSegments(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
@@ -561,6 +592,7 @@ object RelationalQueries {
     "window_top_per_group" -> (windowTopPerGroup _),
     "agg_top_per_group" -> (aggTopPerGroup _),
     "window_running_revenue" -> (windowRunningRevenue _),
+    "window_rank_stats" -> (windowRankStats _),
     "setops_segments" -> (setOpsSegments _),
     "rollup_pricing" -> (rollupPricing _),
     "distinct_agg" -> (distinctAgg _),
@@ -586,6 +618,7 @@ object RelationalQueries {
     "window_top_per_group" -> windowTopPerGroupSql,
     "agg_top_per_group" -> aggTopPerGroupSql,
     "window_running_revenue" -> windowRunningRevenueSql,
+    "window_rank_stats" -> windowRankStatsSql,
     "setops_segments" -> setOpsSegmentsSql,
     "rollup_pricing" -> rollupPricingSql,
     "distinct_agg" -> distinctAggSql,
