@@ -62,7 +62,8 @@ object DedupQueries {
     val sa = sets.select(col("id").as("id_a"), col("toks").as("toks_a"))
     val sb = sets.select(col("id").as("id_b"), col("toks").as("toks_b"))
     cands.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard", Dedup.jaccard(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard",
+        graft.plans.ArrayJaccard.jaccardLong(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= 0.8)
       .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
         col("jaccard").cast("double").as("jaccard"))
@@ -208,7 +209,8 @@ object DedupQueries {
     val sa = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val sb = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
     cands.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        graft.plans.ArrayJaccard.jaccardLong(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.02)
       .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
         col("shared").cast("long").as("shared_shingles"),

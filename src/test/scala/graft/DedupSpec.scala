@@ -53,6 +53,23 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("fused LongArrayJaccard matches composed intersect/union jaccard") {
+    val pairs = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),        // 2/4
+      (Seq(1L, 1L, 2L), Seq(2L, 2L, 1L)),        // dup elements: 2/2
+      (Seq(1L, 2L), Seq(3L, 4L)),                 // disjoint: 0
+      (Seq.empty[Long], Seq.empty[Long]))         // empty: 0 by convention
+    val df = pairs.toDF("x", "y")
+    val fused = df.select(graft.plans.ArrayJaccard.jaccardLong(col("x"), col("y")))
+      .collect().map(_.getDouble(0))
+    assert(fused(0) == 0.5 && fused(1) == 1.0 && fused(2) == 0.0 && fused(3) == 0.0)
+    // parity with the composed form on non-empty inputs
+    val composed = df.limit(3)
+      .select(graft.operators.Dedup.jaccard(col("x"), col("y")))
+      .collect().map(_.getDouble(0))
+    assert(fused.take(3).sameElements(composed))
+  }
+
   test("jaccard on array columns") {
     val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
       .toDF("x", "y").select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0)
