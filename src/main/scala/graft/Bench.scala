@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
   * pays one-time whole-stage-codegen compilation + JIT warmup (1-3 s per
   * distinct plan), which is fixed cost irrelevant at cluster scale; the
   * steady-state number is the one that extrapolates.
+  *
+  * Queries are materialized through the `noop` sink — every output column
+  * of every row is produced and handed to the writer, so projection-heavy
+  * work cannot be pruned the way a bare count() would allow.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,7 +28,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             return -1.0

@@ -66,15 +66,60 @@ object Indexer {
   }
 
   /** Build and persist all three index tables as parquet (replaces Cassandra).
-    * Partitioned by the shuffle that produced them; at cluster scale the
-    * postings table would additionally be bucketed by `term` so the query
-    * path's term join is co-located.
+    * Partitioned by the shuffle that produced them; for the co-located
+    * query path use buildBucketedIndex instead.
     */
   def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
     val p = postings(docs).cache()
     p.write.mode("overwrite").parquet(s"$indexDir/postings")
     termDf(p).write.mode("overwrite").parquet(s"$indexDir/term_df")
     docInfo(docs).write.mode("overwrite").parquet(s"$indexDir/doc_info")
+    p.unpersist()
+  }
+
+  /** Bucket count for the persisted index tables. Sized so one bucket of
+    * postings fits an executor comfortably at the target scale (at 100 TB
+    * this would be thousands; the co-location property is bucket-count
+    * agnostic as long as postings and term_df agree).
+    */
+  val IndexBuckets = 8
+
+  /** Persist the index as TERM-BUCKETED tables (the reference's index.sh →
+    * Cassandra step, re-expressed as Spark bucketed parquet). postings and
+    * term_df share bucketBy(IndexBuckets, term) + sortBy(term), so:
+    *  - the query-time term join is co-located — zero exchange on either
+    *    index scan (Search.searchPrebuilt);
+    *  - literal term predicates prune to matching buckets
+    *    (SelectedBucketsCount in the scan node);
+    *  - within-bucket sort gives row-group skipping on term min/max.
+    * doc_info stays a plain table (joined by doc_id on an already-tiny
+    * candidate set).
+    */
+  /** Drop a managed table AND its warehouse location — the catalog is
+    * in-memory per JVM, so a previous run's table directory survives as an
+    * orphan that saveAsTable(overwrite) refuses to reuse.
+    */
+  private def dropManagedTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  def buildBucketedIndex(spark: SparkSession, docs: DataFrame,
+                         prefix: String): Unit = {
+    Seq("postings", "term_df", "doc_info")
+      .foreach(t => dropManagedTable(spark, s"${prefix}_$t"))
+    val p = postings(docs).cache()
+    p.write.mode("overwrite").format("parquet")
+      .bucketBy(IndexBuckets, "term").sortBy("term")
+      .saveAsTable(s"${prefix}_postings")
+    termDf(p).write.mode("overwrite").format("parquet")
+      .bucketBy(IndexBuckets, "term").sortBy("term")
+      .saveAsTable(s"${prefix}_term_df")
+    docInfo(docs).write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${prefix}_doc_info")
     p.unpersist()
   }
 }

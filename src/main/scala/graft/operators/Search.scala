@@ -23,43 +23,47 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** Driver-side tokenization of the scalar query string — same semantics
+    * as Tokenizer.tokenize, distinct terms in first-occurrence order.
+    */
+  def queryTokens(query: String): Seq[String] =
+    "(?U)[^\\w\\s]".r.replaceAllIn(query.toLowerCase, " ")
+      .split("\\s+").filter(_.nonEmpty).distinct.toSeq
+
   /** Tokenize the query string driver-side (it is a scalar, not data). */
   def queryTerms(spark: SparkSession, query: String): DataFrame = {
     import spark.implicits._
-    // Same semantics as Tokenizer.tokenize, applied to one scalar string.
-    val toks = "(?U)[^\\w\\s]".r.replaceAllIn(query.toLowerCase, " ")
-      .split("\\s+").filter(_.nonEmpty).distinct.toSeq
-    toks.toDF("term")
+    queryTokens(query).toDF("term")
   }
 
   /** Per-(term, doc) BM25 components for a query — the plan up to but
     * excluding the final per-doc sum (reference J1+J2+J3+F9+F10).
-    * Columns: (term, doc_id, tf, idf, length, score).
+    * Columns: (term, doc_id, tf, df, length, n_docs, avg_len, idf, score).
     */
   def termComponents(spark: SparkSession, query: String,
                      postings: DataFrame, termDf: DataFrame,
                      docInfo: DataFrame): DataFrame = {
-    // Collection stats (A4/A5). Computed as one tiny aggregate; at cluster
-    // scale this is a cached scalar per index build, not per query.
-    val statsRow = docInfo.agg(
-      count(lit(1)).as("n_docs"), avg(col("length")).as("avg_len")).head()
-    val nDocs = statsRow.getLong(0).toDouble
-    val avgLen = statsRow.getDouble(1)
+    // Collection stats (A4/A5) join in as a broadcast singleton — no driver
+    // action during plan construction, so the whole search stays ONE lazy
+    // DAG (the reference caches stats per session, app/query.py:52-61; the
+    // deferred-plan form subsumes that).
+    val stats = docInfo.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("length")).as("avg_len"))
 
     val terms = queryTerms(spark, query)
 
     // J1 + P6: inner join drops df==0 terms (terms absent from the index
     // simply have no match). Broadcast the tiny terms relation.
-    val withIdf = broadcast(terms)
+    // J2: postings fetch; J3: doc length attach; J4: stats broadcast.
+    broadcast(terms)
       .join(termDf, "term")
-      .withColumn("idf", BM25.idf(lit(nDocs), col("df")))
-
-    // J2: postings fetch; J3: doc length attach; J4: stats are literals.
-    withIdf
       .join(postings.select("term", "doc_id", "tf"), "term")
       .join(docInfo.select("doc_id", "length"), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", BM25.idf(col("n_docs"), col("df")))
       .withColumn("score",
-        BM25.termScore(col("tf"), col("idf"), col("length"), lit(avgLen)))
+        BM25.termScore(col("tf"), col("idf"), col("length"), col("avg_len")))
   }
 
   /** Full search over pre-built index DataFrames.
@@ -77,6 +81,26 @@ object Search {
       .agg(sum(col("score")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+
+  /** Search over the persisted term-bucketed index tables built by
+    * Indexer.buildBucketedIndex — the reference's actual architecture
+    * (app/index.sh persists once; app/query.py:97-139 reads per query),
+    * minus Cassandra. Literal IN-list `term` filters prune buckets
+    * (SelectedBucketsCount) and parquet row groups at the scan; the
+    * postings ⋈ term_df term join is co-located by the shared bucketing,
+    * so no exchange lands on either index scan. At 100 TB each query
+    * touches |terms| buckets of the postings table, not the corpus.
+    */
+  def searchPrebuilt(spark: SparkSession, query: String, prefix: String,
+                     k: Int = 10): DataFrame = {
+    val toks = queryTokens(query)
+    val postings = spark.table(s"${prefix}_postings")
+      .filter(col("term").isin(toks: _*))
+    val termDf = spark.table(s"${prefix}_term_df")
+      .filter(col("term").isin(toks: _*))
+    val docInfo = spark.table(s"${prefix}_doc_info")
+    search(spark, query, postings, termDf, docInfo, k)
+  }
 
   /** Batch search: score a whole TABLE of queries in one lazy plan — the
     * 100-TB serving pattern (thousands of queries per pass, one shuffle

@@ -55,23 +55,29 @@ object Similarity {
     (TextHash.hash64(concat(j.cast("string"), lit("_"), d.cast("string")))
       % 2001 - 1000) / 1000.0
 
+  /** The j-th hyperplane as a constant array<double> literal: every
+    * component is a foldable md5 expression, so Catalyst constant-folds the
+    * whole plane to literals at plan time — zero per-row hashing.
+    */
+  def planeArray(j: Int, dim: Int): Column =
+    array((0 until dim).map(d => planeComponent(lit(j), lit(d))): _*)
+
   /** Bucket each vector by the sign pattern of `numPlanes` hyperplane dots.
     * Input (id, v); output (id, v, bucket).
+    *
+    * Entirely narrow: each plane dot is one codegen'd sequential
+    * DoubleArrayDot against a constant plane array — no explode, no shuffle,
+    * and (unlike a groupBy sum) the summation order is fixed, so DuckDB's
+    * list_dot_product computes the bit-identical value and bucket bits never
+    * flip across engines.
     */
   def lshBuckets(spark: SparkSession, vectors: DataFrame, numPlanes: Int,
                  dim: Int): DataFrame = {
-    val planes = spark.range(numPlanes).select(col("id").as("j"))
-      .crossJoin(spark.range(dim).select(col("id").as("d")))
-      .select(col("j"), col("d"), planeComponent(col("j"), col("d")).as("p"))
-    val comps = vectors.select(col("id"), posexplode(col("v")).as(Seq("d", "x")))
-    val dots = comps.join(broadcast(planes), "d")
-      .groupBy(col("id"), col("j"))
-      .agg(sum(col("x") * col("p")).as("dot"))
-    val buckets = dots.groupBy(col("id"))
-      .agg(sum(when(col("dot") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-        .otherwise(0L)).as("bucket"))
-    vectors.join(buckets, "id")
+    val bucket = (0 until numPlanes).map { j =>
+      when(graft.plans.VectorExprs.dot(col("v"), planeArray(j, dim)) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    vectors.withColumn("bucket", bucket)
   }
 
   /** IVF-style ANN: assign every corpus vector to its nearest coarse

@@ -251,15 +251,39 @@ object DedupQueries {
        |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
   // ---- Embedding-cosine near-dup ----------------------------------------------
-  // All-pairs within the vec_id % 5 = 0 subset; exact double-precision
-  // cosine; threshold calibrated to the synthetic distribution (max ~0.46).
+  // Candidate-gen + verify, never all-pairs: every vector gets an 8-bit
+  // random-hyperplane signature (one narrow pass, Similarity.lshBuckets),
+  // split into EmbBands bands of EmbBandBits sign bits. Candidate pairs
+  // collide on at least one (band, sig) bucket; only candidates pay the
+  // exact double-precision cosine. Candidate volume scales with bucket
+  // occupancy (sum of per-bucket C(n,2)), not corpus^2 — at 100 TB you
+  // raise EmbBandBits so buckets stay small; more bands buys back recall.
+  // Threshold calibrated to the synthetic distribution (max cosine ~0.46);
+  // banded recall at 0.35 with 4x2 bits is ~0.85 — deterministic md5
+  // planes, so the oracle reproduces the identical candidate set.
+  private val EmbPlanes = 8
+  private val EmbDim = 64
+  private val EmbBands = 4
+  private val EmbBandBits = 2
+
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-      .filter(col("vec_id") % 5 === 0)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    val bucketed =
+      graft.operators.Similarity.lshBuckets(s, emb, EmbPlanes, EmbDim)
+    val bands = bucketed.select(col("id"),
+      posexplode(array((0 until EmbBands).map(b =>
+        shiftright(col("bucket"), b * EmbBandBits) % (1 << EmbBandBits)): _*))
+        .as(Seq("band", "sig")))
+    val cands = bands.select(col("band"), col("sig"), col("id").as("id_a"))
+      .join(bands.select(col("band"), col("sig"), col("id").as("id_b")),
+        Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(emb.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(emb.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("cosine",
         graft.operators.Similarity.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= 0.35)
@@ -269,17 +293,34 @@ object DedupQueries {
   }
 
   val dedupEmbeddingCosineSql: String =
-    """WITH emb AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings WHERE vec_id % 5 = 0),
-      |pairs AS (
-      |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-      |    list_dot_product(a.v, b.v) /
-      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
-      |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id)
-      |SELECT vec_id_a, vec_id_b, CAST(cosine AS DOUBLE) AS cosine
-      |FROM pairs WHERE cosine >= 0.35
-      |ORDER BY vec_id_a, vec_id_b""".stripMargin
+    s"""WITH emb AS (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${OracleSql.planesCte(EmbPlanes, EmbDim)},
+       |buckets AS (
+       |  SELECT e.id,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.parr) > 0
+       |      THEN (CAST(1 AS BIGINT) << CAST(pl.j AS INT)) ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM emb e CROSS JOIN planes pl GROUP BY e.id),
+       |bands AS (
+       |  SELECT id, band, (bucket >> (CAST(band AS INT) * $EmbBandBits))
+       |    % ${1 << EmbBandBits} AS sig
+       |  FROM buckets, range($EmbBands) t(band)),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |    list_dot_product(ea.v, eb.v) /
+       |      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+       |  FROM cands c
+       |  JOIN emb ea ON ea.id = c.id_a
+       |  JOIN emb eb ON eb.id = c.id_b)
+       |SELECT id_a AS vec_id_a, id_b AS vec_id_b, CAST(cosine AS DOUBLE) AS cosine
+       |FROM pairs WHERE cosine >= 0.35
+       |ORDER BY vec_id_a, vec_id_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),

@@ -24,6 +24,20 @@ object OracleSql {
   def hashMod(expr: String): String =
     s"(${hash64(expr)} % 1000000007)"
 
+  /** Mirror of Similarity.planeArray: hyperplane j as an ordered
+    * list<double> (`planes(j, parr)`), so list_dot_product folds components
+    * in the same order as the Spark DoubleArrayDot — sign bits agree
+    * bit-for-bit across engines.
+    */
+  def planesCte(numPlanes: Int, dim: Int): String = {
+    val planeHash = hash64("concat(CAST(j AS VARCHAR), '_', CAST(d AS VARCHAR))")
+    s"""planes AS (
+       |  SELECT j, list(p ORDER BY d) AS parr FROM (
+       |    SELECT j, d, ($planeHash % 2001 - 1000) / 1000.0 AS p
+       |    FROM range($numPlanes) t1(j), range($dim) t2(d)) comps
+       |  GROUP BY j)""".stripMargin
+  }
+
   /** Polynomial fingerprint over a list expression (mirror of
     * TextHash.fingerprint): fold with init 0 via list_prepend.
     */

@@ -31,6 +31,8 @@ object SimilarityQueries {
       |  FROM embeddings),
       |probes AS (SELECT * FROM emb WHERE id % 50 = 0)""".stripMargin
 
+  private val PlanesCte: String = OracleSql.planesCte(NumPlanes, Dim)
+
   private val CosineSql =
     """list_dot_product(p.v, c.v) /
       |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v)))""".stripMargin
@@ -63,20 +65,14 @@ object SimilarityQueries {
       .orderBy("probe_id", "rank")
 
   val annLshSql: String = {
-    val planeHash = OracleSql.hash64("concat(CAST(j AS VARCHAR), '_', CAST(d AS VARCHAR))")
     s"""WITH $EmbCte,
-       |planes AS (
-       |  SELECT j, d, ($planeHash % 2001 - 1000) / 1000.0 AS p
-       |  FROM range($NumPlanes) t1(j), range($Dim) t2(d)),
-       |comps AS (
-       |  SELECT id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM emb),
-       |dots AS (
-       |  SELECT id, j, sum(x * p) AS dot
-       |  FROM comps JOIN planes USING (d) GROUP BY id, j),
+       |$PlanesCte,
        |buckets AS (
-       |  SELECT id, sum(CASE WHEN dot > 0
-       |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS bucket
-       |  FROM dots GROUP BY id),
+       |  SELECT e.id,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.parr) > 0
+       |      THEN (CAST(1 AS BIGINT) << CAST(pl.j AS INT)) ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM emb e CROSS JOIN planes pl GROUP BY e.id),
        |scored AS (
        |  SELECT p.id AS probe_id, c.id AS cand_id, pb.bucket,
        |    $CosineSql AS cosine
@@ -95,8 +91,20 @@ object SimilarityQueries {
   // ---- IVF-bucketed top-k ----------------------------------------------------
   private val NProbe = 2
 
+  /** Fixed centroid count, independent of corpus size: the ivfAssign
+    * broadcast stays NList vectors no matter how large the corpus grows
+    * (a corpus-proportional centroid set would blow the broadcast at scale).
+    * Chosen as the NList hash-smallest ids — a deterministic uniform sample
+    * both engines can reproduce; k-means refinement would keep the same
+    * bounded-broadcast plan shape at better recall.
+    */
+  private val NList = 64
+
   def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val centroids = emb(s, dir).filter(col("id") % 29 === 0)
+    val centroids = emb(s, dir)
+      .orderBy(graft.functions.TextHash.hash64(col("id").cast("string")),
+        col("id"))
+      .limit(NList)
     Similarity.ivfTopK(probes(s, dir), emb(s, dir), centroids, K, NProbe)
       .select(col("probe_id"), col("rank"), col("cand_id"),
         col("cosine").cast("double").as("cosine"))
@@ -105,7 +113,8 @@ object SimilarityQueries {
 
   val annIvfSql: String =
     s"""WITH $EmbCte,
-       |cents AS (SELECT id AS cent_id, v AS cv0 FROM emb WHERE id % 29 = 0),
+       |cents AS (SELECT id AS cent_id, v AS cv0 FROM emb
+       |  ORDER BY ${OracleSql.hash64("CAST(id AS VARCHAR)")}, id LIMIT $NList),
        |assigned AS (
        |  SELECT id AS cand_id, v AS cv, cent_id FROM (
        |    SELECT e.id, e.v, c.cent_id,
@@ -137,17 +146,18 @@ object SimilarityQueries {
        |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
 
-  // ---- Quantized ANN (rows-only): int8 vectors for the coarse pass, exact
-  //      double cosine re-rank of the shortlist. The memory/bandwidth story
-  //      at scale: 4 bytes/dim -> 1 byte/dim for the scan, full precision
-  //      only on candidates. Quantization rounding is engine-specific, so
-  //      no SQL oracle (driver records rows>0).
+  // ---- Quantized ANN: int8 vectors for the coarse pass, exact double
+  //      cosine re-rank of the shortlist. The memory/bandwidth story at
+  //      scale: 4 bytes/dim -> 1 byte/dim for the scan, full precision only
+  //      on candidates. Quantization is spelled as floor(x/maxabs*127 + 0.5)
+  //      — exact integer arithmetic both engines reproduce bit-for-bit, so
+  //      the shortlist (and hence the result) is fully oracle-checkable.
   def annQuantized(s: SparkSession, dir: String): DataFrame = {
-    val shortlist = 20
+    val shortlist = QShortlist
     val q = emb(s, dir).withColumn("maxabs",
         array_max(transform(col("v"), x => abs(x))))
       .withColumn("qv", transform(col("v"),
-        x => round(x / col("maxabs") * 127).cast("int")))
+        x => floor(x / col("maxabs") * 127 + 0.5).cast("int")))
     val probes = q.filter(col("id") % 50 === 0)
       .select(col("id").as("probe_id"), col("v").as("pv"), col("qv").as("pqv"))
     val cands = q.select(col("id").as("cand_id"), col("v").as("cv"), col("qv").as("cqv"))
@@ -167,6 +177,42 @@ object SimilarityQueries {
         col("cosine").cast("double").as("cosine"))
       .orderBy("probe_id", "rank")
   }
+
+  /** Shortlist size mirrored in the oracle. */
+  private val QShortlist = 20
+
+  val annQuantizedSql: String =
+    s"""WITH $EmbCte,
+       |qm AS (
+       |  SELECT id, v,
+       |    list_aggregate(list_transform(v, y -> abs(y)), 'max') AS maxabs
+       |  FROM emb),
+       |q AS (
+       |  SELECT id, v,
+       |    list_transform(v, x -> floor(x / maxabs * 127 + 0.5)) AS qv
+       |  FROM qm),
+       |qprobes AS (SELECT * FROM q WHERE id % 50 = 0),
+       |cand AS (
+       |  SELECT p.id AS probe_id, p.v AS pv, c.id AS cand_id, c.v AS cv,
+       |    CAST(list_dot_product(p.qv, c.qv) AS BIGINT) AS qscore
+       |  FROM qprobes p JOIN q c ON p.id <> c.id),
+       |short AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY qscore DESC, cand_id ASC) AS qrank
+       |    FROM cand) t
+       |  WHERE qrank <= $QShortlist),
+       |ranked AS (
+       |  SELECT probe_id, cand_id,
+       |    list_dot_product(pv, cv) /
+       |      (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY list_dot_product(pv, cv) /
+       |        (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv)))
+       |        DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM short)
+       |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine
+       |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
 
   // ---- Per-label embedding norm stats ----------------------------------------
   def embeddingNorms(s: SparkSession, dir: String): DataFrame =
@@ -199,5 +245,6 @@ object SimilarityQueries {
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_quantized" -> annQuantizedSql,
     "embedding_norms" -> embeddingNormsSql)
 }

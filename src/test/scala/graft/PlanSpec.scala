@@ -35,10 +35,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k should be TakeOrdered")
   }
 
+  test("prebuilt-index search prunes term buckets and never shuffles the index scans") {
+    val p = plan("bm25_search_prebuilt")
+    assert(p.contains("Bucketed: true"), s"index scans not bucketed:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"term IN-list did not prune buckets:\n$p")
+    assert(p.contains("In(term"), s"term filter not pushed to the scan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(term"),
+      s"term join shuffled a bucketed index scan:\n$p")
+  }
+
   test("simhash candidate join is hash-based, not a nested loop") {
     val p = plan("dedup_simhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"simhash pair join regressed to a nested loop:\n$p")
+  }
+
+  test("embedding dedup candidates come from banded-LSH hash joins, never all-pairs") {
+    val p = plan("dedup_embedding_cosine")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"embedding dedup regressed to an all-pairs join:\n$p")
+  }
+
+  test("lsh bucket assignment is narrow (no shuffle to compute buckets)") {
+    val p = plan("ann_lsh")
+    // round-1 form shuffled twice on vector id (posexplode + groupBy);
+    // bucket bits are now per-row expressions, so the only hash exchanges
+    // allowed are the ones keyed by probe_id for the final top-k window
+    assert(!p.contains("Exchange hashpartitioning(id#"),
+      s"bucket computation shuffles on vector id:\n$p")
   }
 
   test("grouped aggregations use partial (map-side) aggregation") {
