@@ -325,6 +325,22 @@ object TextIndexQueries {
       |FROM documents WHERE doc_id < 100
       |ORDER BY doc_id""".stripMargin
 
+  // ---- Reference prep entry point, end-to-end (app/prepare_data.py:19-29) ----
+  // select -> Bernoulli sample at fraction min(1, 100*n/count) seed 0 ->
+  // limit(n) -> whitespace-normalized title. The sample RNG is
+  // engine-specific, so this is a rows-only entry (driver records rows>0);
+  // PipelineSpec pins count<=n and the normalization exactly. At sf0.1 the
+  // fraction is genuinely < 1, so the real sample+limit path executes.
+  def prepPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val docs = d.select(col("doc_id").cast("string").as("id"),
+      substring(col("text"), 1, 50).as("title"), col("text"))
+    // the reference counts the corpus before sampling (prepare_data.py:20)
+    val total = d.count()
+    graft.sources.Pipelines.prepare(docs, n = 30, totalCount = total)
+      .orderBy(col("id"))
+  }
+
   // ---- 3-word positional phrase via the generalized operator -----------------
   val Phrase3 = Seq("slow", "hash", "batch")
 
@@ -356,7 +372,8 @@ object TextIndexQueries {
     "terms_in_vocab" -> (termsInVocab _),
     "terms_not_in_vocab" -> (termsNotInVocab _),
     "phrase_search" -> (phraseSearch _),
-    "doc_prep" -> (docPrep _))
+    "doc_prep" -> (docPrep _),
+    "prep_pipeline" -> (prepPipeline _))
 
   val oracles: Map[String, String] = Map(
     "phrase_search3" -> phraseSearch3Sql,

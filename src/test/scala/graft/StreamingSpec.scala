@@ -58,6 +58,31 @@ class StreamingSpec extends SparkSpec {
     assert(s.end_micros - s.start_micros == 10L * 60 * 1000000)
   }
 
+  test("append-mode watermark drops events that arrive past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.windowedCounts(stream.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1, 5, 1), ev(2, 10, 1), ev(3, 100, 2))
+      q.processAllAvailable() // watermark after this batch: 100-30 = 70 min
+      // ev 4 (minute 15) is behind the 70-min watermark -> must be dropped;
+      // ev 5 advances the watermark to 200 min
+      stream.addData(ev(4, 15, 1), ev(5, 230, 3))
+      q.processAllAvailable() // emits finalized window [0,60) — without ev 4
+      stream.addData(ev(6, 400, 4))
+      q.processAllAvailable() // watermark 200 finalizes window [60,120)
+    } finally q.stop()
+    val out = spark.table("wm_out")
+      .select(((col("window_start").cast("long") - 1704067200L) / 60)
+        .cast("long").as("m"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.get(0L).contains(2L),
+      s"late event leaked into the closed [0,60) window: $out")
+    assert(out.get(60L).contains(1L), s"window [60,120) not finalized: $out")
+  }
+
   test("file-source streaming: parquet dir drives the windowed plan") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
     val batch = Seq(ev(1, 5, 1), ev(2, 20, 1, "view"), ev(3, 61, 2)).toDF()
