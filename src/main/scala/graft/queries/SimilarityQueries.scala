@@ -154,14 +154,17 @@ object SimilarityQueries {
   //      the shortlist (and hence the result) is fully oracle-checkable.
   def annQuantized(s: SparkSession, dir: String): DataFrame = {
     val shortlist = QShortlist
+    // qv holds int8-range values stored as doubles: the coarse dot then
+    // runs through the codegen'd DoubleArrayDot (exact for integer values —
+    // |sum| <= 64*127^2 << 2^52 — so no float drift vs an int fold).
     val q = emb(s, dir).withColumn("maxabs",
         array_max(transform(col("v"), x => abs(x))))
       .withColumn("qv", transform(col("v"),
-        x => floor(x / col("maxabs") * 127 + 0.5).cast("int")))
+        x => floor(x / col("maxabs") * 127 + 0.5).cast("double")))
     val probes = q.filter(col("id") % 50 === 0)
       .select(col("id").as("probe_id"), col("v").as("pv"), col("qv").as("pqv"))
     val cands = q.select(col("id").as("cand_id"), col("v").as("cv"), col("qv").as("cqv"))
-    val qdot = aggregate(zip_with(col("pqv"), col("cqv"), _ * _), lit(0L), _ + _)
+    val qdot = graft.plans.VectorExprs.dot(col("pqv"), col("cqv")).cast("long")
     val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
       .orderBy(col("qscore").desc, col("cand_id").asc)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
@@ -180,6 +183,83 @@ object SimilarityQueries {
 
   /** Shortlist size mirrored in the oracle. */
   private val QShortlist = 20
+
+  // ---- Composed scale path: LSH bucket -> int8 coarse -> exact re-rank -------
+  // The shape a 100-TB ANN serving pass actually takes: candidate-gen by
+  // bucket collision (narrow signature compute + hash join, no full scan),
+  // a cheap quantized dot to shortlist within the bucket, and full-precision
+  // cosine only for shortlist-sized sets. Every stage is deterministic
+  // (md5 planes + floor quantization), so the whole composition is
+  // hash-checked against DuckDB.
+  def annLshQuantized(s: SparkSession, dir: String): DataFrame = {
+    val q = emb(s, dir).withColumn("maxabs",
+        array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv", transform(col("v"),
+        x => floor(x / col("maxabs") * 127 + 0.5).cast("double")))
+    val bucketed = Similarity.lshBuckets(s, q, NumPlanes, Dim)
+    val p = bucketed.filter(col("id") % 50 === 0)
+      .select(col("id").as("probe_id"), col("v").as("pv"),
+        col("qv").as("pqv"), col("bucket"))
+    val c = bucketed.select(col("id").as("cand_id"), col("v").as("cv"),
+      col("qv").as("cqv"), col("bucket"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+      .orderBy(col("qscore").desc, col("cand_id").asc)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    broadcast(p).join(c, Seq("bucket"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("qscore",
+        graft.plans.VectorExprs.dot(col("pqv"), col("cqv")).cast("long"))
+      .withColumn("qrank", row_number().over(cw))
+      .filter(col("qrank") <= QShortlist)
+      .withColumn("cosine", Similarity.cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val annLshQuantizedSql: String =
+    s"""WITH $EmbCte,
+       |$PlanesCte,
+       |buckets AS (
+       |  SELECT e.id,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.parr) > 0
+       |      THEN (CAST(1 AS BIGINT) << CAST(pl.j AS INT)) ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM emb e CROSS JOIN planes pl GROUP BY e.id),
+       |qm AS (
+       |  SELECT id, v,
+       |    list_aggregate(list_transform(v, y -> abs(y)), 'max') AS maxabs
+       |  FROM emb),
+       |qq AS (
+       |  SELECT qm.id, qm.v,
+       |    list_transform(qm.v, x -> floor(x / qm.maxabs * 127 + 0.5)) AS qv,
+       |    b.bucket
+       |  FROM qm JOIN buckets b USING (id)),
+       |bprobes AS (SELECT * FROM qq WHERE id % 50 = 0),
+       |cand AS (
+       |  SELECT p.id AS probe_id, p.v AS pv, c.id AS cand_id, c.v AS cv,
+       |    CAST(list_dot_product(p.qv, c.qv) AS BIGINT) AS qscore
+       |  FROM bprobes p JOIN qq c ON p.bucket = c.bucket AND p.id <> c.id),
+       |short AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY qscore DESC, cand_id ASC) AS qrank
+       |    FROM cand) t
+       |  WHERE qrank <= $QShortlist),
+       |ranked AS (
+       |  SELECT probe_id, cand_id,
+       |    list_dot_product(pv, cv) /
+       |      (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY list_dot_product(pv, cv) /
+       |        (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv)))
+       |        DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM short)
+       |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine
+       |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
 
   val annQuantizedSql: String =
     s"""WITH $EmbCte,
@@ -239,6 +319,7 @@ object SimilarityQueries {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_quantized" -> (annQuantized _),
+    "ann_lsh_quantized" -> (annLshQuantized _),
     "embedding_norms" -> (embeddingNorms _))
 
   val oracles: Map[String, String] = Map(
@@ -246,5 +327,6 @@ object SimilarityQueries {
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_quantized" -> annQuantizedSql,
+    "ann_lsh_quantized" -> annLshQuantizedSql,
     "embedding_norms" -> embeddingNormsSql)
 }

@@ -154,6 +154,28 @@ object TextIndexQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Batch search against the persisted bucketed index: the union of all
+    * query terms becomes one literal IN-list, so every per-query probe
+    * shares one bucket-pruned scan of postings/term_df — thousands of
+    * queries cost |distinct terms| buckets, not |queries| passes.
+    */
+  def bm25BatchSearchPrebuilt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prefix = ensurePrebuilt(s, dir)
+    val allTerms = BatchQueries.flatMap(q => Search.queryTokens(q._2)).distinct
+    val postings = s.table(s"${prefix}_postings")
+      .filter(col("term").isin(allTerms: _*))
+    val termDf = s.table(s"${prefix}_term_df")
+      .filter(col("term").isin(allTerms: _*))
+    val docInfo = s.table(s"${prefix}_doc_info")
+    Search.batchSearch(BatchQueries.toDF("query_id", "query_text"),
+        postings, termDf, docInfo, k = 5)
+      .select(col("query_id"), col("rank"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("score").cast("double").as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   val bm25BatchSearchSql: String = {
     val qArms = BatchQueries.map { case (id, text) =>
       val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
@@ -368,6 +390,7 @@ object TextIndexQueries {
     "bm25_search_prebuilt" -> (bm25SearchPrebuilt _),
     "bm25_search_sql_api" -> (bm25SearchSqlApi _),
     "bm25_batch_search" -> (bm25BatchSearch _),
+    "bm25_batch_search_prebuilt" -> (bm25BatchSearchPrebuilt _),
     "bm25_term_scores" -> (bm25TermScores _),
     "terms_in_vocab" -> (termsInVocab _),
     "terms_not_in_vocab" -> (termsNotInVocab _),
@@ -385,6 +408,7 @@ object TextIndexQueries {
     "bm25_search_prebuilt" -> bm25SearchSql,
     "bm25_search_sql_api" -> bm25SearchSql,
     "bm25_batch_search" -> bm25BatchSearchSql,
+    "bm25_batch_search_prebuilt" -> bm25BatchSearchSql,
     "bm25_term_scores" -> bm25TermScoresSql,
     "terms_in_vocab" -> termsInVocabSql,
     "terms_not_in_vocab" -> termsNotInVocabSql,
