@@ -55,12 +55,23 @@ object Similarity {
     (TextHash.hash64(concat(j.cast("string"), lit("_"), d.cast("string")))
       % 2001 - 1000) / 1000.0
 
-  /** The j-th hyperplane as a constant array<double> literal: every
-    * component is a foldable md5 expression, so Catalyst constant-folds the
-    * whole plane to literals at plan time — zero per-row hashing.
+  /** Driver-side mirror of planeComponent — md5 is engine-portable, so
+    * these are the exact doubles the DuckDB oracle derives in SQL. The
+    * planes are (numPlanes x dim) CONSTANTS: evaluating them here keeps the
+    * expression tree to plain literals. (The foldable-md5 Column form works
+    * too, but Catalyst re-folds the numPlanes*dim hash expressions across
+    * rule batches, and that plan-time cost dominated the whole query.)
     */
+  def planeValue(j: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${j}_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
+  }
+
+  /** The j-th hyperplane as a constant array<double> literal. */
   def planeArray(j: Int, dim: Int): Column =
-    array((0 until dim).map(d => planeComponent(lit(j), lit(d))): _*)
+    array((0 until dim).map(d => lit(planeValue(j, d))): _*)
 
   /** Bucket each vector by the sign pattern of `numPlanes` hyperplane dots.
     * Input (id, v); output (id, v, bucket).
