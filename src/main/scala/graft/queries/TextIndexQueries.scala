@@ -54,6 +54,23 @@ object TextIndexQueries {
        |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
        |FROM toks GROUP BY term ORDER BY term""".stripMargin
 
+  // ---- Incremental index append, checked against the full-rebuild oracle -----
+  // Split the corpus, index the first half, appendIndex the second — the
+  // merged term_df must equal a from-scratch build over everything (the
+  // oracle below IS the full-rebuild SQL). At 100 TB this is the difference
+  // between re-tokenizing the corpus per batch and work proportional to the
+  // new documents.
+  def indexAppend(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val oldDocs = d.filter(col("doc_id") % 2 === 0)
+    val newDocs = d.filter(col("doc_id") % 2 === 1)
+    val oldP = Indexer.postings(oldDocs)
+    val (_, mergedDf, _) = Indexer.appendIndex(
+      (oldP, Indexer.termDf(oldP), Indexer.docInfo(oldDocs)), newDocs)
+    mergedDf.select(col("term"), col("df").cast("long").as("df"))
+      .orderBy("term")
+  }
+
   // ---- A3: doc info ----------------------------------------------------------
   def indexDocInfo(s: SparkSession, dir: String): DataFrame =
     Indexer.docInfo(docsStr(s, dir))
@@ -384,6 +401,7 @@ object TextIndexQueries {
     "phrase_search3" -> (phraseSearch3 _),
     "index_postings" -> (indexPostings _),
     "index_term_df" -> (indexTermDf _),
+    "index_append" -> (indexAppend _),
     "index_doc_info" -> (indexDocInfo _),
     "corpus_stats" -> (corpusStats _),
     "bm25_search" -> (bm25Search _),
@@ -402,6 +420,7 @@ object TextIndexQueries {
     "phrase_search3" -> phraseSearch3Sql,
     "index_postings" -> indexPostingsSql,
     "index_term_df" -> indexTermDfSql,
+    "index_append" -> indexTermDfSql,
     "index_doc_info" -> indexDocInfoSql,
     "corpus_stats" -> corpusStatsSql,
     "bm25_search" -> bm25SearchSql,

@@ -36,6 +36,29 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream-stream interval join: purchases within `windowMinutes` after a
+    * click by the same user — the streaming form of the batch range join
+    * (EventQueries.eventsClickToPurchase). Both sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark evicts
+    * buffered state once the watermark passes the interval — state stays
+    * proportional to the window, not the stream.
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+                      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    c.join(p, col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") +
+          expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Full-microsecond epoch of a Timestamp (getTime alone drops sub-ms). */
   def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
 

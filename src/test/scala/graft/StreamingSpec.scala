@@ -117,6 +117,26 @@ class StreamingSpec extends SparkSpec {
       .sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("stream-stream interval join pairs purchases with prior clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventRow]
+    val purchases = MemoryStream[EventRow]
+    val q = EventStreams.clickToPurchase(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(ev(1, 0, 1), ev(2, 100, 1))
+      purchases.addData(ev(10, 20, 1, "purchase"), ev(11, 200, 2, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("ss_join").select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // purchase 10 is 20 min after click 1 (same user) — the only valid pair:
+    // purchase 11 belongs to a user with no click, and click 2 has no
+    // purchase in [click_ts, click_ts + 30 min]
+    assert(pairs == Set((1L, 10L)), s"got $pairs")
+  }
+
   test("streaming exact dedup: dropDuplicates removes repeats across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventRow]
