@@ -57,6 +57,47 @@ object Multimodal {
       concat(lit("text/"), col("lang")).as("kind"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  case class FrameFeatures(media_id: Long, frame_idx: Long, mean_byte: Double)
+
+  /** Frame-sampling geometry: fixed windows of `frameBytes` every
+    * `hopBytes` over the payload (the audio/video frame-sample pattern).
+    * Pure column arithmetic — narrow, shuffle-free, and simple enough to
+    * mirror into a DuckDB oracle. Media shorter than one frame yield no
+    * rows (sequence() would count DOWN for a negative frame count, hence
+    * the explicit n_frames > 0 guard).
+    */
+  def frameIndex(media: DataFrame, frameBytes: Int, hopBytes: Int): DataFrame =
+    media.select(col("media_id"), length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("n_frames",
+        (floor((col("n_bytes") - frameBytes) / hopBytes) + 1).cast("long"))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame_idx", explode(sequence(lit(0L), col("n_frames") - 1)))
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_idx") * hopBytes).as("frame_off"),
+        lit(frameBytes.toLong).as("frame_len"), col("n_bytes"))
+
+  /** Per-frame STUB feature (mean byte value) via the same
+    * partition-iterator batch shape as extractFeatures — a real codec would
+    * decode samples per frame here.
+    */
+  def frameFeatures(spark: SparkSession, media: DataFrame,
+                    frameBytes: Int, hopBytes: Int): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = if (r.payload.length < frameBytes) 0
+          else (r.payload.length - frameBytes) / hopBytes + 1
+        (0 until n).iterator.map { i =>
+          val off = i * hopBytes
+          var s = 0L
+          var k = 0
+          while (k < frameBytes) { s += (r.payload(off + k) & 0xff); k += 1 }
+          FrameFeatures(r.media_id, i.toLong, s.toDouble / frameBytes)
+        }
+      }
+    }
+  }
+
   /** Per-partition batch feature extraction (mapPartitions — the rows of a
     * partition stream through one iterator, mirroring a Pandas-UDF batch).
     */

@@ -44,9 +44,41 @@ object MultimodalQueries {
        |  ON g.doc_id = c.doc_id AND g.feature_idx = c.bucket
        |ORDER BY media_id, feature_idx""".stripMargin
 
+  // ---- Frame sampling (audio/video window pattern) ---------------------------
+  // Fixed 256-byte frames every 128 bytes over the payload; geometry is
+  // pure arithmetic, so the oracle recomputes it from octet_length. The
+  // per-frame stub features (mean byte) stay spec-level (MultimodalSpec) —
+  // byte-level access isn't relational in DuckDB.
+  private val FrameBytes = 256
+  private val HopBytes = 128
+
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+    Multimodal.frameIndex(media, FrameBytes, HopBytes)
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val multimodalFramesSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM documents),
+       |f AS (
+       |  SELECT media_id, n_bytes,
+       |    CAST(floor((n_bytes - $FrameBytes) / $HopBytes) + 1 AS BIGINT) AS n_frames
+       |  FROM m WHERE n_bytes >= $FrameBytes)
+       |SELECT media_id, CAST(t.i AS BIGINT) AS frame_idx,
+       |  CAST(t.i * $HopBytes AS BIGINT) AS frame_off,
+       |  CAST($FrameBytes AS BIGINT) AS frame_len, n_bytes
+       |FROM f, generate_series(0, 4095) t(i)
+       |WHERE t.i < f.n_frames
+       |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_features" -> (multimodalFeatures _))
+    "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_frames" -> (multimodalFrames _))
 
   val oracles: Map[String, String] = Map(
-    "multimodal_features" -> multimodalFeaturesSql)
+    "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_frames" -> multimodalFramesSql)
 }

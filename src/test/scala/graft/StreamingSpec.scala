@@ -156,6 +156,21 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("multimodal frame sampling: geometry matches hand-computed windows") {
+    val docs = Seq((1L, "a" * 300, "en"), (2L, "b" * 127, "en"), (3L, "c" * 384, "de"))
+      .toDF("doc_id", "text", "lang")
+    val media = graft.operators.Multimodal.mediaFromDocuments(docs)
+    val idx = graft.operators.Multimodal.frameIndex(media, 256, 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 300 bytes -> 1 frame; 127 -> none; 384 -> frames at offsets 0 and 128
+    assert(idx == Set((1L, 0L, 0L), (3L, 0L, 0L), (3L, 1L, 128L)))
+    val feats = graft.operators.Multimodal.frameFeatures(spark, media, 256, 128)
+      .collect().map(f => (f.media_id, f.frame_idx) -> f.mean_byte).toMap
+    assert(feats.keySet == Set((1L, 0L), (3L, 0L), (3L, 1L)))
+    assert(feats((1L, 0L)) == 'a'.toInt.toDouble)
+    assert(feats((3L, 1L)) == 'c'.toInt.toDouble)
+  }
+
   test("multimodal stub features: histogram sums to 1, batch shape preserved") {
     val docs = Seq((1L, "aaab", "en"), (2L, "", "de"))
       .toDF("doc_id", "text", "lang")
