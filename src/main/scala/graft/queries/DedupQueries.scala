@@ -250,6 +250,46 @@ object DedupQueries {
        |    len(list_distinct(sa.sh || sb.sh)) >= 0.02
        |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
+  // ---- Cluster the near-dup graph: pairs -> components -> keeper --------------
+  // Verified pairs alone don't answer "which copy do we keep": transitive
+  // groups do. Min-label-propagation connected components over the MinHash
+  // pair graph; keeper = the min doc_id of each cluster. The DuckDB oracle
+  // computes the same components via a recursive transitive closure.
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(s, dir)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val labels = graft.operators.Components.connectedComponents(pairs)
+    val sizes = labels.groupBy("component")
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    labels.join(sizes, "component")
+      .select(col("id").cast("long").as("doc_id"),
+        col("component").cast("long").as("component"),
+        col("cluster_size"),
+        (col("id") === col("component")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_id_a AS a, doc_id_b AS b FROM (
+       |$dedupMinhashLshSql
+       |  ) mh),
+       |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |comp AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS component
+       |  FROM reach GROUP BY a),
+       |sizes AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY component)
+       |SELECT c.doc_id, c.component, s.cluster_size,
+       |  c.doc_id = c.component AS is_keeper
+       |FROM comp c JOIN sizes s USING (component)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- Embedding-cosine near-dup ----------------------------------------------
   // Candidate-gen + verify, never all-pairs: every vector gets an 8-bit
   // random-hyperplane signature (one narrow pass, Similarity.lshBuckets),
@@ -327,12 +367,14 @@ object DedupQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
-    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _))
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "dedup_clusters" -> (dedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
-    "dedup_embedding_cosine" -> dedupEmbeddingCosineSql)
+    "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
+    "dedup_clusters" -> dedupClustersSql)
 }

@@ -5,6 +5,16 @@ import graft.functions.{TextHash, Tokenizer}
 import graft.operators.Dedup
 
 class DedupSpec extends SparkSpec {
+
+  test("connectedComponents: chains merge transitively, min id labels the cluster") {
+    import spark.implicits._
+    // 1-2-3 is a chain (no direct 1-3 edge): label must cross two hops;
+    // 4-5 is separate; 7 is a self-loop singleton
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 4L), (7L, 7L)).toDF("a", "b")
+    val comps = graft.operators.Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 7L -> 7L))
+  }
   import spark.implicits._
 
   test("hash64 matches the cross-engine md5-prefix value") {
