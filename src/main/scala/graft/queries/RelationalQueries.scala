@@ -518,23 +518,26 @@ object RelationalQueries {
       |ORDER BY l_returnflag, metric""".stripMargin
 
   // ---- Salted skew join, oracle-checked against the plain join semantics ----
+  // The canonical salting shape: big skew-keyed fact (orders by customer),
+  // SMALL replicated build side (customer dim) — replication cost is
+  // buckets * |dim|, independent of the fact side where the skew lives.
   def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_quantity"))
     val ord = Tables.orders(s, dir)
-      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    graft.operators.SkewJoin.saltedInnerJoin(li, ord, "l_orderkey", buckets = 8)
-      .groupBy(col("o_orderpriority"))
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.operators.SkewJoin.saltedInnerJoin(ord, cust, "c_custkey", buckets = 8)
+      .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).cast("long").as("n"),
-        sum(col("l_quantity")).cast("double").as("qty"))
-      .orderBy("o_orderpriority")
+        sum(col("o_totalprice")).cast("double").as("total"))
+      .orderBy("c_mktsegment")
   }
 
   val skewSaltedJoinSql: String =
-    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-      |  CAST(sum(l_quantity) AS DOUBLE) AS qty
-      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_totalprice) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // ---- Rows-only queries (no SQL oracle: nondeterministic-across-engines
   //      by nature; driver records the weaker rows>0 check) ----------------

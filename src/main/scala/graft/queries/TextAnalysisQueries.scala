@@ -41,13 +41,17 @@ object TextAnalysisQueries {
 
   // ---- Language identification ------------------------------------------------
   def langId(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tokenizer.tokenize(col("text"))
-    val hits = TextAnalysis.Markers.map { case (lang, _) =>
-      lang -> TextAnalysis.markerHits(toks, lang).cast("long")
+    // Tokenize ONCE into an attribute: five inline markerHits(tokenize(..))
+    // copies would each re-run the regex+split (CollapseProject keeps a
+    // non-cheap aliased expression shared when it's referenced many times,
+    // but five syntactically separate copies are five evaluations).
+    val hitCols = TextAnalysis.Markers.map { case (lang, _) =>
+      TextAnalysis.markerHits(col("toks"), lang).cast("long").as(s"${lang}_hits")
     }
-    val hitCols = hits.map { case (lang, c) => c.as(s"${lang}_hits") }
     Tables.documents(s, dir)
-      .select(col("doc_id") +: col("lang").as("labeled_lang") +: hitCols: _*)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        Tokenizer.tokenize(col("text")).as("toks"))
+      .select(col("doc_id") +: col("labeled_lang") +: hitCols: _*)
       .withColumn("predicted_lang", TextAnalysis.predictLang(
         TextAnalysis.Markers.map { case (lang, _) => lang -> col(s"${lang}_hits") }))
       .orderBy("doc_id")
