@@ -82,6 +82,10 @@ object GraftFunctions {
       exprs => fingerprintExpr(exprs.head)),
     ("graft_dot", "dot product of two array<double> vectors",
       exprs => DoubleArrayDot(exprs(0), exprs(1))),
+    ("graft_cosine", "cosine similarity of two array<double> vectors",
+      exprs => Divide(DoubleArrayDot(exprs(0), exprs(1)),
+        Multiply(Sqrt(DoubleArrayDot(exprs(0), exprs(0))),
+          Sqrt(DoubleArrayDot(exprs(1), exprs(1)))))),
     ("graft_bm25_idf", "reference BM25 idf(n, df)",
       exprs => idfExpr(exprs(0), exprs(1))),
     ("graft_bm25_score", "BM25 term score(tf, idf, dl, avgdl), k1=1 b=0.75",

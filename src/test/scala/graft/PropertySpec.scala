@@ -100,6 +100,13 @@ class PropertySpec extends SparkSpec {
     val dot = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .head().getDouble(0)
     assert(dot == 11.0)
+    val cosSql = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 1.0d)) AS c")
+      .head().getDouble(0)
+    val cosCol = Seq((Seq(1.0, 0.0), Seq(1.0, 1.0))).toDF("a", "b")
+      .select(graft.operators.Similarity.cosine(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(cosSql == cosCol && math.abs(cosSql - 1.0 / math.sqrt(2)) < 1e-12)
     val idf = spark.sql("SELECT graft_bm25_idf(4.0d, 2) AS i").head().getDouble(0)
     assert(math.abs(idf - math.log(2.0)) < 1e-12)
     // SQL path computes the same values as the Column API path
