@@ -23,8 +23,14 @@ object Curation {
   val PrefixTokens = 16
 
   /** Quality metrics used by the gate (mirrors TextAnalysisQueries). */
-  def qualityExpr(text: Column): Column = {
-    val toks = Tokenizer.tokenize(text)
+  def qualityExpr(text: Column): Column =
+    qualityOf(text, Tokenizer.tokenize(text))
+
+  /** Quality from an already-tokenized array — callers that need tokens
+    * for other stages pass the shared aliased column so the regex+split
+    * runs once per row, not once per referencing expression.
+    */
+  def qualityOf(text: Column, toks: Column): Column = {
     val nTokens = size(toks).cast("double")
     val avgTokLen = when(nTokens === 0, 0.0)
       .otherwise(length(array_join(toks, "")).cast("double") / nTokens)
@@ -40,14 +46,14 @@ object Curation {
   /** @param docs (doc_id, text, lang); returns curated docs with metrics. */
   def curate(docs: DataFrame, minQuality: Double,
              keepLangs: Seq[String]): DataFrame = {
-    val toks = Tokenizer.tokenize(col("text"))
     val gated = docs
-      .withColumn("quality", qualityExpr(col("text")))
+      .withColumn("toks", Tokenizer.tokenize(col("text")))
+      .withColumn("quality", qualityOf(col("text"), col("toks")))
       .filter(col("quality") >= minQuality && col("lang").isInCollection(keepLangs))
       .withColumn("digest", md5(Tokenizer.normalizeWhitespace(col("text"))))
       .withColumn("prefix_fp",
-        TextHash.fingerprint(slice(toks, 1, PrefixTokens)))
-      .withColumn("n_tokens", size(toks).cast("long"))
+        TextHash.fingerprint(slice(col("toks"), 1, PrefixTokens)))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
     // exact dedup then prefix-fingerprint near-dedup, min doc_id kept
     val exactW = Window.partitionBy(col("digest"))
     val prefixW = Window.partitionBy(col("prefix_fp"))

@@ -81,8 +81,11 @@ object TextAnalysisQueries {
 
   // ---- Quality scoring --------------------------------------------------------
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tokenizer.tokenize(col("text"))
+    // one shared tokenize pass (aliased attribute, see langId)
+    val toks = col("toks")
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        Tokenizer.tokenize(col("text")).as("toks"))
       .select(col("doc_id"), col("text"),
         size(toks).cast("long").as("n_tokens"),
         length(array_join(toks, "")).cast("double").as("token_chars"),
