@@ -15,6 +15,27 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 7L -> 7L))
   }
+
+  test("connectedComponents equals driver-side union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val es = Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) => val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb }
+    val expect = parent.keys.map { n =>
+      n -> parent.keys.filter(m => find(m) == find(n)).min
+    }.toMap
+    val got = graft.operators.Components
+      .connectedComponents(es.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
   import spark.implicits._
 
   test("hash64 matches the cross-engine md5-prefix value") {
