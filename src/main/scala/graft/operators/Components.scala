@@ -47,7 +47,8 @@ object Components {
         .select(col("id"),
           least(col("prev"), coalesce(col("nbr_min"), col("prev"))).as("component"),
           col("prev"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      // one job per round: this count materializes the lazy checkpoint
       changed = next.filter(col("component") < col("prev")).count()
       labels = next.drop("prev")
       rounds += 1
