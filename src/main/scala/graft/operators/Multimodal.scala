@@ -76,6 +76,20 @@ object Multimodal {
         (col("frame_idx") * hopBytes).as("frame_off"),
         lit(frameBytes.toLong).as("frame_len"), col("n_bytes"))
 
+  /** Resize planning: fit (width, height) inside (maxW, maxH) preserving
+    * aspect ratio, never upscaling — the metadata half of an image-resize
+    * stage (the pixel resample itself is codec work, stubbed like decode).
+    * Pure double arithmetic both engines compute identically.
+    */
+  def resizePlan(media: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    media
+      .withColumn("scale", least(lit(1.0),
+        lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height")))
+      .withColumn("out_w",
+        greatest(lit(1L), floor(col("width") * col("scale"))))
+      .withColumn("out_h",
+        greatest(lit(1L), floor(col("height") * col("scale"))))
+
   /** Per-frame STUB feature (mean byte value) via the same
     * partition-iterator batch shape as extractFeatures — a real codec would
     * decode samples per frame here.

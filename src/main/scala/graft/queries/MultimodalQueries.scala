@@ -74,11 +74,41 @@ object MultimodalQueries {
        |WHERE t.i < f.n_frames
        |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---- Resize planning (aspect-preserving fit, never upscale) ----------------
+  // Synthetic (width, height) metadata derived deterministically from
+  // doc_id (the testdata carries no real image dims); the fit-within-224
+  // geometry is exact double arithmetic mirrored in SQL.
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      (lit(64L) + col("doc_id") % 512).cast("long").as("width"),
+      (lit(64L) + (col("doc_id") * 7) % 512).cast("long").as("height"))
+    Multimodal.resizePlan(media, 224, 224)
+      .select(col("media_id"), col("width"), col("height"),
+        col("scale").cast("double").as("scale"), col("out_w"), col("out_h"))
+      .orderBy("media_id")
+  }
+
+  val multimodalResizeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(64 + doc_id % 512 AS BIGINT) AS width,
+      |    CAST(64 + (doc_id * 7) % 512 AS BIGINT) AS height
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, least(1.0, 224.0 / width, 224.0 / height) AS scale FROM m)
+      |SELECT media_id, width, height, CAST(scale AS DOUBLE) AS scale,
+      |  greatest(CAST(1 AS BIGINT), CAST(floor(width * scale) AS BIGINT)) AS out_w,
+      |  greatest(CAST(1 AS BIGINT), CAST(floor(height * scale) AS BIGINT)) AS out_h
+      |FROM r ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (multimodalFeatures _),
-    "multimodal_frames" -> (multimodalFrames _))
+    "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_resize" -> (multimodalResize _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
-    "multimodal_frames" -> multimodalFramesSql)
+    "multimodal_frames" -> multimodalFramesSql,
+    "multimodal_resize" -> multimodalResizeSql)
 }
