@@ -1,0 +1,21 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeQ {
+  // Dev tool: min-of-3 per query in one session, bench-style (no cache clears).
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- args.toSeq) {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$n: min=${ts.min}%.2f s runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -46,7 +46,15 @@ object DedupQueries {
   // ---- MinHash + LSH near-dup -------------------------------------------------
   // Subset doc_id % 5 = 0; distinct unigram token sets; 8 hashes, 4 bands of 2;
   // band-collision candidates verified with exact jaccard >= 0.8.
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** Verified near-dup pairs, unordered — shared by the user-facing query
+    * (which adds the presentation sort) and dedupClusters (whose edge input
+    * needs no order; sorting 100 TB of pairs before clustering would be a
+    * wasted global exchange). The result is cached: verified pairs are the
+    * natural materialization point of a dedup pipeline (tiny relative to
+    * the corpus — collision-bounded), and both downstream consumers reuse
+    * one candidate-gen + verify pass instead of re-running it.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // Tokens hashed to long once; both the signatures and the jaccard
     // verify run on the long sets (same md5 hash in the oracle).
     val sets = Tables.documents(s, dir)
@@ -67,8 +75,11 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.8)
       .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
         col("jaccard").cast("double").as("jaccard"))
-      .orderBy("doc_id_a", "doc_id_b")
+      .cache()
   }
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir).orderBy("doc_id_a", "doc_id_b")
 
   val dedupMinhashLshSql: String = {
     val mhExprs = (0 until NumHashes).map { i =>
@@ -256,12 +267,21 @@ object DedupQueries {
   // pair graph; keeper = the min doc_id of each cluster. The DuckDB oracle
   // computes the same components via a recursive transitive closure.
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhashLsh(s, dir)
+    val pairs = minhashPairs(s, dir)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-    val labels = graft.operators.Components.connectedComponents(pairs)
-    val sizes = labels.groupBy("component")
-      .agg(count(lit(1)).cast("long").as("cluster_size"))
-    labels.join(sizes, "component")
+    // Near-dup clusters are dense and shallow (diameter 2-3, see the
+    // Components scaladoc), so plain propagation converges in a handful of
+    // rounds — pointer jumping would add a self-join per round for nothing,
+    // and checkEvery=4 usually lands the whole loop in one counting job.
+    val labels = graft.operators.Components
+      .connectedComponents(pairs, checkEvery = 4, pointerJump = false)
+    // cluster_size over a window: one exchange on component, vs the
+    // groupBy + join-back shape which pays the aggregation exchange AND a
+    // second pass over labels.
+    val byComponent = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(byComponent).cast("long"))
       .select(col("id").cast("long").as("doc_id"),
         col("component").cast("long").as("component"),
         col("cluster_size"),

@@ -36,6 +36,46 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expect)
   }
+  test("connectedComponents stress: long-chain graph (diameter >> cluster depth)") {
+    import spark.implicits._
+    // a 64-node path: min-label needs the full chain crossed — with pointer
+    // jumping rounds scale with log2(64), not 63; batched checks keep the
+    // job count at rounds/checkEvery
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val r = graft.operators.Components
+      .connectedComponentsResult(chain, maxIter = 12, checkEvery = 3)
+    assert(r.converged, s"expected convergence within 12 rounds, ran ${r.rounds}")
+    assert(r.rounds <= 12)
+    val labels = r.labels.collect().map(x => x.getLong(0) -> x.getLong(1))
+    assert(labels.length == 64 && labels.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents: truncation throws instead of returning wrong labels") {
+    import spark.implicits._
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    // 1 round cannot converge a 64-node path
+    intercept[IllegalStateException] {
+      graft.operators.Components.connectedComponents(chain, maxIter = 1)
+    }
+    val partial = graft.operators.Components
+      .connectedComponentsResult(chain, maxIter = 1)
+    assert(!partial.converged && partial.rounds == 1)
+  }
+
+  test("connectedComponents: reliable checkpoint dir matches localCheckpoint labels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val local = graft.operators.Components
+      .connectedComponents(es.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = graft.operators.Components
+      .connectedComponents(es.toDF("a", "b"), checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+  }
+
   import spark.implicits._
 
   test("hash64 matches the cross-engine md5-prefix value") {
