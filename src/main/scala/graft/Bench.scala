@@ -45,7 +45,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":3,"reported":"min"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":3,"reported":"min"}"""
+    println(line)
+    // Stdout capture can truncate the head of a long line; the file is the
+    // auditable artifact with all per-query numbers.
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -267,6 +267,9 @@ object EventQueries {
     "events_session_window" -> (eventsSessionWindow _),
     "events_asof_signup" -> (eventsAsofSignup _),
     "events_tumbling" -> (eventsTumbling _),
+    // same oracle as events_tumbling, result computed by the streaming
+    // engine (file source -> AvailableNow -> materialized sink)
+    "stream_tumbling" -> (graft.streaming.EventStreams.tumblingAvailableNow _),
     "events_sliding" -> (eventsSliding _),
     "events_json" -> (eventsJson _),
     "events_sessionize" -> (eventsSessionize _),
@@ -278,6 +281,7 @@ object EventQueries {
     "events_session_window" -> eventsSessionWindowSql,
     "events_asof_signup" -> eventsAsofSignupSql,
     "events_tumbling" -> eventsTumblingSql,
+    "stream_tumbling" -> eventsTumblingSql,
     "events_sliding" -> eventsSlidingSql,
     "events_json" -> eventsJsonSql,
     "events_sessionize" -> eventsSessionizeSql,

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming forms of the event pipeline. The windowed
   * aggregation is the SAME declarative plan as the batch query
@@ -35,6 +35,53 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** The tumbling-window aggregation computed BY THE STREAMING ENGINE over
+    * the events parquet as a file source, run to completion with
+    * Trigger.AvailableNow — the standard backfill shape (same code path as
+    * the live stream, bounded input, exits when caught up). The sink
+    * batches land via foreachBatch in Complete mode so every window is
+    * emitted regardless of the final watermark (an append-mode file sink
+    * would hold back windows the watermark never passes on a finite
+    * stream); a live unbounded deployment uses append + watermark instead,
+    * whose late-data semantics StreamingSpec pins.
+    *
+    * Returns the materialized sink as a normal DataFrame in the batch
+    * query's output shape, so the driver hash-checks the streaming engine
+    * against the same DuckDB oracle as `events_tumbling`.
+    */
+  def tumblingAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    // mirror Tables.events: TIMESTAMP(NANOS) read as raw nanos, µs truncate
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    // events.parquet is a single file; FileStreamSource force-sets
+    // basePath to the (non-glob) path itself and then requires a
+    // directory. A glob path keeps our explicit directory basePath.
+    val src = s.readStream.schema(rawSchema).option("basePath", dir)
+      .parquet(s"$dir/events.parquet*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_sink")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+      .toString
+    val q = windowedCounts(src).writeStream
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"),
+        col("n").cast("long").as("n"),
+        col("total_value").cast("double").as("total_value"))
+      .orderBy("window_start", "event_type")
+  }
 
   /** Stream-stream interval join: purchases within `windowMinutes` after a
     * click by the same user — the streaming form of the batch range join
