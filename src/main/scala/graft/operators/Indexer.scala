@@ -43,10 +43,21 @@ object Indexer {
   def termDf(postings: DataFrame): DataFrame =
     postings.groupBy("term").agg(count(lit(1)).cast("int").as("df"))
 
-  /** A3 — doc_id -> token count. Map-only, no shuffle. */
-  def docInfo(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+  /** A3 — doc_id -> (title, token count). Map-only, no shuffle.
+    * The reference's documents_info stores (doc_id, title, length)
+    * (app/app.py:53-59) and search results display titles
+    * (app/query.py:199-213). Testdata has no title column, so when the
+    * input lacks one we synthesize the reference prep's form — the leading
+    * slice of the text (app/prepare_data.py derives titles from the doc
+    * content the same way prep_pipeline does).
+    */
+  def docInfo(docs: DataFrame): DataFrame = {
+    val title =
+      if (docs.columns.contains("title")) col("title")
+      else substring(col("text"), 1, 50)
+    docs.select(col("doc_id"), title.as("title"),
       Tokenizer.tokenCount(col("text")).as("length"))
+  }
 
   /** Incremental index growth: merge a new (disjoint) document batch into
     * existing index tables WITHOUT re-tokenizing the old corpus.

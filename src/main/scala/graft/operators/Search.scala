@@ -66,21 +66,31 @@ object Search {
         BM25.termScore(col("tf"), col("idf"), col("length"), col("avg_len")))
   }
 
-  /** Full search over pre-built index DataFrames.
+  /** Full search over pre-built index DataFrames. Returns
+    * (doc_id, title, score) — the reference's result display shape
+    * (app/query.py:199-213 prints rank, id, title, score).
     * @param postings (term, doc_id, tf, ...)
     * @param termDf   (term, df)
-    * @param docInfo  (doc_id, length) — plus any metadata columns to carry
+    * @param docInfo  (doc_id, title, length)
     */
   def search(spark: SparkSession, query: String,
              postings: DataFrame, termDf: DataFrame, docInfo: DataFrame,
-             k: Int = 10): DataFrame =
+             k: Int = 10): DataFrame = {
     // A6 + T1: per-doc sum (partial agg map-side), then top-k with a
     // deterministic (score DESC, doc_id ASC) tiebreak (SURVEY.md §7.6).
-    termComponents(spark, query, postings, termDf, docInfo)
+    val top = termComponents(spark, query, postings, termDf, docInfo)
       .groupBy("doc_id")
       .agg(sum(col("score")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+    // Display metadata attaches to the k winners ONLY: the scoring plan
+    // never carries title through its shuffles, and this join broadcasts
+    // the k-row side (inner + BuildRight), probing docInfo — cost ∝ k.
+    docInfo.select(col("doc_id"), col("title"))
+      .join(broadcast(top), "doc_id")
+      .select(col("doc_id"), col("title"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
 
   /** Search over the persisted term-bucketed index tables built by
     * Indexer.buildBucketedIndex — the reference's actual architecture

@@ -3,12 +3,14 @@ package graft.queries
 /** Shared DuckDB SQL fragments used by multiple oracle queries. */
 object OracleSql {
 
-  /** Tokenized documents: docs_l (doc_id, l: list<varchar>) and
+  /** Tokenized documents: docs_l (doc_id, text, l: list<varchar>) and
     * toks (doc_id, term, pos) — the SQL mirror of Tokenizer.tokenize.
+    * docs_l keeps the raw text so title-carrying oracles can derive the
+    * synthesized title (substring) without a second documents join.
     */
   val TokCte: String =
     """docs_l AS (
-      |  SELECT doc_id, list_filter(string_split_regex(
+      |  SELECT doc_id, text, list_filter(string_split_regex(
       |    regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
       |    x -> x <> '') AS l
       |  FROM documents),

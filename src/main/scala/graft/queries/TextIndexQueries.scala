@@ -71,15 +71,17 @@ object TextIndexQueries {
       .orderBy("term")
   }
 
-  // ---- A3: doc info ----------------------------------------------------------
+  // ---- A3: doc info (reference documents_info shape: doc_id, title, length) --
   def indexDocInfo(s: SparkSession, dir: String): DataFrame =
     Indexer.docInfo(docsStr(s, dir))
-      .select(col("doc_id"), col("length").cast("long").as("length"))
+      .select(col("doc_id"), col("title"),
+        col("length").cast("long").as("length"))
       .orderBy("doc_id")
 
   val indexDocInfoSql: String =
     s"""WITH $TokCte
        |SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       |  substring(text, 1, 50) AS title,
        |  CAST(len(l) AS BIGINT) AS length
        |FROM docs_l ORDER BY doc_id""".stripMargin
 
@@ -109,7 +111,7 @@ object TextIndexQueries {
   def bm25Search(s: SparkSession, dir: String): DataFrame = {
     val (p, tdf, di) = indexTriple(s, dir)
     Search.search(s, SearchQuery, p, tdf, di, k = 10)
-      .select(col("doc_id").cast("long").as("doc_id"),
+      .select(col("doc_id").cast("long").as("doc_id"), col("title"),
         col("score").cast("double").as("score"))
   }
 
@@ -127,9 +129,13 @@ object TextIndexQueries {
        |    ln(greatest(1.0, s.n / greatest(1.0, CAST(d.df AS DOUBLE)))) * p.tf * 2.0 /
        |      (p.tf + (0.25 + 0.75 * di.length / s.avgdl)) AS score
        |  FROM q JOIN term_df d USING(term) JOIN postings p USING(term)
-       |       JOIN doc_info di USING(doc_id), stats s)
-       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(score) AS DOUBLE) AS score
-       |FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+       |       JOIN doc_info di USING(doc_id), stats s),
+       |top AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(score) AS DOUBLE) AS score
+       |  FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10)
+       |SELECT t.doc_id, substring(d.text, 1, 50) AS title, t.score
+       |FROM top t JOIN documents d ON d.doc_id = t.doc_id
+       |ORDER BY t.score DESC, t.doc_id""".stripMargin
 
   // ---- Flagship over the PERSISTED term-bucketed index -----------------------
   // The reference's true architecture: index.sh builds + persists ONCE;
@@ -151,7 +157,7 @@ object TextIndexQueries {
   def bm25SearchPrebuilt(s: SparkSession, dir: String): DataFrame = {
     val prefix = ensurePrebuilt(s, dir)
     Search.searchPrebuilt(s, SearchQuery, prefix, k = 10)
-      .select(col("doc_id").cast("long").as("doc_id"),
+      .select(col("doc_id").cast("long").as("doc_id"), col("title"),
         col("score").cast("double").as("score"))
   }
 
@@ -271,9 +277,13 @@ object TextIndexQueries {
          |  SELECT p.doc_id,
          |    graft_bm25_score(p.tf, graft_bm25_idf(s.n, d.df), di.length, s.avgdl) AS score
          |  FROM q JOIN term_df d USING (term) JOIN postings p USING (term)
-         |       JOIN doc_info di USING (doc_id) CROSS JOIN stats s)
-         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(score) AS DOUBLE) AS score
-         |FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+         |       JOIN doc_info di USING (doc_id) CROSS JOIN stats s),
+         |top AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(score) AS DOUBLE) AS score
+         |  FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT t.doc_id, substring(d.text, 1, 50) AS title, t.score
+         |FROM top t JOIN graft_docs d ON d.doc_id = t.doc_id
+         |ORDER BY t.score DESC, t.doc_id""".stripMargin)
   }
 
   // ---- P6 + dual: query terms in / not in the index vocabulary ---------------

@@ -35,7 +35,7 @@ class IndexerSpec extends SparkSpec {
   }
 
   test("docInfo: token counts incl. empty doc") {
-    val di = Indexer.docInfo(docs)
+    val di = Indexer.docInfo(docs).select("doc_id", "length")
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(di == Map("d1" -> 5, "d2" -> 4, "d3" -> 2, "d4" -> 0))
   }
@@ -44,7 +44,7 @@ class IndexerSpec extends SparkSpec {
     // N=4, avgdl=(5+4+2+0)/4=2.75; query 'big': df=2, idf=ln(4/2)=ln 2
     // d2: tf=2, dl=4 -> ln2 * 2*2 / (2 + 1*(0.25 + 0.75*4/2.75))
     val res = Search.searchDocs(spark, docs, "big", k = 10)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .collect().map(r => r.getAs[String]("doc_id") -> r.getAs[Double]("score")).toMap
     val idf = math.log(2.0)
     val d2 = idf * 2 * 2 / (2 + (0.25 + 0.75 * 4 / 2.75))
     val d1 = idf * 1 * 2 / (1 + (0.25 + 0.75 * 5 / 2.75))
@@ -59,7 +59,7 @@ class IndexerSpec extends SparkSpec {
     assert(rows.head.getString(0) == "d3")
     assert(rows.map(_.getString(0)).toSet == Set("d1", "d3"))
     // scores strictly descending (no ties here, but ordering holds)
-    val scores = rows.map(_.getDouble(1))
+    val scores = rows.map(_.getAs[Double]("score"))
     assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
   }
 
@@ -88,6 +88,6 @@ class IndexerSpec extends SparkSpec {
     // 'big' in 2 of 4 docs -> N/df=2. A term in all docs: N/df=1 -> idf=0.
     val allDocs = Seq(("a", "x"), ("b", "x")).toDF("doc_id", "text")
     val res = Search.searchDocs(spark, allDocs, "x", k = 10).collect()
-    assert(res.forall(_.getDouble(1) == 0.0))
+    assert(res.forall(_.getAs[Double]("score") == 0.0))
   }
 }

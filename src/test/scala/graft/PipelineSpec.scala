@@ -62,7 +62,7 @@ class PipelineSpec extends SparkSpec {
     val termDf = spark.read.parquet(s"$indexDir/term_df")
     val docInfo = spark.read.parquet(s"$indexDir/doc_info")
     val got = Search.search(spark, "spark data", postings, termDf, docInfo, k = 10)
-      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .collect().map(r => r.getAs[String]("doc_id") -> r.getAs[Double]("score"))
 
     // independent scorer (reference formula, app/query.py:145,170,186-188)
     def tokenize(s: String): Seq[String] =

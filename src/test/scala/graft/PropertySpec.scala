@@ -49,9 +49,9 @@ class PropertySpec extends SparkSpec {
     forAll(corpusGen) { corpus =>
       val docs = corpus.toDF("doc_id", "text")
       val r1 = Search.searchDocs(spark, docs, "alpha beta", 10).collect()
-        .map(r => (r.getString(0), r.getDouble(1)))
+        .map(r => (r.getAs[String]("doc_id"), r.getAs[Double]("score")))
       val r2 = Search.searchDocs(spark, docs.repartition(7), "alpha beta", 10)
-        .collect().map(r => (r.getString(0), r.getDouble(1)))
+        .collect().map(r => (r.getAs[String]("doc_id"), r.getAs[Double]("score")))
       // idf floors at 0 when a term hits every doc, so scores are >= 0
       assert(r1.forall(_._2 >= 0))
       assert(r1.map(_._1).sameElements(r2.map(_._1)))
