@@ -133,4 +133,41 @@ object Indexer {
       .saveAsTable(s"${prefix}_doc_info")
     p.unpersist()
   }
+
+  /** Append a document batch (disjoint doc_ids) into the PERSISTED
+    * bucketed index that searchPrebuilt reads — the reference
+    * architecture's first growth operation (index once, grow forever;
+    * app/index.sh re-runs load batches into the same Cassandra tables).
+    *
+    *  - postings / doc_info: append-mode writes by table name. The writer
+    *    declares the SAME bucketing as the existing table (Spark verifies
+    *    the specs match), so the batch lands as one extra file per touched
+    *    bucket — normal bucketed-table growth; the co-located term join
+    *    stays exchange-free. Cost ∝ batch, not corpus.
+    *  - term_df: per-term counts must MERGE, not append (a term present in
+    *    both halves would otherwise surface twice with partial dfs). The
+    *    merged aggregate is vocabulary-sized — orders of magnitude smaller
+    *    than postings — so it is rewritten: staged to a sibling bucketed
+    *    table, then swapped in with a catalog rename (a table cannot be
+    *    overwritten while the overwrite plan reads it).
+    */
+  def appendBucketedIndex(spark: SparkSession, newDocs: DataFrame,
+                          prefix: String): Unit = {
+    val p = postings(newDocs).cache()
+    p.write.mode("append").format("parquet")
+      .bucketBy(IndexBuckets, "term").sortBy("term")
+      .saveAsTable(s"${prefix}_postings")
+    docInfo(newDocs).write.mode("append").format("parquet")
+      .saveAsTable(s"${prefix}_doc_info")
+    val merged = spark.table(s"${prefix}_term_df").unionByName(termDf(p))
+      .groupBy("term").agg(sum(col("df")).cast("int").as("df"))
+    val staging = s"${prefix}_term_df_staged"
+    dropManagedTable(spark, staging)
+    merged.write.mode("overwrite").format("parquet")
+      .bucketBy(IndexBuckets, "term").sortBy("term")
+      .saveAsTable(staging)
+    dropManagedTable(spark, s"${prefix}_term_df") // drop + clear the location
+    spark.sql(s"ALTER TABLE $staging RENAME TO ${prefix}_term_df")
+    p.unpersist()
+  }
 }

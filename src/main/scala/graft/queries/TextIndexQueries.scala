@@ -161,6 +161,32 @@ object TextIndexQueries {
         col("score").cast("double").as("score"))
   }
 
+  // ---- Persisted-index APPEND: grow the bucketed tables, then search ---------
+  // Index half the corpus, appendBucketedIndex the other half into the
+  // SAME persisted tables, search the result. The oracle is the full-corpus
+  // bm25 SQL — the appended index must be indistinguishable from a
+  // from-scratch build (same merged term_df, same co-located layout).
+  private val builtAppended = scala.collection.mutable.Set[String]()
+
+  private def ensureAppendedIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val prefix = "graft_idxa_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!builtAppended.contains(prefix)) {
+        val d = docs(s, dir)
+        Indexer.buildBucketedIndex(s, d.filter(col("doc_id") % 2 === 0), prefix)
+        Indexer.appendBucketedIndex(s, d.filter(col("doc_id") % 2 === 1), prefix)
+        builtAppended += prefix
+      }
+      prefix
+    }
+
+  def indexAppendPersisted(s: SparkSession, dir: String): DataFrame = {
+    val prefix = ensureAppendedIndex(s, dir)
+    Search.searchPrebuilt(s, SearchQuery, prefix, k = 10)
+      .select(col("doc_id").cast("long").as("doc_id"), col("title"),
+        col("score").cast("double").as("score"))
+  }
+
   // ---- Batch multi-query search: one plan scores a query TABLE ---------------
   val BatchQueries: Seq[(String, String)] = Seq(
     ("q1", "spark filter join"),
@@ -416,6 +442,7 @@ object TextIndexQueries {
     "corpus_stats" -> (corpusStats _),
     "bm25_search" -> (bm25Search _),
     "bm25_search_prebuilt" -> (bm25SearchPrebuilt _),
+    "index_append_persisted" -> (indexAppendPersisted _),
     "bm25_search_sql_api" -> (bm25SearchSqlApi _),
     "bm25_batch_search" -> (bm25BatchSearch _),
     "bm25_batch_search_prebuilt" -> (bm25BatchSearchPrebuilt _),
@@ -435,6 +462,7 @@ object TextIndexQueries {
     "corpus_stats" -> corpusStatsSql,
     "bm25_search" -> bm25SearchSql,
     "bm25_search_prebuilt" -> bm25SearchSql,
+    "index_append_persisted" -> bm25SearchSql,
     "bm25_search_sql_api" -> bm25SearchSql,
     "bm25_batch_search" -> bm25BatchSearchSql,
     "bm25_batch_search_prebuilt" -> bm25BatchSearchSql,

@@ -45,6 +45,15 @@ class PlanSpec extends SparkSpec {
       s"term join shuffled a bucketed index scan:\n$p")
   }
 
+  test("appended bucketed index keeps bucket pruning and shuffle-free term joins") {
+    val p = plan("index_append_persisted")
+    assert(p.contains("Bucketed: true"), s"appended index scans not bucketed:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"term IN-list did not prune buckets after append:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(term"),
+      s"term join shuffled a bucketed index scan after append:\n$p")
+  }
+
   test("simhash candidate join is hash-based, not a nested loop") {
     val p = plan("dedup_simhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
