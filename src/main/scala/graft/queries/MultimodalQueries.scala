@@ -67,11 +67,13 @@ object MultimodalQueries {
        |  SELECT media_id, n_bytes,
        |    CAST(floor((n_bytes - $FrameBytes) / $HopBytes) + 1 AS BIGINT) AS n_frames
        |  FROM m WHERE n_bytes >= $FrameBytes)
-       |SELECT media_id, CAST(t.i AS BIGINT) AS frame_idx,
-       |  CAST(t.i * $HopBytes AS BIGINT) AS frame_off,
+       |SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+       |  CAST(i * $HopBytes AS BIGINT) AS frame_off,
        |  CAST($FrameBytes AS BIGINT) AS frame_len, n_bytes
-       |FROM f, generate_series(0, 4095) t(i)
-       |WHERE t.i < f.n_frames
+       |FROM (
+       |  SELECT media_id, n_bytes,
+       |    unnest(generate_series(0, n_frames - 1)) AS i
+       |  FROM f) t
        |ORDER BY media_id, frame_idx""".stripMargin
 
   // ---- Resize planning (aspect-preserving fit, never upscale) ----------------

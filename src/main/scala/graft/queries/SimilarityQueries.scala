@@ -146,21 +146,40 @@ object SimilarityQueries {
        |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
 
-  // ---- Quantized ANN: int8 vectors for the coarse pass, exact double
-  //      cosine re-rank of the shortlist. The memory/bandwidth story at
-  //      scale: 4 bytes/dim -> 1 byte/dim for the scan, full precision only
-  //      on candidates. Quantization is spelled as floor(x/maxabs*127 + 0.5)
-  //      — exact integer arithmetic both engines reproduce bit-for-bit, so
-  //      the shortlist (and hence the result) is fully oracle-checkable.
+  /** Int8 quantization of `v` into `qv` (values stored as doubles: the
+    * coarse dot runs through the codegen'd DoubleArrayDot, exact for
+    * integer values — |sum| <= 64*127^2 << 2^52, no float drift vs an int
+    * fold). floor(x/maxabs*127 + 0.5) is exact integer arithmetic both
+    * engines reproduce bit-for-bit. All-zero vectors (maxabs = 0) quantize
+    * to zero — without the guard the division yields NaN components whose
+    * ordering differs between engines.
+    */
+  private def int8Quantized(df: DataFrame): DataFrame =
+    df.withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv", transform(col("v"),
+        x => when(col("maxabs") === 0, lit(0.0))
+          .otherwise(floor(x / col("maxabs") * 127 + 0.5)).cast("double")))
+
+  /** The DuckDB mirror of int8Quantized's qv expression; `q` qualifies the
+    * v/maxabs column references (e.g. "qm.").
+    */
+  private def qvSql(q: String = ""): String =
+    s"list_transform(${q}v, x -> CASE WHEN ${q}maxabs = 0 THEN 0.0 " +
+      s"ELSE floor(x / ${q}maxabs * 127 + 0.5) END)"
+
+  // ---- Quantized ANN BASELINE: int8 vectors for the coarse pass, exact
+  //      double cosine re-rank of the shortlist.
+  //
+  //      LABELED BASELINE, like ann_brute_force: the coarse pass scans
+  //      every (probe, corpus) pair BY INTENT — it isolates what
+  //      quantization alone buys (1 byte/dim scan bandwidth instead of 4,
+  //      full precision only on candidates) and serves as the recall
+  //      yardstick for the bucketed form. It is NOT the serving shape at
+  //      scale: ann_lsh_quantized is the same coarse+re-rank composition
+  //      with candidate-gen by bucket collision instead of a full scan.
   def annQuantized(s: SparkSession, dir: String): DataFrame = {
     val shortlist = QShortlist
-    // qv holds int8-range values stored as doubles: the coarse dot then
-    // runs through the codegen'd DoubleArrayDot (exact for integer values —
-    // |sum| <= 64*127^2 << 2^52 — so no float drift vs an int fold).
-    val q = emb(s, dir).withColumn("maxabs",
-        array_max(transform(col("v"), x => abs(x))))
-      .withColumn("qv", transform(col("v"),
-        x => floor(x / col("maxabs") * 127 + 0.5).cast("double")))
+    val q = int8Quantized(emb(s, dir))
     val probes = q.filter(col("id") % 50 === 0)
       .select(col("id").as("probe_id"), col("v").as("pv"), col("qv").as("pqv"))
     val cands = q.select(col("id").as("cand_id"), col("v").as("cv"), col("qv").as("cqv"))
@@ -192,10 +211,7 @@ object SimilarityQueries {
   // (md5 planes + floor quantization), so the whole composition is
   // hash-checked against DuckDB.
   def annLshQuantized(s: SparkSession, dir: String): DataFrame = {
-    val q = emb(s, dir).withColumn("maxabs",
-        array_max(transform(col("v"), x => abs(x))))
-      .withColumn("qv", transform(col("v"),
-        x => floor(x / col("maxabs") * 127 + 0.5).cast("double")))
+    val q = int8Quantized(emb(s, dir))
     val bucketed = Similarity.lshBuckets(s, q, NumPlanes, Dim)
     val p = bucketed.filter(col("id") % 50 === 0)
       .select(col("id").as("probe_id"), col("v").as("pv"),
@@ -235,7 +251,7 @@ object SimilarityQueries {
        |  FROM emb),
        |qq AS (
        |  SELECT qm.id, qm.v,
-       |    list_transform(qm.v, x -> floor(x / qm.maxabs * 127 + 0.5)) AS qv,
+       |    ${qvSql("qm.")} AS qv,
        |    b.bucket
        |  FROM qm JOIN buckets b USING (id)),
        |bprobes AS (SELECT * FROM qq WHERE id % 50 = 0),
@@ -269,7 +285,7 @@ object SimilarityQueries {
        |  FROM emb),
        |q AS (
        |  SELECT id, v,
-       |    list_transform(v, x -> floor(x / maxabs * 127 + 0.5)) AS qv
+       |    ${qvSql()} AS qv
        |  FROM qm),
        |qprobes AS (SELECT * FROM q WHERE id % 50 = 0),
        |cand AS (
