@@ -134,21 +134,51 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("cand_id"), col("cosine"))
   }
 
-  /** LSH-bucketed top-k: probes only score candidates in their bucket. */
+  /** Split each vector's numPlanes-bit signature into bands of `bandBits`
+    * sign bits — one row per (id, band, sig), vectors NOT carried through
+    * the explode. Collision in ANY band makes a candidate pair: the
+    * standard multi-table LSH construction. A full-signature match costs
+    * near neighbors (1-θ/π)^numPlanes collision probability — effectively
+    * zero recall at moderate similarity — while a short band collides with
+    * (1-θ/π)^bandBits per table, and numPlanes/bandBits tables buy recall
+    * back without admitting far pairs in bulk.
+    */
+  def lshBands(spark: SparkSession, vectors: DataFrame, numPlanes: Int,
+               dim: Int, bandBits: Int): DataFrame = {
+    require(numPlanes % bandBits == 0, "bandBits must divide numPlanes")
+    val numBands = numPlanes / bandBits
+    lshBuckets(spark, vectors, numPlanes, dim)
+      .select(col("id"),
+        posexplode(array((0 until numBands).map(b =>
+          shiftright(col("bucket"), b * bandBits) % (1 << bandBits)): _*))
+          .as(Seq("band", "sig")))
+  }
+
+  /** Banded-LSH top-k: candidates collide with the probe in at least one
+    * signature band; only candidates pay the exact cosine. The band tables
+    * carry (id, band, sig) — vectors join back onto the DISTINCT candidate
+    * pairs, so the wide rows never ride through the explode or the
+    * collision join. Candidate volume scales with band-bucket occupancy,
+    * not corpus size.
+    */
   def lshTopK(spark: SparkSession, probes: DataFrame, corpus: DataFrame,
-              k: Int, numPlanes: Int, dim: Int): DataFrame = {
-    val cb = lshBuckets(spark, corpus, numPlanes, dim)
-      .select(col("id").as("cand_id"), col("v").as("cv"), col("bucket"))
-    val pb = lshBuckets(spark, probes, numPlanes, dim)
-      .select(col("id").as("probe_id"), col("v").as("pv"), col("bucket"))
+              k: Int, numPlanes: Int, dim: Int, bandBits: Int = 2): DataFrame = {
+    val cb = lshBands(spark, corpus, numPlanes, dim, bandBits)
+      .select(col("id").as("cand_id"), col("band"), col("sig"))
+    val pb = lshBands(spark, probes, numPlanes, dim, bandBits)
+      .select(col("id").as("probe_id"), col("band"), col("sig"))
+    val cands = broadcast(pb).join(cb, Seq("band", "sig"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select("probe_id", "cand_id").distinct()
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
-    broadcast(pb).join(cb, Seq("bucket"))
-      .filter(col("probe_id") =!= col("cand_id"))
+    cands
+      .join(broadcast(probes.select(col("id").as("probe_id"), col("v").as("pv"))),
+        "probe_id")
+      .join(corpus.select(col("id").as("cand_id"), col("v").as("cv")), "cand_id")
       .withColumn("cosine", cosine(col("pv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("cand_id"), col("cosine"),
-        col("bucket"))
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("cosine"))
   }
 }

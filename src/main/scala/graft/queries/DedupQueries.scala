@@ -330,12 +330,8 @@ object DedupQueries {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("v"))
-    val bucketed =
-      graft.operators.Similarity.lshBuckets(s, emb, EmbPlanes, EmbDim)
-    val bands = bucketed.select(col("id"),
-      posexplode(array((0 until EmbBands).map(b =>
-        shiftright(col("bucket"), b * EmbBandBits) % (1 << EmbBandBits)): _*))
-        .as(Seq("band", "sig")))
+    val bands = graft.operators.Similarity
+      .lshBands(s, emb, EmbPlanes, EmbDim, EmbBandBits)
     val cands = bands.select(col("band"), col("sig"), col("id").as("id_a"))
       .join(bands.select(col("band"), col("sig"), col("id").as("id_b")),
         Seq("band", "sig"))

@@ -15,6 +15,8 @@ object SimilarityQueries {
   private val K = 5
   private val NumPlanes = 8
   private val Dim = 64
+  private val BandBits = 2
+  private val NumBands = NumPlanes / BandBits
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -57,39 +59,58 @@ object SimilarityQueries {
        |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
 
-  // ---- LSH-bucketed top-k ----------------------------------------------------
+  // ---- Banded-LSH top-k ------------------------------------------------------
+  // Candidates collide in at least one of NumBands signature bands
+  // (BandBits sign bits each). RecallSpec pins recall@5 vs brute force —
+  // the single-table full-signature form measured 0.000 there, which is
+  // why banding is the definition, not an option.
   def annLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(s, probes(s, dir), emb(s, dir), K, NumPlanes, Dim)
+    Similarity.lshTopK(s, probes(s, dir), emb(s, dir), K, NumPlanes, Dim,
+        BandBits)
       .select(col("probe_id"), col("rank"), col("cand_id"),
-        col("cosine").cast("double").as("cosine"), col("bucket"))
+        col("cosine").cast("double").as("cosine"))
       .orderBy("probe_id", "rank")
 
-  val annLshSql: String = {
-    s"""WITH $EmbCte,
-       |$PlanesCte,
-       |buckets AS (
+  /** buckets + per-band signatures, the SQL mirror of Similarity.lshBands. */
+  private val BandsCte: String =
+    s"""buckets AS (
        |  SELECT e.id,
        |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.parr) > 0
        |      THEN (CAST(1 AS BIGINT) << CAST(pl.j AS INT)) ELSE 0 END) AS BIGINT)
        |      AS bucket
        |  FROM emb e CROSS JOIN planes pl GROUP BY e.id),
+       |bands AS (
+       |  SELECT id, t.band, (bucket >> (t.band * $BandBits)) % ${1 << BandBits} AS sig
+       |  FROM buckets, range($NumBands) t(band))""".stripMargin
+
+  val annLshSql: String = {
+    s"""WITH $EmbCte,
+       |$PlanesCte,
+       |$BandsCte,
+       |cands AS (
+       |  SELECT DISTINCT pb.id AS probe_id, cb.id AS cand_id
+       |  FROM (SELECT b.* FROM bands b JOIN probes p ON b.id = p.id) pb
+       |  JOIN bands cb ON pb.band = cb.band AND pb.sig = cb.sig
+       |    AND cb.id <> pb.id),
        |scored AS (
-       |  SELECT p.id AS probe_id, c.id AS cand_id, pb.bucket,
-       |    $CosineSql AS cosine
-       |  FROM probes p
-       |  JOIN buckets pb ON p.id = pb.id
-       |  JOIN buckets cb ON pb.bucket = cb.bucket AND cb.id <> p.id
-       |  JOIN emb c ON c.id = cb.id),
+       |  SELECT x.probe_id, x.cand_id, $CosineSql AS cosine
+       |  FROM cands x JOIN emb p ON p.id = x.probe_id
+       |       JOIN emb c ON c.id = x.cand_id),
        |ranked AS (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
        |    ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
        |  FROM scored)
-       |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine, bucket
+       |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
   }
 
   // ---- IVF-bucketed top-k ----------------------------------------------------
-  private val NProbe = 2
+  // nprobe=8 of 64 lists: each probe scans ~1/8 of the corpus. RecallSpec
+  // measured recall@5 0.20/0.30/0.42 at nprobe 2/4/8 — the synthetic
+  // embeddings are near-uniform (max cosine ~0.46), the adversarial case
+  // for coarse quantization, so recall grows slowly with probed lists;
+  // clustered real-world corpora sit far above this floor.
+  private val NProbe = 8
 
   /** Fixed centroid count, independent of corpus size: the ivfAssign
     * broadcast stays NList vectors no matter how large the corpus grows
@@ -211,19 +232,24 @@ object SimilarityQueries {
   // (md5 planes + floor quantization), so the whole composition is
   // hash-checked against DuckDB.
   def annLshQuantized(s: SparkSession, dir: String): DataFrame = {
-    val q = int8Quantized(emb(s, dir))
-    val bucketed = Similarity.lshBuckets(s, q, NumPlanes, Dim)
-    val p = bucketed.filter(col("id") % 50 === 0)
-      .select(col("id").as("probe_id"), col("v").as("pv"),
-        col("qv").as("pqv"), col("bucket"))
-    val c = bucketed.select(col("id").as("cand_id"), col("v").as("cv"),
-      col("qv").as("cqv"), col("bucket"))
+    val q = int8Quantized(emb(s, dir)).cache()
+    val bands = Similarity.lshBands(s, q, NumPlanes, Dim, BandBits)
+    val pb = bands.join(q.filter(col("id") % 50 === 0).select("id"), "id")
+      .select(col("id").as("probe_id"), col("band"), col("sig"))
+    val cb = bands.select(col("id").as("cand_id"), col("band"), col("sig"))
+    val cands = broadcast(pb).join(cb, Seq("band", "sig"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select("probe_id", "cand_id").distinct()
     val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
       .orderBy(col("qscore").desc, col("cand_id").asc)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
-    broadcast(p).join(c, Seq("bucket"))
-      .filter(col("probe_id") =!= col("cand_id"))
+    cands
+      .join(broadcast(q.filter(col("id") % 50 === 0)
+        .select(col("id").as("probe_id"), col("v").as("pv"),
+          col("qv").as("pqv"))), "probe_id")
+      .join(q.select(col("id").as("cand_id"), col("v").as("cv"),
+        col("qv").as("cqv")), "cand_id")
       .withColumn("qscore",
         graft.plans.VectorExprs.dot(col("pqv"), col("cqv")).cast("long"))
       .withColumn("qrank", row_number().over(cw))
@@ -239,26 +265,25 @@ object SimilarityQueries {
   val annLshQuantizedSql: String =
     s"""WITH $EmbCte,
        |$PlanesCte,
-       |buckets AS (
-       |  SELECT e.id,
-       |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.parr) > 0
-       |      THEN (CAST(1 AS BIGINT) << CAST(pl.j AS INT)) ELSE 0 END) AS BIGINT)
-       |      AS bucket
-       |  FROM emb e CROSS JOIN planes pl GROUP BY e.id),
+       |$BandsCte,
+       |bcands AS (
+       |  SELECT DISTINCT pb.id AS probe_id, cb.id AS cand_id
+       |  FROM (SELECT b.* FROM bands b JOIN probes p ON b.id = p.id) pb
+       |  JOIN bands cb ON pb.band = cb.band AND pb.sig = cb.sig
+       |    AND cb.id <> pb.id),
        |qm AS (
        |  SELECT id, v,
        |    list_aggregate(list_transform(v, y -> abs(y)), 'max') AS maxabs
        |  FROM emb),
        |qq AS (
        |  SELECT qm.id, qm.v,
-       |    ${qvSql("qm.")} AS qv,
-       |    b.bucket
-       |  FROM qm JOIN buckets b USING (id)),
-       |bprobes AS (SELECT * FROM qq WHERE id % 50 = 0),
+       |    ${qvSql("qm.")} AS qv
+       |  FROM qm),
        |cand AS (
-       |  SELECT p.id AS probe_id, p.v AS pv, c.id AS cand_id, c.v AS cv,
+       |  SELECT x.probe_id, p.v AS pv, x.cand_id, c.v AS cv,
        |    CAST(list_dot_product(p.qv, c.qv) AS BIGINT) AS qscore
-       |  FROM bprobes p JOIN qq c ON p.bucket = c.bucket AND p.id <> c.id),
+       |  FROM bcands x JOIN qq p ON p.id = x.probe_id
+       |       JOIN qq c ON c.id = x.cand_id),
        |short AS (
        |  SELECT * FROM (
        |    SELECT *, row_number() OVER (PARTITION BY probe_id
