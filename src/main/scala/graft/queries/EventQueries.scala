@@ -267,9 +267,11 @@ object EventQueries {
     "events_session_window" -> (eventsSessionWindow _),
     "events_asof_signup" -> (eventsAsofSignup _),
     "events_tumbling" -> (eventsTumbling _),
-    // same oracle as events_tumbling, result computed by the streaming
+    // same oracles as the batch forms, results computed by the streaming
     // engine (file source -> AvailableNow -> materialized sink)
     "stream_tumbling" -> (graft.streaming.EventStreams.tumblingAvailableNow _),
+    "stream_click_to_purchase" ->
+      (graft.streaming.EventStreams.clickToPurchaseAvailableNow _),
     "events_sliding" -> (eventsSliding _),
     "events_json" -> (eventsJson _),
     "events_sessionize" -> (eventsSessionize _),
@@ -282,6 +284,7 @@ object EventQueries {
     "events_asof_signup" -> eventsAsofSignupSql,
     "events_tumbling" -> eventsTumblingSql,
     "stream_tumbling" -> eventsTumblingSql,
+    "stream_click_to_purchase" -> eventsClickToPurchaseSql,
     "events_sliding" -> eventsSlidingSql,
     "events_json" -> eventsJsonSql,
     "events_sessionize" -> eventsSessionizeSql,

@@ -191,17 +191,116 @@ object TextAnalysisQueries {
        |SELECT doc_id, lang, n_tokens, CAST(quality AS DOUBLE) AS quality, prefix_fp
        |FROM prefix_kept ORDER BY doc_id""".stripMargin
 
+  // ---- Context-window packing (concat-and-split plan) ------------------------
+  // Which token span of which document lands in which fixed-size training
+  // window — the pretraining data-loader shape. Sharded by doc_id % 8 so
+  // the prefix-sum is partition-local (Packing scaladoc).
+  private val PackWindow = 512
+  private val PackShards = 8
+
+  def packWindows(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      (col("doc_id") % PackShards).cast("long").as("shard"),
+      col("doc_id"),
+      Tokenizer.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.Packing.contextWindows(docs, PackWindow)
+      .orderBy("shard", "doc_id", "win")
+  }
+
+  val packWindowsSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |d AS (
+       |  SELECT CAST(doc_id % $PackShards AS BIGINT) AS shard, doc_id,
+       |    CAST(len(l) AS BIGINT) AS n_tokens
+       |  FROM docs_l WHERE len(l) > 0),
+       |c AS (
+       |  SELECT *, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0) AS BIGINT) AS start_tok
+       |  FROM d),
+       |e AS (
+       |  SELECT shard, doc_id, start_tok, n_tokens,
+       |    unnest(generate_series(
+       |      CAST(floor(start_tok / $PackWindow) AS BIGINT),
+       |      CAST(floor((start_tok + n_tokens - 1) / $PackWindow) AS BIGINT)))
+       |      AS win
+       |  FROM c)
+       |SELECT shard, doc_id, win,
+       |  CAST(greatest(start_tok, win * $PackWindow) - win * $PackWindow
+       |    AS BIGINT) AS win_off,
+       |  CAST(greatest(start_tok, win * $PackWindow) - start_tok
+       |    AS BIGINT) AS doc_off,
+       |  CAST(least(start_tok + n_tokens, (win + 1) * $PackWindow)
+       |    - greatest(start_tok, win * $PackWindow) AS BIGINT)
+       |    AS n_tokens_in_win
+       |FROM e ORDER BY shard, doc_id, win""".stripMargin
+
+  // ---- Within-document repetition (Gopher-style filter signal) ---------------
+  // Bigram duplication fraction + heaviest bigram per doc: high dup_frac
+  // marks boilerplate/looping text. Bigrams come from one narrow zip_with
+  // (no token self-join); the only shuffle is the per-(doc, bigram) count.
+  def docRepetition(s: SparkSession, dir: String): DataFrame = {
+    val l = Tokenizer.tokenize(col("text"))
+    val bigrams = when(size(l) >= 2,
+      zip_with(slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
+        (a, b) => concat_ws(" ", a, b))).otherwise(array().cast("array<string>"))
+    val per = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+    val stats = per.groupBy("doc_id").agg(
+      sum(col("c")).cast("long").as("n_bigrams"),
+      count(lit(1)).cast("long").as("distinct_bigrams"),
+      max(col("c")).cast("long").as("top_count"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("distinct_bigrams"), lit(0L)).as("distinct_bigrams"),
+        when(col("n_bigrams").isNotNull,
+          lit(1.0) - col("distinct_bigrams") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)).cast("double").as("dup_frac"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"))
+      .orderBy("doc_id")
+  }
+
+  val docRepetitionSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |bg AS (
+       |  SELECT t1.doc_id, t1.term || ' ' || t2.term AS bigram
+       |  FROM toks t1 JOIN toks t2
+       |    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+       |per AS (
+       |  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+       |st AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |    CAST(count(*) AS BIGINT) AS distinct_bigrams,
+       |    CAST(max(c) AS BIGINT) AS top_count
+       |  FROM per GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(st.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(st.distinct_bigrams, 0) AS distinct_bigrams,
+       |  CAST(CASE WHEN st.n_bigrams IS NOT NULL
+       |    THEN 1.0 - st.distinct_bigrams * 1.0 / st.n_bigrams
+       |    ELSE 0.0 END AS DOUBLE) AS dup_frac,
+       |  COALESCE(st.top_count, 0) AS top_count
+       |FROM docs_l d LEFT JOIN st ON d.doc_id = st.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_pipeline" -> (curationPipeline _),
     "token_stats" -> (tokenStats _),
     "lang_id" -> (langId _),
     "quality_score" -> (qualityScore _),
-    "doc_fingerprint" -> (docFingerprint _))
+    "doc_fingerprint" -> (docFingerprint _),
+    "pack_windows" -> (packWindows _),
+    "doc_repetition" -> (docRepetition _))
 
   val oracles: Map[String, String] = Map(
     "curation_pipeline" -> curationPipelineSql,
     "token_stats" -> tokenStatsSql,
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
-    "doc_fingerprint" -> docFingerprintSql)
+    "doc_fingerprint" -> docFingerprintSql,
+    "pack_windows" -> packWindowsSql,
+    "doc_repetition" -> docRepetitionSql)
 }

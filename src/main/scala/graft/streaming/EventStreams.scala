@@ -36,51 +36,79 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  /** The tumbling-window aggregation computed BY THE STREAMING ENGINE over
-    * the events parquet as a file source, run to completion with
-    * Trigger.AvailableNow — the standard backfill shape (same code path as
-    * the live stream, bounded input, exits when caught up). The sink
-    * batches land via foreachBatch in Complete mode so every window is
-    * emitted regardless of the final watermark (an append-mode file sink
-    * would hold back windows the watermark never passes on a finite
-    * stream); a live unbounded deployment uses append + watermark instead,
-    * whose late-data semantics StreamingSpec pins.
-    *
-    * Returns the materialized sink as a normal DataFrame in the batch
-    * query's output shape, so the driver hash-checks the streaming engine
-    * against the same DuckDB oracle as `events_tumbling`.
+  /** The events parquet as a STREAMING file source, mirroring
+    * Tables.events (TIMESTAMP(NANOS) read as raw nanos, µs truncate).
+    * events.parquet is a single file; FileStreamSource force-sets basePath
+    * to a non-glob path itself and then requires a directory, so a glob
+    * path keeps the explicit directory basePath.
     */
-  def tumblingAvailableNow(s: SparkSession, dir: String): DataFrame = {
-    // mirror Tables.events: TIMESTAMP(NANOS) read as raw nanos, µs truncate
+  private def eventsFileStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val rawSchema = s.read.parquet(path).schema
-    // events.parquet is a single file; FileStreamSource force-sets
-    // basePath to the (non-glob) path itself and then requires a
-    // directory. A glob path keeps our explicit directory basePath.
-    val src = s.readStream.schema(rawSchema).option("basePath", dir)
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(rawSchema).option("basePath", dir)
       .parquet(s"$dir/events.parquet*")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a finite streaming query to completion (Trigger.AvailableNow —
+    * the standard backfill shape: same code path as the live stream,
+    * bounded input, exits when caught up), materializing sink batches via
+    * foreachBatch, and return the sink contents as a batch DataFrame.
+    */
+  private def runToSink(df: DataFrame, mode: OutputMode): DataFrame = {
+    val s = df.sparkSession
     val outDir = java.nio.file.Files.createTempDirectory("graft_stream_sink")
       .toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
       .toString
-    val q = windowedCounts(src).writeStream
-      .outputMode(OutputMode.Complete)
+    val q = df.writeStream
+      .outputMode(mode)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(outDir)
+        // Complete mode rewrites the full result; Append adds each batch
+        val m = if (mode == OutputMode.Complete()) "overwrite" else "append"
+        batch.write.mode(m).parquet(outDir)
       }
       .start()
     q.awaitTermination()
     s.read.parquet(outDir)
+  }
+
+  /** The tumbling-window aggregation computed BY THE STREAMING ENGINE,
+    * returned in the batch query's output shape so the driver hash-checks
+    * the streaming engine against the same DuckDB oracle as
+    * `events_tumbling`. Complete mode emits every window regardless of the
+    * final watermark (an append-mode file sink would hold back windows the
+    * watermark never passes on a finite stream); a live unbounded
+    * deployment uses append + watermark instead, whose late-data semantics
+    * StreamingSpec pins.
+    */
+  def tumblingAvailableNow(s: SparkSession, dir: String): DataFrame =
+    runToSink(windowedCounts(eventsFileStream(s, dir)), OutputMode.Complete)
       .select(
         date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"),
         col("n").cast("long").as("n"),
         col("total_value").cast("double").as("total_value"))
       .orderBy("window_start", "event_type")
+
+  /** The stream-stream interval join run by the streaming engine over the
+    * same finite source, checked against the batch range-join oracle
+    * (`events_click_to_purchase`). Inner joins emit eagerly in Append
+    * mode — the watermark only bounds buffered state — so the AvailableNow
+    * run emits every qualifying pair.
+    */
+  def clickToPurchaseAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val src = eventsFileStream(s, dir)
+    val joined = clickToPurchase(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "purchase"), windowMinutes = 30)
+    runToSink(joined, OutputMode.Append)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        ((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))) / 1e6)
+          .cast("double").as("delta_s"))
+      .orderBy("click_id", "purchase_id")
   }
 
   /** Stream-stream interval join: purchases within `windowMinutes` after a

@@ -10,6 +10,29 @@ import graft.operators.{AsOfJoin, Quantiles}
 class OperatorSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Packing.contextWindows: straddling, exact-fill and empty docs") {
+    // shard 0: docs of 3, 5, 8 tokens into windows of 4:
+    //   d1 [0,3) -> win0 off0..3; d2 [3,8) -> win0 3..4 + win1 0..4;
+    //   d3 [8,16) -> win2+win3 exactly (exact fill, no spill into win4)
+    // zero-token d4 occupies nothing
+    val docs = Seq((0L, 1L, 3L), (0L, 2L, 5L), (0L, 3L, 8L), (0L, 4L, 0L))
+      .toDF("shard", "doc_id", "n_tokens")
+    val got = graft.operators.Packing.contextWindows(docs, 4)
+      .orderBy("doc_id", "win")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L, 3L),
+      (2L, 0L, 3L, 0L, 1L), (2L, 1L, 0L, 1L, 4L),
+      (3L, 2L, 0L, 0L, 4L), (3L, 3L, 0L, 4L, 4L)))
+    // packing invariant: every window except the shard's last is full
+    val winSums = graft.operators.Packing.contextWindows(docs, 4)
+      .groupBy("shard", "win")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens_in_win").as("s"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(winSums == Map(0L -> 4L, 1L -> 4L, 2L -> 4L, 3L -> 4L))
+  }
+
   test("Quantiles matches a locally sorted computation, many partitions") {
     val vals = (1 to 997).map(i => ("g" + (i % 3), (i * 37 % 1000).toDouble))
     val df = vals.toDF("g", "v").repartition(13)
