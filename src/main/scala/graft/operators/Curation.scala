@@ -43,6 +43,41 @@ object Curation {
       least(lit(1.0), avgTokLen / 8.0) * (lit(1.0) - punctRatio) * (lit(1.0) - digitRatio))
   }
 
+  /** Domain balancing: cap every source at `quota` documents, keeping the
+    * highest-quality ones (quality DESC, doc_id ASC tiebreak) — the
+    * standard web-corpus move against over-represented domains. One window
+    * shuffle keyed by source; at 100 TB the quota rank streams per source
+    * partition, nothing corpus-wide.
+    * @param docs (doc_id, text, source)
+    */
+  def sourceQuota(docs: DataFrame, quota: Int): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    docs.withColumn("quality", qualityExpr(col("text")))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .filter(col("src_rank") <= quota)
+  }
+
+  /** Deterministic mixture sampling — the data-mixing step that hits a
+    * target language/source composition. Each doc passes through a
+    * content-independent md5 hash gate: kept iff
+    * hash64(doc_id) mod 1000 < rate(lang) * 1000. No RNG: the sample is
+    * reproducible across engines, runs and cluster sizes, and a rate
+    * change keeps the surviving set nested (raising a rate only ADDS
+    * docs — stable ablation sets). Narrow, no shuffle.
+    * @param docs (doc_id, lang, ...)
+    */
+  def mixtureSample(docs: DataFrame, rates: Map[String, Double],
+                    defaultRate: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket",
+        (TextHash.hash64(col("doc_id").cast("string")) % 1000).cast("long"))
+      .filter(col("bucket") < rate * 1000)
+  }
+
   /** @param docs (doc_id, text, lang); returns curated docs with metrics. */
   def curate(docs: DataFrame, minQuality: Double,
              keepLangs: Seq[String]): DataFrame = {

@@ -286,8 +286,67 @@ object TextAnalysisQueries {
        |FROM docs_l d LEFT JOIN st ON d.doc_id = st.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- Source quota (domain balancing) ---------------------------------------
+  private val SourceQuotaN = 10
+
+  def sourceQuota(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation
+      .sourceQuota(Tables.documents(s, dir), SourceQuotaN)
+      .select(col("doc_id"), col("source"),
+        col("quality").cast("double").as("quality"), col("src_rank"))
+      .orderBy("doc_id")
+
+  /** The quality formula as SQL (mirror of Curation.qualityOf), shared by
+    * the curation and quota oracles.
+    */
+  private def qualitySql(l: String = "docs_l.l", d: String = "d"): String =
+    s"""CASE WHEN len($l) = 0 THEN 0.0 ELSE
+       |      least(1.0, (length(array_to_string($l, '')) * 1.0 / len($l)) / 8.0) *
+       |      (1.0 - CASE WHEN length($d.text) = 0 THEN 0.0 ELSE
+       |        (length($d.text) - length(regexp_replace($d.text, '[^\\w\\s]', '', 'g'))) * 1.0 / length($d.text) END) *
+       |      (1.0 - CASE WHEN length($d.text) = 0 THEN 0.0 ELSE
+       |        (length($d.text) - length(regexp_replace($d.text, '[0-9]', '', 'g'))) * 1.0 / length($d.text) END)
+       |    END""".stripMargin
+
+  val sourceQuotaSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |m AS (
+       |  SELECT d.doc_id, d.source,
+       |    ${qualitySql()} AS quality
+       |  FROM documents d JOIN docs_l ON d.doc_id = docs_l.doc_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS src_rank
+       |  FROM m)
+       |SELECT doc_id, source, CAST(quality AS DOUBLE) AS quality, src_rank
+       |FROM ranked WHERE src_rank <= $SourceQuotaN ORDER BY doc_id""".stripMargin
+
+  // ---- Deterministic mixture sampling ----------------------------------------
+  private val MixRates = Seq("en" -> 1.0, "de" -> 0.5, "es" -> 0.25)
+  private val MixDefault = 0.05
+
+  def mixtureSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation
+      .mixtureSample(Tables.documents(s, dir), MixRates.toMap, MixDefault)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+
+  val mixtureSampleSql: String = {
+    val rateCase = MixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $MixDefault END")
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    ${OracleSql.hash64("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+       |  FROM documents)
+       |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+       |FROM b WHERE bucket < ($rateCase) * 1000
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_pipeline" -> (curationPipeline _),
+    "source_quota" -> (sourceQuota _),
+    "mixture_sample" -> (mixtureSample _),
     "token_stats" -> (tokenStats _),
     "lang_id" -> (langId _),
     "quality_score" -> (qualityScore _),
@@ -297,6 +356,8 @@ object TextAnalysisQueries {
 
   val oracles: Map[String, String] = Map(
     "curation_pipeline" -> curationPipelineSql,
+    "source_quota" -> sourceQuotaSql,
+    "mixture_sample" -> mixtureSampleSql,
     "token_stats" -> tokenStatsSql,
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,

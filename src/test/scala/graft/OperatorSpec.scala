@@ -10,6 +10,35 @@ import graft.operators.{AsOfJoin, Quantiles}
 class OperatorSpec extends SparkSpec {
   import spark.implicits._
 
+  test("mixtureSample: deterministic and nested under rate increases") {
+    val docs = (1L to 200L).map(i =>
+      (i, "text " + i, if (i % 3 == 0) "en" else "de")).toDF("doc_id", "text", "lang")
+    def kept(enRate: Double, deRate: Double): Set[Long] =
+      graft.operators.Curation.mixtureSample(
+        docs, Map("en" -> enRate, "de" -> deRate), 0.0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val low = kept(0.5, 0.2)
+    assert(kept(0.5, 0.2) == low, "same rates must reproduce the same sample")
+    val high = kept(0.9, 0.6)
+    assert(low.subsetOf(high), "raising rates must only ADD documents")
+    // rate 1.0 keeps everything of that language
+    val full = kept(1.0, 0.0)
+    assert(full == (3L to 200L by 3).toSet)
+  }
+
+  test("sourceQuota: caps per source, keeps the highest-quality docs") {
+    // src A: 3 docs with increasing digit pollution (lower quality);
+    // quota 2 must keep the two clean ones
+    val docs = Seq(
+      (1L, "clean wholesome prose entirely", "a"),
+      (2L, "mostly clean prose here too", "a"),
+      (3L, "99 111 000 22 333", "a"),
+      (4L, "another source text", "b")).toDF("doc_id", "text", "source")
+    val got = graft.operators.Curation.sourceQuota(docs, 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L))
+  }
+
   test("Packing.contextWindows: straddling, exact-fill and empty docs") {
     // shard 0: docs of 3, 5, 8 tokens into windows of 4:
     //   d1 [0,3) -> win0 off0..3; d2 [3,8) -> win0 3..4 + win1 0..4;
