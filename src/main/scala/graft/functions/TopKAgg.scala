@@ -24,11 +24,20 @@ object TopKAgg {
 
   class TopK(k: Int) extends Aggregator[ScoredId, Buf, Seq[ScoredId]] {
     override def zero: Buf = Buf(Seq.empty)
-    override def reduce(b: Buf, a: ScoredId): Buf =
-      Buf((a +: b.items).sorted(ord).take(k))
+    // the buffer is kept sorted (best first), so the overwhelmingly common
+    // case — a row worse than the current k-th — is ONE comparison and no
+    // allocation; a full re-sort per row would dominate the map side
+    override def reduce(b: Buf, a: ScoredId): Buf = {
+      val items = b.items
+      if (items.size >= k && ord.lteq(items.last, a)) b
+      else {
+        val (before, after) = items.span(ord.lteq(_, a))
+        Buf(((before :+ a) ++ after).take(k))
+      }
+    }
     override def merge(a: Buf, b: Buf): Buf =
       Buf((a.items ++ b.items).sorted(ord).take(k))
-    override def finish(b: Buf): Seq[ScoredId] = b.items.sorted(ord)
+    override def finish(b: Buf): Seq[ScoredId] = b.items
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
     override def outputEncoder: Encoder[Seq[ScoredId]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()

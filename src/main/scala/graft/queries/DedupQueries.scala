@@ -196,9 +196,12 @@ object DedupQueries {
         transform(Tokenizer.tokenize(col("text")),
           t => TextHash.hashMod(t)).as("th"))
       .cache()
+    // sets feeds the inverted index AND both sides of the verify join —
+    // cache so the shingle build runs once, not three times
     val sets = hashedToks.select(col("id"),
         array_distinct(TextHash.hashedShingles(col("th"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .cache()
     val inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
     // Stop-shingle cap: shingles present in > MaxShingleDf docs are
     // discriminating nothing and would expand the pair join quadratically
