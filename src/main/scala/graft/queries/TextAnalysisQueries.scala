@@ -162,8 +162,12 @@ object TextAnalysisQueries {
         keepLangs = Seq("en", "de", "es"))
       .orderBy("doc_id")
 
-  val curationPipelineSql: String =
-    s"""WITH ${OracleSql.TokCte},
+  /** The curation CTE chain (quality+lang gate → exact dedup → prefix
+    * near-dedup), ending in `prefix_kept` — shared by the curation oracle
+    * and the training-manifest oracle that packs the curated set.
+    */
+  private val CurationCtes: String =
+    s"""${OracleSql.TokCte},
        |m AS (
        |  SELECT d.doc_id, d.lang, docs_l.l,
        |    CAST(len(l) AS BIGINT) AS n_tokens,
@@ -187,7 +191,10 @@ object TextAnalysisQueries {
        |prefix_kept AS (
        |  SELECT * FROM (SELECT *,
        |    min(doc_id) OVER (PARTITION BY prefix_fp) AS pkeeper FROM exact_kept)
-       |  WHERE doc_id = pkeeper)
+       |  WHERE doc_id = pkeeper)""".stripMargin
+
+  val curationPipelineSql: String =
+    s"""WITH $CurationCtes
        |SELECT doc_id, lang, n_tokens, CAST(quality AS DOUBLE) AS quality, prefix_fp
        |FROM prefix_kept ORDER BY doc_id""".stripMargin
 
@@ -207,17 +214,16 @@ object TextAnalysisQueries {
       .orderBy("shard", "doc_id", "win")
   }
 
-  val packWindowsSql: String =
-    s"""WITH ${OracleSql.TokCte},
-       |d AS (
-       |  SELECT CAST(doc_id % $PackShards AS BIGINT) AS shard, doc_id,
-       |    CAST(len(l) AS BIGINT) AS n_tokens
-       |  FROM docs_l WHERE len(l) > 0),
-       |c AS (
+  /** The packing CTEs + final select, over a `pdocs(shard, doc_id,
+    * n_tokens)` relation the caller's WITH-chain must define (mirror of
+    * Packing.contextWindows).
+    */
+  private val PackingSqlTail: String =
+    s"""c AS (
        |  SELECT *, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard
        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
        |    0) AS BIGINT) AS start_tok
-       |  FROM d),
+       |  FROM pdocs),
        |e AS (
        |  SELECT shard, doc_id, start_tok, n_tokens,
        |    unnest(generate_series(
@@ -234,6 +240,62 @@ object TextAnalysisQueries {
        |    - greatest(start_tok, win * $PackWindow) AS BIGINT)
        |    AS n_tokens_in_win
        |FROM e ORDER BY shard, doc_id, win""".stripMargin
+
+  val packWindowsSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |pdocs AS (
+       |  SELECT CAST(doc_id % $PackShards AS BIGINT) AS shard, doc_id,
+       |    CAST(len(l) AS BIGINT) AS n_tokens
+       |  FROM docs_l WHERE len(l) > 0),
+       |$PackingSqlTail""".stripMargin
+
+  // ---- Training manifest: curate -> pack, the composed end-to-end plan -------
+  // The full data-loader input a pretraining run consumes: the curated,
+  // deduplicated corpus packed into fixed context windows. One lazy plan;
+  // the oracle composes the curation CTE chain with the packing tail.
+  def trainingManifest(s: SparkSession, dir: String): DataFrame = {
+    val curated = graft.operators.Curation
+      .curate(Tables.documents(s, dir), minQuality = 0.4,
+        keepLangs = Seq("en", "de", "es"))
+    val docs = curated.select(
+      (col("doc_id") % PackShards).cast("long").as("shard"),
+      col("doc_id"), col("n_tokens"))
+    graft.operators.Packing.contextWindows(docs, PackWindow)
+      .orderBy("shard", "doc_id", "win")
+  }
+
+  val trainingManifestSql: String =
+    s"""WITH $CurationCtes,
+       |pdocs AS (
+       |  SELECT CAST(doc_id % $PackShards AS BIGINT) AS shard, doc_id,
+       |    n_tokens
+       |  FROM prefix_kept WHERE n_tokens > 0),
+       |$PackingSqlTail""".stripMargin
+
+  // ---- Vocabulary: corpus-wide top bigrams (tokenizer-training signal) -------
+  private val VocabTopK = 50
+
+  def vocabTopBigrams(s: SparkSession, dir: String): DataFrame = {
+    val l = Tokenizer.tokenize(col("text"))
+    val bigrams = when(size(l) >= 2,
+      zip_with(slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
+        (a, b) => concat_ws(" ", a, b))).otherwise(array().cast("array<string>"))
+    Tables.documents(s, dir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(VocabTopK)
+  }
+
+  val vocabTopBigramsSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |bg AS (
+       |  SELECT t1.term || ' ' || t2.term AS bigram
+       |  FROM toks t1 JOIN toks t2
+       |    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1)
+       |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+       |FROM bg GROUP BY bigram
+       |ORDER BY n DESC, bigram ASC LIMIT $VocabTopK""".stripMargin
 
   // ---- Within-document repetition (Gopher-style filter signal) ---------------
   // Bigram duplication fraction + heaviest bigram per doc: high dup_frac
@@ -352,7 +414,9 @@ object TextAnalysisQueries {
     "quality_score" -> (qualityScore _),
     "doc_fingerprint" -> (docFingerprint _),
     "pack_windows" -> (packWindows _),
-    "doc_repetition" -> (docRepetition _))
+    "doc_repetition" -> (docRepetition _),
+    "training_manifest" -> (trainingManifest _),
+    "vocab_top_bigrams" -> (vocabTopBigrams _))
 
   val oracles: Map[String, String] = Map(
     "curation_pipeline" -> curationPipelineSql,
@@ -363,5 +427,7 @@ object TextAnalysisQueries {
     "quality_score" -> qualityScoreSql,
     "doc_fingerprint" -> docFingerprintSql,
     "pack_windows" -> packWindowsSql,
-    "doc_repetition" -> docRepetitionSql)
+    "doc_repetition" -> docRepetitionSql,
+    "training_manifest" -> trainingManifestSql,
+    "vocab_top_bigrams" -> vocabTopBigramsSql)
 }
