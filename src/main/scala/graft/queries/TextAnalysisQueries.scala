@@ -405,6 +405,49 @@ object TextAnalysisQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- PII scrub (audit counts + scrubbed digest) ----------------------------
+  // Testdata carries no real PII, so the query plants deterministic
+  // doc_id-derived email/phone/IP strings, scrubs them back out, and
+  // hash-checks the scrubbed text via md5 — proving the redaction
+  // operator, not the synthetic data.
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com tel +1-555-123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".1")).as("text"))
+    graft.operators.Scrub.scrub(raw)
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        col("scrub_digest"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String = {
+    val em = graft.operators.Scrub.EmailPattern
+    val ph = graft.operators.Scrub.PhonePattern
+    val ip = graft.operators.Scrub.Ipv4Pattern
+    s"""WITH raw AS (
+       |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |    || '@example.com tel +1-555-123-'
+       |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |    || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+       |  FROM documents),
+       |s1 AS (
+       |  SELECT doc_id, t,
+       |    len(regexp_extract_all(t, '$em')) AS n_emails,
+       |    len(regexp_extract_all(t, '$ip')) AS n_ips,
+       |    regexp_replace(regexp_replace(t, '$em', '<EMAIL>', 'g'),
+       |      '$ip', '<IP>', 'g') AS noip
+       |  FROM raw)
+       |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(noip, '$ph')) AS BIGINT) AS n_phones,
+       |  CAST(n_ips AS BIGINT) AS n_ips,
+       |  md5(regexp_replace(noip, '$ph', '<PHONE>', 'g')) AS scrub_digest
+       |FROM s1 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_pipeline" -> (curationPipeline _),
     "source_quota" -> (sourceQuota _),
@@ -416,7 +459,8 @@ object TextAnalysisQueries {
     "pack_windows" -> (packWindows _),
     "doc_repetition" -> (docRepetition _),
     "training_manifest" -> (trainingManifest _),
-    "vocab_top_bigrams" -> (vocabTopBigrams _))
+    "vocab_top_bigrams" -> (vocabTopBigrams _),
+    "pii_scrub" -> (piiScrub _))
 
   val oracles: Map[String, String] = Map(
     "curation_pipeline" -> curationPipelineSql,
@@ -429,5 +473,6 @@ object TextAnalysisQueries {
     "pack_windows" -> packWindowsSql,
     "doc_repetition" -> docRepetitionSql,
     "training_manifest" -> trainingManifestSql,
-    "vocab_top_bigrams" -> vocabTopBigramsSql)
+    "vocab_top_bigrams" -> vocabTopBigramsSql,
+    "pii_scrub" -> piiScrubSql)
 }

@@ -122,4 +122,41 @@ class PropertySpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
   }
+  test("Packing conserves tokens and fills every non-final window exactly") {
+    val counts = Gen.listOfN(40, Gen.chooseNum(0L, 37L))
+    (1 to 10).foreach { i =>
+      val ns = counts.apply(Gen.Parameters.default, Seed(100L + i)).get
+      val docs = ns.zipWithIndex.map { case (n, d) =>
+        ((d % 3).toLong, d.toLong, n) }.toDF("shard", "doc_id", "n_tokens")
+      val w = 16
+      val segs = graft.operators.Packing.contextWindows(docs, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      // token conservation: every doc's tokens land somewhere exactly once
+      val perDoc = segs.groupBy(_._2).view.mapValues(_.map(_._6).sum).toMap
+      ns.zipWithIndex.foreach { case (n, d) =>
+        assert(perDoc.getOrElse(d.toLong, 0L) == n,
+          s"doc $d: ${perDoc.getOrElse(d.toLong, 0L)} of $n tokens packed")
+      }
+      // every window except each shard's last is exactly full
+      val byShard = segs.groupBy(_._1)
+      byShard.foreach { case (shard, ss) =>
+        val winSums = ss.groupBy(_._3).view.mapValues(_.map(_._6).sum)
+        val lastWin = winSums.keys.max
+        winSums.foreach { case (win, sum) =>
+          if (win != lastWin) assert(sum == w,
+            s"shard $shard win $win holds $sum of $w tokens")
+          else assert(sum <= w)
+        }
+      }
+      // segment offsets tile each document contiguously
+      segs.groupBy(_._2).foreach { case (_, ss) =>
+        val sorted = ss.sortBy(_._3)
+        sorted.foldLeft(0L) { case (expected, seg) =>
+          assert(seg._5 == expected); expected + seg._6
+        }
+      }
+    }
+  }
+
 }
