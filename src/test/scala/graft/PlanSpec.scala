@@ -54,6 +54,19 @@ class PlanSpec extends SparkSpec {
       s"term join shuffled a bucketed index scan after append:\n$p")
   }
 
+  test("pii_scrub computes narrowly — only the presentation sort exchanges") {
+    val p = plan("pii_scrub")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1 && p.contains("Exchange rangepartitioning"),
+      s"a per-row redaction should shuffle only for the output ORDER BY:\n$p")
+  }
+
+  test("vocab_top_bigrams plans partial aggregation and TakeOrdered top-k") {
+    val p = plan("vocab_top_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+    assert(p.contains("HashAggregate"), s"bigram counts not hash-aggregated:\n$p")
+  }
+
   test("simhash candidate join is hash-based, not a nested loop") {
     val p = plan("dedup_simhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
