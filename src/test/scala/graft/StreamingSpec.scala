@@ -183,4 +183,41 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(feats(1L).features(97 % 16) - 0.75) < 1e-12)
     assert(feats(2L).features.forall(_ == 0.0))
   }
+  test("checkpoint resume: second AvailableNow run processes only new files, totals stay exact") {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft_ckpt_src").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_meta").toString
+    val outDir = Files.createTempDirectory("graft_ckpt_out").toString
+    val schema = Seq(ev(0, 0, 0)).toDF().schema
+
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(srcDir)
+      val q = EventStreams.windowedCounts(src).writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    // run 1: two events in window 0
+    Seq(ev(1, 5, 1), ev(2, 20, 1)).toDF()
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    // run 2 resumes from the SAME checkpoint: only the new file is read,
+    // but state carries the old counts — window 0 must show all 3 events,
+    // not a double-counted 4 or a restarted 1
+    Seq(ev(3, 25, 2)).toDF().write.mode("append").parquet(srcDir)
+    runOnce()
+
+    val counts = spark.read.parquet(outDir)
+      .select(col("window_start").cast("long"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 3L,
+      s"expected exactly-once resume totals, got $counts")
+  }
+
 }
