@@ -54,24 +54,37 @@ object EventStreams {
     * the standard backfill shape: same code path as the live stream,
     * bounded input, exits when caught up), materializing sink batches via
     * foreachBatch, and return the sink contents as a batch DataFrame.
+    *
+    * Stateful operators instantiate one state store per shuffle partition,
+    * and that count is frozen into the checkpoint at creation — for a
+    * bounded single-file backfill the right size tracks the INPUT volume,
+    * not the session's batch-analytics setting (32 stores per stateful op
+    * on a 60k-row file is pure open/commit overhead). The session conf is
+    * restored after the run; a live deployment sizes this to key
+    * cardinality instead.
     */
-  private def runToSink(df: DataFrame, mode: OutputMode): DataFrame = {
+  private def runToSink(df: DataFrame, mode: OutputMode,
+                        statePartitions: Int = 4): DataFrame = {
     val s = df.sparkSession
     val outDir = java.nio.file.Files.createTempDirectory("graft_stream_sink")
       .toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
       .toString
-    val q = df.writeStream
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // Complete mode rewrites the full result; Append adds each batch
-        val m = if (mode == OutputMode.Complete()) "overwrite" else "append"
-        batch.write.mode(m).parquet(outDir)
-      }
-      .start()
-    q.awaitTermination()
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // Complete mode rewrites the full result; Append adds each batch
+          val m = if (mode == OutputMode.Complete()) "overwrite" else "append"
+          batch.write.mode(m).parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.parquet(outDir)
   }
 
