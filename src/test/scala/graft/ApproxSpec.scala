@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Error-bound and determinism guards for the queries the DuckDB oracle
+  * cannot hash (engine-specific RNG / sketch internals). The driver
+  * records them rows-only; these specs pin the properties that actually
+  * matter — sketch estimates land within their documented error, and
+  * seeded samples reproduce exactly — so "no oracle" never degrades into
+  * "unchecked".
+  */
+class ApproxSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("approx_percentile lands within 2% of the exact distributed quantiles") {
+    val exact = graft.operators.Quantiles.exactQuantiles(
+      Tables.lineitem(spark, dir).select(col("l_linestatus"), col("l_extendedprice")),
+      "l_linestatus", "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.95))
+      .collect().map(r => r.getString(0) ->
+        (1 to 4).map(r.getDouble)).toMap
+    val approx = Queries.all("percentiles_approx")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (1 to 4).map(r.getDouble)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((g, aps) <- approx; (a, e) <- aps.zip(exact(g))) {
+      assert(math.abs(a - e) / e <= 0.02,
+        f"group $g: approx $a%.2f vs exact $e%.2f drifted ${math.abs(a - e) / e * 100}%.2f%%")
+    }
+  }
+
+  test("approx_count_distinct lands within 5% of exact distinct counts") {
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"),
+        countDistinct(col("l_suppkey")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = Queries.all("distinct_approx")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((g, (ap, as_)) <- approx; (ep, es) = exact(g)) {
+      assert(math.abs(ap - ep).toDouble / ep <= 0.05, s"$g parts: $ap vs $ep")
+      assert(math.abs(as_ - es).toDouble / es <= 0.05, s"$g supps: $as_ vs $es")
+    }
+  }
+
+  test("seeded Bernoulli sample reproduces exactly and hits its fraction") {
+    def keys() = Queries.all("sample_bernoulli")(spark, dir)
+      .select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val k1 = keys()
+    assert(k1 == keys(), "same seed must reproduce the identical sample")
+    val total = Tables.lineitem(spark, dir).count()
+    val frac = k1.size.toDouble / total
+    // 0.1 target; binomial 4-sigma band
+    val sigma = math.sqrt(0.1 * 0.9 / total)
+    assert(math.abs(frac - 0.1) <= 4 * sigma,
+      f"sample fraction $frac%.4f outside 0.1 +/- ${4 * sigma}%.4f")
+  }
+
+  test("stratified sample reproduces exactly and respects per-stratum rates") {
+    def rows() = Queries.all("sample_stratified")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val r1 = rows()
+    assert(r1 == rows(), "same seed must reproduce the identical sample")
+    val strata = Tables.lineitem(spark, dir).groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = Map("A" -> 0.05, "N" -> 0.2, "R" -> 0.05)
+    val got = r1.groupBy(_._3).view.mapValues(_.size.toDouble).toMap
+    for ((flag, rate) <- target) {
+      val n = strata(flag)
+      val frac = got.getOrElse(flag, 0.0) / n
+      val sigma = math.sqrt(rate * (1 - rate) / n)
+      assert(math.abs(frac - rate) <= 4 * sigma,
+        f"stratum $flag: $frac%.4f outside $rate +/- ${4 * sigma}%.4f")
+    }
+  }
+}
