@@ -23,6 +23,7 @@ object TopKAgg {
     Ordering.by((s: ScoredId) => (-s.score, s.id))
 
   class TopK(k: Int) extends Aggregator[ScoredId, Buf, Seq[ScoredId]] {
+    require(k >= 1, "k must be >= 1")
     override def zero: Buf = Buf(Seq.empty)
     // the buffer is kept sorted (best first), so the overwhelmingly common
     // case — a row worse than the current k-th — is ONE comparison and no

@@ -81,11 +81,28 @@ object Components {
                                 pointerJump: Boolean = true): Result = {
     require(checkEvery >= 1, "checkEvery must be >= 1")
     val spark = edges.sparkSession
+    // NOTE: setCheckpointDir is SparkContext-global; reliable-mode callers
+    // own that setting for the app. Checkpoint files are bounded by one
+    // (small) label-table copy per batch; set
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true to reap
+    // superseded ones, or clear the directory after the job.
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     val reliable = checkpointDir.isDefined
+    // Reliable checkpoints pay Spark's recompute-on-write caveat: the
+    // write job re-runs the RDD unless its blocks are cached. Pin a
+    // persist across the materializing count (the write reads the cache)
+    // and release it right after — `pinned` holds the persists to drop.
+    var pinned: List[DataFrame] = Nil
     def ckptLazy(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
+      if (reliable) {
+        val p = df.persist()
+        pinned ::= p
+        p.checkpoint(eager = false)
+      } else df.localCheckpoint(eager = false)
+    def releasePinned(): Unit = {
+      pinned.foreach(_.unpersist(blocking = false))
+      pinned = Nil
+    }
     // the checkpointed RDD behind a checkpoint()-returned Dataset, for
     // freeing its blocks once a later round supersedes it
     def ckptRdd(df: DataFrame): Option[RDD[_]] =
@@ -112,7 +129,6 @@ object Components {
     while (!converged && rounds < maxIter) {
       val steps = math.min(checkEvery, maxIter - rounds)
       var cur = labels
-      var batch: List[DataFrame] = Nil // lazily-checkpointed rounds, newest first
       for (_ <- 1 to steps) {
         val nbrMin = sym
           .join(cur.select(col("id").as("b"), col("component")), "b")
@@ -137,20 +153,23 @@ object Components {
               .as("component"),
             col("prev"))
         })
-        val ck = ckptLazy(next)
-        batch ::= ck
-        cur = ck.drop("prev")
+        cur = next
       }
-      val last = batch.head
-      // ONE job per batch: materializes every lazily-checkpointed round in
-      // the chain, then counts strict label decreases in the final round.
-      // Monotonicity makes the last-round check sufficient: a round with
-      // zero changes is the fixpoint.
+      // Only the BATCH-FINAL round is checkpointed: the intermediate
+      // rounds' lineage is bounded by checkEvery, computes exactly once
+      // inside the counting job, and storing it would buy nothing. (This
+      // also keeps reliable mode to one persisted copy per batch and
+      // avoids Spark's recompute-on-checkpoint caveat for the chain.)
+      val last = ckptLazy(cur)
+      // ONE job per batch: materializes the chain of rounds, then counts
+      // strict label decreases in the final round. Monotonicity makes the
+      // last-round check sufficient: a round with zero changes is the
+      // fixpoint.
       val changed = last.filter(col("component") < col("prev")).count()
+      releasePinned() // reliable mode: checkpoint files are written now
       val lastRdd = ckptRdd(last)
-      // previous batches + this batch's intermediates are now unreachable
-      val stale = live ++ batch.tail.flatMap(ckptRdd)
-      stale.foreach(_.unpersist(blocking = false))
+      // the previous batch's checkpoint blocks are now unreachable
+      live.foreach(_.unpersist(blocking = false))
       live = lastRdd.toList
       labels = last.drop("prev")
       converged = changed == 0

@@ -33,19 +33,21 @@ object Scrub {
 
   /** @param docs needs (doc_id, and `textCol`)
     * @return doc_id, scrubbed text, per-class counts, scrubbed digest
+    *
+    * Each count is taken on the text AS THE CORRESPONDING REPLACE SEES IT
+    * (IPs on the email-free form, phones on the email+IP-free form), so
+    * the audit counts always equal the number of placeholders in
+    * `scrubbed` — a digit run inside an already-redacted match is never
+    * double-counted.
     */
   def scrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    val noEmail = regexp_replace(t, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
     docs.withColumn("n_emails", regexp_count(t, lit(EmailPattern)).cast("long"))
-      .withColumn("n_ips", regexp_count(t, lit(Ipv4Pattern)).cast("long"))
-      .withColumn("scrubbed", scrubText(t))
-      // phones counted on the email/IP-free form so a digit run inside an
-      // address is not double-counted
-      .withColumn("n_phones",
-        regexp_count(
-          regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
-            Ipv4Pattern, "<IP>"),
-          lit(PhonePattern)).cast("long"))
+      .withColumn("n_ips", regexp_count(noEmail, lit(Ipv4Pattern)).cast("long"))
+      .withColumn("n_phones", regexp_count(noIp, lit(PhonePattern)).cast("long"))
+      .withColumn("scrubbed", regexp_replace(noIp, PhonePattern, "<PHONE>"))
       .withColumn("scrub_digest", md5(col("scrubbed")))
   }
 }

@@ -154,22 +154,31 @@ object Similarity {
           .as(Seq("band", "sig")))
   }
 
-  /** Banded-LSH top-k: candidates collide with the probe in at least one
-    * signature band; only candidates pay the exact cosine. The band tables
-    * carry (id, band, sig) — vectors join back onto the DISTINCT candidate
-    * pairs, so the wide rows never ride through the explode or the
-    * collision join. Candidate volume scales with band-bucket occupancy,
-    * not corpus size.
+  /** DISTINCT (probe_id, cand_id) pairs colliding in at least one
+    * signature band — the shared candidate generator of every banded-LSH
+    * consumer (lshTopK, the composed quantized path). The band tables
+    * carry only (id, band, sig): wide vector rows never ride through the
+    * explode or the collision join, and candidate volume scales with
+    * band-bucket occupancy, not corpus size.
     */
-  def lshTopK(spark: SparkSession, probes: DataFrame, corpus: DataFrame,
-              k: Int, numPlanes: Int, dim: Int, bandBits: Int = 2): DataFrame = {
+  def bandCollisions(spark: SparkSession, probes: DataFrame, corpus: DataFrame,
+                     numPlanes: Int, dim: Int, bandBits: Int): DataFrame = {
     val cb = lshBands(spark, corpus, numPlanes, dim, bandBits)
       .select(col("id").as("cand_id"), col("band"), col("sig"))
     val pb = lshBands(spark, probes, numPlanes, dim, bandBits)
       .select(col("id").as("probe_id"), col("band"), col("sig"))
-    val cands = broadcast(pb).join(cb, Seq("band", "sig"))
+    broadcast(pb).join(cb, Seq("band", "sig"))
       .filter(col("probe_id") =!= col("cand_id"))
       .select("probe_id", "cand_id").distinct()
+  }
+
+  /** Banded-LSH top-k: candidates collide with the probe in at least one
+    * signature band; only candidates pay the exact cosine, joined back
+    * onto the distinct pairs.
+    */
+  def lshTopK(spark: SparkSession, probes: DataFrame, corpus: DataFrame,
+              k: Int, numPlanes: Int, dim: Int, bandBits: Int = 2): DataFrame = {
+    val cands = bandCollisions(spark, probes, corpus, numPlanes, dim, bandBits)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     cands

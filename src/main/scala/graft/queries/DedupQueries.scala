@@ -330,6 +330,9 @@ object DedupQueries {
   private val EmbBandBits = 2
 
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    // NOT cached, though three subtrees consume it: the vectorized parquet
+    // decode fuses into each consumer's codegen stage and measures faster
+    // than an InMemoryTableScan barrier (re-measured this round)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("v"))

@@ -233,13 +233,8 @@ object SimilarityQueries {
   // hash-checked against DuckDB.
   def annLshQuantized(s: SparkSession, dir: String): DataFrame = {
     val q = int8Quantized(emb(s, dir)).cache()
-    val bands = Similarity.lshBands(s, q, NumPlanes, Dim, BandBits)
-    val pb = bands.join(q.filter(col("id") % 50 === 0).select("id"), "id")
-      .select(col("id").as("probe_id"), col("band"), col("sig"))
-    val cb = bands.select(col("id").as("cand_id"), col("band"), col("sig"))
-    val cands = broadcast(pb).join(cb, Seq("band", "sig"))
-      .filter(col("probe_id") =!= col("cand_id"))
-      .select("probe_id", "cand_id").distinct()
+    val cands = Similarity.bandCollisions(s,
+      q.filter(col("id") % 50 === 0), q, NumPlanes, Dim, BandBits)
     val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
       .orderBy(col("qscore").desc, col("cand_id").asc)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))

@@ -275,17 +275,12 @@ object TextAnalysisQueries {
   // ---- Vocabulary: corpus-wide top bigrams (tokenizer-training signal) -------
   private val VocabTopK = 50
 
-  def vocabTopBigrams(s: SparkSession, dir: String): DataFrame = {
-    val l = Tokenizer.tokenize(col("text"))
-    val bigrams = when(size(l) >= 2,
-      zip_with(slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
-        (a, b) => concat_ws(" ", a, b))).otherwise(array().cast("array<string>"))
+  def vocabTopBigrams(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(explode(bigrams).as("bigram"))
+      .select(explode(bigramsOf(Tokenizer.tokenize(col("text")))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).cast("long").as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(VocabTopK)
-  }
 
   val vocabTopBigramsSql: String =
     s"""WITH ${OracleSql.TokCte},
@@ -297,17 +292,23 @@ object TextAnalysisQueries {
        |FROM bg GROUP BY bigram
        |ORDER BY n DESC, bigram ASC LIMIT $VocabTopK""".stripMargin
 
+  /** Adjacent-token bigrams from a token-array column — one narrow
+    * zip_with, no token self-join. Shared by docRepetition and
+    * vocabTopBigrams (their SQL mirrors share the `bg` self-join CTE).
+    */
+  private def bigramsOf(l: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(l) >= 2,
+      zip_with(slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
+        (a, b) => concat_ws(" ", a, b))).otherwise(array().cast("array<string>"))
+
   // ---- Within-document repetition (Gopher-style filter signal) ---------------
   // Bigram duplication fraction + heaviest bigram per doc: high dup_frac
   // marks boilerplate/looping text. Bigrams come from one narrow zip_with
   // (no token self-join); the only shuffle is the per-(doc, bigram) count.
   def docRepetition(s: SparkSession, dir: String): DataFrame = {
-    val l = Tokenizer.tokenize(col("text"))
-    val bigrams = when(size(l) >= 2,
-      zip_with(slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
-        (a, b) => concat_ws(" ", a, b))).otherwise(array().cast("array<string>"))
     val per = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .select(col("doc_id"),
+        explode(bigramsOf(Tokenizer.tokenize(col("text")))).as("bigram"))
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
     val stats = per.groupBy("doc_id").agg(
       sum(col("c")).cast("long").as("n_bigrams"),
@@ -437,15 +438,18 @@ object TextAnalysisQueries {
        |s1 AS (
        |  SELECT doc_id, t,
        |    len(regexp_extract_all(t, '$em')) AS n_emails,
-       |    len(regexp_extract_all(t, '$ip')) AS n_ips,
-       |    regexp_replace(regexp_replace(t, '$em', '<EMAIL>', 'g'),
-       |      '$ip', '<IP>', 'g') AS noip
-       |  FROM raw)
+       |    regexp_replace(t, '$em', '<EMAIL>', 'g') AS noemail
+       |  FROM raw),
+       |s2 AS (
+       |  SELECT doc_id, n_emails,
+       |    len(regexp_extract_all(noemail, '$ip')) AS n_ips,
+       |    regexp_replace(noemail, '$ip', '<IP>', 'g') AS noip
+       |  FROM s1)
        |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
        |  CAST(len(regexp_extract_all(noip, '$ph')) AS BIGINT) AS n_phones,
        |  CAST(n_ips AS BIGINT) AS n_ips,
        |  md5(regexp_replace(noip, '$ph', '<PHONE>', 'g')) AS scrub_digest
-       |FROM s1 ORDER BY doc_id""".stripMargin
+       |FROM s2 ORDER BY doc_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -63,13 +63,26 @@ object EventStreams {
     * restored after the run; a live deployment sizes this to key
     * cardinality instead.
     */
-  private def runToSink(df: DataFrame, mode: OutputMode,
+  private def runToSink(df: DataFrame, mode: OutputMode, tag: String,
                         statePartitions: Int = 4): DataFrame = {
     val s = df.sparkSession
-    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_sink")
-      .toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
-      .toString
+    // stable per-tag dirs, wiped at entry: repeated runs (bench min-of-3,
+    // verify) overwrite one copy instead of leaking a sink + checkpoint
+    // per invocation. Fresh-checkpoint-per-run is also what Append mode
+    // needs — resuming an old checkpoint would skip already-read files.
+    def fresh(kind: String): String = {
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_stream", tag, kind)
+      val f = p.toFile
+      if (f.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively()
+      }
+      java.nio.file.Files.createDirectories(p)
+      p.toString
+    }
+    val outDir = fresh("sink")
+    val ckpt = fresh("ckpt")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
@@ -98,7 +111,8 @@ object EventStreams {
     * StreamingSpec pins.
     */
   def tumblingAvailableNow(s: SparkSession, dir: String): DataFrame =
-    runToSink(windowedCounts(eventsFileStream(s, dir)), OutputMode.Complete)
+    runToSink(windowedCounts(eventsFileStream(s, dir)), OutputMode.Complete,
+        "tumbling")
       .select(
         date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"),
@@ -117,7 +131,7 @@ object EventStreams {
     val joined = clickToPurchase(
       src.filter(col("event_type") === "click"),
       src.filter(col("event_type") === "purchase"), windowMinutes = 30)
-    runToSink(joined, OutputMode.Append)
+    runToSink(joined, OutputMode.Append, "click_to_purchase")
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         ((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))) / 1e6)
           .cast("double").as("delta_s"))
