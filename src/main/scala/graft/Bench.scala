@@ -42,6 +42,9 @@ object Bench {
         .takeWhile(_ >= 0).toSeq
       name -> (if (times.size == 3) times.min else -1.0)
     }
+    // end of sweep: release query-registered caches (shared subtrees are
+    // kept DURING the sweep — cross-query reuse is their point)
+    CacheRegistry.releaseAll()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name subset (dev shortcut;
+    // the driver always passes two args = full sweep)
+    val (sfDir, outDir, only) = args match {
+      case Array(a, b)    => (a, b, None)
+      case Array(a, b, f) => (a, b, Some(f.split(",").toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,13 +20,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // end of sweep: release every query-registered cache; the cache
+    // manager must come back empty (leaked entries would accumulate for
+    // the JVM's life — at cluster scale a slow-motion storage OOM)
+    CacheRegistry.releaseAll()
+    if (!spark.sharedState.cacheManager.isEmpty)
+      System.err.println("[verify] WARNING: cacheManager not empty after releaseAll")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

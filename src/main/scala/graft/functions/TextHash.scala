@@ -74,15 +74,28 @@ object TextHash {
 
   /** SimHash over a token array with `bits` bit positions (default 32):
     * for each bit j, sum +1/-1 votes of each token's hash bit; the signature
-    * packs the sign bits. Expressed as a fold over bit positions.
+    * packs the sign bits.
+    *
+    * Each token is md5-hashed ONCE (the per-bit-aggregate formulation
+    * re-evaluated the md5 inside every bit's fold — `bits`× the hashing for
+    * the same signature), and ONE fold accumulates all `bits` vote counters
+    * in an array accumulator, so the token array is traversed once, not per
+    * bit. Output is bit-identical to the per-bit form (DedupSpec pins it to
+    * Dedup.simHashSignatures).
     */
-  def simHash(tokens: Column, bits: Int = 32): Column = {
-    val votes = (0 until bits).map { j =>
-      // vote_j = sum over tokens of (bit_j(h) * 2 - 1)
-      val bitSum = aggregate(tokens, lit(0L),
-        (acc, t) => acc + (shiftright(hash64(t), j) % lit(2L)) * lit(2L) - lit(1L))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    votes.reduce(_ + _)
+  def simHash(tokens: Column, bits: Int = 32): Column =
+    simHashOfHashes(transform(tokens, hash64(_)), bits)
+
+  /** SimHash from already-hashed tokens (`array<long>`, non-negative). */
+  def simHashOfHashes(hashes: Column, bits: Int): Column = {
+    val powers = array((0 until bits).map(j => lit(1L << j)): _*)
+    // votes[j] = sum over tokens of (bit_j(h) ? +1 : -1), all bits in one pass
+    val votes = aggregate(hashes, array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc, powers, (a, p) =>
+        a + when(h.bitwiseAND(p) =!= 0, lit(1L)).otherwise(lit(-1L))))
+    // pack sign bits; votes referenced once (no re-fold per bit)
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 }

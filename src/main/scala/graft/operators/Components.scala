@@ -113,9 +113,28 @@ object Components {
     // partition), so the dedup runs in place and the edge build pays ONE
     // shuffle, not two. Checkpointing then preserves that partitioning for
     // every round's edge-side join.
-    val sym = ckptLazy(edges.select(col("a"), col("b"))
+    val symRaw = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("b")).distinct())
+      .repartition(col("b")).distinct()
+    // Reliable mode checkpoints the edge table EAGERLY and keeps ITS OWN
+    // persist pinned for the whole loop (not released with batch 1's
+    // pins): a lazy mark here would never be written — RDD.doCheckpoint
+    // stops at the first marked RDD reachable from the job root
+    // (checkpointAllMarkedAncestors defaults false), so only each
+    // batch-final label table gets files — and dropping the persist after
+    // batch 1 would recompute the edge build from source every later
+    // batch. The eager write computes symRaw once into the cache and
+    // writes from it; rounds read the persisted checkpoint-backed table.
+    var symPinned: Option[DataFrame] = None
+    val sym =
+      if (reliable) {
+        val raw = symRaw.persist()
+        val c = raw.checkpoint(eager = true) // write reads raw's cache
+        raw.unpersist(blocking = false)
+        val s = c.persist() // rounds read memory; lineage = checkpoint files
+        symPinned = Some(s)
+        s
+      } else symRaw.localCheckpoint(eager = false)
     // Round 1 fused into initialization: with every label = own id, the
     // first round's nbr_min is just min(neighbor id), so seeding with
     // min(id, min(b)) IS the round-1 fixmath — same single shuffle the
@@ -178,6 +197,7 @@ object Components {
     // the returned labels are their own checkpoint; the edge blocks are
     // no longer reachable from them
     ckptRdd(sym).foreach(_.unpersist(blocking = false))
+    symPinned.foreach(_.unpersist(blocking = false))
     Result(labels, rounds, converged)
   }
 }

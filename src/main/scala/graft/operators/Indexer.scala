@@ -143,12 +143,14 @@ object Indexer {
     *    declares the SAME bucketing as the existing table (Spark verifies
     *    the specs match), so the batch lands as one extra file per touched
     *    bucket — normal bucketed-table growth; the co-located term join
-    *    stays exchange-free. Cost ∝ batch, not corpus.
+    *    stays exchange-free. Cost ∝ batch, not corpus. (File counts grow
+    *    one per bucket per batch — compactBucketedIndex is the matching
+    *    maintenance operation.)
     *  - term_df: per-term counts must MERGE, not append (a term present in
     *    both halves would otherwise surface twice with partial dfs). The
     *    merged aggregate is vocabulary-sized — orders of magnitude smaller
     *    than postings — so it is rewritten: staged to a sibling bucketed
-    *    table, then swapped in with a catalog rename (a table cannot be
+    *    table, then swapped in with catalog renames (a table cannot be
     *    overwritten while the overwrite plan reads it).
     */
   def appendBucketedIndex(spark: SparkSession, newDocs: DataFrame,
@@ -161,13 +163,87 @@ object Indexer {
       .saveAsTable(s"${prefix}_doc_info")
     val merged = spark.table(s"${prefix}_term_df").unionByName(termDf(p))
       .groupBy("term").agg(sum(col("df")).cast("int").as("df"))
-    val staging = s"${prefix}_term_df_staged"
-    dropManagedTable(spark, staging)
-    merged.write.mode("overwrite").format("parquet")
-      .bucketBy(IndexBuckets, "term").sortBy("term")
-      .saveAsTable(staging)
-    dropManagedTable(spark, s"${prefix}_term_df") // drop + clear the location
-    spark.sql(s"ALTER TABLE $staging RENAME TO ${prefix}_term_df")
+    stageAndSwap(spark, merged, s"${prefix}_term_df", bucketed = true)
     p.unpersist()
+  }
+
+  /** Write `df` to a staging table, then swap it in as `target` with a
+    * rename-aside sequence: target → target_old, staging → target, drop
+    * target_old. Unlike drop-then-rename, every intermediate state keeps a
+    * complete copy of the table under SOME recoverable name — a failure
+    * between statements never leaves the index with no table at all.
+    * (Managed-table RENAME moves the warehouse directory with the table.)
+    */
+  private def stageAndSwap(spark: SparkSession, df: DataFrame, target: String,
+                           bucketed: Boolean): Unit = {
+    val staging = s"${target}_staged"
+    val old = s"${target}_old"
+    dropManagedTable(spark, staging)
+    dropManagedTable(spark, old) // leftover from a crashed prior swap
+    val w = df.write.mode("overwrite").format("parquet")
+    (if (bucketed) w.bucketBy(IndexBuckets, "term").sortBy("term") else w)
+      .saveAsTable(staging)
+    spark.sql(s"ALTER TABLE $target RENAME TO $old")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $target")
+    dropManagedTable(spark, old)
+  }
+
+  /** File count per bucket id of a managed bucketed table (bucket id is
+    * encoded in the file name: part-NNNNN-uuid_BBBBB.*.parquet).
+    */
+  def bucketFileCounts(spark: SparkSession, table: String): Map[Int, Int] = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketRe = "_(\\d{5})\\.".r
+    fs.listStatus(path).toSeq.map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .flatMap(n => bucketRe.findFirstMatchIn(n).map(_.group(1).toInt))
+      .groupBy(identity).map { case (b, fs0) => b -> fs0.size }
+  }
+
+  /** Compaction — the maintenance half of the append story. Each bucketed
+    * write lands one file per (task, touched bucket), so a build plus N
+    * append batches leaves every bucket a pile of small files and scan
+    * efficiency decays. When any bucket's file count exceeds
+    * `maxFilesPerBucket`, rewrite the postings table WITHOUT ANY SHUFFLE:
+    * with the bucketed scan forced on (autoBucketedScan would disable it
+    * for a plain pass-through read), the source produces exactly one
+    * partition per bucket, every row in a task already belongs to that
+    * task's bucket, and the bucket-spec'd writer emits ONE file per
+    * bucket. The swap reuses the same rename-aside machinery as the
+    * term_df merge. Bucket spec and in-file term sort are preserved, so
+    * pruning (SelectedBucketsCount) and the exchange-free term join
+    * survive (IndexerSpec pins both).
+    *
+    * (A `repartition(IndexBuckets, term)` formulation is a trap: the
+    * catalog bucketing satisfies the repartition's required distribution,
+    * so the exchange is elided — and the planner then disables the
+    * bucketed scan anyway, leaving arbitrary file-split tasks that each
+    * write one file per bucket they touch.)
+    *
+    * Cost is one read+write of postings — amortized across the appends
+    * that triggered it, shuffle-free, and at cluster scale parallel over
+    * IndexBuckets tasks. The refinement there is per-bucket selective
+    * rewrite (read only over-threshold buckets' files, write with
+    * preserved bucket ids), which needs writer-internal file naming; the
+    * whole-table form keeps to public APIs and the same plan shape.
+    *
+    * @return true if a rewrite happened, false if all buckets were within
+    *         the threshold.
+    */
+  def compactBucketedIndex(spark: SparkSession, prefix: String,
+                           maxFilesPerBucket: Int = 8): Boolean = {
+    val name = s"${prefix}_postings"
+    val counts = bucketFileCounts(spark, name)
+    if (counts.values.forall(_ <= maxFilesPerBucket)) false
+    else {
+      val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prev = spark.conf.get(conf)
+      spark.conf.set(conf, "false") // one partition per bucket at the scan
+      try stageAndSwap(spark, spark.table(name), name, bucketed = true)
+      finally spark.conf.set(conf, prev)
+      true
+    }
   }
 }

@@ -118,7 +118,11 @@ object Search {
     * broadcast singleton rather than a driver action).
     *
     * @param queries (query_id, query_text)
-    * @return top-k per query: (query_id, rank, doc_id, score)
+    * @return top-k per query: (query_id, rank, doc_id, title, score) — the
+    *         same display shape as the single-query path (the reference
+    *         prints a title for every result, app/query.py:199-213); title
+    *         attaches to the |queries|·k winners only, never riding the
+    *         scoring shuffles.
     */
   def batchSearch(queries: DataFrame,
                   postings: DataFrame, termDf: DataFrame, docInfo: DataFrame,
@@ -137,11 +141,16 @@ object Search {
         BM25.idf(col("n_docs"), col("df")), col("length"), col("avg_len")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    scored.groupBy(col("query_id"), col("doc_id"))
+    val top = scored.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("score")).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+    // display metadata joins the winners only (broadcast probe of docInfo,
+    // cost ∝ |queries|·k) — mirrors the single-query search()
+    docInfo.select(col("doc_id"), col("title"))
+      .join(broadcast(top), "doc_id")
+      .select(col("query_id"), col("rank"), col("doc_id"), col("title"),
+        col("score"))
   }
 
   /** Positional phrase search over the postings table (the positions the

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.CacheRegistry.RegisteredCache
 import graft.Tables
 import graft.functions.{TextHash, Tokenizer}
 import graft.operators.Dedup
@@ -63,7 +64,7 @@ object DedupQueries {
         array_distinct(transform(Tokenizer.tokenize(col("text")),
           t => TextHash.hashMod(t))).as("toks"))
       .filter(size(col("toks")) > 0)
-      .cache()
+      .registeredCache()
     val sigs = sets.select(
       col("id") +: Dedup.minHashSignaturesHashed(col("toks"), NumHashes): _*)
     val cands = Dedup.lshCandidates(sigs, NumHashes, RowsPerBand)
@@ -75,7 +76,7 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.8)
       .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
         col("jaccard").cast("double").as("jaccard"))
-      .cache()
+      .registeredCache()
   }
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -131,7 +132,7 @@ object DedupQueries {
     val sigs = Dedup.simHashSignatures(tokens)
       .withColumn("lo", col("simhash") % 65536)
       .withColumn("hi", (col("simhash") / 65536).cast("long"))
-      .cache()
+      .registeredCache()
     val a = sigs.select(col("id").as("id_a"), col("simhash").as("sh_a"),
       col("lo").as("lo_a"), col("hi").as("hi_a"))
     val b = sigs.select(col("id").as("id_b"), col("simhash").as("sh_b"),
@@ -195,13 +196,13 @@ object DedupQueries {
     val hashedToks = docs.select(col("doc_id").as("id"),
         transform(Tokenizer.tokenize(col("text")),
           t => TextHash.hashMod(t)).as("th"))
-      .cache()
+      .registeredCache()
     // sets feeds the inverted index AND both sides of the verify join —
     // cache so the shingle build runs once, not three times
     val sets = hashedToks.select(col("id"),
         array_distinct(TextHash.hashedShingles(col("th"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .cache()
+      .registeredCache()
     val inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
     // Stop-shingle cap: shingles present in > MaxShingleDf docs are
     // discriminating nothing and would expand the pair join quadratically

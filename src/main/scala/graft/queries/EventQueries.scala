@@ -272,6 +272,8 @@ object EventQueries {
     "stream_tumbling" -> (graft.streaming.EventStreams.tumblingAvailableNow _),
     "stream_click_to_purchase" ->
       (graft.streaming.EventStreams.clickToPurchaseAvailableNow _),
+    "stream_sessionize" ->
+      (graft.streaming.EventStreams.sessionizeAvailableNow _),
     "events_sliding" -> (eventsSliding _),
     "events_json" -> (eventsJson _),
     "events_sessionize" -> (eventsSessionize _),
@@ -285,6 +287,7 @@ object EventQueries {
     "events_tumbling" -> eventsTumblingSql,
     "stream_tumbling" -> eventsTumblingSql,
     "stream_click_to_purchase" -> eventsClickToPurchaseSql,
+    "stream_sessionize" -> eventsSessionizeSql,
     "events_sliding" -> eventsSlidingSql,
     "events_json" -> eventsJsonSql,
     "events_sessionize" -> eventsSessionizeSql,

@@ -417,11 +417,15 @@ object TextAnalysisQueries {
         lit(" contact user"), col("doc_id").cast("string"),
         lit("@example.com tel +1-555-123-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" or (555) 123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" intl +44 20 7946 "),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
         lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
-        lit(".1")).as("text"))
+        lit(".1 key "), md5(col("doc_id").cast("string"))).as("text"))
     graft.operators.Scrub.scrub(raw)
-      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
-        col("scrub_digest"))
+      .select(col("doc_id"), col("n_emails"), col("n_secrets"),
+        col("n_phones"), col("n_ips"), col("scrub_digest"))
       .orderBy("doc_id")
   }
 
@@ -429,11 +433,17 @@ object TextAnalysisQueries {
     val em = graft.operators.Scrub.EmailPattern
     val ph = graft.operators.Scrub.PhonePattern
     val ip = graft.operators.Scrub.Ipv4Pattern
+    val sec = graft.operators.Scrub.SecretPattern
     s"""WITH raw AS (
        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
        |    || '@example.com tel +1-555-123-'
        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-       |    || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+       |    || ' or (555) 123-'
+       |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |    || ' intl +44 20 7946 '
+       |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |    || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 key '
+       |    || md5(CAST(doc_id AS VARCHAR)) AS t
        |  FROM documents),
        |s1 AS (
        |  SELECT doc_id, t,
@@ -442,14 +452,20 @@ object TextAnalysisQueries {
        |  FROM raw),
        |s2 AS (
        |  SELECT doc_id, n_emails,
-       |    len(regexp_extract_all(noemail, '$ip')) AS n_ips,
-       |    regexp_replace(noemail, '$ip', '<IP>', 'g') AS noip
-       |  FROM s1)
+       |    len(regexp_extract_all(noemail, '$sec')) AS n_secrets,
+       |    regexp_replace(noemail, '$sec', '<SECRET>', 'g') AS nosecret
+       |  FROM s1),
+       |s3 AS (
+       |  SELECT doc_id, n_emails, n_secrets,
+       |    len(regexp_extract_all(nosecret, '$ip')) AS n_ips,
+       |    regexp_replace(nosecret, '$ip', '<IP>', 'g') AS noip
+       |  FROM s2)
        |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+       |  CAST(n_secrets AS BIGINT) AS n_secrets,
        |  CAST(len(regexp_extract_all(noip, '$ph')) AS BIGINT) AS n_phones,
        |  CAST(n_ips AS BIGINT) AS n_ips,
        |  md5(regexp_replace(noip, '$ph', '<PHONE>', 'g')) AS scrub_digest
-       |FROM s2 ORDER BY doc_id""".stripMargin
+       |FROM s3 ORDER BY doc_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.CacheRegistry.RegisteredCache
 import graft.Tables
 import graft.operators.{Indexer, Search}
 
@@ -104,7 +105,7 @@ object TextIndexQueries {
     // shared scan) the stats; cache so the tokenize+agg pipeline runs once
     // per query instead of three times. (At cluster scale the index is
     // persisted parquet — Indexer.buildIndex — not recomputed per query.)
-    val p = Indexer.postings(d).cache()
+    val p = Indexer.postings(d).registeredCache()
     (p, Indexer.termDf(p), Indexer.docInfo(d))
   }
 
@@ -198,7 +199,7 @@ object TextIndexQueries {
     val (p, tdf, di) = indexTriple(s, dir)
     Search.batchSearch(BatchQueries.toDF("query_id", "query_text"), p, tdf, di, k = 5)
       .select(col("query_id"), col("rank"),
-        col("doc_id").cast("long").as("doc_id"),
+        col("doc_id").cast("long").as("doc_id"), col("title"),
         col("score").cast("double").as("score"))
       .orderBy("query_id", "rank")
   }
@@ -220,7 +221,7 @@ object TextIndexQueries {
     Search.batchSearch(BatchQueries.toDF("query_id", "query_text"),
         postings, termDf, docInfo, k = 5)
       .select(col("query_id"), col("rank"),
-        col("doc_id").cast("long").as("doc_id"),
+        col("doc_id").cast("long").as("doc_id"), col("title"),
         col("score").cast("double").as("score"))
       .orderBy("query_id", "rank")
   }
@@ -251,9 +252,11 @@ object TextIndexQueries {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
        |  FROM summed)
-       |SELECT query_id, rank, CAST(doc_id AS BIGINT) AS doc_id,
-       |  CAST(score AS DOUBLE) AS score
-       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+       |SELECT r.query_id, r.rank, CAST(r.doc_id AS BIGINT) AS doc_id,
+       |  substring(d.text, 1, 50) AS title,
+       |  CAST(r.score AS DOUBLE) AS score
+       |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+       |WHERE r.rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   // ---- Per-term score breakdown (J2 + F9/F10 without the final agg) ----------

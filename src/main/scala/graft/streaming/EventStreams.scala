@@ -63,26 +63,48 @@ object EventStreams {
     * restored after the run; a live deployment sizes this to key
     * cardinality instead.
     */
+  /** Per-process streaming scratch root: the PID component isolates
+    * concurrent JVMs (a parallel test run and a bench run of the same
+    * query must not delete each other's live checkpoint/sink), and a
+    * shutdown hook reclaims everything this process created. Per-run
+    * subdirectories (see runToSink) keep a DataFrame returned by an
+    * earlier call readable after a re-run — nothing is overwritten or
+    * wiped mid-process.
+    */
+  private val runCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private[streaming] lazy val streamRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream", s"pid${ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(p)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.reflect.io.Directory
+      if (!new Directory(p.toFile).deleteRecursively())
+        System.err.println(s"[graft] could not fully remove stream scratch $p")
+    }))
+    p
+  }
+
+  /** A fresh, never-reused scratch directory under the per-process root. */
+  private def freshDir(name: String): java.nio.file.Path = {
+    val p = streamRoot.resolve(s"${name}_${runCounter.incrementAndGet()}")
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
   private def runToSink(df: DataFrame, mode: OutputMode, tag: String,
                         statePartitions: Int = 4): DataFrame = {
     val s = df.sparkSession
-    // stable per-tag dirs, wiped at entry: repeated runs (bench min-of-3,
-    // verify) overwrite one copy instead of leaking a sink + checkpoint
-    // per invocation. Fresh-checkpoint-per-run is also what Append mode
-    // needs — resuming an old checkpoint would skip already-read files.
-    def fresh(kind: String): String = {
-      val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_stream", tag, kind)
-      val f = p.toFile
-      if (f.exists()) {
-        import scala.reflect.io.Directory
-        new Directory(f).deleteRecursively()
-      }
-      java.nio.file.Files.createDirectories(p)
-      p.toString
-    }
-    val outDir = fresh("sink")
-    val ckpt = fresh("ckpt")
+    // unique per-run sink + checkpoint: Append mode needs a fresh
+    // checkpoint anyway (resuming an old one would skip already-read
+    // files), and per-run isolation means repeated runs (bench min-of-3,
+    // verify) never clobber files a previously returned DataFrame still
+    // reads. The shutdown hook on streamRoot bounds the leak to process
+    // lifetime.
+    val base = freshDir(tag)
+    val outDir = java.nio.file.Files
+      .createDirectories(base.resolve("sink")).toString
+    val ckpt = java.nio.file.Files
+      .createDirectories(base.resolve("ckpt")).toString
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
@@ -159,6 +181,68 @@ object EventStreams {
           expr(s"INTERVAL $windowMinutes MINUTES"))
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"))
+  }
+
+  /** The stateful flatMapGroupsWithState sessionizer run BY THE STREAMING
+    * ENGINE over the finite events source, aggregated to the batch query's
+    * per-user shape so the driver hash-checks it against the same DuckDB
+    * oracle as `events_sessionize`.
+    *
+    * sessionize only emits a session once a LATER event proves the
+    * 30-minute gap (or a timeout fires — not available under a bounded
+    * AvailableNow run), so each user's final session would stay open in
+    * the state store and never reach the sink. The run therefore streams
+    * from a staging copy of the events file plus one SENTINEL event per
+    * user, stamped past every user's last event + gap: the sentinel
+    * deterministically closes each user's last real session, while the
+    * sentinel's own (still-open) session is never emitted. Emitted
+    * sessions = exactly the batch query's sessions.
+    */
+  def sessionizeAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet") // ts = raw nanos long
+    val maxNanos = raw.agg(max(col("ts"))).head().getLong(0)
+    val sentinelNanos = maxNanos + (SessionGapSeconds + 60) * 1000000000L
+    val srcDir = freshDir("sessionize_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      srcDir.resolve("events.parquet"))
+    // sentinel rows carry the full source schema (props null); negative
+    // event_ids cannot collide with real events
+    val sentinel = raw.select(col("user_id")).distinct()
+      .select(
+        (-col("user_id") - 1).as("event_id"),
+        lit(sentinelNanos).as("ts"),
+        col("user_id"),
+        lit("__sentinel").as("event_type"),
+        lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
+    val tmpOut = srcDir.resolve("_sentinel_out")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = tmpOut.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("sentinel write produced no parquet part file"))
+    // flat file matching eventsFileStream's `events.parquet*` glob; written
+    // after the copy, so file-order processing sees real events first
+    // (order is immaterial anyway: the per-batch handler sorts by event
+    // time, and state carries across batches)
+    java.nio.file.Files.move(part.toPath, srcDir.resolve("events.parquet2"))
+    locally {
+      import scala.reflect.io.Directory
+      new Directory(tmpOut.toFile).deleteRecursively(): Unit
+    }
+    val typed = eventsFileStream(s, srcDir.toString)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventRow]
+    val sessions = sessionize(s, typed, useTimeout = false).toDF()
+    runToSink(sessions, OutputMode.Append, "sessionize")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        sum(col("n_events")).cast("long").as("n_events"),
+        max(col("n_events")).cast("long").as("max_session_events"))
+      .orderBy("user_id")
   }
 
   /** Full-microsecond epoch of a Timestamp (getTime alone drops sub-ms). */

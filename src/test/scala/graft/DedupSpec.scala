@@ -115,6 +115,22 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("TextHash.simHash (array form) equals Dedup.simHashSignatures (exploded form)") {
+    import spark.implicits._
+    // pins the single-pass array fold (hash each token once, all bit votes
+    // in one traversal) to the groupBy formulation bit-for-bit
+    val docs = Seq((1L, "spark makes big data simple"),
+      (2L, "big data big wins again and again"),
+      (3L, "zebra quantum flux")).toDF("id", "text")
+    val arrayForm = docs.select(col("id"),
+        TextHash.simHash(Tokenizer.tokenize(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val explodedForm = Dedup.simHashSignatures(
+        docs.select(col("id"), explode(Tokenizer.tokenize(col("text"))).as("term")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(arrayForm == explodedForm)
+  }
+
   test("simhash: identical docs hamming 0; disjoint docs differ") {
     val toks = Seq((1L, "aa"), (1L, "bb"), (2L, "aa"), (2L, "bb"), (3L, "zz"))
       .toDF("id", "term")

@@ -84,6 +84,35 @@ class IndexerSpec extends SparkSpec {
     assert(key(mdi) == key(Indexer.docInfo(full)))
   }
 
+  test("compaction collapses appended bucket files; results and plan survive") {
+    val prefix = "graft_idx_compact_spec"
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    Indexer.buildBucketedIndex(spark, d.filter(col("doc_id") % 3 === 0), prefix)
+    Indexer.appendBucketedIndex(spark, d.filter(col("doc_id") % 3 === 1), prefix)
+    Indexer.appendBucketedIndex(spark, d.filter(col("doc_id") % 3 === 2), prefix)
+    val before = Indexer.bucketFileCounts(spark, s"${prefix}_postings")
+    assert(before.values.max >= 3, s"appends did not stack files: $before")
+    val query = "spark filter join stream data"
+    val resBefore = Search.searchPrebuilt(spark, query, prefix).collect().toSeq
+    assert(Indexer.compactBucketedIndex(spark, prefix, maxFilesPerBucket = 1),
+      "compaction should trigger above the threshold")
+    val after = Indexer.bucketFileCounts(spark, s"${prefix}_postings")
+    assert(after.values.max == 1, s"buckets not collapsed to one file: $after")
+    val compacted = Search.searchPrebuilt(spark, query, prefix)
+    assert(compacted.collect().toSeq == resBefore,
+      "compaction changed search results")
+    // bucket spec survives: pruning + exchange-free term join intact
+    val p = compacted.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), s"compacted scans not bucketed:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"term IN-list no longer prunes buckets after compaction:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(term"),
+      s"term join shuffled a compacted index scan:\n$p")
+    // below the threshold it is a no-op
+    assert(!Indexer.compactBucketedIndex(spark, prefix, maxFilesPerBucket = 8))
+  }
+
   test("idf floor: term in every doc gets idf ln(max(1, N/df))") {
     // 'big' in 2 of 4 docs -> N/df=2. A term in all docs: N/df=1 -> idf=0.
     val allDocs = Seq(("a", "x"), ("b", "x")).toDF("doc_id", "text")

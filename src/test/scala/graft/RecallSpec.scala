@@ -43,9 +43,10 @@ class RecallSpec extends SparkSpec {
     // measured 0.900 with 4 bands x 2 bits (the single-table
     // full-signature form measured 0.000 — banding is load-bearing)
     assert(lsh >= 0.80, f"ann_lsh recall collapsed: $lsh%.3f")
-    // measured 0.42 at nprobe=8/64 on near-uniform synthetic vectors —
-    // the adversarial case for coarse quantization (see SimilarityQueries)
-    assert(ivf >= 0.35, f"ann_ivf recall collapsed: $ivf%.3f")
+    // measured 0.64 at nprobe=8/64 with 2 Lloyd iterations (0.42 with raw
+    // sampled centroids) on near-uniform synthetic vectors — the
+    // adversarial case for coarse quantization (see SimilarityQueries)
+    assert(ivf >= 0.60, f"ann_ivf recall collapsed: $ivf%.3f")
     // the composed path can't beat its candidate generator
     assert(lshQ >= 0.80, f"ann_lsh_quantized recall collapsed: $lshQ%.3f")
     assert(lshQ <= lsh + 1e-12,
