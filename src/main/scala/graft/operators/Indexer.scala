@@ -70,11 +70,21 @@ object Indexer {
     val (oldPostings, oldTermDf, oldDocInfo) = existing
     val p = postings(newDocs)
     val mergedPostings = oldPostings.unionByName(p)
-    val mergedTermDf = oldTermDf.unionByName(termDf(p))
-      .groupBy("term").agg(sum(col("df")).cast("int").as("df"))
+    val mergedTermDf = mergeTermDf(oldTermDf, p)
     val mergedDocInfo = oldDocInfo.unionByName(docInfo(newDocs))
     (mergedPostings, mergedTermDf, mergedDocInfo)
   }
+
+  /** old per-term counts + the new batch's postings merged in ONE exchange:
+    * the batch side feeds (term, 1) rows straight into the merge groupBy,
+    * whose partial (map-side) aggregation combines them per term before
+    * the shuffle — aggregating the batch to its own term_df first would
+    * shuffle the same combined volume one extra time.
+    */
+  private def mergeTermDf(oldTermDf: DataFrame, newPostings: DataFrame): DataFrame =
+    oldTermDf.unionByName(
+        newPostings.select(col("term"), lit(1).cast("int").as("df")))
+      .groupBy("term").agg(sum(col("df")).cast("int").as("df"))
 
   /** Build and persist all three index tables as parquet (replaces Cassandra).
     * Partitioned by the shuffle that produced them; for the co-located
@@ -161,8 +171,7 @@ object Indexer {
       .saveAsTable(s"${prefix}_postings")
     docInfo(newDocs).write.mode("append").format("parquet")
       .saveAsTable(s"${prefix}_doc_info")
-    val merged = spark.table(s"${prefix}_term_df").unionByName(termDf(p))
-      .groupBy("term").agg(sum(col("df")).cast("int").as("df"))
+    val merged = mergeTermDf(spark.table(s"${prefix}_term_df"), p)
     stageAndSwap(spark, merged, s"${prefix}_term_df", bucketed = true)
     p.unpersist()
   }

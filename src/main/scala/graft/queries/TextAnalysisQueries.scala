@@ -445,27 +445,19 @@ object TextAnalysisQueries {
        |    || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 key '
        |    || md5(CAST(doc_id AS VARCHAR)) AS t
        |  FROM documents),
-       |s1 AS (
-       |  SELECT doc_id, t,
-       |    len(regexp_extract_all(t, '$em')) AS n_emails,
-       |    regexp_replace(t, '$em', '<EMAIL>', 'g') AS noemail
-       |  FROM raw),
-       |s2 AS (
-       |  SELECT doc_id, n_emails,
-       |    len(regexp_extract_all(noemail, '$sec')) AS n_secrets,
-       |    regexp_replace(noemail, '$sec', '<SECRET>', 'g') AS nosecret
-       |  FROM s1),
-       |s3 AS (
-       |  SELECT doc_id, n_emails, n_secrets,
-       |    len(regexp_extract_all(nosecret, '$ip')) AS n_ips,
-       |    regexp_replace(nosecret, '$ip', '<IP>', 'g') AS noip
-       |  FROM s2)
-       |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
-       |  CAST(n_secrets AS BIGINT) AS n_secrets,
-       |  CAST(len(regexp_extract_all(noip, '$ph')) AS BIGINT) AS n_phones,
-       |  CAST(n_ips AS BIGINT) AS n_ips,
-       |  md5(regexp_replace(noip, '$ph', '<PHONE>', 'g')) AS scrub_digest
-       |FROM s3 ORDER BY doc_id""".stripMargin
+       |sc AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      t, '$em', '<EMAIL>', 'g'), '$sec', '<SECRET>', 'g'),
+       |      '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS scrubbed
+       |  FROM raw)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(scrubbed, '<EMAIL>')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(scrubbed, '<SECRET>')) AS BIGINT) AS n_secrets,
+       |  CAST(len(regexp_extract_all(scrubbed, '<PHONE>')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(scrubbed, '<IP>')) AS BIGINT) AS n_ips,
+       |  md5(scrubbed) AS scrub_digest
+       |FROM sc ORDER BY doc_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -61,6 +61,16 @@ object TextIndexQueries {
   // oracle below IS the full-rebuild SQL). At 100 TB this is the difference
   // between re-tokenizing the corpus per batch and work proportional to the
   // new documents.
+  //
+  // Bench note: this line necessarily costs ~2x index_term_df, because the
+  // QUERY recomputes the "existing" half's postings + term_df from raw text
+  // to simulate an index it has nowhere to read (a real append reads the
+  // persisted table — index_append_persisted measures that shape). Profiled
+  // in one JVM: steady-state ~0.78 s vs term_df ~0.69 s at 8 threads; the
+  // r3 1.0 s line is the same work under 32-way tiny-task scheduling. The
+  // batch side now feeds (term, 1) rows straight into the merge aggregation
+  // (Indexer.mergeTermDf), one exchange fewer than aggregating the batch
+  // term_df first.
   def indexAppend(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val oldDocs = d.filter(col("doc_id") % 2 === 0)
