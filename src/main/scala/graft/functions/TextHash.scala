@@ -38,9 +38,19 @@ object TextHash {
     * values < P): each shingle hash is the polynomial combine of its n token
     * hashes — one md5 per token instead of one per shingle, and no string
     * concatenation. hashCombine(h1..hn) = fold((acc*1000003 + h) mod P).
+    *
+    * The input expression is BOUND ONCE through a single-element transform
+    * lambda: the shingle construction references its token array n+2 times
+    * (n slices + two sizes), and Catalyst's project collapse would
+    * otherwise inline an expensive `tokenHashes` expression (the md5
+    * transform) into every reference — higher-order functions are
+    * interpreted, so no codegen CSE rescues that.
     */
-  def hashedShingles(tokenHashes: Column, n: Int): Column = {
-    val toks = tokenHashes
+  def hashedShingles(tokenHashes: Column, n: Int): Column =
+    element_at(transform(array(tokenHashes), ths => boundShingles(ths, n)), 1)
+
+  /** Shingle construction over an already-evaluated array reference. */
+  private def boundShingles(toks: Column, n: Int): Column = {
     // aliased "0".."n-1" so arrays_zip field names are positional even for
     // named attribute inputs (see Tokenizer.shinglesOf)
     val shifted = (0 until n).map { i =>

@@ -143,6 +143,28 @@ object EventQueries {
       |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- CUBE: totals across every (day, event_type) subset --------------------
+  // All four grouping combinations in one pass (partial-agg friendly — the
+  // Expand operator replicates rows per grouping set before ONE shuffle).
+  // grouping_id disambiguates the NULL-as-total rows from genuine NULLs.
+  def eventsCubeDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      .cube(col("day"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("value")).cast("double").as("total_value"),
+        grouping_id(col("day"), col("event_type")).cast("long").as("gid"))
+      .orderBy(col("gid"), col("day"), col("event_type"))
+
+  val eventsCubeDailySql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(value) AS DOUBLE) AS total_value,
+      |  CAST(grouping(date_trunc('day', ts)) * 2 + grouping(event_type) AS BIGINT) AS gid
+      |FROM events
+      |GROUP BY CUBE (date_trunc('day', ts), event_type)
+      |ORDER BY gid, day, event_type""".stripMargin
+
   // ---- Latest event per user (dedup-by-key, keep newest) ---------------------
   def eventsLatestPerUser(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -274,6 +296,9 @@ object EventQueries {
       (graft.streaming.EventStreams.clickToPurchaseAvailableNow _),
     "stream_sessionize" ->
       (graft.streaming.EventStreams.sessionizeAvailableNow _),
+    "stream_latest_per_user" ->
+      (graft.streaming.EventStreams.latestPerUserAvailableNow _),
+    "events_cube_daily" -> (eventsCubeDaily _),
     "events_sliding" -> (eventsSliding _),
     "events_json" -> (eventsJson _),
     "events_sessionize" -> (eventsSessionize _),
@@ -288,6 +313,8 @@ object EventQueries {
     "stream_tumbling" -> eventsTumblingSql,
     "stream_click_to_purchase" -> eventsClickToPurchaseSql,
     "stream_sessionize" -> eventsSessionizeSql,
+    "stream_latest_per_user" -> eventsLatestPerUserSql,
+    "events_cube_daily" -> eventsCubeDailySql,
     "events_sliding" -> eventsSlidingSql,
     "events_json" -> eventsJsonSql,
     "events_sessionize" -> eventsSessionizeSql,

@@ -460,6 +460,42 @@ object TextAnalysisQueries {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Decontamination: corpus docs overlapping the eval set by n-grams ------
+  // Eval set = doc_id % 97 == 0 (a stand-in benchmark slice). Production
+  // decontamination uses 8-13 grams (Decontaminate.overlap defaults to 8);
+  // the synthetic corpus draws random words from a tiny vocabulary, so
+  // genuine 8-gram collisions are nonexistent — n=3 exercises the identical
+  // plan with a non-trivial result set (171 flagged docs at sf0.01).
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.operators.Decontaminate.overlap(
+        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+      .select(col("id").as("doc_id"),
+        col("n_shared_shingles").cast("long").as("n_shared_shingles"),
+        col("n_eval_docs").cast("long").as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String = {
+    val P = graft.functions.TextHash.P
+    s"""WITH ${OracleSql.TokCte},
+       |th AS (SELECT doc_id, pos, ${OracleSql.hashMod("term")} AS h FROM toks),
+       |sh AS (
+       |  SELECT DISTINCT t1.doc_id AS doc_id,
+       |    (((t1.h * 1000003 + t2.h) % $P) * 1000003 + t3.h) % $P AS shingle
+       |  FROM th t1
+       |  JOIN th t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       |  JOIN th t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+       |e AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0),
+       |c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+       |SELECT c.doc_id,
+       |  CAST(count(DISTINCT c.shingle) AS BIGINT) AS n_shared_shingles,
+       |  CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+       |FROM c JOIN e USING (shingle)
+       |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_pipeline" -> (curationPipeline _),
     "source_quota" -> (sourceQuota _),
@@ -472,7 +508,8 @@ object TextAnalysisQueries {
     "doc_repetition" -> (docRepetition _),
     "training_manifest" -> (trainingManifest _),
     "vocab_top_bigrams" -> (vocabTopBigrams _),
-    "pii_scrub" -> (piiScrub _))
+    "pii_scrub" -> (piiScrub _),
+    "decontaminate" -> (decontaminate _))
 
   val oracles: Map[String, String] = Map(
     "curation_pipeline" -> curationPipelineSql,
@@ -486,5 +523,6 @@ object TextAnalysisQueries {
     "doc_repetition" -> docRepetitionSql,
     "training_manifest" -> trainingManifestSql,
     "vocab_top_bigrams" -> vocabTopBigramsSql,
-    "pii_scrub" -> piiScrubSql)
+    "pii_scrub" -> piiScrubSql,
+    "decontaminate" -> decontaminateSql)
 }

@@ -198,6 +198,36 @@ object TextIndexQueries {
         col("score").cast("double").as("score"))
   }
 
+  // ---- COMPACTED persisted index: build + 2 appends + compaction, then search.
+  // The maintenance half of the append story gets its own oracle row: after
+  // compactBucketedIndex rewrites every over-threshold postings bucket to a
+  // single file, search results must STILL equal the from-scratch build
+  // (same bm25 SQL oracle) — compaction is invisible to queries except for
+  // file counts (which IndexerSpec pins separately).
+  private val builtCompacted = scala.collection.mutable.Set[String]()
+
+  private def ensureCompactedIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val prefix = "graft_idxc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!builtCompacted.contains(prefix)) {
+        val d = docs(s, dir)
+        Indexer.buildBucketedIndex(s, d.filter(col("doc_id") % 3 === 0), prefix)
+        Indexer.appendBucketedIndex(s, d.filter(col("doc_id") % 3 === 1), prefix)
+        Indexer.appendBucketedIndex(s, d.filter(col("doc_id") % 3 === 2), prefix)
+        if (!Indexer.compactBucketedIndex(s, prefix, maxFilesPerBucket = 1))
+          sys.error("compaction unexpectedly skipped (buckets under threshold)")
+        builtCompacted += prefix
+      }
+      prefix
+    }
+
+  def indexCompacted(s: SparkSession, dir: String): DataFrame = {
+    val prefix = ensureCompactedIndex(s, dir)
+    Search.searchPrebuilt(s, SearchQuery, prefix, k = 10)
+      .select(col("doc_id").cast("long").as("doc_id"), col("title"),
+        col("score").cast("double").as("score"))
+  }
+
   // ---- Batch multi-query search: one plan scores a query TABLE ---------------
   val BatchQueries: Seq[(String, String)] = Seq(
     ("q1", "spark filter join"),
@@ -456,6 +486,7 @@ object TextIndexQueries {
     "bm25_search" -> (bm25Search _),
     "bm25_search_prebuilt" -> (bm25SearchPrebuilt _),
     "index_append_persisted" -> (indexAppendPersisted _),
+    "index_compacted" -> (indexCompacted _),
     "bm25_search_sql_api" -> (bm25SearchSqlApi _),
     "bm25_batch_search" -> (bm25BatchSearch _),
     "bm25_batch_search_prebuilt" -> (bm25BatchSearchPrebuilt _),
@@ -476,6 +507,7 @@ object TextIndexQueries {
     "bm25_search" -> bm25SearchSql,
     "bm25_search_prebuilt" -> bm25SearchSql,
     "index_append_persisted" -> bm25SearchSql,
+    "index_compacted" -> bm25SearchSql,
     "bm25_search_sql_api" -> bm25SearchSql,
     "bm25_batch_search" -> bm25BatchSearchSql,
     "bm25_batch_search_prebuilt" -> bm25BatchSearchSql,

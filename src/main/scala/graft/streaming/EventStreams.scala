@@ -183,6 +183,26 @@ object EventStreams {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Latest event per user computed BY THE STREAMING ENGINE as an
+    * unwindowed stateful aggregation (max_by over (ts, event_id)) in
+    * Complete mode, checked against the batch window-function oracle
+    * (`events_latest_per_user`). State is one row per user — the
+    * classic streaming materialized-view shape; at scale it partitions
+    * by user across executors.
+    */
+  def latestPerUserAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsFileStream(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("m"))
+    runToSink(agg, OutputMode.Complete, "latest_per_user")
+      .select(col("user_id"), col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"),
+        date_format(col("m.ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy("user_id")
+  }
+
   /** The stateful flatMapGroupsWithState sessionizer run BY THE STREAMING
     * ENGINE over the finite events source, aggregated to the batch query's
     * per-user shape so the driver hash-checks it against the same DuckDB

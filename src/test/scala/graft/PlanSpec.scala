@@ -54,6 +54,24 @@ class PlanSpec extends SparkSpec {
       s"term join shuffled a bucketed index scan after append:\n$p")
   }
 
+  test("decontaminate broadcasts the eval shingles; corpus side never pre-shuffles") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingle postings should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"overlap join regressed to sort-merge (corpus-side shuffle):\n$p")
+    // the md5 token transform is bound once through the shingle lambda —
+    // a regression re-inlines it per slice and the plan string blows up
+    assert(p.length < 20000, s"shingle expression re-inlined (plan ${p.length} chars)")
+  }
+
+  test("events_cube_daily expands grouping sets before ONE aggregation shuffle") {
+    val p = plan("events_cube_daily")
+    assert(p.contains("Expand"), s"cube should plan an Expand:\n$p")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"cube should shuffle once for the aggregation:\n$p")
+  }
+
   test("pii_scrub computes narrowly — only the presentation sort exchanges") {
     val p = plan("pii_scrub")
     val exchanges = "Exchange".r.findAllIn(p).size
