@@ -44,6 +44,30 @@ object DedupQueries {
       |  doc_id = min(doc_id) OVER (PARTITION BY digest) AS keep
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---- Incremental-ingest dedup: bloom pre-filter + exact anti-join ----------
+  // Existing corpus = doc_id % 4 != 0; incoming batch = doc_id % 4 == 0.
+  // The bloom is a performance device (prunes the anti-join to the
+  // maybe-dup set); the RESULT is exact, so the oracle is a plain
+  // NOT EXISTS over the digest sets.
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    Dedup.incrementalNew(
+        d.filter(col("doc_id") % 4 =!= 0), d.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("digest"))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS digest
+      |  FROM documents),
+      |ex AS (SELECT digest FROM d WHERE doc_id % 4 <> 0),
+      |inc AS (SELECT doc_id, digest FROM d WHERE doc_id % 4 = 0)
+      |SELECT i.doc_id, i.digest FROM inc i
+      |WHERE NOT EXISTS (SELECT 1 FROM ex e WHERE e.digest = i.digest)
+      |ORDER BY doc_id""".stripMargin
+
   // ---- MinHash + LSH near-dup -------------------------------------------------
   // Subset doc_id % 5 = 0; distinct unigram token sets; 8 hashes, 4 bands of 2;
   // band-collision candidates verified with exact jaccard >= 0.8.
@@ -387,6 +411,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -395,6 +420,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

@@ -115,6 +115,23 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("incremental dedup is exact: new docs pass, dups (incl. normalized) drop") {
+    import spark.implicits._
+    val existing = Seq((1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "a  b   c"),    // whitespace-normalized dup of doc 1
+      (11L, "fresh words"), // new
+      (12L, "x y z"),       // exact dup of doc 2
+      (13L, "more new text")).toDF("doc_id", "text")
+    // fpp 0.5 forces bloom false positives through the exact verify join —
+    // the result must be identical to the precise answer regardless
+    for (fpp <- Seq(0.01, 0.5)) {
+      val ids = Dedup.incrementalNew(existing, incoming, "doc_id", "text", fpp)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(11L, 13L), s"fpp=$fpp")
+    }
+  }
+
   test("TextHash.simHash (array form) equals Dedup.simHashSignatures (exploded form)") {
     import spark.implicits._
     // pins the single-pass array fold (hash each token once, all bit votes
