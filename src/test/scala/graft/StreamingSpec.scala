@@ -36,6 +36,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("sessionizeAvailableNow equals the batch sessionization on real data") {
+    // the full file-stream + sentinel-flush harness at sf0.001 — the same
+    // equality the sf0.01 oracle row (stream_sessionize) pins, kept here
+    // so `sbt test` catches harness regressions without the oracle
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStreams.sessionizeAvailableNow(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = graft.queries.EventQueries.eventsSessionize(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("stateful sessionize emits closed sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventRow]
