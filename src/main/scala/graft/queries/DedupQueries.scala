@@ -338,6 +338,62 @@ object DedupQueries {
        |FROM comp c JOIN sizes s USING (component)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- Leak-proof train/validation/test splits --------------------------------
+  // Assigning splits per DOCUMENT leaks: a near-duplicate pair straddling
+  // train and validation puts (almost) the eval text in the training set.
+  // Split must be assigned per near-dup CLUSTER — every member inherits the
+  // deterministic md5 gate of its cluster's component id (singletons: the
+  // doc's own id). 80/10/10 on the hash bucket; no RNG, reproducible across
+  // engines and re-runs, stable under corpus growth that doesn't touch the
+  // cluster. Same doc subset as the MinHash pipeline (doc_id % 5 = 0).
+  def dedupSplits(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    val pairs = minhashPairs(s, dir)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val labels = graft.operators.Components
+      .connectedComponents(pairs, checkEvery = 4, pointerJump = false)
+      .select(col("id").as("doc_id"), col("component"))
+    val withComp = docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    withComp
+      .withColumn("bucket",
+        (TextHash.hash64(col("component").cast("string")) % 1000).cast("long"))
+      .withColumn("split",
+        when(col("bucket") < 800, "train")
+          .when(col("bucket") < 900, "validation").otherwise("test"))
+      .select(col("doc_id"), col("component").cast("long").as("component"),
+        col("split"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSplitsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_id_a AS a, doc_id_b AS b FROM (
+       |$dedupMinhashLshSql
+       |  ) mh),
+       |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |comp AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS component
+       |  FROM reach GROUP BY a),
+       |docs0 AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+       |wc AS (
+       |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+       |  FROM docs0 d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |b AS (
+       |  SELECT doc_id, component,
+       |    ${OracleSql.hash64("CAST(component AS VARCHAR)")} % 1000 AS bucket
+       |  FROM wc)
+       |SELECT doc_id, CAST(component AS BIGINT) AS component,
+       |  CASE WHEN bucket < 800 THEN 'train'
+       |       WHEN bucket < 900 THEN 'validation' ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
   // ---- Embedding-cosine near-dup ----------------------------------------------
   // Candidate-gen + verify, never all-pairs: every vector gets an 8-bit
   // random-hyperplane signature (one narrow pass, Similarity.lshBuckets),
@@ -416,7 +472,8 @@ object DedupQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
-    "dedup_clusters" -> (dedupClusters _))
+    "dedup_clusters" -> (dedupClusters _),
+    "dedup_splits" -> (dedupSplits _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -425,5 +482,6 @@ object DedupQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
-    "dedup_clusters" -> dedupClustersSql)
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_splits" -> dedupSplitsSql)
 }

@@ -115,6 +115,22 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("leak-proof splits: both sides of every near-dup pair share a split") {
+    val dir = "/root/testdata/sf0.001"
+    val split = Queries.all("dedup_splits")(spark, dir)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Queries.all("dedup_minhash_lsh")(spark, dir)
+      .select("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no near-dup pairs at sf0.001 — test is vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"near-dup pair ($a,$b) straddles splits")
+    }
+    // all three splits actually materialize at this corpus size
+    assert(split.values.toSet == Set("train", "validation", "test"))
+  }
+
   test("incremental dedup is exact: new docs pass, dups (incl. normalized) drop") {
     import spark.implicits._
     val existing = Seq((1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text")
