@@ -459,6 +459,50 @@ object TextIndexQueries {
       .orderBy(col("id"))
   }
 
+  // ---- Sink/scan ROUND-TRIPS: the S2/S4 (TSV) and S3/S5 (per-doc files)
+  //      surfaces earn oracle rows. Each query writes with the graft sink,
+  //      reads back with the graft scan, and digests the recovered content;
+  //      the oracle digests the SOURCE rows — a hash match proves the
+  //      write→read cycle is content-exact (quoting, escapes, newlines,
+  //      empty docs) with no reference to the files themselves.
+  def tsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.Pipelines.freshScratch(
+      "tsv_rt_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id").cast("string").as("id"),
+        substring(col("text"), 1, 50).as("title"), col("text"))
+    graft.sources.Pipelines.writeTsv(docs, out)
+    graft.sources.Pipelines.readTsv(s, out)
+      .select(col("id").cast("long").as("doc_id"),
+        md5(coalesce(col("title"), lit(""))).as("title_md5"),
+        md5(coalesce(col("text"), lit(""))).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val tsvRoundtripSql: String =
+    """SELECT doc_id, md5(substring(text, 1, 50)) AS title_md5,
+      |  md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def textdirRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.Pipelines.freshScratch(
+      "perdoc_rt_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id").cast("string").as("id"),
+        substring(col("text"), 1, 50).as("title"), col("text"))
+    graft.sources.Pipelines.writePerDocFiles(docs, out)
+    graft.sources.Pipelines.readTextFilesWhole(s, out)
+      .select(
+        regexp_extract(col("path"), "/([0-9]+)_[^/]*\\.txt$", 1)
+          .cast("long").as("doc_id"),
+        md5(col("value")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val textdirRoundtripSql: String =
+    """SELECT doc_id, md5(text) AS text_md5
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
   // ---- 3-word positional phrase via the generalized operator -----------------
   val Phrase3 = Seq("slow", "hash", "batch")
 
@@ -495,6 +539,8 @@ object TextIndexQueries {
     "terms_not_in_vocab" -> (termsNotInVocab _),
     "phrase_search" -> (phraseSearch _),
     "doc_prep" -> (docPrep _),
+    "tsv_roundtrip" -> (tsvRoundtrip _),
+    "textdir_roundtrip" -> (textdirRoundtrip _),
     "prep_pipeline" -> (prepPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -515,5 +561,7 @@ object TextIndexQueries {
     "terms_in_vocab" -> termsInVocabSql,
     "terms_not_in_vocab" -> termsNotInVocabSql,
     "phrase_search" -> phraseSearchSql,
-    "doc_prep" -> docPrepSql)
+    "doc_prep" -> docPrepSql,
+    "tsv_roundtrip" -> tsvRoundtripSql,
+    "textdir_roundtrip" -> textdirRoundtripSql)
 }

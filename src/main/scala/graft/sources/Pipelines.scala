@@ -39,9 +39,18 @@ object Pipelines {
       .withColumn("title", Tokenizer.normalizeWhitespace(col("title")))
   }
 
-  /** S2: tab-separated sink, overwrite (app/prepare_data.py:41). */
+  /** S2: tab-separated sink, overwrite (app/prepare_data.py:41).
+    * Spark's CSV WRITER trims leading/trailing whitespace by default
+    * (ignore*WhiteSpace default true on write, false on read) — that
+    * silently corrupts content through a round-trip, so the sink turns it
+    * off: what goes in comes back byte-exact (tsv_roundtrip hash-checks
+    * this against the source rows).
+    */
   def writeTsv(df: DataFrame, path: String): Unit =
-    df.write.option("sep", "\t").mode("overwrite").csv(path)
+    df.write.option("sep", "\t")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .mode("overwrite").csv(path)
 
   /** S4: quote-aware TSV scan (the MR mappers' csv.reader semantics). */
   def readTsv(spark: SparkSession, path: String): DataFrame =
@@ -73,4 +82,38 @@ object Pipelines {
   /** S5: read a directory of text files as (path, value) rows. */
   def readTextDir(spark: SparkSession, dir: String): DataFrame =
     spark.read.text(dir).withColumn("path", input_file_name())
+
+  /** S5 (whole-file form): one row per file — newline-exact content, for
+    * consumers that need the document back, not its lines.
+    */
+  def readTextFilesWhole(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("wholetext", "true").text(dir)
+      .withColumn("path", input_file_name())
+
+  /** Per-process scratch dir for sink round-trips (same isolation pattern
+    * as the streaming harness: PID component keeps concurrent JVMs out of
+    * each other's files; a shutdown hook reclaims everything). The named
+    * subdirectory is WIPED at each call — round-trip queries must see
+    * exactly the files their own write produced.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_pipe", s"pid${ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(p)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.reflect.io.Directory
+      new Directory(p.toFile).deleteRecursively(): Unit
+    }))
+    p
+  }
+
+  def freshScratch(name: String): String = {
+    val d = scratchRoot.resolve(name)
+    locally {
+      import scala.reflect.io.Directory
+      if (d.toFile.exists()) new Directory(d.toFile).deleteRecursively(): Unit
+    }
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
 }
