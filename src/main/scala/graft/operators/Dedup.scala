@@ -109,21 +109,33 @@ object Dedup {
     * plain anti-join oracle. The probe is a Scala predicate over the
     * broadcast sketch (the codegen'd bloom expressions are
     * session-internal); one xxhash + a few bit probes per row, never the
-    * bottleneck next to the md5 digest itself.
+    * bottleneck next to the md5 digest itself. NULL digests (null text)
+    * are definitely new — SQL equality never matches NULL, matching the
+    * NOT EXISTS oracle semantics.
+    *
+    * Cost shape: building the bloom is one scan of the existing digests
+    * (pass `expectedItems` to skip the sizing count — at real scale the
+    * caller knows the corpus cardinality); the returned plan evaluates the
+    * incoming digest projection in both union branches, so cache the
+    * incoming batch upstream if its md5 pass is expensive. The broadcast
+    * sketch lives until the JVM (or explicit unpersist) reclaims it —
+    * ingest pipelines reuse it across batches, which is the point.
     *
     * @return incoming rows that are new: (id, digest)
     */
   def incrementalNew(existing: DataFrame, incoming: DataFrame,
                      idCol: String, textCol: String,
-                     fpp: Double = 0.01): DataFrame = {
+                     fpp: Double = 0.01,
+                     expectedItems: Option[Long] = None): DataFrame = {
     val spark = existing.sparkSession
     def digests(df: DataFrame) = df.select(col(idCol).as("id"),
       md5(Tokenizer.normalizeWhitespace(col(textCol))).as("digest"))
-    val ex = digests(existing).select("digest")
-    val expected = math.max(1000L, ex.count())
+    val ex = digests(existing).select("digest").filter(col("digest").isNotNull)
+    val expected = math.max(1000L, expectedItems.getOrElse(ex.count()))
     val bloom = ex.stat.bloomFilter("digest", expected, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((d: String) => bloomBc.value.mightContainString(d))
+    val mightContain =
+      udf((d: String) => d != null && bloomBc.value.mightContainString(d))
     val in = digests(incoming)
     val definitelyNew = in.filter(!mightContain(col("digest")))
     val maybeDup = in.filter(mightContain(col("digest")))

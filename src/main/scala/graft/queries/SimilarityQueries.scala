@@ -137,18 +137,15 @@ object SimilarityQueries {
       .limit(NList)
       .select(col("id").as("cent_id"), col("v").as("cv0"))
 
-  /** One Lloyd step: nearest-centroid assignment (broadcast centroids,
-    * one narrow pass + per-id argmax), then per-centroid element-wise
-    * mean via Dim scalar avg aggregates (ONE shuffle of NList·Dim
-    * partials — no posexplode row blowup).
+  /** One Lloyd step: nearest-centroid assignment (Similarity.ivfAssign —
+    * the SAME broadcast argmax the serving path uses, one source of truth
+    * for tie-breaks), then per-centroid element-wise mean via Dim scalar
+    * avg aggregates (ONE shuffle of NList·Dim partials — no posexplode
+    * row blowup).
     */
   private def lloydStep(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-      .orderBy(col("sim").desc, col("cent_id").asc)
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("sim", Similarity.cosine(col("v"), col("cv0")))
-      .withColumn("cr", row_number().over(w))
-      .filter(col("cr") === 1)
+    val assigned = Similarity.ivfAssign(e,
+        cents.select(col("cent_id").as("id"), col("cv0").as("v")))
       .select(col("cent_id"), col("v"))
     val means = assigned.groupBy(col("cent_id"))
       .agg(array((0 until Dim).map(i =>

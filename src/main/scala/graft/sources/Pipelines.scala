@@ -52,9 +52,21 @@ object Pipelines {
       .option("ignoreTrailingWhiteSpace", "false")
       .mode("overwrite").csv(path)
 
-  /** S4: quote-aware TSV scan (the MR mappers' csv.reader semantics). */
-  def readTsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("sep", "\t").schema(DocSchema).csv(path)
+  /** S4: quote-aware TSV scan (the MR mappers' csv.reader semantics).
+    * multiLine=true so quoted fields CONTAINING the line separator — which
+    * the writer emits for any text with an embedded newline — parse back
+    * as one record instead of shredding into PERMISSIVE garbage rows. The
+    * cost is per-FILE instead of per-line split granularity; parallelism
+    * at scale comes from file count (the writer emits one file per task),
+    * and a corpus known to be newline-free can flip the option back.
+    * One documented non-identity: the parser normalizes line separators
+    * inside quoted fields to \n (CRLF becomes LF) — PipelineSpec pins
+    * both behaviors.
+    */
+  def readTsv(spark: SparkSession, path: String,
+              multiLine: Boolean = true): DataFrame =
+    spark.read.option("sep", "\t").option("multiLine", multiLine.toString)
+      .schema(DocSchema).csv(path)
 
   /** F8: sanitize a filename exactly like the reference
     * (spaces -> _, then keep only [a-zA-Z0-9_-]; app/prepare_data.py:32-33).
@@ -90,30 +102,11 @@ object Pipelines {
     spark.read.option("wholetext", "true").text(dir)
       .withColumn("path", input_file_name())
 
-  /** Per-process scratch dir for sink round-trips (same isolation pattern
-    * as the streaming harness: PID component keeps concurrent JVMs out of
-    * each other's files; a shutdown hook reclaims everything). The named
-    * subdirectory is WIPED at each call — round-trip queries must see
-    * exactly the files their own write produced.
+  /** Per-process, per-run scratch for sink round-trips: a NEVER-REUSED
+    * directory per call (graft.ScratchDirs) — a lazy DataFrame returned by
+    * an earlier round-trip keeps reading its own files after a re-run, and
+    * each run sees exactly the files its own write produced.
     */
-  private lazy val scratchRoot: java.nio.file.Path = {
-    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_pipe", s"pid${ProcessHandle.current().pid()}")
-    java.nio.file.Files.createDirectories(p)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.reflect.io.Directory
-      new Directory(p.toFile).deleteRecursively(): Unit
-    }))
-    p
-  }
-
-  def freshScratch(name: String): String = {
-    val d = scratchRoot.resolve(name)
-    locally {
-      import scala.reflect.io.Directory
-      if (d.toFile.exists()) new Directory(d.toFile).deleteRecursively(): Unit
-    }
-    java.nio.file.Files.createDirectories(d)
-    d.toString
-  }
+  def freshScratch(name: String): String =
+    graft.ScratchDirs.fresh("graft_pipe", name).toString
 }

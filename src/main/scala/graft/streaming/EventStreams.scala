@@ -63,33 +63,11 @@ object EventStreams {
     * restored after the run; a live deployment sizes this to key
     * cardinality instead.
     */
-  /** Per-process streaming scratch root: the PID component isolates
-    * concurrent JVMs (a parallel test run and a bench run of the same
-    * query must not delete each other's live checkpoint/sink), and a
-    * shutdown hook reclaims everything this process created. Per-run
-    * subdirectories (see runToSink) keep a DataFrame returned by an
-    * earlier call readable after a re-run — nothing is overwritten or
-    * wiped mid-process.
+  /** Per-process, per-run scratch (PID isolation + never-reused dirs +
+    * shutdown-hook cleanup) — shared rules live in graft.ScratchDirs.
     */
-  private val runCounter = new java.util.concurrent.atomic.AtomicLong(0)
-  private[streaming] lazy val streamRoot: java.nio.file.Path = {
-    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_stream", s"pid${ProcessHandle.current().pid()}")
-    java.nio.file.Files.createDirectories(p)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.reflect.io.Directory
-      if (!new Directory(p.toFile).deleteRecursively())
-        System.err.println(s"[graft] could not fully remove stream scratch $p")
-    }))
-    p
-  }
-
-  /** A fresh, never-reused scratch directory under the per-process root. */
-  private def freshDir(name: String): java.nio.file.Path = {
-    val p = streamRoot.resolve(s"${name}_${runCounter.incrementAndGet()}")
-    java.nio.file.Files.createDirectories(p)
-    p
-  }
+  private def freshDir(name: String): java.nio.file.Path =
+    graft.ScratchDirs.fresh("graft_stream", name)
 
   private def runToSink(df: DataFrame, mode: OutputMode, tag: String,
                         statePartitions: Int = 4): DataFrame = {
