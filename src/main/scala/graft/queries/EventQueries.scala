@@ -34,6 +34,16 @@ object EventQueries {
       |  CAST(sum(value) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** eventsTumblingSql with the per-window sum rounded to the 1e-6 grid —
+    * the oracle for streaming runs whose summation order differs from the
+    * batch scan order (stream_dedup_exact's replayed-and-deduped source).
+    */
+  val eventsTumblingRoundedSql: String =
+    """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(round(sum(value), 6) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- Sliding window (1h window, 30m slide => 2 windows per event) ----------
   def eventsSliding(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -298,6 +308,8 @@ object EventQueries {
       (graft.streaming.EventStreams.sessionizeAvailableNow _),
     "stream_latest_per_user" ->
       (graft.streaming.EventStreams.latestPerUserAvailableNow _),
+    "stream_dedup_exact" ->
+      (graft.streaming.EventStreams.dedupExactAvailableNow _),
     "events_cube_daily" -> (eventsCubeDaily _),
     "events_sliding" -> (eventsSliding _),
     "events_json" -> (eventsJson _),
@@ -314,6 +326,7 @@ object EventQueries {
     "stream_click_to_purchase" -> eventsClickToPurchaseSql,
     "stream_sessionize" -> eventsSessionizeSql,
     "stream_latest_per_user" -> eventsLatestPerUserSql,
+    "stream_dedup_exact" -> eventsTumblingRoundedSql,
     "events_cube_daily" -> eventsCubeDailySql,
     "events_sliding" -> eventsSlidingSql,
     "events_json" -> eventsJsonSql,

@@ -181,6 +181,38 @@ object EventStreams {
       .orderBy("user_id")
   }
 
+  /** Streaming EXACT DEDUP under adversarial input: the source directory
+    * holds TWO copies of the events file (guaranteed duplicates across
+    * micro-batch boundaries), dropDuplicates("event_id") must suppress
+    * every replay via its keyed state store, and the surviving rows flow
+    * into the same tumbling aggregation as `events_tumbling` — whose
+    * oracle they must hash-match. A dedup failure doubles every count; a
+    * state loss across batches leaks replays. This is the streaming
+    * at-least-once-source → exactly-once-result shape.
+    */
+  def dedupExactAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = freshDir("dedup_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      srcDir.resolve("events.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      srcDir.resolve("events.parquet2"))
+    val deduped = eventsFileStream(s, srcDir.toString)
+      .dropDuplicates("event_id")
+    // total_value rounded to the 1e-6 grid in BOTH engines: the dedup
+    // changes each window's summation ORDER, and reordered float sums
+    // differ in the last ulps — enough to derail the comparator's
+    // stringified row sort even inside its numeric tolerance
+    runToSink(windowedCounts(deduped), OutputMode.Complete, "dedup_exact")
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"),
+        col("n").cast("long").as("n"),
+        round(col("total_value"), 6).cast("double").as("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** The stateful flatMapGroupsWithState sessionizer run BY THE STREAMING
     * ENGINE over the finite events source, aggregated to the batch query's
     * per-user shape so the driver hash-checks it against the same DuckDB
