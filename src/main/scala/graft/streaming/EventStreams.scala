@@ -50,6 +50,12 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Per-process, per-run scratch (PID isolation + never-reused dirs +
+    * shutdown-hook cleanup) — shared rules live in graft.ScratchDirs.
+    */
+  private def freshDir(name: String): java.nio.file.Path =
+    graft.ScratchDirs.fresh("graft_stream", name)
+
   /** Run a finite streaming query to completion (Trigger.AvailableNow —
     * the standard backfill shape: same code path as the live stream,
     * bounded input, exits when caught up), materializing sink batches via
@@ -59,16 +65,11 @@ object EventStreams {
     * and that count is frozen into the checkpoint at creation — for a
     * bounded single-file backfill the right size tracks the INPUT volume,
     * not the session's batch-analytics setting (32 stores per stateful op
-    * on a 60k-row file is pure open/commit overhead). The session conf is
-    * restored after the run; a live deployment sizes this to key
+    * on a 60k-row file is pure open/commit overhead; 2 measured WORSE than
+    * 4 — too little shuffle parallelism for the join probe). The session
+    * conf is restored after the run; a live deployment sizes this to key
     * cardinality instead.
     */
-  /** Per-process, per-run scratch (PID isolation + never-reused dirs +
-    * shutdown-hook cleanup) — shared rules live in graft.ScratchDirs.
-    */
-  private def freshDir(name: String): java.nio.file.Path =
-    graft.ScratchDirs.fresh("graft_stream", name)
-
   private def runToSink(df: DataFrame, mode: OutputMode, tag: String,
                         statePartitions: Int = 4): DataFrame = {
     val s = df.sparkSession

@@ -115,6 +115,18 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("CacheRegistry: releaseAll uncaches every registered subtree") {
+    // dedup_minhash_lsh registers its shared caches via .registeredCache()
+    Queries.all("dedup_minhash_lsh")(spark, "/root/testdata/sf0.001").collect()
+    assert(CacheRegistry.registeredCount > 0, "query registered no caches")
+    CacheRegistry.releaseAll()
+    assert(CacheRegistry.registeredCount == 0)
+    // a re-registered cache works again afterwards (idempotent lifecycle)
+    Queries.all("dedup_minhash_lsh")(spark, "/root/testdata/sf0.001").collect()
+    assert(CacheRegistry.registeredCount > 0)
+    CacheRegistry.releaseAll()
+  }
+
   test("leak-proof splits: both sides of every near-dup pair share a split") {
     val dir = "/root/testdata/sf0.001"
     val split = Queries.all("dedup_splits")(spark, dir)
