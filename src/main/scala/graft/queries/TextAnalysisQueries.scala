@@ -272,6 +272,55 @@ object TextAnalysisQueries {
        |  FROM prefix_kept WHERE n_tokens > 0),
        |$PackingSqlTail""".stripMargin
 
+  // ---- Training manifest WITH decontamination: curate -> decontaminate ->
+  //      pack. The complete pre-training input pipeline: benchmark members
+  //      (doc_id % 97 == 0) never train, curated survivors sharing an
+  //      n-gram with the benchmark are dropped, and only the clean set is
+  //      packed into context windows. Decontamination scans curated
+  //      survivors only (semi-join before the shingle pass) — at scale the
+  //      expensive overlap check runs on the post-curation corpus, not the
+  //      raw crawl.
+  def trainingManifestClean(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val curated = graft.operators.Curation
+      .curate(d, minQuality = 0.4, keepLangs = Seq("en", "de", "es"))
+      .filter(col("doc_id") % 97 =!= 0)
+    val corpusText = d.join(curated.select("doc_id"), Seq("doc_id"), "left_semi")
+    val contaminated = graft.operators.Decontaminate.overlap(
+        corpusText, d.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 3)
+      .select(col("id").as("doc_id"))
+    val clean = curated.join(contaminated, Seq("doc_id"), "left_anti")
+    val docs = clean.select(
+      (col("doc_id") % PackShards).cast("long").as("shard"),
+      col("doc_id"), col("n_tokens"))
+    graft.operators.Packing.contextWindows(docs, PackWindow)
+      .orderBy("shard", "doc_id", "win")
+  }
+
+  val trainingManifestCleanSql: String = {
+    val P = graft.functions.TextHash.P
+    s"""WITH $CurationCtes,
+       |th AS (SELECT doc_id, pos, ${OracleSql.hashMod("term")} AS h FROM toks),
+       |sh AS (
+       |  SELECT DISTINCT t1.doc_id AS doc_id,
+       |    (((t1.h * 1000003 + t2.h) % $P) * 1000003 + t3.h) % $P AS shingle
+       |  FROM th t1
+       |  JOIN th t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       |  JOIN th t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+       |train0 AS (
+       |  SELECT doc_id, n_tokens FROM prefix_kept WHERE doc_id % 97 <> 0),
+       |contaminated AS (
+       |  SELECT DISTINCT s.doc_id
+       |  FROM sh s JOIN train0 t ON s.doc_id = t.doc_id
+       |  JOIN ev e ON s.shingle = e.shingle),
+       |pdocs AS (
+       |  SELECT CAST(doc_id % $PackShards AS BIGINT) AS shard, doc_id, n_tokens
+       |  FROM train0 WHERE n_tokens > 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |$PackingSqlTail""".stripMargin
+  }
+
   // ---- Vocabulary: corpus-wide top bigrams (tokenizer-training signal) -------
   private val VocabTopK = 50
 
@@ -507,6 +556,7 @@ object TextAnalysisQueries {
     "pack_windows" -> (packWindows _),
     "doc_repetition" -> (docRepetition _),
     "training_manifest" -> (trainingManifest _),
+    "training_manifest_clean" -> (trainingManifestClean _),
     "vocab_top_bigrams" -> (vocabTopBigrams _),
     "pii_scrub" -> (piiScrub _),
     "decontaminate" -> (decontaminate _))
@@ -522,6 +572,7 @@ object TextAnalysisQueries {
     "pack_windows" -> packWindowsSql,
     "doc_repetition" -> docRepetitionSql,
     "training_manifest" -> trainingManifestSql,
+    "training_manifest_clean" -> trainingManifestCleanSql,
     "vocab_top_bigrams" -> vocabTopBigramsSql,
     "pii_scrub" -> piiScrubSql,
     "decontaminate" -> decontaminateSql)
