@@ -1,0 +1,88 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Indexer, Search}
+import graft.sources.Pipelines
+
+/** Command-line surface mirroring the reference's shell entry points
+  * (SURVEY.md §3: prepare_data.sh / index.sh / search.sh) so a reference
+  * user can switch script-for-script — plus the growth commands the
+  * persisted index supports here (append, compact).
+  *
+  *   runMain graft.cli.Main prepare <docs.parquet> <outDir> [n]
+  *   runMain graft.cli.Main index   <docs.parquet> <prefix>
+  *   runMain graft.cli.Main append  <docs.parquet> <prefix>
+  *   runMain graft.cli.Main compact <prefix> [maxFilesPerBucket]
+  *   runMain graft.cli.Main search  <prefix> "<query>" [k]
+  *
+  * Where the reference's index.sh runs three MapReduce jobs plus a
+  * Cassandra loader, `index` is one Spark job writing the term-bucketed
+  * tables; where search.sh scores on the driver, `search` is the one lazy
+  * ranking plan over the persisted index.
+  */
+object Main {
+
+  val Usage: String =
+    """usage:
+      |  prepare <docs.parquet> <outDir> [n=30]   sample+normalize, write per-doc files + TSV
+      |  index   <docs.parquet> <prefix>          build the persisted term-bucketed index
+      |  append  <docs.parquet> <prefix>          merge a new batch into the persisted index
+      |  compact <prefix> [maxFilesPerBucket=8]   rewrite over-threshold postings buckets
+      |  search  <prefix> "<query>" [k=10]        BM25 top-k over the persisted index
+      |""".stripMargin
+
+  /** docs parquet in the testdata shape: (doc_id, text[, ...]). */
+  private def readDocs(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("doc_id"), col("text"))
+
+  /** Command dispatch, separated from main() so tests drive it in-process.
+    * @return Left(error) or Right(optional result table to display)
+    */
+  def run(spark: SparkSession, args: Seq[String]): Either[String, Option[DataFrame]] =
+    args match {
+      case Seq("prepare", in, outDir, rest @ _*) =>
+        val n = rest.headOption.map(_.toInt).getOrElse(30)
+        val d = spark.read.parquet(in)
+        val docs = d.select(col("doc_id").cast("string").as("id"),
+          substring(col("text"), 1, 50).as("title"), col("text"))
+        val prepared = Pipelines.prepare(docs, n, d.count())
+        Pipelines.writePerDocFiles(prepared, s"$outDir/docs")
+        Pipelines.writeTsv(prepared, s"$outDir/tsv")
+        Right(Some(prepared.select(col("id"), col("title"))))
+      case Seq("index", in, prefix) =>
+        Indexer.buildBucketedIndex(spark, readDocs(spark, in), prefix)
+        Right(None)
+      case Seq("append", in, prefix) =>
+        Indexer.appendBucketedIndex(spark, readDocs(spark, in), prefix)
+        Right(None)
+      case Seq("compact", prefix, rest @ _*) =>
+        val maxFiles = rest.headOption.map(_.toInt).getOrElse(8)
+        val did = Indexer.compactBucketedIndex(spark, prefix, maxFiles)
+        System.err.println(
+          if (did) s"[graft] compacted ${prefix}_postings"
+          else s"[graft] ${prefix}_postings within threshold, nothing to do")
+        Right(None)
+      case Seq("search", prefix, query, rest @ _*) =>
+        val k = rest.headOption.map(_.toInt).getOrElse(10)
+        Right(Some(Search.searchPrebuilt(spark, query, prefix, k)))
+      case _ => Left(Usage)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toSeq) match {
+      case Left(msg)        => System.err.println(msg); sys.exit(2)
+      case Right(Some(out)) => out.show(100, truncate = false)
+      case Right(None)      => ()
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Search
+
+/** Drives the CLI surface in-process: the reference user's
+  * index.sh → search.sh flow (plus append/compact) against sf0.001.
+  */
+class CliSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val docsPath = s"$dir/documents.parquet"
+
+  test("index then search equals the library call; append+compact preserve results") {
+    val prefix = "graft_cli_spec"
+    assert(cli.Main.run(spark, Seq("index", docsPath, prefix)).isRight)
+    val out = cli.Main.run(spark,
+      Seq("search", prefix, "spark filter join stream data", "10"))
+    val rows = out.toOption.flatten.get.collect()
+    assert(rows.length == 10)
+    val direct = Search
+      .searchPrebuilt(spark, "spark filter join stream data", prefix, 10)
+      .collect()
+    assert(rows.toSeq == direct.toSeq)
+
+    // growth commands keep the index searchable and results stable:
+    // appending an EMPTY batch is a no-op merge; compaction below
+    // threshold declines, with force threshold 0 it rewrites
+    val empty = Tables.documents(spark, dir).filter(col("doc_id") < 0)
+      .select(col("doc_id"), col("text"))
+    graft.operators.Indexer.appendBucketedIndex(spark, empty, prefix)
+    assert(cli.Main.run(spark, Seq("compact", prefix, "0")).isRight)
+    val after = Search
+      .searchPrebuilt(spark, "spark filter join stream data", prefix, 10)
+      .collect()
+    assert(after.toSeq == direct.toSeq)
+  }
+
+  test("prepare writes per-doc files and a TSV; unknown command yields usage") {
+    val out = ScratchDirs.fresh("graft_cli", "prepare").toString
+    val res = cli.Main.run(spark, Seq("prepare", docsPath, out, "10"))
+    assert(res.isRight)
+    val files = new java.io.File(s"$out/docs").listFiles()
+    assert(files != null && files.nonEmpty && files.forall(_.getName.endsWith(".txt")))
+    assert(new java.io.File(s"$out/tsv").listFiles()
+      .exists(_.getName.endsWith(".csv")))
+    assert(cli.Main.run(spark, Seq("frobnicate")).isLeft)
+  }
+}
