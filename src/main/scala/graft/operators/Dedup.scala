@@ -42,24 +42,49 @@ object Dedup {
   def minHashSignaturesHashed(set: Column, numHashes: Int): Seq[Column] =
     (0 until numHashes).map(i => TextHash.minHashOfHashes(set, i).as(s"mh$i"))
 
-  /** LSH candidate pairs from a signature table (id, mh0..mh{n-1}):
-    * bands of `rowsPerBand` signatures; pairs sharing any full band collide.
-    * Emits distinct (id_a, id_b), id_a < id_b.
+  /** One row per (id, band, band-hash-struct) from a signature table
+    * (id, mh0..mh{n-1}) — the shared banding step of the LSH joins.
     */
-  def lshCandidates(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  private def banded(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         struct((0 until rowsPerBand).map(r =>
           col(s"mh${b * rowsPerBand + r}").as(s"r$r")): _*).as("h"))
     }
-    val banded = sigs.select(col("id"), explode(array(bandStructs: _*)).as("bh"))
+    sigs.select(col("id"), explode(array(bandStructs: _*)).as("bh"))
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+  }
+
+  /** LSH candidate pairs from a signature table (id, mh0..mh{n-1}):
+    * bands of `rowsPerBand` signatures; pairs sharing any full band collide.
+    * Emits distinct (id_a, id_b), id_a < id_b.
+    */
+  def lshCandidates(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bd = banded(sigs, numHashes, rowsPerBand)
+    val a = bd.alias("a")
+    val b = bd.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** LSH candidates BETWEEN two signature tables — the ingest-time shape:
+    * a new batch's signatures against the persisted corpus signature
+    * index. Candidate volume is (new × existing) band collisions only —
+    * the corpus is never self-paired, and the batch side is small enough
+    * to broadcast, so the corpus band table streams through the probe
+    * unshuffled. Emits distinct (id_new, id_old).
+    */
+  def lshCandidatesBetween(newSigs: DataFrame, existingSigs: DataFrame,
+                           numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val nb = banded(newSigs, numHashes, rowsPerBand)
+      .select(col("id").as("id_new"), col("band"), col("h"))
+    val eb = banded(existingSigs, numHashes, rowsPerBand)
+      .select(col("id").as("id_old"), col("band"), col("h"))
+    broadcast(nb).join(eb, Seq("band", "h"))
+      .select(col("id_new"), col("id_old"))
       .distinct()
   }
 

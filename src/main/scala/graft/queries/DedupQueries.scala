@@ -68,6 +68,77 @@ object DedupQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM ex e WHERE e.digest = i.digest)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- Incremental NEAR-dup: new batch vs existing corpus signatures ---------
+  // The ingest-time form of MinHash LSH: the corpus is never self-paired —
+  // only (new x existing) band collisions generate candidates, and the
+  // batch-side band table broadcasts so the corpus bands stream through
+  // unshuffled. Within the %5 vocabulary subset: new = doc_id%10==0,
+  // existing = doc_id%10==5.
+  def dedupIncrementalNear(s: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(s, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id"),
+        array_distinct(transform(Tokenizer.tokenize(col("text")),
+          t => TextHash.hashMod(t))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .registeredCache() // identical plan to minhashPairs' sets — shared
+    def sigsOf(df: DataFrame) = df.select(
+      col("id") +: Dedup.minHashSignaturesHashed(col("toks"), NumHashes): _*)
+    val cands = Dedup.lshCandidatesBetween(
+      sigsOf(sets.filter(col("id") % 10 === 0)),
+      sigsOf(sets.filter(col("id") % 10 === 5)), NumHashes, RowsPerBand)
+    cands
+      .join(sets.select(col("id").as("id_new"), col("toks").as("toks_n")), "id_new")
+      .join(sets.select(col("id").as("id_old"), col("toks").as("toks_o")), "id_old")
+      .withColumn("jaccard",
+        graft.plans.ArrayJaccard.jaccardLong(col("toks_n"), col("toks_o")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_new").as("doc_id_new"), col("id_old").as("doc_id_old"),
+        col("jaccard").cast("double").as("jaccard"))
+      .orderBy("doc_id_new", "doc_id_old")
+  }
+
+  val dedupIncrementalNearSql: String = {
+    val mhExprs = (0 until NumHashes).map { i =>
+      val (a, b) = mhParams(i)
+      s"list_min(list_transform(toks, x -> (x * $a + $b) % $P)) AS mh$i"
+    }.mkString(",\n    ")
+    val bandArms = (0 until NumHashes / RowsPerBand).map { bnd =>
+      val h1 = s"mh${bnd * RowsPerBand}"
+      val h2 = s"mh${bnd * RowsPerBand + 1}"
+      s"SELECT id, $bnd AS band, $h1 AS h1, $h2 AS h2 FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sets AS (
+       |  SELECT doc_id AS id, list_distinct(list_transform(
+       |    list_filter(string_split_regex(
+       |      regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'),
+       |      x -> x <> ''),
+       |    x -> ${OracleSql.hashMod("x")})) AS toks
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |nonempty AS (SELECT * FROM sets WHERE len(toks) > 0),
+       |sigs AS (
+       |  SELECT id, toks,
+       |    $mhExprs
+       |  FROM nonempty),
+       |bands AS (
+       |  $bandArms),
+       |newb AS (SELECT * FROM bands WHERE id % 10 = 0),
+       |oldb AS (SELECT * FROM bands WHERE id % 10 = 5),
+       |cands AS (
+       |  SELECT DISTINCT n.id AS id_new, o.id AS id_old
+       |  FROM newb n JOIN oldb o
+       |    ON n.band = o.band AND n.h1 = o.h1 AND n.h2 = o.h2)
+       |SELECT c.id_new AS doc_id_new, c.id_old AS doc_id_old,
+       |  CAST(len(list_intersect(sn.toks, so.toks)) AS DOUBLE) /
+       |    len(list_distinct(sn.toks || so.toks)) AS jaccard
+       |FROM cands c
+       |JOIN nonempty sn ON c.id_new = sn.id
+       |JOIN nonempty so ON c.id_old = so.id
+       |WHERE CAST(len(list_intersect(sn.toks, so.toks)) AS DOUBLE) /
+       |    len(list_distinct(sn.toks || so.toks)) >= 0.8
+       |ORDER BY doc_id_new, doc_id_old""".stripMargin
+  }
+
   // ---- MinHash + LSH near-dup -------------------------------------------------
   // Subset doc_id % 5 = 0; distinct unigram token sets; 8 hashes, 4 bands of 2;
   // band-collision candidates verified with exact jaccard >= 0.8.
@@ -468,6 +539,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_near" -> (dedupIncrementalNear _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -478,6 +550,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_incremental_near" -> dedupIncrementalNearSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

@@ -65,6 +65,12 @@ class PlanSpec extends SparkSpec {
     assert(p.length < 20000, s"shingle expression re-inlined (plan ${p.length} chars)")
   }
 
+  test("incremental near-dup broadcasts the batch bands; corpus is never self-paired") {
+    val p = plan("dedup_incremental_near")
+    assert(p.contains("BroadcastHashJoin"),
+      s"new-batch band table should broadcast into the corpus probe:\n$p")
+  }
+
   test("events_cube_daily expands grouping sets before ONE aggregation shuffle") {
     val p = plan("events_cube_daily")
     assert(p.contains("Expand"), s"cube should plan an Expand:\n$p")
