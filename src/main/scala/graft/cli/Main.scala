@@ -15,6 +15,7 @@ import graft.sources.Pipelines
   *   runMain graft.cli.Main index   <docs.parquet> <prefix>
   *   runMain graft.cli.Main append  <docs.parquet> <prefix>
   *   runMain graft.cli.Main compact <prefix> [maxFilesPerBucket]
+  *   runMain graft.cli.Main delete  <ids.parquet> <prefix>
   *   runMain graft.cli.Main search  <prefix> "<query>" [k]
   *
   * Where the reference's index.sh runs three MapReduce jobs plus a
@@ -30,6 +31,7 @@ object Main {
       |  index   <docs.parquet> <prefix>          build the persisted term-bucketed index
       |  append  <docs.parquet> <prefix>          merge a new batch into the persisted index
       |  compact <prefix> [maxFilesPerBucket=8]   rewrite over-threshold postings buckets
+      |  delete  <ids.parquet> <prefix>           forget documents (doc_id column) from the index
       |  search  <prefix> "<query>" [k=10]        BM25 top-k over the persisted index
       |""".stripMargin
 
@@ -63,6 +65,10 @@ object Main {
         System.err.println(
           if (did) s"[graft] compacted ${prefix}_postings"
           else s"[graft] ${prefix}_postings within threshold, nothing to do")
+        Right(None)
+      case Seq("delete", idsPath, prefix) =>
+        Indexer.deleteFromBucketedIndex(spark, prefix,
+          spark.read.parquet(idsPath).select(col("doc_id")))
         Right(None)
       case Seq("search", prefix, query, rest @ _*) =>
         val k = rest.headOption.map(_.toInt).getOrElse(10)

@@ -211,6 +211,60 @@ object Indexer {
       .groupBy(identity).map { case (b, fs0) => b -> fs0.size }
   }
 
+  /** Document DELETION from the persisted bucketed index — the lifecycle
+    * operation a right-to-be-forgotten request forces on a 100 TB corpus
+    * (the reference only ever grows its Cassandra tables; a complete
+    * engine must also shrink them). Three bucket-preserving rewrites, all
+    * swap via the crash-safe rename-aside sequence:
+    *
+    *  - term_df FIRST (while old postings are still live): the deleted
+    *    docs' per-term posting counts flow as NEGATIVE df rows into the
+    *    same merge aggregation appends use; terms whose df reaches zero
+    *    drop out entirely (P6 semantics — a vanished term must vanish
+    *    from the vocabulary).
+    *  - postings: broadcast LEFT ANTI against the (tiny) delete set over
+    *    a forced bucketed scan — narrow, so each task still holds exactly
+    *    one bucket and writes exactly one file. Deletion doubles as
+    *    compaction.
+    *  - doc_info: plain filtered rewrite.
+    *
+    * Cost is one read+write of the index — same shape as compaction; the
+    * per-bucket selective variant applies identically at cluster scale.
+    * Each table swap is individually crash-safe but the three are not one
+    * transaction: a concurrent reader can observe term_df already
+    * shrunken while postings still carry the deleted docs (the same
+    * non-transactional window the reference's sequential Cassandra
+    * loaders have) — run maintenance single-writer, off the query path.
+    *
+    * @param docIds one column `doc_id`, the documents to forget
+    */
+  def deleteFromBucketedIndex(spark: SparkSession, prefix: String,
+                              docIds: DataFrame): Unit = {
+    val ids = docIds.select(col("doc_id"))
+    val deletedPostings = spark.table(s"${prefix}_postings")
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+    // negative merge: old counts + (-1 per deleted (term, doc)) — same
+    // partial-agg exchange as the append merge; df==0 terms drop
+    val newTermDf = spark.table(s"${prefix}_term_df")
+      .unionByName(deletedPostings.select(col("term"),
+        lit(-1).cast("int").as("df")))
+      .groupBy("term").agg(sum(col("df")).cast("int").as("df"))
+      .filter(col("df") > 0)
+    stageAndSwap(spark, newTermDf, s"${prefix}_term_df", bucketed = true)
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false") // one partition per bucket at the scan
+    try {
+      val keptPostings = spark.table(s"${prefix}_postings")
+        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .select("term", "doc_id", "tf", "positions") // USING join reorders
+      stageAndSwap(spark, keptPostings, s"${prefix}_postings", bucketed = true)
+    } finally spark.conf.set(conf, prev)
+    val keptInfo = spark.table(s"${prefix}_doc_info")
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+    stageAndSwap(spark, keptInfo, s"${prefix}_doc_info", bucketed = false)
+  }
+
   /** Compaction — the maintenance half of the append story. Each bucketed
     * write lands one file per (task, touched bucket), so a build plus N
     * append batches leaves every bucket a pile of small files and scan

@@ -8,15 +8,18 @@ object OracleSql {
     * docs_l keeps the raw text so title-carrying oracles can derive the
     * synthesized title (substring) without a second documents join.
     */
-  val TokCte: String =
-    """docs_l AS (
-      |  SELECT doc_id, text, list_filter(string_split_regex(
-      |    regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
-      |    x -> x <> '') AS l
-      |  FROM documents),
-      |toks AS (
-      |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
-      |  FROM docs_l)""".stripMargin
+  val TokCte: String = tokCte()
+
+  /** TokCte over a filtered documents subset (predicate in SQL syntax). */
+  def tokCte(where: String = "TRUE"): String =
+    s"""docs_l AS (
+       |  SELECT doc_id, text, list_filter(string_split_regex(
+       |    regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'),
+       |    x -> x <> '') AS l
+       |  FROM documents WHERE $where),
+       |toks AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+       |  FROM docs_l)""".stripMargin
 
   /** 60-bit md5-prefix hash of a SQL expression (mirror of TextHash.hash64). */
   def hash64(expr: String): String =

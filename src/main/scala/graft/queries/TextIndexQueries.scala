@@ -128,8 +128,12 @@ object TextIndexQueries {
 
   private def termListSql = SearchTerms.map(t => s"'$t'").mkString("[", ",", "]")
 
-  val bm25SearchSql: String =
-    s"""WITH $TokCte,
+  /** The flagship oracle parameterized over the token CTE, so lifecycle
+    * variants (e.g. the post-deletion index) reuse the identical scoring
+    * SQL over a filtered corpus.
+    */
+  private def bm25SqlOver(tok: String): String =
+    s"""WITH $tok,
        |postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
        |term_df AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
        |doc_info AS (SELECT doc_id, len(l) AS length FROM docs_l),
@@ -147,6 +151,8 @@ object TextIndexQueries {
        |SELECT t.doc_id, substring(d.text, 1, 50) AS title, t.score
        |FROM top t JOIN documents d ON d.doc_id = t.doc_id
        |ORDER BY t.score DESC, t.doc_id""".stripMargin
+
+  val bm25SearchSql: String = bm25SqlOver(TokCte)
 
   // ---- Flagship over the PERSISTED term-bucketed index -----------------------
   // The reference's true architecture: index.sh builds + persists ONCE;
@@ -197,6 +203,36 @@ object TextIndexQueries {
       .select(col("doc_id").cast("long").as("doc_id"), col("title"),
         col("score").cast("double").as("score"))
   }
+
+  // ---- Persisted-index DELETE: build full, forget doc_id % 7 == 0, search ----
+  // The lifecycle completion (create/append/compact/DELETE): after
+  // deleteFromBucketedIndex the persisted tables must be indistinguishable
+  // from an index built WITHOUT the deleted docs — the oracle is the same
+  // bm25 SQL over the filtered corpus (term_df decremented with df==0
+  // terms dropped, postings/doc_info purged, bucketing intact).
+  private val builtDeleted = scala.collection.mutable.Set[String]()
+
+  private def ensureDeletedIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val prefix = "graft_idxd_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!builtDeleted.contains(prefix)) {
+        val d = docs(s, dir)
+        Indexer.buildBucketedIndex(s, d, prefix)
+        Indexer.deleteFromBucketedIndex(s, prefix,
+          d.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+        builtDeleted += prefix
+      }
+      prefix
+    }
+
+  def indexDeletePersisted(s: SparkSession, dir: String): DataFrame = {
+    val prefix = ensureDeletedIndex(s, dir)
+    Search.searchPrebuilt(s, SearchQuery, prefix, k = 10)
+      .select(col("doc_id").cast("long").as("doc_id"), col("title"),
+        col("score").cast("double").as("score"))
+  }
+
+  val indexDeleteSql: String = bm25SqlOver(OracleSql.tokCte("doc_id % 7 <> 0"))
 
   // ---- COMPACTED persisted index: build + 2 appends + compaction, then search.
   // The maintenance half of the append story gets its own oracle row: after
@@ -531,6 +567,7 @@ object TextIndexQueries {
     "bm25_search_prebuilt" -> (bm25SearchPrebuilt _),
     "index_append_persisted" -> (indexAppendPersisted _),
     "index_compacted" -> (indexCompacted _),
+    "index_delete_persisted" -> (indexDeletePersisted _),
     "bm25_search_sql_api" -> (bm25SearchSqlApi _),
     "bm25_batch_search" -> (bm25BatchSearch _),
     "bm25_batch_search_prebuilt" -> (bm25BatchSearchPrebuilt _),
@@ -554,6 +591,7 @@ object TextIndexQueries {
     "bm25_search_prebuilt" -> bm25SearchSql,
     "index_append_persisted" -> bm25SearchSql,
     "index_compacted" -> bm25SearchSql,
+    "index_delete_persisted" -> indexDeleteSql,
     "bm25_search_sql_api" -> bm25SearchSql,
     "bm25_batch_search" -> bm25BatchSearchSql,
     "bm25_batch_search_prebuilt" -> bm25BatchSearchSql,

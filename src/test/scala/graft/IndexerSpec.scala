@@ -113,6 +113,41 @@ class IndexerSpec extends SparkSpec {
     assert(!Indexer.compactBucketedIndex(spark, prefix, maxFilesPerBucket = 8))
   }
 
+  test("deletion purges postings, decrements term_df, drops vanished terms") {
+    val prefix = "graft_idx_delete_spec"
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    Indexer.buildBucketedIndex(spark, d, prefix)
+    val before = Search
+      .searchPrebuilt(spark, "spark filter join stream data", prefix, 10)
+      .collect().toSeq
+    val toDelete = d.filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+    val deletedIds = toDelete.collect().map(_.getLong(0)).toSet
+    Indexer.deleteFromBucketedIndex(spark, prefix, toDelete)
+    // postings and doc_info hold no trace of the deleted docs
+    val pIds = spark.table(s"${prefix}_postings")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(pIds.intersect(deletedIds).isEmpty)
+    val iIds = spark.table(s"${prefix}_doc_info")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(iIds.intersect(deletedIds).isEmpty)
+    // term_df equals a from-scratch df over the remaining docs
+    val expectDf = Indexer.termDf(Indexer.postings(
+        d.filter(col("doc_id") % 7 =!= 0)))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val gotDf = spark.table(s"${prefix}_term_df")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(gotDf == expectDf)
+    // no deleted doc lingers in the results
+    val after = Search
+      .searchPrebuilt(spark, "spark filter join stream data", prefix, 10)
+      .collect().toSeq
+    assert(after.forall(r => !deletedIds.contains(r.getAs[Long]("doc_id"))))
+    assert(before.nonEmpty && after.nonEmpty)
+    // delete doubles as compaction: one file per surviving bucket
+    assert(Indexer.bucketFileCounts(spark, s"${prefix}_postings").values.max == 1)
+  }
+
   test("idf floor: term in every doc gets idf ln(max(1, N/df))") {
     // 'big' in 2 of 4 docs -> N/df=2. A term in all docs: N/df=1 -> idf=0.
     val allDocs = Seq(("a", "x"), ("b", "x")).toDF("doc_id", "text")
