@@ -1,8 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.CacheRegistry.RegisteredCache
 import graft.Tables
 import graft.functions.{TextAnalysis, TextHash, Tokenizer}
 
@@ -214,11 +216,11 @@ object TextAnalysisQueries {
       .orderBy("shard", "doc_id", "win")
   }
 
-  /** The packing CTEs + final select, over a `pdocs(shard, doc_id,
-    * n_tokens)` relation the caller's WITH-chain must define (mirror of
-    * Packing.contextWindows).
+  /** The packing CTEs, over a `pdocs(shard, doc_id, n_tokens)` relation the
+    * caller's WITH-chain must define (mirror of Packing.contextWindows);
+    * exposes `segs` with the operator's output schema.
     */
-  private val PackingSqlTail: String =
+  private val PackingSegCtes: String =
     s"""c AS (
        |  SELECT *, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard
        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -230,16 +232,22 @@ object TextAnalysisQueries {
        |      CAST(floor(start_tok / $PackWindow) AS BIGINT),
        |      CAST(floor((start_tok + n_tokens - 1) / $PackWindow) AS BIGINT)))
        |      AS win
-       |  FROM c)
-       |SELECT shard, doc_id, win,
-       |  CAST(greatest(start_tok, win * $PackWindow) - win * $PackWindow
-       |    AS BIGINT) AS win_off,
-       |  CAST(greatest(start_tok, win * $PackWindow) - start_tok
-       |    AS BIGINT) AS doc_off,
-       |  CAST(least(start_tok + n_tokens, (win + 1) * $PackWindow)
-       |    - greatest(start_tok, win * $PackWindow) AS BIGINT)
-       |    AS n_tokens_in_win
-       |FROM e ORDER BY shard, doc_id, win""".stripMargin
+       |  FROM c),
+       |segs AS (
+       |  SELECT shard, doc_id, win,
+       |    CAST(greatest(start_tok, win * $PackWindow) - win * $PackWindow
+       |      AS BIGINT) AS win_off,
+       |    CAST(greatest(start_tok, win * $PackWindow) - start_tok
+       |      AS BIGINT) AS doc_off,
+       |    CAST(least(start_tok + n_tokens, (win + 1) * $PackWindow)
+       |      - greatest(start_tok, win * $PackWindow) AS BIGINT)
+       |      AS n_tokens_in_win
+       |  FROM e)""".stripMargin
+
+  private val PackingSqlTail: String =
+    s"""$PackingSegCtes
+       |SELECT shard, doc_id, win, win_off, doc_off, n_tokens_in_win
+       |FROM segs ORDER BY shard, doc_id, win""".stripMargin
 
   val packWindowsSql: String =
     s"""WITH ${OracleSql.TokCte},
@@ -545,6 +553,90 @@ object TextAnalysisQueries {
        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Unigram-LM quality signal (perplexity-style filter) -------------------
+  // Per-document mean surprisal under the corpus's OWN unigram language
+  // model: nll(d) = Σ_t tf(t,d)·ln(total_tokens / count(t)) / |d|.
+  // Boilerplate built from the corpus's commonest tokens scores low;
+  // rare-token gibberish scores high — the classic LM quality gate with
+  // the n-gram order cut to 1 so both engines can mirror it exactly.
+  //
+  // Determinism and scale notes: QualityLm scaladoc. Tokenize lands once
+  // in the cached (doc,term,tf) aggregate; everything else derives from it.
+  def unigramNll(s: SparkSession, dir: String): DataFrame = {
+    val tfs = graft.operators.Indexer
+      .tokenPositions(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+      .registeredCache()
+    graft.operators.QualityLm.unigramNll(tfs).orderBy("doc_id")
+  }
+
+  val unigramNllSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |tfs AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |cnts AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cnt FROM tfs GROUP BY term),
+       |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tfs),
+       |a AS (
+       |  SELECT f.doc_id, f.tf,
+       |    CAST(round(f.tf * ln(tot.total / c.cnt) * 1000000.0) AS BIGINT) AS addend
+       |  FROM tfs f JOIN cnts c ON f.term = c.term CROSS JOIN tot)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |  CAST(CAST(sum(addend) AS BIGINT) AS DOUBLE) / 1000000.0
+       |    / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS nll
+       |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- Deterministic training-data shuffle (loader batches) ------------------
+  // A data loader must read the packed windows in SHUFFLED order — but the
+  // shuffle has to be deterministic (resumable runs, reproducible
+  // ablations), so RNG is out. Each window gets an md5 key; key mod B
+  // picks its loader batch, and windows read within a batch in key order.
+  // Scale: one aggregation per window (same keys the packing plan just
+  // produced), then a row_number window partitioned by batch — B scales
+  // with the cluster (16 here ∝ 32 local cores); no global sort, no RNG,
+  // and re-keying with a different B is a narrow re-map.
+  private val ShuffleBatches = 16
+
+  def packShuffle(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      (col("doc_id") % PackShards).cast("long").as("shard"),
+      col("doc_id"),
+      Tokenizer.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val wins = graft.operators.Packing.contextWindows(docs, PackWindow)
+      .groupBy("shard", "win")
+      .agg(count(lit(1)).cast("long").as("n_segments"),
+        sum(col("n_tokens_in_win")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("batch"))
+      .orderBy(col("skey"), col("shard"), col("win"))
+    wins
+      .withColumn("skey",
+        TextHash.hash64(concat_ws(":", col("shard"), col("win"))))
+      .withColumn("batch", (col("skey") % ShuffleBatches).cast("long"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("batch"), col("pos"), col("shard"), col("win"),
+        col("n_segments"), col("n_tokens"))
+      .orderBy("batch", "pos")
+  }
+
+  val packShuffleSql: String = {
+    val key = OracleSql.hash64(
+      "CAST(shard AS VARCHAR) || ':' || CAST(win AS VARCHAR)")
+    s"""WITH ${OracleSql.TokCte},
+       |pdocs AS (
+       |  SELECT CAST(doc_id % $PackShards AS BIGINT) AS shard, doc_id,
+       |    CAST(len(l) AS BIGINT) AS n_tokens
+       |  FROM docs_l WHERE len(l) > 0),
+       |$PackingSegCtes,
+       |wins AS (
+       |  SELECT shard, win, CAST(count(*) AS BIGINT) AS n_segments,
+       |    CAST(sum(n_tokens_in_win) AS BIGINT) AS n_tokens
+       |  FROM segs GROUP BY shard, win),
+       |keyed AS (SELECT *, $key AS skey FROM wins)
+       |SELECT CAST(skey % $ShuffleBatches AS BIGINT) AS batch,
+       |  CAST(row_number() OVER (PARTITION BY skey % $ShuffleBatches
+       |    ORDER BY skey, shard, win) - 1 AS BIGINT) AS pos,
+       |  shard, win, n_segments, n_tokens
+       |FROM keyed ORDER BY batch, pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_pipeline" -> (curationPipeline _),
     "source_quota" -> (sourceQuota _),
@@ -559,7 +651,9 @@ object TextAnalysisQueries {
     "training_manifest_clean" -> (trainingManifestClean _),
     "vocab_top_bigrams" -> (vocabTopBigrams _),
     "pii_scrub" -> (piiScrub _),
-    "decontaminate" -> (decontaminate _))
+    "decontaminate" -> (decontaminate _),
+    "unigram_nll" -> (unigramNll _),
+    "pack_shuffle" -> (packShuffle _))
 
   val oracles: Map[String, String] = Map(
     "curation_pipeline" -> curationPipelineSql,
@@ -575,5 +669,7 @@ object TextAnalysisQueries {
     "training_manifest_clean" -> trainingManifestCleanSql,
     "vocab_top_bigrams" -> vocabTopBigramsSql,
     "pii_scrub" -> piiScrubSql,
-    "decontaminate" -> decontaminateSql)
+    "decontaminate" -> decontaminateSql,
+    "unigram_nll" -> unigramNllSql,
+    "pack_shuffle" -> packShuffleSql)
 }

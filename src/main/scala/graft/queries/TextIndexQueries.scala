@@ -556,8 +556,45 @@ object TextIndexQueries {
        |  AND t3.term = '${Phrase3(2)}'
        |GROUP BY t1.doc_id ORDER BY t1.doc_id""".stripMargin
 
+  // ---- TF-IDF keyword extraction over the index triple -----------------------
+  // The search index doubles as a keyword extractor: top-3 characteristic
+  // terms per document by (tf/|d|)·ln(N/df), scores pinned to the 1e-6
+  // grid in both engines so rank ties (broken by term) cannot diverge on
+  // float drift. Reuses the cached postings subtree the bm25 family shares.
+  private val KeywordK = 3
+
+  def tfidfKeywords(s: SparkSession, dir: String): DataFrame = {
+    val (p, tdf, di) = indexTriple(s, dir)
+    graft.operators.Keywords.topKeywords(p, tdf, di, KeywordK)
+      .select(col("doc_id").cast("long").as("doc_id"), col("rank"),
+        col("term"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfKeywordsSql: String =
+    s"""WITH $TokCte,
+       |postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+       |term_df AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+       |doc_info AS (SELECT doc_id, len(l) AS length FROM docs_l),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM docs_l),
+       |scored AS (
+       |  SELECT p.doc_id, p.term,
+       |    round(CAST(p.tf AS DOUBLE) / i.length * ln(n.n_docs / t.df), 6) AS tfidf
+       |  FROM postings p
+       |  JOIN term_df t ON p.term = t.term
+       |  JOIN doc_info i ON p.doc_id = i.doc_id
+       |  CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, term, tfidf,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= $KeywordK
+       |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "phrase_search3" -> (phraseSearch3 _),
+    "tfidf_keywords" -> (tfidfKeywords _),
     "index_postings" -> (indexPostings _),
     "index_term_df" -> (indexTermDf _),
     "index_append" -> (indexAppend _),
@@ -582,6 +619,7 @@ object TextIndexQueries {
 
   val oracles: Map[String, String] = Map(
     "phrase_search3" -> phraseSearch3Sql,
+    "tfidf_keywords" -> tfidfKeywordsSql,
     "index_postings" -> indexPostingsSql,
     "index_term_df" -> indexTermDfSql,
     "index_append" -> indexTermDfSql,

@@ -149,4 +149,76 @@ class OperatorSpec extends SparkSpec {
       s"join inputs were shuffled:\n$plan")
     assert(joined.count() > 0)
   }
+
+  test("Keywords: hand-computed tfidf, tie broken by term, stopwords rank out") {
+    // N=3; df: apple 1, banana 2, cherry 2, date 1
+    val docs = Seq(("d1", "apple apple banana"), ("d2", "banana cherry"),
+      ("d3", "cherry cherry cherry date")).toDF("doc_id", "text")
+    val p = graft.operators.Indexer.postings(docs)
+    val got = graft.operators.Keywords
+      .topKeywords(p, graft.operators.Indexer.termDf(p),
+        graft.operators.Indexer.docInfo(docs), k = 2)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSeq
+    def g(x: Double): Double = math.round(x * 1e6) / 1e6
+    assert(got == Seq(
+      ("d1", 1L, "apple", g(2.0 / 3 * math.log(3.0))),
+      ("d1", 2L, "banana", g(1.0 / 3 * math.log(1.5))),
+      // d2: banana and cherry tie exactly (1/2·ln(3/2)) — term asc decides
+      ("d2", 1L, "banana", g(0.5 * math.log(1.5))),
+      ("d2", 2L, "cherry", g(0.5 * math.log(1.5))),
+      ("d3", 1L, "cherry", g(3.0 / 4 * math.log(1.5))),
+      ("d3", 2L, "date", g(0.25 * math.log(3.0)))))
+    // a term in EVERY doc gets ln(1) = 0: it can never beat a distinctive one
+    val docs2 = Seq(("a", "the apple"), ("b", "the pear")).toDF("doc_id", "text")
+    val p2 = graft.operators.Indexer.postings(docs2)
+    val top1 = graft.operators.Keywords
+      .topKeywords(p2, graft.operators.Indexer.termDf(p2),
+        graft.operators.Indexer.docInfo(docs2), k = 1)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(top1 == Map("a" -> "apple", "b" -> "pear"))
+  }
+
+  test("QualityLm: hand-computed nll; common-token doc scores below rare-token doc") {
+    // corpus: a×3, b×1, c×1 (total 5)
+    val docs = Seq(("d1", "a a b"), ("d2", "a c")).toDF("doc_id", "text")
+    val got = graft.operators.QualityLm.unigramNllOfDocs(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def micro(x: Double): Long = math.round(x * 1e6)
+    val d1 = (micro(2 * math.log(5.0 / 3)) + micro(math.log(5.0))) / 1e6 / 3
+    val d2 = (micro(math.log(5.0 / 3)) + micro(math.log(5.0))) / 1e6 / 2
+    assert(got("d1")._1 == 3L && got("d2")._1 == 2L)
+    assert(math.abs(got("d1")._2 - d1) < 1e-12)
+    assert(math.abs(got("d2")._2 - d2) < 1e-12)
+    // all-commonest-token doc is the lowest-surprisal doc in its corpus
+    val docs2 = Seq(("common", "x x x x"), ("mixed", "x x y z"),
+      ("rare", "q w y z")).toDF("doc_id", "text")
+    val nll = graft.operators.QualityLm.unigramNllOfDocs(docs2)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(nll("common") < nll("mixed") && nll("mixed") < nll("rare"))
+  }
+
+  test("packShuffle: a deterministic permutation of the packed windows") {
+    val dir = "/root/testdata/sf0.001"
+    val wins = graft.queries.TextAnalysisQueries.packWindows(spark, dir)
+      .select("shard", "win").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shuffled = graft.queries.TextAnalysisQueries.packShuffle(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // every packed window appears exactly once (a permutation, no loss)
+    assert(shuffled.map(s => (s._3, s._4)).toSet == wins)
+    assert(shuffled.size == wins.size)
+    // positions are dense 0..n-1 within each batch, batches within range
+    shuffled.groupBy(_._1).foreach { case (batch, rows) =>
+      assert(batch >= 0 && batch < 16)
+      assert(rows.map(_._2).sorted == (0L until rows.size).toSeq)
+    }
+    // deterministic: a second run is byte-identical
+    val again = graft.queries.TextAnalysisQueries.packShuffle(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(shuffled == again)
+  }
 }
