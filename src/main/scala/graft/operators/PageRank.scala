@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an undirected edge list — the iterative
+  * graph-analytics companion to Components (connected components answers
+  * "which docs form one duplicate group"; PageRank ranks how CENTRAL each
+  * doc is inside the near-dup graph, surfacing template/boilerplate hubs
+  * that touch many near-duplicates).
+  *
+  * All arithmetic is INTEGER, in micro-rank units (1.0 → 1 000 000):
+  *
+  *   r₀(v)   = 1 000 000
+  *   rₖ₊₁(v) = 150 000 + (85 · Σ_{u∈N(v)} (rₖ(u) div deg(u))) div 100
+  *
+  * i.e. the standard damping-0.85 update with every division an integral
+  * `div`. Integer sums are exact and reduction-order-free, so the result
+  * is bit-identical across engines, partitionings and retries — no float
+  * drift to tolerate, and the DuckDB oracle can unroll the same recurrence
+  * as chained CTEs. Per-node floor loss is < 1 micro-unit per term, so
+  * total mass stays within iterations·|E|/1e6 of n — negligible, and the
+  * determinism is worth far more than the sixth decimal of rank mass.
+  *
+  * Scale shape: the edge table is symmetrized, deduped and checkpointed
+  * pre-partitioned on the source key once (same single-shuffle trick as
+  * Components — HashPartitioning(a) satisfies distinct's clustered
+  * distribution); each iteration then pays one node-table exchange to the
+  * source key (the edge side joins in place) and one partial-aggregated
+  * contribution shuffle — the minimum PR can do. Each round is a lazy
+  * localCheckpoint so the driver loop's logical plan stays O(1) deep
+  * (re-analysis of an unbounded lineage, not compute, is what kills
+  * iterative DataFrame loops). Rounds are node-table-sized; the consumer's
+  * one action materializes the chain.
+  */
+object PageRank {
+
+  private val Micro = 1000000L
+
+  /** @param edges (a, b) undirected pairs, numeric node ids
+    * @param iterations fixed round count (PR needs no convergence test to
+    *   be useful as a feature — fixed depth keeps the plan deterministic)
+    * @return (id, deg, r) for every node in `edges`, r in micro-units
+    */
+  def pagerank(edges: DataFrame, iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a")).distinct()
+      .localCheckpoint(eager = false)
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).cast("long").as("deg"))
+      .select(col("a").as("id"), col("deg"))
+      .localCheckpoint(eager = false)
+    var ranks = deg.select(col("id"), col("deg"), lit(Micro).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = sym
+        .join(ranks.select(col("id").as("a"), expr("r div deg").as("share")),
+          "a")
+        .groupBy(col("b").as("id"))
+        .agg(sum(col("share")).as("c"))
+      ranks = deg.join(contrib, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          expr("CAST(150000 AS BIGINT) + " +
+            "(85 * coalesce(c, CAST(0 AS BIGINT))) div 100").as("r"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+}

@@ -465,6 +465,46 @@ object DedupQueries {
        |       WHEN bucket < 900 THEN 'validation' ELSE 'test' END AS split
        |FROM b ORDER BY doc_id""".stripMargin
 
+  // ---- PageRank over the near-dup graph ---------------------------------------
+  // Components answers "which docs are one duplicate group"; PageRank ranks
+  // how CENTRAL each doc is in that graph — template/boilerplate hubs that
+  // near-duplicate many documents float to the top. Fixed 10 iterations of
+  // the damping-0.85 update in integer micro-rank units (PageRank scaladoc):
+  // integer sums are reduction-order-free, so the oracle unrolls the same
+  // recurrence as chained CTEs and the result matches bit-for-bit.
+  private val PrIterations = 10
+
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = minhashPairs(s, dir)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    graft.operators.PageRank.pagerank(edges, PrIterations)
+      .select(col("id").cast("long").as("doc_id"), col("deg"),
+        (col("r").cast("double") / lit(1000000.0)).as("rank"))
+      .orderBy("doc_id")
+  }
+
+  val graphPagerankSql: String = {
+    val rounds = (1 to PrIterations).map { k =>
+      s"""pr$k AS (
+         |  SELECT d.id, d.deg,
+         |    CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.b AS id, sum(p.r // p.deg) AS c
+         |    FROM sym e JOIN pr${k - 1} p ON e.a = p.id
+         |    GROUP BY e.b) s ON d.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT doc_id_a AS a, doc_id_b AS b FROM (
+       |$dedupMinhashLshSql
+       |  ) mh),
+       |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY a),
+       |pr0 AS (SELECT id, deg, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |$rounds
+       |SELECT id AS doc_id, deg, CAST(r AS DOUBLE) / 1000000.0 AS rank
+       |FROM pr$PrIterations ORDER BY doc_id""".stripMargin
+  }
+
   // ---- Embedding-cosine near-dup ----------------------------------------------
   // Candidate-gen + verify, never all-pairs: every vector gets an 8-bit
   // random-hyperplane signature (one narrow pass, Similarity.lshBuckets),
@@ -545,7 +585,8 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_clusters" -> (dedupClusters _),
-    "dedup_splits" -> (dedupSplits _))
+    "dedup_splits" -> (dedupSplits _),
+    "graph_pagerank" -> (graphPagerank _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -556,5 +597,6 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_clusters" -> dedupClustersSql,
-    "dedup_splits" -> dedupSplitsSql)
+    "dedup_splits" -> dedupSplitsSql,
+    "graph_pagerank" -> graphPagerankSql)
 }

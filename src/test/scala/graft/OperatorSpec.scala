@@ -199,6 +199,28 @@ class OperatorSpec extends SparkSpec {
     assert(nll("common") < nll("mixed") && nll("mixed") < nll("rare"))
   }
 
+  test("PageRank: hand-computed path graph; hub ranks highest; repartition-invariant") {
+    // path a-b-c (ids 1-2-3), deg 1/2/1, micro-units:
+    //   iter1: shares 1000000/500000/1000000 -> r = (575000, 1850000, 575000)
+    //   iter2: shares 575000/925000/575000  -> r = (936250, 1127500, 936250)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = graft.operators.PageRank.pagerank(path, iterations = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (1L, 936250L), 2L -> (2L, 1127500L),
+      3L -> (1L, 936250L)))
+    // star: the hub out-ranks every leaf; leaves all tie exactly
+    val star = (2L to 9L).map(i => (1L, i)).toDF("a", "b")
+    val ranks = graft.operators.PageRank.pagerank(star, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((2L to 9L).forall(i => ranks(1L) > ranks(i)))
+    assert((2L to 9L).map(ranks).toSet.size == 1)
+    // integer arithmetic: bit-identical under a different input layout
+    val again = graft.operators.PageRank
+      .pagerank(path.repartition(7), iterations = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == got)
+  }
+
   test("packShuffle: a deterministic permutation of the packed windows") {
     val dir = "/root/testdata/sf0.001"
     val wins = graft.queries.TextAnalysisQueries.packWindows(spark, dir)
