@@ -294,7 +294,90 @@ object EventQueries {
       |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  // ---- Funnel analysis: view → click → purchase, strictly ordered ------------
+  // The product-analytics staple: how many users progress through the
+  // ordered stages, where each stage must happen strictly AFTER the user's
+  // entry into the previous one (first view, first click after that view,
+  // first purchase after that click — not mere co-occurrence).
+  // Each stage is one filtered aggregation joined on user_id; every
+  // groupBy/join in the chain shuffles on the same key, so the exchanges
+  // line up. Counts are integers and the conversion ratio is one division
+  // at the end — nothing order-sensitive.
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel
+      .funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
+      .orderBy("stage_idx")
+
+  val eventsFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id),
+      |counts AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM c
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM p)
+      |SELECT stage_idx, stage, n_users,
+      |  CAST(n_users AS DOUBLE) /
+      |    CAST((SELECT n_users FROM counts WHERE stage_idx = 1) AS DOUBLE)
+      |    AS conversion
+      |FROM counts ORDER BY stage_idx""".stripMargin
+
+  // ---- Cohort retention -------------------------------------------------------
+  // Users grouped by first-activity day; for each (cohort, day offset),
+  // how many were active again. distinct (user, day) first, so a heavy
+  // day of one user counts once; cohort sizes join back broadcast (the
+  // cohort table is |days| rows). Counts integer, ratio one division.
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val activeDays = ev
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val cohorts = activeDays.groupBy("user_id")
+      .agg(min(col("day")).as("cohort"))
+    val sizes = cohorts.groupBy("cohort")
+      .agg(count(lit(1)).cast("long").as("cohort_size"))
+    activeDays.join(cohorts, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+      .join(broadcast(sizes), "cohort")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"),
+        col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(day) AS cohort FROM active GROUP BY user_id),
+      |sizes AS (
+      |  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+      |  FROM cohorts GROUP BY cohort),
+      |r AS (
+      |  SELECT c.cohort, date_diff('day', c.cohort, a.day) AS day_offset,
+      |    CAST(count(*) AS BIGINT) AS n_active
+      |  FROM active a JOIN cohorts c ON a.user_id = c.user_id
+      |  GROUP BY c.cohort, date_diff('day', c.cohort, a.day))
+      |SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort_day,
+      |  CAST(r.day_offset AS BIGINT) AS day_offset, r.n_active, s.cohort_size,
+      |  CAST(r.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+      |FROM r JOIN sizes s ON r.cohort = s.cohort
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> (eventsFunnel _),
+    "events_retention" -> (eventsRetention _),
     "events_click_to_purchase" -> (eventsClickToPurchase _),
     "events_session_window" -> (eventsSessionWindow _),
     "events_asof_signup" -> (eventsAsofSignup _),
@@ -318,6 +401,8 @@ object EventQueries {
     "events_latest_per_user" -> (eventsLatestPerUser _))
 
   val oracles: Map[String, String] = Map(
+    "events_funnel" -> eventsFunnelSql,
+    "events_retention" -> eventsRetentionSql,
     "events_click_to_purchase" -> eventsClickToPurchaseSql,
     "events_session_window" -> eventsSessionWindowSql,
     "events_asof_signup" -> eventsAsofSignupSql,

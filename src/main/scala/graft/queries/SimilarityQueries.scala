@@ -430,7 +430,65 @@ object SimilarityQueries {
        |  CAST(max(norm) AS DOUBLE) AS max_norm
        |FROM norms GROUP BY label ORDER BY label""".stripMargin
 
+  // ---- K-means cluster profiles ----------------------------------------------
+  // The IVF centroid training exposed as a first-class clustering result:
+  // every vector assigned to its Lloyd-refined centroid (ivfAssign — ONE
+  // source of truth for argmax tie-breaks), profiled per cluster. The
+  // member→centroid cosine is re-computed via one broadcast join against
+  // the NList-row centroid table and quantized to integer micro-units
+  // before aggregation, so count/avg/min/max are all reduction-order-free
+  // (the avg is an exact integer sum divided once at the end).
+  def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentroids(s, dir)
+    val assigned = Similarity.ivfAssign(emb(s, dir), cents)
+    assigned
+      .join(broadcast(cents.select(col("id").as("cent_id"), col("v").as("cv"))),
+        "cent_id")
+      .withColumn("cm",
+        round(Similarity.cosine(col("v"), col("cv")) * lit(1000000.0))
+          .cast("long"))
+      .groupBy("cent_id")
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        sum(col("cm")).as("sum_micro"),
+        min(col("cm")).as("min_micro"), max(col("cm")).as("max_micro"))
+      .select(col("cent_id"), col("n_members"),
+        (col("sum_micro").cast("double") / lit(1000000.0) /
+          col("n_members").cast("double")).as("avg_cos"),
+        (col("min_micro").cast("double") / lit(1000000.0)).as("min_cos"),
+        (col("max_micro").cast("double") / lit(1000000.0)).as("max_cos"))
+      .orderBy("cent_id")
+  }
+
+  val embeddingClustersSql: String =
+    s"""WITH $EmbCte,
+       |cents0 AS (SELECT id AS cent_id, v AS cv0 FROM emb
+       |  ORDER BY ${OracleSql.hash64("CAST(id AS VARCHAR)")}, id LIMIT $NList),
+       |${ivfIterCtes(IvfIters)},
+       |cents AS (SELECT cent_id, cv0 FROM cents$IvfIters),
+       |assigned AS (
+       |  SELECT id, v, cent_id FROM (
+       |    SELECT e.id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.id ORDER BY
+       |        list_dot_product(e.v, c.cv0) /
+       |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv0, c.cv0)))
+       |        DESC, c.cent_id ASC) AS cr
+       |    FROM emb e, cents c) t
+       |  WHERE cr = 1),
+       |m AS (
+       |  SELECT a.cent_id,
+       |    CAST(round(list_dot_product(a.v, c.cv0) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv0, c.cv0)))
+       |      * 1000000.0) AS BIGINT) AS cm
+       |  FROM assigned a JOIN cents c USING (cent_id))
+       |SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(CAST(sum(cm) AS BIGINT) AS DOUBLE) / 1000000.0
+       |    / CAST(count(*) AS DOUBLE) AS avg_cos,
+       |  CAST(min(cm) AS DOUBLE) / 1000000.0 AS min_cos,
+       |  CAST(max(cm) AS DOUBLE) / 1000000.0 AS max_cos
+       |FROM m GROUP BY cent_id ORDER BY cent_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_clusters" -> (embeddingClusters _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -439,6 +497,7 @@ object SimilarityQueries {
     "embedding_norms" -> (embeddingNorms _))
 
   val oracles: Map[String, String] = Map(
+    "embedding_clusters" -> embeddingClustersSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

@@ -221,6 +221,23 @@ class OperatorSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("Funnel: strictly-ordered stages, not co-occurrence") {
+    def t(sec: Int) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      ("u1", "view", t(1)), ("u1", "click", t(2)), ("u1", "purchase", t(3)),
+      ("u2", "click", t(1)), ("u2", "view", t(2)), // click BEFORE view: no stage 2
+      ("u3", "view", t(1)), ("u3", "purchase", t(2)), // skips click: no stage 3
+      ("u4", "view", t(1)), ("u4", "click", t(1)) // same ts: strict > rejects
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.operators.Funnel
+      .funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("stage_idx")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((1L, "view", 4L, 1.0), (2L, "click", 1L, 0.25),
+      (3L, "purchase", 1L, 0.25)))
+  }
+
   test("packShuffle: a deterministic permutation of the packed windows") {
     val dir = "/root/testdata/sf0.001"
     val wins = graft.queries.TextAnalysisQueries.packWindows(spark, dir)
