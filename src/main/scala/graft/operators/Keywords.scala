@@ -20,21 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object Keywords {
 
-  /** Per-(term, doc) TF-IDF over pre-built index DataFrames.
+  /** Per-(term, doc) raw TF-IDF (unrounded `tfidf_raw`) over pre-built
+    * index DataFrames — consumers pick their own quantization (topKeywords
+    * rounds to the 1e-6 grid; MoreLikeThis quantizes to integer micro
+    * weights).
     * @param postings (term, doc_id, tf, ...)
     * @param termDf   (term, df)
     * @param docInfo  (doc_id, ..., length)
     */
-  def tfidf(postings: DataFrame, termDf: DataFrame, docInfo: DataFrame): DataFrame = {
+  def tfidfRaw(postings: DataFrame, termDf: DataFrame, docInfo: DataFrame): DataFrame = {
     val stats = docInfo.agg(count(lit(1)).cast("double").as("n_docs"))
     postings.select("term", "doc_id", "tf")
       .join(termDf, "term")
       .join(docInfo.select("doc_id", "length"), "doc_id")
       .crossJoin(broadcast(stats))
-      .withColumn("tfidf", round(
-        col("tf").cast("double") / col("length") * log(col("n_docs") / col("df")),
-        6))
+      .withColumn("tfidf_raw",
+        col("tf").cast("double") / col("length") * log(col("n_docs") / col("df")))
   }
+
+  /** tfidfRaw pinned to the 1e-6 grid as `tfidf`. */
+  def tfidf(postings: DataFrame, termDf: DataFrame, docInfo: DataFrame): DataFrame =
+    tfidfRaw(postings, termDf, docInfo)
+      .withColumn("tfidf", round(col("tfidf_raw"), 6))
+      .drop("tfidf_raw")
 
   /** Top-k keywords per document: (doc_id, rank, term, tfidf). A term
     * appearing in every document gets ln(1) = 0 — corpus-wide stopwords

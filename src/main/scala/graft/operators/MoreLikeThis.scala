@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query-by-document ("more like this") over the inverted index: sparse
+  * TF-IDF cosine similarity, Lucene-MLT style. For each probe document,
+  * its top `mTerms` most characteristic terms (highest TF-IDF — the
+  * selection biases toward RARE terms, so the posting lists walked for
+  * candidates are short by construction) generate the candidate set via
+  * the inverted index; candidates are then scored with the full sparse
+  * cosine and the top k returned.
+  *
+  * Weights are integer micro-units (round(tfidf·1e6)), so dots and norm
+  * squares are integer sums — exact and reduction-order-free — and the
+  * final cosine (integer dot over IEEE-correctly-rounded sqrt product) is
+  * bit-identical across engines and partitionings. No overflow: per-doc
+  * Σ(tf/len) = 1 bounds Σw and Σw² by (1e6·ln N)² ≈ 2.5e15 ≪ 2⁶³.
+  *
+  * Scale shape: probe vectors are |probes|·|doc terms| rows (broadcastable
+  * for online "related documents" serving); the dot join streams the
+  * corpus weight table term-by-term against them with partial aggregation,
+  * and the candidate gate (semi join) bounds what reaches ranking. On a
+  * term-bucketed persisted index the weight derivation inherits the
+  * bucket pruning of the probes' term IN-list.
+  */
+object MoreLikeThis {
+
+  /** Integer micro TF-IDF weights (term, doc_id, w), zero weights dropped
+    * (a term in every document carries no signal and would only widen
+    * candidate generation).
+    */
+  def weights(postings: DataFrame, termDf: DataFrame, docInfo: DataFrame): DataFrame =
+    Keywords.tfidfRaw(postings, termDf, docInfo)
+      .select(col("term"), col("doc_id"),
+        round(col("tfidf_raw") * lit(1000000.0)).cast("long").as("w"))
+      .filter(col("w") > 0)
+
+  /** @param probes single-column (doc_id) relation of probe documents
+    * @return (probe_id, rank, cand_id, cosine), top-k per probe,
+    *         deterministic (cosine DESC, cand_id ASC) tiebreak
+    */
+  def moreLikeThis(weights: DataFrame, probes: DataFrame,
+                   mTerms: Int = 8, k: Int = 5): DataFrame = {
+    val w = weights
+    val pw = w.join(broadcast(probes.select(col("doc_id"))), "doc_id")
+      .select(col("doc_id").as("probe_id"), col("term"), col("w").as("wp"))
+    val byProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("wp").desc, col("term").asc)
+    val ptop = pw.withColumn("rn", row_number().over(byProbe))
+      .filter(col("rn") <= mTerms)
+      .select(col("probe_id"), col("term"))
+    val cands = ptop
+      .join(w.select(col("term"), col("doc_id").as("cand_id")), "term")
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id")).distinct()
+    val dots = pw
+      .join(w.select(col("doc_id").as("cand_id"), col("term"), col("w").as("wc")),
+        "term")
+      .filter(col("cand_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(sum(col("wp") * col("wc")).as("dot"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("sq"))
+    val byRank = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    dots
+      .join(cands, Seq("probe_id", "cand_id"), "left_semi")
+      .join(norms.select(col("doc_id").as("probe_id"), col("sq").as("psq")),
+        "probe_id")
+      .join(norms.select(col("doc_id").as("cand_id"), col("sq").as("csq")),
+        "cand_id")
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("psq").cast("double")) * sqrt(col("csq").cast("double"))))
+      .withColumn("rank", row_number().over(byRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("cosine"))
+  }
+}

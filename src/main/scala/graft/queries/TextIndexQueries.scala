@@ -592,9 +592,77 @@ object TextIndexQueries {
        |SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= $KeywordK
        |ORDER BY doc_id, rank""".stripMargin
 
+  // ---- Query-by-document: sparse TF-IDF cosine over the inverted index -------
+  // "More like this": probe docs (doc_id % 101 == 0) pull their top-8
+  // characteristic terms, the inverted index turns those into candidates,
+  // candidates get the exact sparse cosine. Integer micro-weights make
+  // every aggregate order-free (MoreLikeThis scaladoc).
+  private val MltTerms = 8
+  private val MltK = 5
+
+  def moreLikeThis(s: SparkSession, dir: String): DataFrame = {
+    val (p, tdf, di) = indexTriple(s, dir)
+    val w = graft.operators.MoreLikeThis.weights(p, tdf, di)
+    val probes = docs(s, dir).filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id"))
+    graft.operators.MoreLikeThis.moreLikeThis(w, probes, MltTerms, MltK)
+      .select(col("probe_id").cast("long").as("probe_id"), col("rank"),
+        col("cand_id").cast("long").as("cand_id"), col("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val moreLikeThisSql: String =
+    s"""WITH $TokCte,
+       |postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+       |term_df AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+       |doc_info AS (SELECT doc_id, len(l) AS length FROM docs_l),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM docs_l),
+       |w0 AS (
+       |  SELECT p.term, p.doc_id,
+       |    CAST(round(CAST(p.tf AS DOUBLE) / i.length * ln(n.n_docs / t.df)
+       |      * 1000000.0) AS BIGINT) AS w
+       |  FROM postings p
+       |  JOIN term_df t ON p.term = t.term
+       |  JOIN doc_info i ON p.doc_id = i.doc_id
+       |  CROSS JOIN n),
+       |w AS (SELECT * FROM w0 WHERE w > 0),
+       |pw AS (
+       |  SELECT doc_id AS probe_id, term, w AS wp FROM w WHERE doc_id % 101 = 0),
+       |ptop AS (
+       |  SELECT probe_id, term FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY probe_id ORDER BY wp DESC, term) AS rn FROM pw) t
+       |  WHERE rn <= $MltTerms),
+       |cands AS (
+       |  SELECT DISTINCT pt.probe_id, wc.doc_id AS cand_id
+       |  FROM ptop pt JOIN w wc ON pt.term = wc.term
+       |  WHERE wc.doc_id <> pt.probe_id),
+       |dots AS (
+       |  SELECT p.probe_id, c.doc_id AS cand_id,
+       |    CAST(sum(p.wp * c.w) AS BIGINT) AS dot
+       |  FROM pw p JOIN w c ON p.term = c.term
+       |  WHERE c.doc_id <> p.probe_id
+       |  GROUP BY p.probe_id, c.doc_id),
+       |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS sq FROM w GROUP BY doc_id),
+       |scored AS (
+       |  SELECT d.probe_id, d.cand_id,
+       |    CAST(d.dot AS DOUBLE) /
+       |      (sqrt(CAST(np.sq AS DOUBLE)) * sqrt(CAST(nc.sq AS DOUBLE))) AS cosine
+       |  FROM dots d
+       |  JOIN cands x ON d.probe_id = x.probe_id AND d.cand_id = x.cand_id
+       |  JOIN norms np ON np.doc_id = d.probe_id
+       |  JOIN norms nc ON nc.doc_id = d.cand_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, cand_id, cosine FROM ranked WHERE rank <= $MltK
+       |ORDER BY probe_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "phrase_search3" -> (phraseSearch3 _),
     "tfidf_keywords" -> (tfidfKeywords _),
+    "more_like_this" -> (moreLikeThis _),
     "index_postings" -> (indexPostings _),
     "index_term_df" -> (indexTermDf _),
     "index_append" -> (indexAppend _),
@@ -620,6 +688,7 @@ object TextIndexQueries {
   val oracles: Map[String, String] = Map(
     "phrase_search3" -> phraseSearch3Sql,
     "tfidf_keywords" -> tfidfKeywordsSql,
+    "more_like_this" -> moreLikeThisSql,
     "index_postings" -> indexPostingsSql,
     "index_term_df" -> indexTermDfSql,
     "index_append" -> indexTermDfSql,

@@ -35,6 +35,19 @@ class CliSpec extends SparkSpec {
       .searchPrebuilt(spark, "spark filter join stream data", prefix, 10)
       .collect()
     assert(after.toSeq == direct.toSeq)
+
+    // deletion through the same surface: forgotten docs leave the results
+    val idsPath = ScratchDirs.fresh("graft_cli", "delete_ids").toString
+    val toForget = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 7 === 0)
+    toForget.write.mode("overwrite").parquet(idsPath)
+    val forgotten = toForget.collect().map(_.getLong(0)).toSet
+    assert(cli.Main.run(spark, Seq("delete", idsPath, prefix)).isRight)
+    val postDelete = Search
+      .searchPrebuilt(spark, "spark filter join stream data", prefix, 10)
+      .collect()
+    assert(postDelete.nonEmpty &&
+      postDelete.forall(r => !forgotten.contains(r.getAs[Long]("doc_id"))))
   }
 
   test("prepare writes per-doc files and a TSV; unknown command yields usage") {

@@ -221,6 +221,25 @@ class OperatorSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("MoreLikeThis: identical doc ranks first; disjoint doc is no candidate") {
+    val docs = Seq(
+      (1L, "apple banana cherry"), (2L, "apple banana grape"),
+      (3L, "kiwi mango peach"), (4L, "apple banana cherry")
+    ).toDF("doc_id", "text")
+    val p = graft.operators.Indexer.postings(docs)
+    val w = graft.operators.MoreLikeThis.weights(
+      p, graft.operators.Indexer.termDf(p), graft.operators.Indexer.docInfo(docs))
+    val got = graft.operators.MoreLikeThis
+      .moreLikeThis(w, Seq(1L).toDF("doc_id"), mTerms = 8, k = 5)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // d4 is d1 verbatim -> cosine 1 (up to sqrt rounding), d2 shares 2 of 3
+    // terms, d3 shares none and must not appear at all
+    assert(got.map(_._2) == Seq(4L, 2L))
+    assert(math.abs(got(0)._3 - 1.0) < 1e-12)
+    assert(got(1)._3 < got(0)._3 && got(1)._3 > 0)
+  }
+
   test("Funnel: strictly-ordered stages, not co-occurrence") {
     def t(sec: Int) = new Timestamp(sec * 1000L)
     val ev = Seq(
