@@ -42,7 +42,9 @@ object Funnel {
       .select(col("n_users").as("n_first"))
     counts.crossJoin(broadcast(first))
       .select(col("stage_idx"), col("stage"), col("n_users"),
-        (col("n_users").cast("double") / col("n_first").cast("double"))
+        // empty funnel: 0/0 is defined as 0.0, not a silent null
+        when(col("n_first") === 0, lit(0.0))
+          .otherwise(col("n_users").cast("double") / col("n_first").cast("double"))
           .as("conversion"))
   }
 }

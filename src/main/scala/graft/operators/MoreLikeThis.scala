@@ -55,10 +55,16 @@ object MoreLikeThis {
       .join(w.select(col("term"), col("doc_id").as("cand_id")), "term")
       .filter(col("cand_id") =!= col("probe_id"))
       .select(col("probe_id"), col("cand_id")).distinct()
+    // The candidate gate applies BEFORE the dot aggregation: only pairs a
+    // top-mTerms rare term admitted reach the (probe, cand) groupBy, so
+    // the expensive shuffle is candidate-bounded — a probe that also
+    // carries a merely-common positive-weight term doesn't drag that
+    // term's whole posting list through the aggregation just to be
+    // discarded afterwards.
     val dots = pw
       .join(w.select(col("doc_id").as("cand_id"), col("term"), col("w").as("wc")),
         "term")
-      .filter(col("cand_id") =!= col("probe_id"))
+      .join(cands, Seq("probe_id", "cand_id"), "left_semi")
       .groupBy(col("probe_id"), col("cand_id"))
       .agg(sum(col("wp") * col("wc")).as("dot"))
     val norms = w.groupBy(col("doc_id"))
@@ -66,7 +72,6 @@ object MoreLikeThis {
     val byRank = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     dots
-      .join(cands, Seq("probe_id", "cand_id"), "left_semi")
       .join(norms.select(col("doc_id").as("probe_id"), col("sq").as("psq")),
         "probe_id")
       .join(norms.select(col("doc_id").as("cand_id"), col("sq").as("csq")),

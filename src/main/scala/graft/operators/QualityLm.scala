@@ -42,8 +42,15 @@ object QualityLm {
           col("n_tokens").cast("double")).as("nll"))
   }
 
-  /** Convenience over raw (doc_id, text). */
-  def unigramNllOfDocs(docs: DataFrame): DataFrame =
+  /** Convenience over raw (doc_id, text). The (doc_id, term, tf) aggregate
+    * is registered-cached here because the nll plan references it three
+    * times (term counts, corpus total, scoring join) — uncached, the
+    * tokenize+explode+aggregate pipeline would run three times per action.
+    */
+  def unigramNllOfDocs(docs: DataFrame): DataFrame = {
+    import graft.CacheRegistry.RegisteredCache
     unigramNll(Indexer.tokenPositions(docs)
-      .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf")))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+      .registeredCache())
+  }
 }

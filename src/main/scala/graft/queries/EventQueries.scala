@@ -325,9 +325,10 @@ object EventQueries {
       |  UNION ALL
       |  SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM p)
       |SELECT stage_idx, stage, n_users,
-      |  CAST(n_users AS DOUBLE) /
-      |    CAST((SELECT n_users FROM counts WHERE stage_idx = 1) AS DOUBLE)
-      |    AS conversion
+      |  CASE WHEN (SELECT n_users FROM counts WHERE stage_idx = 1) = 0 THEN 0.0
+      |    ELSE CAST(n_users AS DOUBLE) /
+      |      CAST((SELECT n_users FROM counts WHERE stage_idx = 1) AS DOUBLE)
+      |    END AS conversion
       |FROM counts ORDER BY stage_idx""".stripMargin
 
   // ---- Cohort retention -------------------------------------------------------

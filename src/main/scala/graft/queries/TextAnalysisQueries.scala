@@ -561,14 +561,11 @@ object TextAnalysisQueries {
   // the n-gram order cut to 1 so both engines can mirror it exactly.
   //
   // Determinism and scale notes: QualityLm scaladoc. Tokenize lands once
-  // in the cached (doc,term,tf) aggregate; everything else derives from it.
-  def unigramNll(s: SparkSession, dir: String): DataFrame = {
-    val tfs = graft.operators.Indexer
-      .tokenPositions(Tables.documents(s, dir).select(col("doc_id"), col("text")))
-      .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
-      .registeredCache()
-    graft.operators.QualityLm.unigramNll(tfs).orderBy("doc_id")
-  }
+  // in the registered-cached (doc,term,tf) aggregate inside the operator.
+  def unigramNll(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityLm
+      .unigramNllOfDocs(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .orderBy("doc_id")
 
   val unigramNllSql: String =
     s"""WITH ${OracleSql.TokCte},

@@ -156,53 +156,52 @@ object TextIndexQueries {
 
   // ---- Flagship over the PERSISTED term-bucketed index -----------------------
   // The reference's true architecture: index.sh builds + persists ONCE;
-  // query.py reads the stored tables per query. Built per (JVM, sfDir) and
-  // memoized — bench's repeat runs measure the query-over-stored-index cost,
-  // with the build amortized exactly like the reference's one-time index job.
-  private val builtIndexes = scala.collection.mutable.Set[String]()
+  // query.py reads the stored tables per query. Each lifecycle variant
+  // (plain / appended / deleted / compacted) is built per (JVM, sfDir) and
+  // memoized — bench's repeat runs measure the query-over-stored-index
+  // cost, with the build amortized exactly like the reference's one-time
+  // index job.
+  private val builtVariants = scala.collection.mutable.Set[String]()
 
-  private def ensurePrebuilt(s: SparkSession, dir: String): String =
+  /** Build-once memo for the persisted index variants: prefix = tag +
+    * mangled dir; the build body runs on the first call per (JVM, dir).
+    */
+  private def memoizedIndex(tag: String, dir: String)(build: String => Unit): String =
     synchronized {
-      val prefix = "graft_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      if (!builtIndexes.contains(prefix)) {
-        Indexer.buildBucketedIndex(s, docs(s, dir), prefix)
-        builtIndexes += prefix
+      val prefix = tag + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!builtVariants.contains(prefix)) {
+        build(prefix)
+        builtVariants += prefix
       }
       prefix
     }
 
-  def bm25SearchPrebuilt(s: SparkSession, dir: String): DataFrame = {
-    val prefix = ensurePrebuilt(s, dir)
+  /** The flagship query over a persisted index, in the oracle's shape. */
+  private def prebuiltSearch(s: SparkSession, prefix: String): DataFrame =
     Search.searchPrebuilt(s, SearchQuery, prefix, k = 10)
       .select(col("doc_id").cast("long").as("doc_id"), col("title"),
         col("score").cast("double").as("score"))
-  }
+
+  /** The plain full-corpus persisted index (also probed by the batch path). */
+  private def ensurePrebuilt(s: SparkSession, dir: String): String =
+    memoizedIndex("graft_idx_", dir) { prefix =>
+      Indexer.buildBucketedIndex(s, docs(s, dir), prefix)
+    }
+
+  def bm25SearchPrebuilt(s: SparkSession, dir: String): DataFrame =
+    prebuiltSearch(s, ensurePrebuilt(s, dir))
 
   // ---- Persisted-index APPEND: grow the bucketed tables, then search ---------
   // Index half the corpus, appendBucketedIndex the other half into the
   // SAME persisted tables, search the result. The oracle is the full-corpus
   // bm25 SQL — the appended index must be indistinguishable from a
   // from-scratch build (same merged term_df, same co-located layout).
-  private val builtAppended = scala.collection.mutable.Set[String]()
-
-  private def ensureAppendedIndex(s: SparkSession, dir: String): String =
-    synchronized {
-      val prefix = "graft_idxa_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      if (!builtAppended.contains(prefix)) {
-        val d = docs(s, dir)
-        Indexer.buildBucketedIndex(s, d.filter(col("doc_id") % 2 === 0), prefix)
-        Indexer.appendBucketedIndex(s, d.filter(col("doc_id") % 2 === 1), prefix)
-        builtAppended += prefix
-      }
-      prefix
-    }
-
-  def indexAppendPersisted(s: SparkSession, dir: String): DataFrame = {
-    val prefix = ensureAppendedIndex(s, dir)
-    Search.searchPrebuilt(s, SearchQuery, prefix, k = 10)
-      .select(col("doc_id").cast("long").as("doc_id"), col("title"),
-        col("score").cast("double").as("score"))
-  }
+  def indexAppendPersisted(s: SparkSession, dir: String): DataFrame =
+    prebuiltSearch(s, memoizedIndex("graft_idxa_", dir) { prefix =>
+      val d = docs(s, dir)
+      Indexer.buildBucketedIndex(s, d.filter(col("doc_id") % 2 === 0), prefix)
+      Indexer.appendBucketedIndex(s, d.filter(col("doc_id") % 2 === 1), prefix)
+    })
 
   // ---- Persisted-index DELETE: build full, forget doc_id % 7 == 0, search ----
   // The lifecycle completion (create/append/compact/DELETE): after
@@ -210,27 +209,13 @@ object TextIndexQueries {
   // from an index built WITHOUT the deleted docs — the oracle is the same
   // bm25 SQL over the filtered corpus (term_df decremented with df==0
   // terms dropped, postings/doc_info purged, bucketing intact).
-  private val builtDeleted = scala.collection.mutable.Set[String]()
-
-  private def ensureDeletedIndex(s: SparkSession, dir: String): String =
-    synchronized {
-      val prefix = "graft_idxd_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      if (!builtDeleted.contains(prefix)) {
-        val d = docs(s, dir)
-        Indexer.buildBucketedIndex(s, d, prefix)
-        Indexer.deleteFromBucketedIndex(s, prefix,
-          d.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
-        builtDeleted += prefix
-      }
-      prefix
-    }
-
-  def indexDeletePersisted(s: SparkSession, dir: String): DataFrame = {
-    val prefix = ensureDeletedIndex(s, dir)
-    Search.searchPrebuilt(s, SearchQuery, prefix, k = 10)
-      .select(col("doc_id").cast("long").as("doc_id"), col("title"),
-        col("score").cast("double").as("score"))
-  }
+  def indexDeletePersisted(s: SparkSession, dir: String): DataFrame =
+    prebuiltSearch(s, memoizedIndex("graft_idxd_", dir) { prefix =>
+      val d = docs(s, dir)
+      Indexer.buildBucketedIndex(s, d, prefix)
+      Indexer.deleteFromBucketedIndex(s, prefix,
+        d.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+    })
 
   val indexDeleteSql: String = bm25SqlOver(OracleSql.tokCte("doc_id % 7 <> 0"))
 
@@ -240,29 +225,15 @@ object TextIndexQueries {
   // single file, search results must STILL equal the from-scratch build
   // (same bm25 SQL oracle) — compaction is invisible to queries except for
   // file counts (which IndexerSpec pins separately).
-  private val builtCompacted = scala.collection.mutable.Set[String]()
-
-  private def ensureCompactedIndex(s: SparkSession, dir: String): String =
-    synchronized {
-      val prefix = "graft_idxc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      if (!builtCompacted.contains(prefix)) {
-        val d = docs(s, dir)
-        Indexer.buildBucketedIndex(s, d.filter(col("doc_id") % 3 === 0), prefix)
-        Indexer.appendBucketedIndex(s, d.filter(col("doc_id") % 3 === 1), prefix)
-        Indexer.appendBucketedIndex(s, d.filter(col("doc_id") % 3 === 2), prefix)
-        if (!Indexer.compactBucketedIndex(s, prefix, maxFilesPerBucket = 1))
-          sys.error("compaction unexpectedly skipped (buckets under threshold)")
-        builtCompacted += prefix
-      }
-      prefix
-    }
-
-  def indexCompacted(s: SparkSession, dir: String): DataFrame = {
-    val prefix = ensureCompactedIndex(s, dir)
-    Search.searchPrebuilt(s, SearchQuery, prefix, k = 10)
-      .select(col("doc_id").cast("long").as("doc_id"), col("title"),
-        col("score").cast("double").as("score"))
-  }
+  def indexCompacted(s: SparkSession, dir: String): DataFrame =
+    prebuiltSearch(s, memoizedIndex("graft_idxc_", dir) { prefix =>
+      val d = docs(s, dir)
+      Indexer.buildBucketedIndex(s, d.filter(col("doc_id") % 3 === 0), prefix)
+      Indexer.appendBucketedIndex(s, d.filter(col("doc_id") % 3 === 1), prefix)
+      Indexer.appendBucketedIndex(s, d.filter(col("doc_id") % 3 === 2), prefix)
+      if (!Indexer.compactBucketedIndex(s, prefix, maxFilesPerBucket = 1))
+        sys.error("compaction unexpectedly skipped (buckets under threshold)")
+    })
 
   // ---- Batch multi-query search: one plan scores a query TABLE ---------------
   val BatchQueries: Seq[(String, String)] = Seq(

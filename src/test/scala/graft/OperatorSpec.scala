@@ -255,6 +255,11 @@ class OperatorSpec extends SparkSpec {
         r.getDouble(3))).toSeq
     assert(got == Seq((1L, "view", 4L, 1.0), (2L, "click", 1L, 0.25),
       (3L, "purchase", 1L, 0.25)))
+    // empty first stage: conversions are a defined 0.0, not null
+    val none = graft.operators.Funnel
+      .funnel(ev, Seq("signup", "purchase")).orderBy("stage_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(none == Seq((1L, 0L, 0.0), (2L, 0L, 0.0)))
   }
 
   test("packShuffle: a deterministic permutation of the packed windows") {
