@@ -564,7 +564,7 @@ object TextIndexQueries {
        |ORDER BY doc_id, rank""".stripMargin
 
   // ---- Query-by-document: sparse TF-IDF cosine over the inverted index -------
-  // "More like this": probe docs (doc_id % 101 == 0) pull their top-8
+  // "More like this": probe docs (doc_id % 251 == 0) pull their top-8
   // characteristic terms, the inverted index turns those into candidates,
   // candidates get the exact sparse cosine. Integer micro-weights make
   // every aggregate order-free (MoreLikeThis scaladoc).
@@ -573,8 +573,10 @@ object TextIndexQueries {
 
   def moreLikeThis(s: SparkSession, dir: String): DataFrame = {
     val (p, tdf, di) = indexTriple(s, dir)
-    val w = graft.operators.MoreLikeThis.weights(p, tdf, di)
-    val probes = docs(s, dir).filter(col("doc_id") % 101 === 0)
+    // the weight table feeds four consumers (probe vectors, candidate gen,
+    // dot join, norms) — cache it so the tfidf join chain runs once
+    val w = graft.operators.MoreLikeThis.weights(p, tdf, di).registeredCache()
+    val probes = docs(s, dir).filter(col("doc_id") % 251 === 0)
       .select(col("doc_id"))
     graft.operators.MoreLikeThis.moreLikeThis(w, probes, MltTerms, MltK)
       .select(col("probe_id").cast("long").as("probe_id"), col("rank"),
@@ -598,7 +600,7 @@ object TextIndexQueries {
        |  CROSS JOIN n),
        |w AS (SELECT * FROM w0 WHERE w > 0),
        |pw AS (
-       |  SELECT doc_id AS probe_id, term, w AS wp FROM w WHERE doc_id % 101 = 0),
+       |  SELECT doc_id AS probe_id, term, w AS wp FROM w WHERE doc_id % 251 = 0),
        |ptop AS (
        |  SELECT probe_id, term FROM (
        |    SELECT *, row_number() OVER (

@@ -91,6 +91,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"bigram counts not hash-aggregated:\n$p")
   }
 
+  test("tfidf_keywords gets the rank<=k WindowGroupLimit pushdown") {
+    // Spark inserts WindowGroupLimit (partial per-partition top-k pruning
+    // BEFORE the doc_id exchange) for row_number()<=k filters — the
+    // difference between sorting every (term, doc) score and sorting k+ε
+    // per doc. A regression here silently sorts the whole score table.
+    val p = plan("tfidf_keywords")
+    assert(p.contains("WindowGroupLimit"), s"top-k pushdown lost:\n$p")
+  }
+
+  test("pack_shuffle reuses the packing window's shard partitioning") {
+    // groupBy(shard, win) after a window partitioned by shard must NOT
+    // add an exchange (HashPartitioning(shard) satisfies the clustering);
+    // the only exchanges are: shard window, batch window, final sort.
+    val p = plan("pack_shuffle")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 3,
+      s"expected 3 exchanges (shard window, batch window, output sort), got $exchanges:\n$p")
+  }
+
+  test("more_like_this aggregates dots only for gated candidates") {
+    // the candidate semi-join must sit BELOW the (probe, cand) dot
+    // aggregation: a plan that aggregates first and gates after drags
+    // whole posting lists through the shuffle to discard them
+    val p = plan("more_like_this")
+    val aggIdx = p.indexOf("partial_sum((wp")
+    val semiIdx = p.indexOf("LeftSemi")
+    assert(aggIdx >= 0 && semiIdx >= 0, s"missing dot agg or semi gate:\n$p")
+    assert(semiIdx > aggIdx, // toString prints children below parents
+      s"candidate gate planned above the dot aggregation:\n$p")
+  }
+
+  test("funnel stage chain joins on the user key without nested loops") {
+    val p = plan("events_funnel")
+    assert(!p.contains("CartesianProduct"), s"funnel went cartesian:\n$p")
+    // the stage-1-count denominator is the only nested-loop (1-row) join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"funnel stages regressed to nested-loop joins:\n$p")
+  }
+
   test("simhash candidate join is hash-based, not a nested loop") {
     val p = plan("dedup_simhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
