@@ -38,6 +38,14 @@ object Funnel {
         .select(lit(i + 1).cast("long").as("stage_idx"),
           lit(name).as("stage"), col("n_users"))
     }.reduce(_.unionByName(_))
+    conversions(counts)
+  }
+
+  /** Attach the stage-1-relative conversion ratio to a (stage_idx, stage,
+    * n_users) stage-count table — shared by the batch funnel above and the
+    * streaming funnel's sink aggregation.
+    */
+  def conversions(counts: DataFrame): DataFrame = {
     val first = counts.filter(col("stage_idx") === 1)
       .select(col("n_users").as("n_first"))
     counts.crossJoin(broadcast(first))

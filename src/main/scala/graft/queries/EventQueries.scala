@@ -390,6 +390,8 @@ object EventQueries {
       (graft.streaming.EventStreams.clickToPurchaseAvailableNow _),
     "stream_sessionize" ->
       (graft.streaming.EventStreams.sessionizeAvailableNow _),
+    "stream_funnel" ->
+      (graft.streaming.EventStreams.funnelAvailableNow _),
     "stream_latest_per_user" ->
       (graft.streaming.EventStreams.latestPerUserAvailableNow _),
     "stream_dedup_exact" ->
@@ -411,6 +413,7 @@ object EventQueries {
     "stream_tumbling" -> eventsTumblingSql,
     "stream_click_to_purchase" -> eventsClickToPurchaseSql,
     "stream_sessionize" -> eventsSessionizeSql,
+    "stream_funnel" -> eventsFunnelSql,
     "stream_latest_per_user" -> eventsLatestPerUserSql,
     "stream_dedup_exact" -> eventsTumblingRoundedSql,
     "events_cube_daily" -> eventsCubeDailySql,

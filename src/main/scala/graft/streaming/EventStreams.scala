@@ -229,13 +229,18 @@ object EventStreams {
     * sentinel's own (still-open) session is never emitted. Emitted
     * sessions = exactly the batch query's sessions.
     */
-  def sessionizeAvailableNow(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Stage a copy of the events file plus one SENTINEL row per user
+    * (type "__sentinel", negative event_id, ts past every event + the
+    * session gap + 60 s) into a fresh stream-source dir — the bounded-run
+    * trick that lets stateful operators flush per-user state at end of
+    * input. Shared by the sessionize and funnel AvailableNow runs.
+    */
+  private def sentinelStagedDir(s: SparkSession, dir: String, tag: String): String = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet") // ts = raw nanos long
     val maxNanos = raw.agg(max(col("ts"))).head().getLong(0)
     val sentinelNanos = maxNanos + (SessionGapSeconds + 60) * 1000000000L
-    val srcDir = freshDir("sessionize_src")
+    val srcDir = freshDir(tag)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(dir, "events.parquet"),
       srcDir.resolve("events.parquet"))
@@ -256,14 +261,20 @@ object EventStreams {
       .getOrElse(sys.error("sentinel write produced no parquet part file"))
     // flat file matching eventsFileStream's `events.parquet*` glob; written
     // after the copy, so file-order processing sees real events first
-    // (order is immaterial anyway: the per-batch handler sorts by event
-    // time, and state carries across batches)
+    // (order is immaterial anyway: the per-batch handlers sort or
+    // accumulate by event time, and state carries across batches)
     java.nio.file.Files.move(part.toPath, srcDir.resolve("events.parquet2"))
     locally {
       import scala.reflect.io.Directory
       new Directory(tmpOut.toFile).deleteRecursively(): Unit
     }
-    val typed = eventsFileStream(s, srcDir.toString)
+    srcDir.toString
+  }
+
+  def sessionizeAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcDir = sentinelStagedDir(s, dir, "sessionize_src")
+    val typed = eventsFileStream(s, srcDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .as[EventRow]
@@ -274,6 +285,86 @@ object EventStreams {
         sum(col("n_events")).cast("long").as("n_events"),
         max(col("n_events")).cast("long").as("max_session_events"))
       .orderBy("user_id")
+  }
+
+  // ---- Streaming funnel ------------------------------------------------------
+
+  case class FunnelState(minView: Long, clicks: Seq[Long], purchases: Seq[Long])
+  case class FunnelReach(user_id: Long, furthest: Int)
+
+  /** Per-user furthest funnel stage, computed statefully: events
+    * ACCUMULATE in per-user state (min view time; click/purchase times)
+    * and the funnel is EVALUATED once the user's sentinel arrives — the
+    * only stateful formulation that matches batch semantics under
+    * out-of-order arrival, since a late-arriving earlier view can re-admit
+    * clicks that looked too early (a greedy per-event update would lock
+    * in the wrong stage entry). State is bounded by the user's funnel-type
+    * event count; a live deployment prunes below the watermark instead of
+    * waiting for a sentinel.
+    */
+  def funnelReach(spark: SparkSession,
+                  events: Dataset[EventRow]): Dataset[FunnelReach] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelReach](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(Long.MaxValue, Nil, Nil))
+          var flush = false
+          rows.foreach { r =>
+            val m = micros(r.ts)
+            r.event_type match {
+              case "view"       => st = st.copy(minView = math.min(st.minView, m))
+              case "click"      => st = st.copy(clicks = st.clicks :+ m)
+              case "purchase"   => st = st.copy(purchases = st.purchases :+ m)
+              case "__sentinel" => flush = true
+              case _            => ()
+            }
+          }
+          if (flush) {
+            // mirror of Funnel.funnel: first view, first click strictly
+            // after it, first purchase strictly after that
+            val t1 = if (st.minView == Long.MaxValue) None else Some(st.minView)
+            val t2 = t1.flatMap(t => st.clicks.filter(_ > t).minOption)
+            val t3 = t2.flatMap(t => st.purchases.filter(_ > t).minOption)
+            val furthest =
+              if (t3.isDefined) 3 else if (t2.isDefined) 2
+              else if (t1.isDefined) 1 else 0
+            state.remove()
+            Iterator.single(FunnelReach(userId, furthest))
+          } else {
+            state.update(st)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** The ordered-stage funnel computed BY THE STREAMING ENGINE: per-user
+    * stateful reach via funnelReach over the sentinel-staged source, then
+    * the sink aggregates stage counts into the batch query's exact output
+    * shape — hash-checked against the same DuckDB oracle as
+    * `events_funnel`.
+    */
+  def funnelAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcDir = sentinelStagedDir(s, dir, "funnel_src")
+    val typed = eventsFileStream(s, srcDir)
+      .filter(col("event_type")
+        .isin("view", "click", "purchase", "__sentinel"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventRow]
+    val sink = runToSink(funnelReach(s, typed).toDF(), OutputMode.Append,
+      "funnel")
+    val counts = Seq((1L, "view"), (2L, "click"), (3L, "purchase"))
+      .map { case (k, name) =>
+        sink.agg(sum(when(col("furthest") >= k, 1L).otherwise(0L))
+            .cast("long").as("n_users"))
+          .select(lit(k).cast("long").as("stage_idx"), lit(name).as("stage"),
+            col("n_users"))
+      }.reduce(_.unionByName(_))
+    graft.operators.Funnel.conversions(counts).orderBy("stage_idx")
   }
 
   /** Full-microsecond epoch of a Timestamp (getTime alone drops sub-ms). */
