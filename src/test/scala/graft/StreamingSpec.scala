@@ -70,6 +70,32 @@ class StreamingSpec extends SparkSpec {
     assert(s.end_micros - s.start_micros == 10L * 60 * 1000000)
   }
 
+  test("funnelReach: late-arriving earlier view re-admits a click; sentinel flushes") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.funnelReach(spark, stream.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1's click at minute 5 and view at minute 10 — at this
+      // point the click precedes every known view and would NOT convert
+      stream.addData(ev(1, 5, 1, "click"), ev(2, 10, 1, "view"))
+      q.processAllAvailable()
+      // batch 2: a LATE view at minute 2 arrives — now the click at 5 is
+      // strictly after a first view, so the user reaches stage 2. A greedy
+      // per-event update would have discarded the click forever.
+      // user 2: purchase only — stage 0 (never entered the funnel).
+      stream.addData(ev(3, 2, 1, "view"), ev(4, 3, 2, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").isEmpty) // nothing emits pre-sentinel
+      stream.addData(ev(-2, 999, 1, "__sentinel"), ev(-3, 999, 2, "__sentinel"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val reach = spark.table("funnel_out")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(reach == Map(1L -> 2, 2L -> 0))
+  }
+
   test("append-mode watermark drops events that arrive past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventRow]
