@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.CacheRegistry.RegisteredCache
 import graft.Tables
 import graft.functions.{TextAnalysis, TextHash, Tokenizer}
 

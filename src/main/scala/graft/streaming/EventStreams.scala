@@ -238,7 +238,9 @@ object EventStreams {
   private def sentinelStagedDir(s: SparkSession, dir: String, tag: String): String = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet") // ts = raw nanos long
-    val maxNanos = raw.agg(max(col("ts"))).head().getLong(0)
+    // empty source: max(ts) is null — any sentinel epoch works (there is
+    // no state to flush), so coalesce instead of NPE-ing on getLong
+    val maxNanos = raw.agg(coalesce(max(col("ts")), lit(0L))).head().getLong(0)
     val sentinelNanos = maxNanos + (SessionGapSeconds + 60) * 1000000000L
     val srcDir = freshDir(tag)
     java.nio.file.Files.copy(
@@ -316,8 +318,10 @@ object EventStreams {
             val m = micros(r.ts)
             r.event_type match {
               case "view"       => st = st.copy(minView = math.min(st.minView, m))
-              case "click"      => st = st.copy(clicks = st.clicks :+ m)
-              case "purchase"   => st = st.copy(purchases = st.purchases :+ m)
+              // prepend: O(1) where :+ on List is O(n) per element —
+              // order is irrelevant, only filter(..).minOption is taken
+              case "click"      => st = st.copy(clicks = m +: st.clicks)
+              case "purchase"   => st = st.copy(purchases = m +: st.purchases)
               case "__sentinel" => flush = true
               case _            => ()
             }
@@ -359,8 +363,10 @@ object EventStreams {
       "funnel")
     val counts = Seq((1L, "view"), (2L, "click"), (3L, "purchase"))
       .map { case (k, name) =>
-        sink.agg(sum(when(col("furthest") >= k, 1L).otherwise(0L))
-            .cast("long").as("n_users"))
+        // coalesce: sum over an empty sink is null, and the batch path's
+        // empty-funnel contract is 0 / conversion 0.0
+        sink.agg(coalesce(sum(when(col("furthest") >= k, 1L).otherwise(0L)),
+            lit(0L)).cast("long").as("n_users"))
           .select(lit(k).cast("long").as("stage_idx"), lit(name).as("stage"),
             col("n_users"))
       }.reduce(_.unionByName(_))
