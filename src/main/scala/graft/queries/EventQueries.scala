@@ -376,8 +376,37 @@ object EventQueries {
       |FROM r JOIN sizes s ON r.cohort = s.cohort
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ---- Clickstream transition matrix ------------------------------------------
+  // The Markov view of user behavior: per-user event sequences (ordered by
+  // (ts, event_id) — the deterministic tiebreak) yield consecutive
+  // (prev_type → event_type) pairs, counted corpus-wide. One lag window
+  // keyed by user, one count shuffle keyed by the pair; integers only.
+  def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val eventsTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+      |FROM seq WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, event_type
+      |ORDER BY prev_type, next_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel" -> (eventsFunnel _),
+    "events_transitions" -> (eventsTransitions _),
     "events_retention" -> (eventsRetention _),
     "events_click_to_purchase" -> (eventsClickToPurchase _),
     "events_session_window" -> (eventsSessionWindow _),
@@ -405,6 +434,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "events_funnel" -> eventsFunnelSql,
+    "events_transitions" -> eventsTransitionsSql,
     "events_retention" -> eventsRetentionSql,
     "events_click_to_purchase" -> eventsClickToPurchaseSql,
     "events_session_window" -> eventsSessionWindowSql,

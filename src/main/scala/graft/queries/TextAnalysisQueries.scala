@@ -633,6 +633,63 @@ object TextAnalysisQueries {
        |FROM keyed ORDER BY batch, pos""".stripMargin
   }
 
+  // ---- Deterministic uniform per-group sampling ------------------------------
+  // The hash-gate companion to source_quota: where the quota keeps the
+  // HIGHEST-QUALITY docs per source, this keeps a UNIFORM deterministic
+  // sample per language — rank by md5(doc_id) inside each group and keep
+  // the N smallest. No RNG, stable under reruns and corpus growth that
+  // doesn't touch a kept doc's hash rank, exactly reproducible in SQL.
+  private val PerGroupN = 20
+
+  def samplePerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(TextHash.hash64(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= PerGroupN)
+      .orderBy("lang", "rk")
+  }
+
+  val samplePerGroupSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${OracleSql.hash64("CAST(doc_id AS VARCHAR)")}, doc_id)
+       |      AS BIGINT) AS rk
+       |  FROM documents)
+       |SELECT doc_id, lang, rk FROM r WHERE rk <= $PerGroupN
+       |ORDER BY lang, rk""".stripMargin
+
+  // ---- Token-count histogram --------------------------------------------------
+  // The length-distribution profile every curation run starts from:
+  // fixed-width buckets over per-doc token counts. Pure integer
+  // aggregation — one narrow pass plus one bucket-keyed shuffle.
+  private val HistBucket = 25
+
+  def tokenHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(Tokenizer.tokenCount(col("text")).as("n"))
+      .groupBy(floor(col("n") / HistBucket).cast("long").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n")).cast("long").as("total_tokens"))
+      .select(col("bucket"), (col("bucket") * HistBucket).as("lo"),
+        ((col("bucket") + 1) * HistBucket - 1).as("hi"),
+        col("n_docs"), col("total_tokens"))
+      .orderBy("bucket")
+
+  val tokenHistogramSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |n AS (SELECT CAST(len(l) AS BIGINT) AS n FROM docs_l),
+       |b AS (
+       |  SELECT CAST(floor(n / $HistBucket) AS BIGINT) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n) AS BIGINT) AS total_tokens
+       |  FROM n GROUP BY 1)
+       |SELECT bucket, bucket * $HistBucket AS lo,
+       |  (bucket + 1) * $HistBucket - 1 AS hi, n_docs, total_tokens
+       |FROM b ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_pipeline" -> (curationPipeline _),
     "source_quota" -> (sourceQuota _),
@@ -649,7 +706,9 @@ object TextAnalysisQueries {
     "pii_scrub" -> (piiScrub _),
     "decontaminate" -> (decontaminate _),
     "unigram_nll" -> (unigramNll _),
-    "pack_shuffle" -> (packShuffle _))
+    "pack_shuffle" -> (packShuffle _),
+    "sample_per_group" -> (samplePerGroup _),
+    "token_histogram" -> (tokenHistogram _))
 
   val oracles: Map[String, String] = Map(
     "curation_pipeline" -> curationPipelineSql,
@@ -667,5 +726,7 @@ object TextAnalysisQueries {
     "pii_scrub" -> piiScrubSql,
     "decontaminate" -> decontaminateSql,
     "unigram_nll" -> unigramNllSql,
-    "pack_shuffle" -> packShuffleSql)
+    "pack_shuffle" -> packShuffleSql,
+    "sample_per_group" -> samplePerGroupSql,
+    "token_histogram" -> tokenHistogramSql)
 }
