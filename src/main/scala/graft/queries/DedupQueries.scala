@@ -465,6 +465,63 @@ object DedupQueries {
        |       WHEN bucket < 900 THEN 'validation' ELSE 'test' END AS split
        |FROM b ORDER BY doc_id""".stripMargin
 
+  // ---- Span-level cross-doc duplication ---------------------------------------
+  // The substring-granular duplication metric (the "dedup at the span
+  // level, not the document level" insight of training-data dedup): for
+  // every 10-token span (polynomial hash over md5 token hashes — no
+  // string re-concat), how much of each document consists of spans that
+  // also appear in ANOTHER document. Complements doc_repetition
+  // (within-doc) and decontaminate (vs a held-out set): this is the
+  // corpus-internal cross-doc boilerplate signal. Two shuffles: the span
+  // df count and the per-doc rollup — both partial-aggregated; the span
+  // table is linear in corpus tokens.
+  private val SpanN = 10
+
+  def dedupSpans(s: SparkSession, dir: String): DataFrame = {
+    // cache is the HOF materialization barrier (see dedupNgramJaccard)
+    val hashedToks = Tables.documents(s, dir).select(col("doc_id").as("id"),
+        transform(Tokenizer.tokenize(col("text")),
+          t => TextHash.hashMod(t)).as("th"))
+      .registeredCache()
+    val spans = hashedToks.select(col("id"),
+      explode(array_distinct(TextHash.hashedShingles(col("th"), SpanN)))
+        .as("span"))
+    val spanDf = spans.groupBy("span")
+      .agg(count(lit(1)).cast("long").as("docs"))
+    spans.join(spanDf, "span")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(when(col("docs") >= 2, 1L).otherwise(0L)).cast("long")
+          .as("shared_spans"))
+      .withColumn("dup_fraction",
+        col("shared_spans").cast("double") / col("n_spans").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSpansSql: String = {
+    val w = SpanN - 1
+    s"""WITH ${OracleSql.TokCte},
+       |th AS (
+       |  SELECT doc_id, list_transform(l, x -> ${OracleSql.hashMod("x")}) AS hs
+       |  FROM docs_l WHERE len(l) >= $SpanN),
+       |sp AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+$w]),
+       |      (a, b) -> (a * 1000003 + b) % $P) AS span
+       |  FROM (
+       |    SELECT doc_id, hs,
+       |      unnest(generate_series(1, len(hs) - $w)) AS i
+       |    FROM th) t),
+       |c AS (SELECT span, CAST(count(*) AS BIGINT) AS docs FROM sp GROUP BY span)
+       |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS shared_spans,
+       |  CAST(sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS dup_fraction
+       |FROM sp s JOIN c USING (span)
+       |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---- PageRank over the near-dup graph ---------------------------------------
   // Components answers "which docs are one duplicate group"; PageRank ranks
   // how CENTRAL each doc is in that graph — template/boilerplate hubs that
@@ -586,6 +643,7 @@ object DedupQueries {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_splits" -> (dedupSplits _),
+    "dedup_spans" -> (dedupSpans _),
     "graph_pagerank" -> (graphPagerank _))
 
   val oracles: Map[String, String] = Map(
@@ -598,5 +656,6 @@ object DedupQueries {
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_splits" -> dedupSplitsSql,
+    "dedup_spans" -> dedupSpansSql,
     "graph_pagerank" -> graphPagerankSql)
 }
