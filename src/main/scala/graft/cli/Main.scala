@@ -17,6 +17,7 @@ import graft.sources.Pipelines
   *   runMain graft.cli.Main compact <prefix> [maxFilesPerBucket]
   *   runMain graft.cli.Main delete  <ids.parquet> <prefix>
   *   runMain graft.cli.Main search  <prefix> "<query>" [k]
+  *   runMain graft.cli.Main similar <prefix> <doc_id> [k]
   *
   * Where the reference's index.sh runs three MapReduce jobs plus a
   * Cassandra loader, `index` is one Spark job writing the term-bucketed
@@ -33,6 +34,7 @@ object Main {
       |  compact <prefix> [maxFilesPerBucket=8]   rewrite over-threshold postings buckets
       |  delete  <ids.parquet> <prefix>           forget documents (doc_id column) from the index
       |  search  <prefix> "<query>" [k=10]        BM25 top-k over the persisted index
+      |  similar <prefix> <doc_id> [k=5]          related documents (sparse TF-IDF cosine)
       |""".stripMargin
 
   /** docs parquet in the testdata shape: (doc_id, text[, ...]). */
@@ -73,6 +75,10 @@ object Main {
       case Seq("search", prefix, query, rest @ _*) =>
         val k = rest.headOption.map(_.toInt).getOrElse(10)
         Right(Some(Search.searchPrebuilt(spark, query, prefix, k)))
+      case Seq("similar", prefix, docId, rest @ _*) =>
+        val k = rest.headOption.map(_.toInt).getOrElse(5)
+        Right(Some(graft.operators.MoreLikeThis
+          .similarPrebuilt(spark, prefix, docId.toLong, k)))
       case _ => Left(Usage)
     }
 

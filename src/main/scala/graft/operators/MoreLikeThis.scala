@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -81,5 +81,28 @@ object MoreLikeThis {
       .withColumn("rank", row_number().over(byRank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("cosine"))
+  }
+
+  /** "Related documents" served from the PERSISTED term-bucketed index
+    * (Indexer.buildBucketedIndex tables) for one probe document — the
+    * online serving shape behind the CLI's `similar` command. Returns
+    * (rank, doc_id, title, cosine); the title attaches to the k winners
+    * only, mirroring Search.search's display join. The weight derivation
+    * reads the stored postings/term_df/doc_info — no re-tokenization; at
+    * scale the probe-vector extraction is the one full-postings pass a
+    * doc-keyed projection of the index would also eliminate.
+    */
+  def similarPrebuilt(spark: SparkSession, prefix: String, docId: Long,
+                      k: Int = 5, mTerms: Int = 8): DataFrame = {
+    import spark.implicits._
+    val docInfo = spark.table(s"${prefix}_doc_info")
+    val w = weights(spark.table(s"${prefix}_postings"),
+      spark.table(s"${prefix}_term_df"), docInfo)
+    val top = moreLikeThis(w, Seq(docId).toDF("doc_id"), mTerms, k)
+      .select(col("rank"), col("cand_id").as("doc_id"), col("cosine"))
+    docInfo.select(col("doc_id"), col("title"))
+      .join(broadcast(top), "doc_id")
+      .select(col("rank"), col("doc_id"), col("title"), col("cosine"))
+      .orderBy("rank")
   }
 }

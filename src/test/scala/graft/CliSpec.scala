@@ -48,6 +48,19 @@ class CliSpec extends SparkSpec {
       .collect()
     assert(postDelete.nonEmpty &&
       postDelete.forall(r => !forgotten.contains(r.getAs[Long]("doc_id"))))
+
+    // related-documents serving over the same persisted tables: k ranked
+    // rows, never the probe itself, titles attached
+    val surviving = Search
+      .searchPrebuilt(spark, "spark filter join stream data", prefix, 1)
+      .collect().head.getAs[Long]("doc_id")
+    val similar = cli.Main.run(spark,
+        Seq("similar", prefix, surviving.toString, "3"))
+      .toOption.flatten.get.collect()
+    assert(similar.length == 3)
+    assert(similar.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    assert(similar.forall(_.getAs[Long]("doc_id") != surviving))
+    assert(similar.forall(r => r.getAs[String]("title") != null))
   }
 
   test("prepare writes per-doc files and a TSV; unknown command yields usage") {
