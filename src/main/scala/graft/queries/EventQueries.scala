@@ -421,6 +421,8 @@ object EventQueries {
       (graft.streaming.EventStreams.sessionizeAvailableNow _),
     "stream_funnel" ->
       (graft.streaming.EventStreams.funnelAvailableNow _),
+    "stream_transitions" ->
+      (graft.streaming.EventStreams.transitionsAvailableNow _),
     "stream_latest_per_user" ->
       (graft.streaming.EventStreams.latestPerUserAvailableNow _),
     "stream_dedup_exact" ->
@@ -444,6 +446,7 @@ object EventQueries {
     "stream_click_to_purchase" -> eventsClickToPurchaseSql,
     "stream_sessionize" -> eventsSessionizeSql,
     "stream_funnel" -> eventsFunnelSql,
+    "stream_transitions" -> eventsTransitionsSql,
     "stream_latest_per_user" -> eventsLatestPerUserSql,
     "stream_dedup_exact" -> eventsTumblingRoundedSql,
     "events_cube_daily" -> eventsCubeDailySql,

@@ -373,6 +373,64 @@ object EventStreams {
     graft.operators.Funnel.conversions(counts).orderBy("stage_idx")
   }
 
+  // ---- Streaming transition matrix -------------------------------------------
+
+  case class SeqState(events: Seq[(Long, Long, String)]) // (micros, event_id, type)
+  case class Transition(prev_type: String, next_type: String)
+
+  /** Per-user consecutive event-type pairs, computed statefully with the
+    * same accumulate-and-evaluate discipline as funnelReach: "consecutive"
+    * is an EVENT-TIME property, so under out-of-order arrival the pairs
+    * can only be formed once the user's sequence is complete — state
+    * accumulates (ts, event_id, type) and the sentinel triggers one sort +
+    * sliding-pair emission. A live deployment evaluates per watermark
+    * advance instead of a sentinel, emitting pairs whose both ends are
+    * final.
+    */
+  def transitionPairs(spark: SparkSession,
+                      events: Dataset[EventRow]): Dataset[Transition] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqState, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[EventRow], state: GroupState[SeqState]) =>
+          var st = state.getOption.getOrElse(SeqState(Nil))
+          var flush = false
+          rows.foreach { r =>
+            if (r.event_type == "__sentinel") flush = true
+            else st = SeqState((micros(r.ts), r.event_id, r.event_type) +: st.events)
+          }
+          if (flush) {
+            state.remove()
+            st.events.sortBy(e => (e._1, e._2)).iterator
+              .sliding(2).withPartial(false)
+              .map(pair => Transition(pair(0)._3, pair(1)._3))
+          } else {
+            state.update(st)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** The clickstream transition matrix computed BY THE STREAMING ENGINE,
+    * aggregated to the batch query's shape — hash-checked against the
+    * same DuckDB oracle as `events_transitions`.
+    */
+  def transitionsAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcDir = sentinelStagedDir(s, dir, "transitions_src")
+    val typed = eventsFileStream(s, srcDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventRow]
+    runToSink(transitionPairs(s, typed).toDF(), OutputMode.Append,
+        "transitions")
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Full-microsecond epoch of a Timestamp (getTime alone drops sub-ms). */
   def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
