@@ -95,9 +95,12 @@ object MoreLikeThis {
   def similarPrebuilt(spark: SparkSession, prefix: String, docId: Long,
                       k: Int = 5, mTerms: Int = 8): DataFrame = {
     import spark.implicits._
+    import graft.CacheRegistry.RegisteredCache
     val docInfo = spark.table(s"${prefix}_doc_info")
+    // four consumers (probe vectors, candidate gen, dot join, norms) —
+    // cache so the tfidf join chain over the stored tables runs once
     val w = weights(spark.table(s"${prefix}_postings"),
-      spark.table(s"${prefix}_term_df"), docInfo)
+      spark.table(s"${prefix}_term_df"), docInfo).registeredCache()
     val top = moreLikeThis(w, Seq(docId).toDF("doc_id"), mTerms, k)
       .select(col("rank"), col("cand_id").as("doc_id"), col("cosine"))
     docInfo.select(col("doc_id"), col("title"))

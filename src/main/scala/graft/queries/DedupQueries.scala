@@ -483,9 +483,12 @@ object DedupQueries {
         transform(Tokenizer.tokenize(col("text")),
           t => TextHash.hashMod(t)).as("th"))
       .registeredCache()
+    // two consumers (the df count and the join side) with different
+    // downstream exchanges — cache so the span build runs once
     val spans = hashedToks.select(col("id"),
       explode(array_distinct(TextHash.hashedShingles(col("th"), SpanN)))
         .as("span"))
+      .registeredCache()
     val spanDf = spans.groupBy("span")
       .agg(count(lit(1)).cast("long").as("docs"))
     spans.join(spanDf, "span")
