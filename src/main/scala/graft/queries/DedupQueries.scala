@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.CacheRegistry.RegisteredCache
 import graft.Tables
 import graft.functions.{TextHash, Tokenizer}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Passages}
 
 /** Deduplication query inventory over `documents` (and `embeddings` for the
   * cosine variant). Every oracle implements the identical algorithm in
@@ -525,6 +525,47 @@ object DedupQueries {
        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Passage-level dedup with text reconstruction ---------------------------
+  // dedup_spans MEASURES cross-doc duplication; this REMOVES it: fixed
+  // 16-token passages, global first-occurrence keeps, surviving passages
+  // re-joined into the cleaned document. The RefinedWeb/C4-style "excise
+  // the boilerplate, keep the novel remainder" step. The keep decision is
+  // a partial-aggregating groupBy(min) on the passage hash — skew-safe
+  // where a row_number window over the hash partition is not (a passage
+  // repeated 1M times would sort in one reducer). See operators/Passages.
+  private val PassageN = 16
+
+  def dedupPassages(s: SparkSession, dir: String): DataFrame =
+    Passages
+      .removeDuplicatePassages(Tables.documents(s, dir), "doc_id", "text", PassageN)
+      .select(col("id").as("doc_id"), col("n_chunks"), col("kept_chunks"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  val dedupPassagesSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |ch AS (
+       |  SELECT doc_id, CAST(ceil(len(l) / $PassageN.0) AS BIGINT) AS n_chunks,
+       |    i AS idx, l[i*$PassageN+1 : i*$PassageN+$PassageN] AS ptoks
+       |  FROM (
+       |    SELECT doc_id, l,
+       |      unnest(generate_series(0,
+       |        CAST(ceil(len(l) / $PassageN.0) AS BIGINT) - 1)) AS i
+       |    FROM docs_l WHERE len(l) > 0) t),
+       |h AS (
+       |  SELECT doc_id, n_chunks, idx, ptoks,
+       |    ${OracleSql.fingerprint("ptoks")} AS h
+       |  FROM ch),
+       |k AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number()
+       |      OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+       |    FROM h) t WHERE rn = 1)
+       |SELECT doc_id, n_chunks, CAST(count(*) AS BIGINT) AS kept_chunks,
+       |  md5(array_to_string(flatten(list(ptoks ORDER BY idx)), ' '))
+       |    AS clean_md5
+       |FROM k GROUP BY doc_id, n_chunks ORDER BY doc_id""".stripMargin
+
   // ---- PageRank over the near-dup graph ---------------------------------------
   // Components answers "which docs are one duplicate group"; PageRank ranks
   // how CENTRAL each doc is in that graph — template/boilerplate hubs that
@@ -647,6 +688,7 @@ object DedupQueries {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_splits" -> (dedupSplits _),
     "dedup_spans" -> (dedupSpans _),
+    "dedup_passages" -> (dedupPassages _),
     "graph_pagerank" -> (graphPagerank _))
 
   val oracles: Map[String, String] = Map(
@@ -660,5 +702,6 @@ object DedupQueries {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_splits" -> dedupSplitsSql,
     "dedup_spans" -> dedupSpansSql,
+    "dedup_passages" -> dedupPassagesSql,
     "graph_pagerank" -> graphPagerankSql)
 }

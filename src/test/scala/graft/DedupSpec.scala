@@ -207,4 +207,36 @@ class DedupSpec extends SparkSpec {
       .toDF("x", "y").select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0)
     assert(math.abs(j - 0.5) < 1e-12)
   }
+
+  test("passage dedup: first occurrence wins, tails survive, full dup vanishes") {
+    import spark.implicits._
+    import graft.operators.Passages
+    // n=2 passages: doc 1 = [a b][c d][e] (partial tail kept);
+    // doc 2 repeats doc 1's first passage then adds novel text;
+    // doc 3 is an exact copy of doc 1 — every passage duplicate, vanishes;
+    // doc 4 repeats its OWN first passage (within-doc dup removed too).
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b x y"),
+      (3L, "a b c d e"),
+      (4L, "p q p q")).toDF("doc_id", "text")
+    val out = Passages.removeDuplicatePassages(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == Map(
+      1L -> ((3L, 3L, "a b c d e")),
+      2L -> ((2L, 1L, "x y")),
+      4L -> ((2L, 1L, "p q"))))
+    assert(!out.contains(3L))
+  }
+
+  test("passage chunking: empty doc yields no passages, hash is order-sensitive") {
+    import spark.implicits._
+    import graft.operators.Passages
+    val docs = Seq((1L, ""), (2L, "a b"), (3L, "b a")).toDF("doc_id", "text")
+    val ch = Passages.chunked(docs, "doc_id", "text", 2).collect()
+    assert(!ch.exists(_.getLong(0) == 1L))
+    val hs = ch.map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(hs(2L) != hs(3L))
+  }
 }
