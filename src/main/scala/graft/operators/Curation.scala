@@ -78,6 +78,59 @@ object Curation {
       .filter(col("bucket") < rate * 1000)
   }
 
+  /** DSIR-style importance weighting: score every document by how much
+    * more its content resembles a TARGET subset (the in-domain sample you
+    * want more of) than the corpus at large. Features are hashed bigrams
+    * in a fixed `dim`-bucket space; each bucket's weight is the smoothed
+    * log count-ratio ln((ct+1)/(Nt+dim) · (Nr+dim)/(cr+1)) between target
+    * and corpus occurrence counts, and a document's importance is its
+    * features' mean weight. Positive = more target-like than average;
+    * rank or gate on it to resample toward the target distribution.
+    *
+    * Determinism: weights are quantized to integer micro-nats before the
+    * per-doc sum (the unigram_nll idiom), so reduction order can't move
+    * results. Scale: the feature table is linear in corpus tokens and
+    * feeds four consumers (two counts, the totals, the scoring join) —
+    * cache it; the bucket-weight table is ≤ dim rows, so the scoring join
+    * broadcasts and the only shuffles are the two partial-aggregated
+    * counts and the per-doc rollup.
+    *
+    * @param isTarget boolean Column over `docs`' columns selecting the
+    *                 target subset
+    * @return (id, n_feats, imp) — docs with ≥ 2 tokens (≥ 1 bigram)
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, dim: Int = 1024): DataFrame = {
+    import graft.CacheRegistry.RegisteredCache
+    val feats = docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+        transform(Tokenizer.tokenize(col(textCol)),
+          t => TextHash.hashMod(t)).as("th"))
+      .select(col("id"), col("tgt"),
+        explode(TextHash.hashedShingles(col("th"), 2)).as("sh"))
+      .select(col("id"), col("tgt"), (col("sh") % dim).as("b"))
+      .registeredCache()
+    val tgtCnt = feats.filter(col("tgt")).groupBy("b")
+      .agg(count(lit(1)).as("ct"))
+    val rawCnt = feats.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tots = feats.agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("nt"),
+      count(lit(1)).as("nr"))
+    val weights = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"), col("cr"))
+      .crossJoin(broadcast(tots))
+      .select(col("b"),
+        round(log(((col("ct") + 1) * (col("nr") + dim)).cast("double") /
+            ((col("cr") + 1) * (col("nt") + dim)).cast("double")) * 1e6)
+          .cast("long").as("lr_micro"))
+    feats.join(broadcast(weights), "b")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        sum(col("lr_micro")).as("micro"))
+      .select(col("id"), col("n_feats"),
+        (col("micro").cast("double") / lit(1000000.0) /
+          col("n_feats").cast("double")).as("imp"))
+  }
+
   /** @param docs (doc_id, text, lang); returns curated docs with metrics. */
   def curate(docs: DataFrame, minQuality: Double,
              keepLangs: Seq[String]): DataFrame = {

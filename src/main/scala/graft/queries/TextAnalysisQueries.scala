@@ -580,6 +580,79 @@ object TextAnalysisQueries {
        |    / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS nll
        |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- Hashed-feature linear quality classifier -------------------------------
+  // The fastText-style model-serving shape (see operators/QualityClassifier):
+  // tokens hash into a fixed 1024-bucket feature space, the doc logit is
+  // the integer micro-unit sum of bucket weights — completely narrow, no
+  // shuffle. Weights are md5-derived (a trained model swaps in a broadcast
+  // array literal with the identical plan shape).
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityClassifier
+      .score(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("logit_micro"),
+        col("quality"), col("label"))
+      .orderBy("doc_id")
+
+  val qualityClassifierSql: String = {
+    val w = s"(${OracleSql.hash64(
+      s"'qw_' || CAST(${OracleSql.hash64("term")} % 1024 AS VARCHAR)")} % 2001 - 1000)"
+    s"""WITH ${OracleSql.TokCte},
+       |sc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum($w) AS BIGINT) AS logit_micro
+       |  FROM toks GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, logit_micro,
+       |  CAST(logit_micro AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE)
+       |    AS quality,
+       |  CASE WHEN logit_micro >= 0 THEN 'keep' ELSE 'drop' END AS label
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- DSIR-style importance weighting ----------------------------------------
+  // Hashed-bigram importance resampling weights toward a target domain
+  // (src0 as the in-domain proxy): per-bucket smoothed log count-ratio
+  // target-vs-corpus, per-doc mean in integer micro-nats. See
+  // operators/Curation.importanceWeights for the 100 TB shape (cached
+  // linear feature table, broadcast ≤dim weight table).
+  def importanceWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation
+      .importanceWeights(Tables.documents(s, dir), "doc_id", "text",
+        col("source") === "src0")
+      .select(col("id").as("doc_id"), col("n_feats"), col("imp"))
+      .orderBy("doc_id")
+
+  val importanceWeightsSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |th AS (
+       |  SELECT dl.doc_id, d.source = 'src0' AS tgt,
+       |    list_transform(l, x -> ${OracleSql.hashMod("x")}) AS hs
+       |  FROM docs_l dl JOIN documents d ON dl.doc_id = d.doc_id
+       |  WHERE len(l) >= 2),
+       |f AS (
+       |  SELECT doc_id, tgt,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+1]),
+       |      (a, b) -> (a * 1000003 + b) % 1000000007) % 1024 AS b
+       |  FROM (
+       |    SELECT doc_id, tgt, hs,
+       |      unnest(generate_series(1, len(hs) - 1)) AS i
+       |    FROM th) t),
+       |tc AS (SELECT b, count(*) AS ct FROM f WHERE tgt GROUP BY b),
+       |rc AS (SELECT b, count(*) AS cr FROM f GROUP BY b),
+       |tot AS (
+       |  SELECT count(*) FILTER (WHERE tgt) AS nt, count(*) AS nr FROM f),
+       |w AS (
+       |  SELECT rc.b,
+       |    CAST(round(ln(
+       |      CAST((coalesce(tc.ct, 0) + 1) * (tot.nr + 1024) AS DOUBLE) /
+       |      CAST((rc.cr + 1) * (tot.nt + 1024) AS DOUBLE)) * 1000000.0)
+       |      AS BIGINT) AS lr_micro
+       |  FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |  CAST(CAST(sum(lr_micro) AS BIGINT) AS DOUBLE) / 1000000.0
+       |    / CAST(count(*) AS DOUBLE) AS imp
+       |FROM f JOIN w USING (b)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- Deterministic training-data shuffle (loader batches) ------------------
   // A data loader must read the packed windows in SHUFFLED order — but the
   // shuffle has to be deterministic (resumable runs, reproducible
@@ -706,6 +779,8 @@ object TextAnalysisQueries {
     "pii_scrub" -> (piiScrub _),
     "decontaminate" -> (decontaminate _),
     "unigram_nll" -> (unigramNll _),
+    "quality_classifier" -> (qualityClassifier _),
+    "importance_weights" -> (importanceWeights _),
     "pack_shuffle" -> (packShuffle _),
     "sample_per_group" -> (samplePerGroup _),
     "token_histogram" -> (tokenHistogram _))
@@ -726,6 +801,8 @@ object TextAnalysisQueries {
     "pii_scrub" -> piiScrubSql,
     "decontaminate" -> decontaminateSql,
     "unigram_nll" -> unigramNllSql,
+    "quality_classifier" -> qualityClassifierSql,
+    "importance_weights" -> importanceWeightsSql,
     "pack_shuffle" -> packShuffleSql,
     "sample_per_group" -> samplePerGroupSql,
     "token_histogram" -> tokenHistogramSql)

@@ -284,4 +284,35 @@ class OperatorSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     assert(shuffled == again)
   }
+
+  test("qualityClassifier: per-token additive logit, empty docs excluded") {
+    import graft.operators.QualityClassifier
+    val docs = Seq((1L, "spark"), (2L, "spark spark"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = QualityClassifier.score(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!out.contains(3L))
+    assert(out(1L)._1 == 1L && out(2L)._1 == 2L)
+    // doubling the token doubles the logit (pure sum of bucket weights)
+    assert(out(2L)._2 == 2 * out(1L)._2)
+  }
+
+  test("importanceWeights: target-characteristic content scores higher") {
+    import graft.operators.Curation
+    // targets are "x y" docs; doc 30 looks like the target, doc 31 doesn't
+    val docs = ((1L to 20L).map(i => (i, "x y x y x y", "tgt")) ++
+        (21L to 29L).map(i => (i, "p q p q p q", "raw")) ++
+        Seq((30L, "x y x y", "raw"), (31L, "p q p q", "raw")))
+      .toDF("doc_id", "text", "source")
+    val imp = Curation.importanceWeights(docs, "doc_id", "text",
+        col("source") === "tgt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(imp(30L) > imp(31L))
+    assert(imp(30L) > 0 && imp(31L) < 0)
+    // single-token docs have no bigram features and are absent
+    val one = Curation.importanceWeights(
+      Seq((1L, "x y", "t"), (2L, "z", "r")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", col("source") === "t")
+    assert(one.collect().map(_.getLong(0)).toSet == Set(1L))
+  }
 }
