@@ -608,6 +608,93 @@ object TextAnalysisQueries {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Tokenizer coverage: OOV rate against a bounded vocabulary --------------
+  // The tokenizer-design question "what fraction of each document falls
+  // outside a top-K vocabulary". The vocabulary is top-K by corpus count
+  // (count DESC, term ASC tiebreak — deterministic) and K-bounded, so it
+  // BROADCASTS; the per-doc pass is then one left join + rollup. The token
+  // table feeds the vocab build and the join — cache it.
+  private val OovVocabK = 16
+
+  def vocabOovRate(s: SparkSession, dir: String): DataFrame = {
+    import graft.CacheRegistry.RegisteredCache
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+        explode(Tokenizer.tokenize(col("text"))).as("term"))
+      .registeredCache()
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(OovVocabK)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).cast("long")
+          .as("oov_tokens"))
+      .withColumn("oov_rate",
+        col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val vocabOovRateSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |vocab AS (
+       |  SELECT term FROM toks GROUP BY term
+       |  ORDER BY count(*) DESC, term ASC LIMIT $OovVocabK)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS oov_tokens,
+       |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS oov_rate
+       |FROM toks t LEFT JOIN vocab v ON t.term = v.term
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  // ---- Cross-source overlap matrix --------------------------------------------
+  // Corpus diagnostics: how much 10-token-span content does each pair of
+  // sources share? The mirror-site / syndicated-boilerplate signal that
+  // decides which sources to dedup against each other. Span set per source
+  // is distinct-ed first, so a pair's count is "distinct shared spans";
+  // a span shared by s sources contributes all C(s,2) pairs — candidate
+  // volume is bounded by the SOURCE count squared per span, never by
+  // corpus size. The distinct (source, span) table feeds both join sides —
+  // cache it.
+  private val OverlapSpanN = 10
+
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.CacheRegistry.RegisteredCache
+    val sp = Tables.documents(s, dir).select(col("source"),
+        transform(Tokenizer.tokenize(col("text")),
+          t => TextHash.hashMod(t)).as("th"))
+      .select(col("source"),
+        explode(TextHash.hashedShingles(col("th"), OverlapSpanN)).as("span"))
+      .distinct()
+      .registeredCache()
+    val a = sp.select(col("source").as("source_a"), col("span"))
+    val b = sp.select(col("source").as("source_b"), col("span"))
+    a.join(b, "span").filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).cast("long").as("shared_spans"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapSql: String = {
+    val w = OverlapSpanN - 1
+    s"""WITH ${OracleSql.TokCte},
+       |th AS (
+       |  SELECT d.source, list_transform(l, x -> ${OracleSql.hashMod("x")}) AS hs
+       |  FROM docs_l dl JOIN documents d ON dl.doc_id = d.doc_id
+       |  WHERE len(l) >= $OverlapSpanN),
+       |sp AS (
+       |  SELECT DISTINCT source,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+$w]),
+       |      (a, b) -> (a * 1000003 + b) % 1000000007) AS span
+       |  FROM (
+       |    SELECT source, hs, unnest(generate_series(1, len(hs) - $w)) AS i
+       |    FROM th) t)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(count(*) AS BIGINT) AS shared_spans
+       |FROM sp a JOIN sp b ON a.span = b.span AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // ---- DSIR-style importance weighting ----------------------------------------
   // Hashed-bigram importance resampling weights toward a target domain
   // (src0 as the in-domain proxy): per-bucket smoothed log count-ratio
@@ -781,6 +868,8 @@ object TextAnalysisQueries {
     "unigram_nll" -> (unigramNll _),
     "quality_classifier" -> (qualityClassifier _),
     "importance_weights" -> (importanceWeights _),
+    "vocab_oov_rate" -> (vocabOovRate _),
+    "source_overlap" -> (sourceOverlap _),
     "pack_shuffle" -> (packShuffle _),
     "sample_per_group" -> (samplePerGroup _),
     "token_histogram" -> (tokenHistogram _))
@@ -803,6 +892,8 @@ object TextAnalysisQueries {
     "unigram_nll" -> unigramNllSql,
     "quality_classifier" -> qualityClassifierSql,
     "importance_weights" -> importanceWeightsSql,
+    "vocab_oov_rate" -> vocabOovRateSql,
+    "source_overlap" -> sourceOverlapSql,
     "pack_shuffle" -> packShuffleSql,
     "sample_per_group" -> samplePerGroupSql,
     "token_histogram" -> tokenHistogramSql)

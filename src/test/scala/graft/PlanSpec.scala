@@ -156,4 +156,35 @@ class PlanSpec extends SparkSpec {
     // partial + final pairs appear as two HashAggregate nodes
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
+
+  test("quality_classifier is fully narrow — only the presentation sort exchanges") {
+    val p = plan("quality_classifier")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1 && p.contains("Exchange rangepartitioning"),
+      s"hashed-feature scoring should shuffle only for the output ORDER BY:\n$p")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+  }
+
+  test("importance_weights broadcast-joins the bucket-weight table") {
+    val p = plan("importance_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=dim weight table must broadcast against the feature stream:\n$p")
+    assert(!p.toLowerCase.contains("sortmergejoin"),
+      s"no shuffle join expected on the scoring path:\n$p")
+  }
+
+  test("vocab_oov_rate broadcast-joins the K-bounded vocabulary") {
+    val p = plan("vocab_oov_rate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"top-K vocab must broadcast against the token stream:\n$p")
+  }
+
+  test("dedup_passages keep-decision partial-aggregates; no hash-partition window") {
+    val p = plan("dedup_passages")
+    // groupBy(min(struct)) plans partial+final agg pairs (sort-based for
+    // the struct min); a row_number window over the passage hash would be
+    // the skew-unsafe formulation this operator explicitly avoids
+    assert(!p.contains("Window"), s"window over hash partition is skew-unsafe:\n$p")
+    assert("Aggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
 }
