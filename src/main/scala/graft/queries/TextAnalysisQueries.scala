@@ -695,6 +695,53 @@ object TextAnalysisQueries {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- BPE tokenizer training -------------------------------------------------
+  // Learn a byte-pair-encoding merge table from the corpus (see
+  // operators/BpeTrainer): 6 rounds of highest-frequency adjacent-pair
+  // merges over the word-TYPE frequency table. The oracle unrolls the
+  // identical 6 rounds as CTE blocks — possible because the merge-apply
+  // is a literal left-to-right string replace over boundary-delimited
+  // symbol strings in both engines.
+  private val BpeRounds = 6
+
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrainer
+      .trainOnDocs(Tables.documents(s, dir), "text", BpeRounds)
+      .orderBy("round")
+
+  val bpeMergesSql: String = {
+    val roundCtes = (1 to BpeRounds).map { k =>
+      s"""p$k AS (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT string_split(s, ' ') AS syms, freq,
+         |      unnest(generate_series(1, len(string_split(s, ' ')) - 1)) AS i
+         |    FROM w${k - 1}) t
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |w$k AS (
+         |  SELECT replace(w.s, b.l || ' ' || b.r,
+         |    left(b.l, len(b.l) - 1) || substring(b.r, 2)) AS s, w.freq
+         |  FROM w${k - 1} w CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n")
+    val selects = (1 to BpeRounds).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS round, trim(l, '|') AS lhs,
+         |  trim(r, '|') AS rhs,
+         |  trim(left(l, len(l) - 1) || substring(r, 2), '|') AS merged, cnt
+         |FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${OracleSql.TokCte},
+       |wf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+       |       FROM toks GROUP BY term),
+       |w0 AS (
+       |  SELECT '|' || array_to_string(string_split(term, ''), '| |') || '|'
+       |    AS s, freq
+       |  FROM wf),
+       |$roundCtes
+       |$selects
+       |ORDER BY round""".stripMargin
+  }
+
   // ---- DSIR-style importance weighting ----------------------------------------
   // Hashed-bigram importance resampling weights toward a target domain
   // (src0 as the in-domain proxy): per-bucket smoothed log count-ratio
@@ -869,6 +916,7 @@ object TextAnalysisQueries {
     "quality_classifier" -> (qualityClassifier _),
     "importance_weights" -> (importanceWeights _),
     "vocab_oov_rate" -> (vocabOovRate _),
+    "bpe_merges" -> (bpeMerges _),
     "source_overlap" -> (sourceOverlap _),
     "pack_shuffle" -> (packShuffle _),
     "sample_per_group" -> (samplePerGroup _),
@@ -893,6 +941,7 @@ object TextAnalysisQueries {
     "quality_classifier" -> qualityClassifierSql,
     "importance_weights" -> importanceWeightsSql,
     "vocab_oov_rate" -> vocabOovRateSql,
+    "bpe_merges" -> bpeMergesSql,
     "source_overlap" -> sourceOverlapSql,
     "pack_shuffle" -> packShuffleSql,
     "sample_per_group" -> samplePerGroupSql,

@@ -315,4 +315,33 @@ class OperatorSpec extends SparkSpec {
       "doc_id", "text", col("source") === "t")
     assert(one.collect().map(_.getLong(0)).toSet == Set(1L))
   }
+
+  test("bpeTrainer: hand-computed merges, early stop when no pairs remain") {
+    import graft.operators.BpeTrainer
+    // tokens: ab(x2), abc(x1). Round 1: pair (a,b) freq 3 wins -> "ab";
+    // round 2: only pair left is (ab, c) freq 1 -> "abc"; round 3: no
+    // pairs anywhere -> early return with 2 rows despite rounds=6.
+    val docs = Seq((1L, "ab ab abc")).toDF("doc_id", "text")
+    val rows = BpeTrainer.trainOnDocs(docs, "text", 6)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(rows == Seq(
+      (1L, "a", "b", "ab", 3L),
+      (2L, "ab", "c", "abc", 1L)))
+  }
+
+  test("bpeTrainer: adjacent pair occurrences both merge in one round") {
+    import graft.operators.BpeTrainer
+    // "abab": after (a,b) wins, BOTH occurrences in the same word must
+    // merge ("|ab| |ab|"), so round 2's best pair is (ab, ab).
+    val docs = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val rows = BpeTrainer.trainOnDocs(docs, "text", 2)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(rows == Seq(
+      (1L, "a", "b", "ab", 5L),
+      (2L, "ab", "ab", "abab", 2L)))
+  }
 }
