@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** BPE-style tokenizer training over the corpus — the "learn the merge
@@ -26,22 +26,26 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrainer {
 
-  /** Learned merge table: (round, left, right, merged, cnt) — one row per
-    * merge round, `cnt` the pair's weighted corpus frequency at the time
-    * it was merged, symbols shown without delimiters.
-    *
-    * @param wordFreqs (term, freq) word-type frequency table
+  /** One learned merge: delimited left/right symbols and the pair's
+    * weighted corpus frequency when it was merged. `pattern`/`replacement`
+    * are the literal-replace forms ("|l| |r|" -> "|lr|").
     */
-  def merges(wordFreqs: DataFrame, rounds: Int): DataFrame = {
-    val spark = wordFreqs.sparkSession
-    import spark.implicits._
-    // initial symbol string: "|c1| |c2| ..." (split(term, "") yields chars)
-    var words = wordFreqs.select(
-      concat(lit("|"),
-        concat_ws("| |", split(col("term"), "")), lit("|")).as("s"),
-      col("freq"))
-    val out = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (round <- 1 to rounds) {
+  final case class Merge(l: String, r: String, cnt: Long) {
+    def pattern: String = s"$l $r"
+    def replacement: String = l.dropRight(1) + r.drop(1) // "|l" + "r|"
+  }
+
+  /** Boundary-delimited symbol string of a term: "|c1| |c2| ...". */
+  def delimited(term: Column): Column =
+    concat(lit("|"), concat_ws("| |", split(term, "")), lit("|"))
+
+  /** Learn the merge rules (driver-side list, one row collected per
+    * round — see scaladoc above for why that is the honest 100 TB shape).
+    */
+  def learnRules(wordFreqs: DataFrame, rounds: Int): Seq[Merge] = {
+    var words = wordFreqs.select(delimited(col("term")).as("s"), col("freq"))
+    val out = Seq.newBuilder[Merge]
+    for (_ <- 1 to rounds) {
       val syms = split(col("s"), " ")
       // guard: size 1 would make sequence(1, 0) DESCEND, not empty
       val idxs = when(size(syms) > 1, sequence(lit(1), size(syms) - 1))
@@ -55,30 +59,70 @@ object BpeTrainer {
         .agg(sum(col("freq")).cast("long").as("cnt"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
-      if (best.isEmpty) return out.result().toDF(
-        "round", "lhs", "rhs", "merged", "cnt")
-      val (l, r, cnt) =
-        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      val merged = l.dropRight(1) + r.drop(1) // "|l" + "r|"
-      out += ((round.toLong, l.stripPrefix("|").stripSuffix("|"),
-        r.stripPrefix("|").stripSuffix("|"),
-        merged.stripPrefix("|").stripSuffix("|"), cnt))
+      if (best.isEmpty) return out.result()
+      val m = Merge(best(0).getString(0), best(0).getString(1),
+        best(0).getLong(2))
+      out += m
       words = words.select(
-        expr(s"replace(s, '$l $r', '$merged')").as("s"), col("freq"))
+        replace(col("s"), lit(m.pattern), lit(m.replacement)).as("s"),
+        col("freq"))
     }
-    out.result().toDF("round", "lhs", "rhs", "merged", "cnt")
+    out.result()
+  }
+
+  /** Learned merge table as a DataFrame:
+    * (round, lhs, rhs, merged, cnt) — symbols shown without delimiters.
+    *
+    * @param wordFreqs (term, freq) word-type frequency table
+    */
+  def merges(wordFreqs: DataFrame, rounds: Int): DataFrame = {
+    val spark = wordFreqs.sparkSession
+    import spark.implicits._
+    def strip(s: String) = s.stripPrefix("|").stripSuffix("|")
+    learnRules(wordFreqs, rounds).zipWithIndex.map { case (m, i) =>
+      ((i + 1).toLong, strip(m.l), strip(m.r), strip(m.replacement), m.cnt)
+    }.toDF("round", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** Apply learned rules to segment documents into BPE units — entirely
+    * narrow: each token is re-derived to its delimited symbol string and
+    * the merge chain is `rules.length` literal replaces; the unit count
+    * per token is the surviving symbol count. Emits per-document
+    * (id, n_words, n_units, units_per_word) — the compression diagnostic
+    * that tells you whether the merge table fits the corpus.
+    */
+  def segmentUnits(docs: DataFrame, idCol: String, textCol: String,
+                   rules: Seq[Merge]): DataFrame = {
+    val unitCount = (t: Column) => {
+      val applied = rules.foldLeft(delimited(t))((e, m) =>
+        replace(e, lit(m.pattern), lit(m.replacement)))
+      size(split(applied, " ")).cast("long")
+    }
+    docs.select(col(idCol).as("id"),
+        graft.functions.Tokenizer.tokenize(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"), size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L),
+          (acc, t) => acc + unitCount(t)).as("n_units"))
+      .withColumn("units_per_word",
+        col("n_units").cast("double") / col("n_words").cast("double"))
   }
 
   /** Merge training over raw documents: word-type frequencies from the
     * shared tokenizer, then `rounds` merges. The word table feeds every
     * round — cache it once here (rounds re-derive `s` narrowly from it).
     */
-  def trainOnDocs(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def trainOnDocs(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    merges(docFreqs(docs, textCol), rounds)
+
+  /** Word-type frequency table over raw documents (cached — every merge
+    * round starts from it).
+    */
+  def docFreqs(docs: DataFrame, textCol: String): DataFrame = {
     import graft.CacheRegistry.RegisteredCache
-    val wf = docs.select(
+    docs.select(
         explode(graft.functions.Tokenizer.tokenize(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).cast("long").as("freq"))
       .registeredCache()
-    merges(wf, rounds)
   }
 }

@@ -709,7 +709,11 @@ object TextAnalysisQueries {
       .trainOnDocs(Tables.documents(s, dir), "text", BpeRounds)
       .orderBy("round")
 
-  val bpeMergesSql: String = {
+  /** Shared CTE chain: word freqs, delimited w0, and per-round
+    * (pairs, best, rewritten-words) blocks p1..b1..w1 ... through
+    * `BpeRounds` — the full unrolled training loop.
+    */
+  private val BpeCtes: String = {
     val roundCtes = (1 to BpeRounds).map { k =>
       s"""p$k AS (
          |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
@@ -724,6 +728,16 @@ object TextAnalysisQueries {
          |    left(b.l, len(b.l) - 1) || substring(b.r, 2)) AS s, w.freq
          |  FROM w${k - 1} w CROSS JOIN b$k b)""".stripMargin
     }.mkString(",\n")
+    s"""wf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+       |       FROM toks GROUP BY term),
+       |w0 AS (
+       |  SELECT '|' || array_to_string(string_split(term, ''), '| |') || '|'
+       |    AS s, freq
+       |  FROM wf),
+       |$roundCtes""".stripMargin
+  }
+
+  val bpeMergesSql: String = {
     val selects = (1 to BpeRounds).map { k =>
       s"""SELECT CAST($k AS BIGINT) AS round, trim(l, '|') AS lhs,
          |  trim(r, '|') AS rhs,
@@ -731,15 +745,44 @@ object TextAnalysisQueries {
          |FROM b$k""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH ${OracleSql.TokCte},
-       |wf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
-       |       FROM toks GROUP BY term),
-       |w0 AS (
-       |  SELECT '|' || array_to_string(string_split(term, ''), '| |') || '|'
-       |    AS s, freq
-       |  FROM wf),
-       |$roundCtes
+       |$BpeCtes
        |$selects
        |ORDER BY round""".stripMargin
+  }
+
+  // Apply the learned merge table: segment every document into BPE units
+  // (narrow chain of literal replaces per token) and report the
+  // units-per-word compression — the "does the merge table fit this
+  // corpus" diagnostic. Oracle reuses the unrolled training CTEs and
+  // nests the same six replaces.
+  def bpeSegment(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BpeTrainer
+    val docs = Tables.documents(s, dir)
+    val rules = BpeTrainer.learnRules(
+      BpeTrainer.docFreqs(docs, "text"), BpeRounds)
+    BpeTrainer.segmentUnits(docs, "doc_id", "text", rules)
+      .select(col("id").as("doc_id"), col("n_words"), col("n_units"),
+        col("units_per_word"))
+      .orderBy("doc_id")
+  }
+
+  val bpeSegmentSql: String = {
+    val delim = "'|' || array_to_string(string_split(term, ''), '| |') || '|'"
+    val applied = (1 to BpeRounds).foldLeft(delim)((e, k) =>
+      s"""replace($e, b$k.l || ' ' || b$k.r,
+         |    left(b$k.l, len(b$k.l) - 1) || substring(b$k.r, 2))""".stripMargin)
+    val crossJoins = (1 to BpeRounds).map(k => s"CROSS JOIN b$k").mkString(" ")
+    s"""WITH ${OracleSql.TokCte},
+       |$BpeCtes,
+       |u AS (
+       |  SELECT doc_id, len(string_split(
+       |    $applied, ' ')) AS units
+       |  FROM toks $crossJoins)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(units) AS BIGINT) AS n_units,
+       |  CAST(CAST(sum(units) AS BIGINT) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS units_per_word
+       |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // ---- DSIR-style importance weighting ----------------------------------------
@@ -917,6 +960,7 @@ object TextAnalysisQueries {
     "importance_weights" -> (importanceWeights _),
     "vocab_oov_rate" -> (vocabOovRate _),
     "bpe_merges" -> (bpeMerges _),
+    "bpe_segment" -> (bpeSegment _),
     "source_overlap" -> (sourceOverlap _),
     "pack_shuffle" -> (packShuffle _),
     "sample_per_group" -> (samplePerGroup _),
@@ -942,6 +986,7 @@ object TextAnalysisQueries {
     "importance_weights" -> importanceWeightsSql,
     "vocab_oov_rate" -> vocabOovRateSql,
     "bpe_merges" -> bpeMergesSql,
+    "bpe_segment" -> bpeSegmentSql,
     "source_overlap" -> sourceOverlapSql,
     "pack_shuffle" -> packShuffleSql,
     "sample_per_group" -> samplePerGroupSql,

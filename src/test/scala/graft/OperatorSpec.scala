@@ -344,4 +344,18 @@ class OperatorSpec extends SparkSpec {
       (1L, "a", "b", "ab", 5L),
       (2L, "ab", "ab", "abab", 2L)))
   }
+
+  test("bpeTrainer.segmentUnits: unit counts shrink as rules apply in order") {
+    import graft.operators.BpeTrainer
+    val docs = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val rules = BpeTrainer.learnRules(BpeTrainer.docFreqs(docs, "text"), 2)
+    // with both rules every word is one unit; with only the first,
+    // "abab" is [ab][ab] = 2 units
+    val full = BpeTrainer.segmentUnits(docs, "doc_id", "text", rules)
+      .head()
+    assert((full.getLong(1), full.getLong(2)) == ((3L, 3L)))
+    val partial = BpeTrainer
+      .segmentUnits(docs, "doc_id", "text", rules.take(1)).head()
+    assert((partial.getLong(1), partial.getLong(2)) == ((3L, 5L)))
+  }
 }
