@@ -525,6 +525,55 @@ object DedupQueries {
        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Contrastive triplet generation -----------------------------------------
+  // Training-pair synthesis for embedding models: each verified near-dup
+  // pair becomes (anchor, positive); the negative is drawn
+  // DETERMINISTICALLY from the dense doc-id space by hashing the pair key
+  // (no RNG — reproducible across engines/runs, and a corpus re-run
+  // regenerates identical triplets). Collisions with the pair's own ids
+  // bump to the next id (two bumps suffice — only two ids can collide).
+  // Narrow over the shared cached pair table + one broadcast count;
+  // at 100 TB the negative draw stays a per-row expression (the dense-id
+  // assumption holds for any corpus with a stable ordinal index; a
+  // non-dense corpus would join against an id-rank table instead).
+  def contrastiveTriplets(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir)
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val h = TextHash.hash64(concat(col("doc_id_a").cast("string"), lit("_"),
+      col("doc_id_b").cast("string"), lit("_neg")))
+    pairs.crossJoin(broadcast(n))
+      .withColumn("n0", h % col("n"))
+      .withColumn("n1",
+        when(col("n0") === col("doc_id_a") || col("n0") === col("doc_id_b"),
+          (col("n0") + 1) % col("n")).otherwise(col("n0")))
+      .withColumn("negative",
+        when(col("n1") === col("doc_id_a") || col("n1") === col("doc_id_b"),
+          (col("n1") + 1) % col("n")).otherwise(col("n1")).cast("long"))
+      .select(col("doc_id_a").as("anchor"), col("doc_id_b").as("positive"),
+        col("negative"), col("jaccard"))
+      .orderBy("anchor", "positive")
+  }
+
+  val contrastiveTripletsSql: String = {
+    val h = OracleSql.hash64(
+      "CAST(doc_id_a AS VARCHAR) || '_' || CAST(doc_id_b AS VARCHAR) || '_neg'")
+    s"""WITH mh AS (
+       |$dedupMinhashLshSql
+       |),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |t0 AS (
+       |  SELECT doc_id_a, doc_id_b, jaccard, n, $h % n AS n0
+       |  FROM mh CROSS JOIN nn),
+       |t1 AS (
+       |  SELECT *, CASE WHEN n0 = doc_id_a OR n0 = doc_id_b
+       |    THEN (n0 + 1) % n ELSE n0 END AS n1
+       |  FROM t0)
+       |SELECT doc_id_a AS anchor, doc_id_b AS positive,
+       |  CAST(CASE WHEN n1 = doc_id_a OR n1 = doc_id_b
+       |    THEN (n1 + 1) % n ELSE n1 END AS BIGINT) AS negative, jaccard
+       |FROM t1 ORDER BY anchor, positive""".stripMargin
+  }
+
   // ---- Passage-level dedup with text reconstruction ---------------------------
   // dedup_spans MEASURES cross-doc duplication; this REMOVES it: fixed
   // 16-token passages, global first-occurrence keeps, surviving passages
@@ -689,6 +738,7 @@ object DedupQueries {
     "dedup_splits" -> (dedupSplits _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_passages" -> (dedupPassages _),
+    "contrastive_triplets" -> (contrastiveTriplets _),
     "graph_pagerank" -> (graphPagerank _))
 
   val oracles: Map[String, String] = Map(
@@ -703,5 +753,6 @@ object DedupQueries {
     "dedup_splits" -> dedupSplitsSql,
     "dedup_spans" -> dedupSpansSql,
     "dedup_passages" -> dedupPassagesSql,
+    "contrastive_triplets" -> contrastiveTripletsSql,
     "graph_pagerank" -> graphPagerankSql)
 }
