@@ -84,26 +84,28 @@ object BpeTrainer {
     }.toDF("round", "lhs", "rhs", "merged", "cnt")
   }
 
-  /** Apply learned rules to segment documents into BPE units — entirely
-    * narrow: each token is re-derived to its delimited symbol string and
-    * the merge chain is `rules.length` literal replaces; the unit count
-    * per token is the surviving symbol count. Emits per-document
+  /** Apply learned rules to segment documents into BPE units. The replace
+    * chain runs once per word TYPE, not per occurrence — segmentation is
+    * a pure function of the word, so the chain evaluates over the
+    * distinct-term table (vocabulary-sized) and the per-occurrence work
+    * collapses to a broadcast probe + per-doc rollup. (A vocabulary too
+    * large to broadcast drops the hint and shuffle-joins on term — still
+    * vocabulary-bounded chain work.) Emits per-document
     * (id, n_words, n_units, units_per_word) — the compression diagnostic
     * that tells you whether the merge table fits the corpus.
     */
   def segmentUnits(docs: DataFrame, idCol: String, textCol: String,
                    rules: Seq[Merge]): DataFrame = {
-    val unitCount = (t: Column) => {
-      val applied = rules.foldLeft(delimited(t))((e, m) =>
-        replace(e, lit(m.pattern), lit(m.replacement)))
-      size(split(applied, " ")).cast("long")
-    }
-    docs.select(col(idCol).as("id"),
-        graft.functions.Tokenizer.tokenize(col(textCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("id"), size(col("toks")).cast("long").as("n_words"),
-        aggregate(col("toks"), lit(0L),
-          (acc, t) => acc + unitCount(t)).as("n_units"))
+    val applied = rules.foldLeft(delimited(col("term")))((e, m) =>
+      replace(e, lit(m.pattern), lit(m.replacement)))
+    val toks = docs.select(col(idCol).as("id"),
+      explode(graft.functions.Tokenizer.tokenize(col(textCol))).as("term"))
+    val typeUnits = toks.select("term").distinct()
+      .select(col("term"), size(split(applied, " ")).cast("long").as("units"))
+    toks.join(broadcast(typeUnits), "term")
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("units")).as("n_units"))
       .withColumn("units_per_word",
         col("n_units").cast("double") / col("n_words").cast("double"))
   }

@@ -66,7 +66,11 @@ object Passages {
     */
   def removeDuplicatePassages(docs: DataFrame, idCol: String, textCol: String,
                               n: Int): DataFrame = {
-    val kept = firstOccurrences(chunked(docs, idCol, textCol, n))
+    import graft.CacheRegistry.RegisteredCache
+    // the chunk table feeds both the first-occurrence agg and the join
+    // probe — cache so tokenize + per-token md5 runs once, not twice
+    val kept = firstOccurrences(
+      chunked(docs, idCol, textCol, n).registeredCache())
     kept.groupBy(col("id"), col("n_chunks"))
       .agg(sort_array(collect_list(struct(col("idx"), col("ptoks")))).as("ks"))
       .select(col("id"), col("n_chunks"),
