@@ -45,7 +45,7 @@ object Dedup {
   /** One row per (id, band, band-hash-struct) from a signature table
     * (id, mh0..mh{n-1}) — the shared banding step of the LSH joins.
     */
-  private def banded(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  private[operators] def banded(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"),

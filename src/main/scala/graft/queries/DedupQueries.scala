@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.CacheRegistry.RegisteredCache
 import graft.Tables
 import graft.functions.{TextHash, Tokenizer}
-import graft.operators.{Dedup, Passages}
+import graft.operators.{Dedup, Passages, SignatureIndex}
 
 /** Deduplication query inventory over `documents` (and `embeddings` for the
   * cosine variant). Every oracle implements the identical algorithm in
@@ -74,14 +74,21 @@ object DedupQueries {
   // batch-side band table broadcasts so the corpus bands stream through
   // unshuffled. Within the %5 vocabulary subset: new = doc_id%10==0,
   // existing = doc_id%10==5.
-  def dedupIncrementalNear(s: SparkSession, dir: String): DataFrame = {
-    val sets = Tables.documents(s, dir)
+  /** Hashed distinct token sets of the %5 subset — shared by the LSH
+    * pair-gen, both incremental-near variants, and the signature-index
+    * build (identical plan to minhashPairs' sets, so the cache is one).
+    */
+  private def hashedSets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id").as("id"),
         array_distinct(transform(Tokenizer.tokenize(col("text")),
           t => TextHash.hashMod(t))).as("toks"))
       .filter(size(col("toks")) > 0)
-      .registeredCache() // identical plan to minhashPairs' sets — shared
+      .registeredCache()
+
+  def dedupIncrementalNear(s: SparkSession, dir: String): DataFrame = {
+    val sets = hashedSets(s, dir)
     def sigsOf(df: DataFrame) = df.select(
       col("id") +: Dedup.minHashSignaturesHashed(col("toks"), NumHashes): _*)
     val cands = Dedup.lshCandidatesBetween(
@@ -525,6 +532,42 @@ object DedupQueries {
        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Persisted signature index (ingest lifecycle) ---------------------------
+  // The 100 TB form of incremental near-dup: corpus signatures computed
+  // ONCE into persisted tables (build from one half, APPEND the other —
+  // exercising the append path), then the arriving batch probes them.
+  // Must produce exactly the pairs of the recompute-everything oracle
+  // (same corpus/batch subsets as dedup_incremental_near).
+  private val builtSigIdx = scala.collection.mutable.Set[String]()
+
+  private def ensureSigIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val prefix = "graft_sigidx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!builtSigIdx.contains(prefix)) {
+        // the near-dup oracle's EXISTING corpus is the id%10==5 subset —
+        // build from one half of it, append the other
+        val sets = hashedSets(s, dir)
+        SignatureIndex.build(s, sets.filter(col("id") % 20 === 5), prefix,
+          NumHashes, RowsPerBand)
+        SignatureIndex.append(s, sets.filter(col("id") % 20 === 15), prefix,
+          NumHashes, RowsPerBand)
+        builtSigIdx += prefix
+      }
+      prefix
+    }
+
+  def dedupIncrementalPersisted(s: SparkSession, dir: String): DataFrame = {
+    val prefix = ensureSigIndex(s, dir)
+    val batch = hashedSets(s, dir).filter(col("id") % 10 === 0)
+    SignatureIndex.probe(s, batch, prefix, NumHashes, RowsPerBand, 0.8)
+      .select(col("id_new").as("doc_id_new"),
+        col("id_old").as("doc_id_old"), col("jaccard"))
+      .orderBy("doc_id_new", "doc_id_old")
+  }
+
+  /** Identical answer contract to the recompute-everything variant. */
+  val dedupIncrementalPersistedSql: String = dedupIncrementalNearSql
+
   // ---- Contrastive triplet generation -----------------------------------------
   // Training-pair synthesis for embedding models: each verified near-dup
   // pair becomes (anchor, positive); the negative is drawn
@@ -730,6 +773,7 @@ object DedupQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_near" -> (dedupIncrementalNear _),
+    "dedup_incremental_persisted" -> (dedupIncrementalPersisted _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -745,6 +789,7 @@ object DedupQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_near" -> dedupIncrementalNearSql,
+    "dedup_incremental_persisted" -> dedupIncrementalPersistedSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

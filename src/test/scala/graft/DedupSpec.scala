@@ -230,6 +230,38 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("SignatureIndex: build+append+probe equals direct recompute") {
+    import graft.operators.SignatureIndex
+    import graft.plans.ArrayJaccard
+    def sets(rows: Seq[(Long, Seq[Long])]) =
+      rows.toDF("id", "toks")
+    // near-identical sets collide; disjoint ones don't
+    val c1 = sets(Seq(1L -> Seq(1L, 2L, 3L, 4L), 2L -> Seq(9L, 10L, 11L, 12L)))
+    val c2 = sets(Seq(3L -> Seq(20L, 21L, 22L, 23L)))
+    val batch = sets(Seq(
+      11L -> Seq(1L, 2L, 3L, 4L),     // dup of corpus id 1 (built half)
+      12L -> Seq(20L, 21L, 22L, 24L), // near-dup of id 3 (appended half)
+      13L -> Seq(50L, 51L, 52L, 53L)))
+    SignatureIndex.build(spark, c1, "graft_sigidx_spec", 8, 2)
+    SignatureIndex.append(spark, c2, "graft_sigidx_spec", 8, 2)
+    val got = SignatureIndex
+      .probe(spark, batch, "graft_sigidx_spec", 8, 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // direct recompute over the union corpus
+    val corpus = c1.unionByName(c2)
+    def sigsOf(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("id") +: Dedup.minHashSignaturesHashed(col("toks"), 8): _*)
+    val want = Dedup.lshCandidatesBetween(sigsOf(batch), sigsOf(corpus), 8, 2)
+      .join(batch.select(col("id").as("id_new"), col("toks").as("tn")), "id_new")
+      .join(corpus.select(col("id").as("id_old"), col("toks").as("to")), "id_old")
+      .filter(ArrayJaccard.jaccardLong(col("tn"), col("to")) >= 0.5)
+      .select("id_new", "id_old")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.contains((11L, 1L)) && got.contains((12L, 3L)))
+    assert(!got.exists(_._1 == 13L))
+  }
+
   test("passage chunking: empty doc yields no passages, hash is order-sensitive") {
     import spark.implicits._
     import graft.operators.Passages
