@@ -404,7 +404,29 @@ object EventQueries {
       |GROUP BY prev_type, event_type
       |ORDER BY prev_type, next_type""".stripMargin
 
+  // ---- Exact heavy hitters via Misra-Gries candidates --------------------------
+  // Users with > 1/HhK of all events, found WITHOUT a full-domain groupBy:
+  // a k-counter mergeable sketch nominates candidates, only candidates are
+  // recounted exactly (operators/HeavyHitters scaladoc). 150 distinct users
+  // against 128 counters means the sketch genuinely evicts; the output is
+  // exact regardless.
+  private val HhK = 128
+
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters
+      .exactHeavyHitters(Tables.events(s, dir), "user_id", HhK)
+      .orderBy("user_id")
+
+  val heavyHittersSql: String =
+    s"""SELECT user_id, CAST(count(*) AS BIGINT) AS freq
+       |FROM events WHERE user_id IS NOT NULL
+       |GROUP BY user_id
+       |HAVING count(*) * $HhK >
+       |  (SELECT count(*) FROM events WHERE user_id IS NOT NULL)
+       |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters" -> (heavyHitters _),
     "events_funnel" -> (eventsFunnel _),
     "events_transitions" -> (eventsTransitions _),
     "events_retention" -> (eventsRetention _),
@@ -435,6 +457,7 @@ object EventQueries {
     "events_latest_per_user" -> (eventsLatestPerUser _))
 
   val oracles: Map[String, String] = Map(
+    "heavy_hitters" -> heavyHittersSql,
     "events_funnel" -> eventsFunnelSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_retention" -> eventsRetentionSql,
