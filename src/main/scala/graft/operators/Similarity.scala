@@ -100,14 +100,22 @@ object Similarity {
     * IVF); a k-means refinement would slot in without changing the plan
     * shape.
     */
-  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignN(vectors, centroids, 1)
+
+  /** Top-`n` nearest-centroid assignment — `n` rows per vector. n=1 is the
+    * IVF build assignment; n>1 is multi-probe indexing (a vector posted to
+    * its n closest lists), the standard recall knob when cluster boundaries
+    * split near-neighbors. Ties break on cent_id, same as everywhere.
+    */
+  def ivfAssignN(vectors: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
     val c = centroids.select(col("id").as("cent_id"), col("v").as("cv"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("sim").desc, col("cent_id").asc)
     vectors.crossJoin(broadcast(c))
       .withColumn("sim", cosine(col("v"), col("cv")))
       .withColumn("cr", row_number().over(w))
-      .filter(col("cr") === 1)
+      .filter(col("cr") <= n)
       .select(col("id"), col("v"), col("cent_id"))
   }
 

@@ -487,7 +487,93 @@ object SimilarityQueries {
        |  CAST(max(cm) AS DOUBLE) / 1000000.0 AS max_cos
        |FROM m GROUP BY cent_id ORDER BY cent_id""".stripMargin
 
+  // ---- SemDeDup-style semantic dedup -------------------------------------------
+  // Within-cluster pairwise pruning (Abbas et al. 2023, "SemDeDup"): every
+  // vector is assigned to its Lloyd-refined centroid, pairs are formed ONLY
+  // inside a cluster, and a vector is removed when a lower-id cluster-mate
+  // sits above the cosine threshold (first-occurrence keeps, same
+  // convention as the text dedup family). Output is the removal manifest:
+  // (vec_id, cent_id, dup_of, cosine-to-keeper).
+  //
+  // Scale shape vs dedup_embedding_cosine (LSH buckets): the quadratic
+  // term is bounded by cluster occupancy, sum of per-cluster C(n,2). NList
+  // is fixed here for the bounded broadcast; at corpus scale NList grows
+  // ~sqrt(N) (SemDeDup uses ~sqrt) so both the centroid broadcast and the
+  // within-cluster blowup stay sublinear. Near-identical vectors share an
+  // argmax centroid almost surely, which is what the recall spec pins.
+  private val SemThreshold = 0.35
+
+  /** Multi-probe width: each vector is posted to its 2 nearest centroids,
+    * and a pair is a candidate when the lists intersect. Single-assignment
+    * measured 0.43 strong-pair recall on the near-uniform synthetic
+    * vectors (cluster boundaries split moderate-cosine neighbors);
+    * multi-probe is the standard recall knob and keeps the quadratic term
+    * cluster-occupancy-bounded.
+    */
+  private val SemNProbe = 2
+
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val asg = Similarity.ivfAssignN(e, ivfCentroids(s, dir), SemNProbe)
+      .select(col("id"), col("cent_id"))
+    // candidate ids first, vectors joined after the distinct — a pair
+    // meeting in both shared lists must not pay two cosines
+    val cands = asg.select(col("cent_id"), col("id").as("id_a"))
+      .join(asg.select(col("cent_id"), col("id").as("id_b")), Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val pairs = cands
+      .join(e.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= SemThreshold)
+    // keeper = the smallest qualifying lower id; min(struct) partial-aggregates,
+    // so a vector duplicated across a huge cluster combines map-side
+    pairs.groupBy(col("id_b").as("vec_id"))
+      .agg(min(struct(col("id_a"), col("cosine"))).as("f"))
+      .select(col("vec_id"), col("f.id_a").as("dup_of"),
+        col("f.cosine").cast("double").as("cosine"))
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH $EmbCte,
+       |cents0 AS (SELECT id AS cent_id, v AS cv0 FROM emb
+       |  ORDER BY ${OracleSql.hash64("CAST(id AS VARCHAR)")}, id LIMIT $NList),
+       |${ivfIterCtes(IvfIters)},
+       |cents AS (SELECT cent_id, cv0 FROM cents$IvfIters),
+       |assigned AS (
+       |  SELECT id, cent_id FROM (
+       |    SELECT e.id, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.id ORDER BY
+       |        list_dot_product(e.v, c.cv0) /
+       |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv0, c.cv0)))
+       |        DESC, c.cent_id ASC) AS cr
+       |    FROM emb e, cents c) t
+       |  WHERE cr <= $SemNProbe),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cent_id = b.cent_id AND a.id < b.id),
+       |pairs AS (
+       |  SELECT * FROM (
+       |    SELECT x.id_a, x.id_b,
+       |      list_dot_product(ea.v, eb.v) /
+       |        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+       |        AS cosine
+       |    FROM cands x JOIN emb ea ON x.id_a = ea.id
+       |         JOIN emb eb ON x.id_b = eb.id) t
+       |  WHERE cosine >= $SemThreshold),
+       |sel AS (
+       |  SELECT id_a, id_b, cosine,
+       |    row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+       |  FROM pairs)
+       |SELECT id_b AS vec_id, id_a AS dup_of,
+       |  CAST(cosine AS DOUBLE) AS cosine
+       |FROM sel WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "semantic_dedup" -> (semanticDedup _),
     "embedding_clusters" -> (embeddingClusters _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
@@ -497,6 +583,7 @@ object SimilarityQueries {
     "embedding_norms" -> (embeddingNorms _))
 
   val oracles: Map[String, String] = Map(
+    "semantic_dedup" -> semanticDedupSql,
     "embedding_clusters" -> embeddingClustersSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,

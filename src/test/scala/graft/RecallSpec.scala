@@ -77,4 +77,44 @@ class RecallSpec extends SparkSpec {
     assert(banded.subsetOf(exact), "banded dedup emitted a non-duplicate pair")
     assert(recall >= 0.75, f"banded dedup recall collapsed: $recall%.3f")
   }
+
+  test("semantic dedup removals are true duplicates and recover strong pairs") {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val manifest = Queries.all("semantic_dedup")(spark, dir)
+      .select("vec_id", "dup_of", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // subset-of-truth: every emitted removal names a genuinely-similar keeper
+    manifest.foreach { case (id, keeper, c) =>
+      assert(keeper < id, s"keeper $keeper is not a lower id than $id")
+      val real = cos(vecs(id), vecs(keeper))
+      assert(math.abs(real - c) < 1e-9, s"reported cosine drifted for ($keeper,$id)")
+      assert(real >= 0.35, s"removed $id against a non-duplicate keeper")
+    }
+    // recall on the STRONGEST pairs the synthetic data has (cosine >= 0.45;
+    // the corpus-wide max is ~0.51 — no planted twins exist): the more
+    // similar two vectors are, the likelier they share an argmax centroid,
+    // so the higher id of each strong pair should be removed
+    val ids = vecs.keys.toSeq.sorted
+    val strongDups = (for {
+      i <- ids; j <- ids if i < j && cos(vecs(i), vecs(j)) >= 0.45
+    } yield j).toSet
+    val removed = manifest.map(_._1).toSet
+    val recall =
+      if (strongDups.isEmpty) 1.0
+      else strongDups.intersect(removed).size.toDouble / strongDups.size
+    info(f"semantic dedup: ${manifest.length} removals, " +
+      f"strong-pair recall=$recall%.3f (${strongDups.size} strong dups)")
+    assert(strongDups.nonEmpty, "testdata lost its strong near-duplicate pairs")
+    assert(recall >= 0.75, f"semantic dedup strong-pair recall collapsed: $recall%.3f")
+  }
 }
