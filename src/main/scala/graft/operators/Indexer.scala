@@ -295,6 +295,68 @@ object Indexer {
     * @return true if a rewrite happened, false if all buckets were within
     *         the threshold.
     */
+  /** Merge two persisted bucketed indexes over DISJOINT corpora into a
+    * third — the shard-merge step of distributed index construction (build
+    * each shard's index where its data lives, then combine; the reference
+    * instead funnels every shard through one Cassandra loader,
+    * app/app.py:119-259). Inputs are untouched; the output is a complete
+    * index under `outPrefix` that searchPrebuilt reads like any other.
+    *
+    *  - postings / doc_info: union written into the new table. For
+    *    postings, the bucketed scan is forced on, so each source yields
+    *    one partition per bucket and every task holds rows of exactly ONE
+    *    bucket (both inputs share the bucket spec — same hash, same
+    *    count); the bucket-spec'd writer then emits one file per task.
+    *    Result: two files per bucket, ZERO shuffle, cost = one sequential
+    *    read+write of both inputs. Doc sets are disjoint, so no (term,
+    *    doc_id) key can collide.
+    *  - term_df: per-term counts must SUM across the halves — one
+    *    vocabulary-sized partial-aggregated exchange, same merge shape as
+    *    appends.
+    */
+  def mergeBucketedIndexes(spark: SparkSession, prefixA: String,
+                           prefixB: String, outPrefix: String): Unit = {
+    require(outPrefix != prefixA && outPrefix != prefixB,
+      "merge target must be a new index (use appendBucketedIndex to grow in place)")
+    Seq("postings", "term_df", "doc_info")
+      .foreach(t => dropManagedTable(spark, s"${outPrefix}_$t"))
+    // Union-of-co-bucketed-children is the ONE shape where Spark 4.1's
+    // union partitioning propagation (spark.sql.unionOutputPartitioning)
+    // miscompiles a downstream bucketed-table write: the union CLAIMS the
+    // children's hash(term) partitioning, so neither the final merge
+    // aggregate nor the writer inserts an exchange, but the executed union
+    // concatenates child partitions — the written term_df then carries one
+    // PER-SHARD row per term (observed: df split 202/193 instead of 395).
+    // Scope the propagation off for the whole merge; the plain read path
+    // is unaffected and every other index lifecycle op unions
+    // non-co-partitioned children.
+    val unionConf = "spark.sql.unionOutputPartitioning"
+    val prevUnion = spark.conf.get(unionConf)
+    spark.conf.set(unionConf, "false")
+    try {
+      val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prev = spark.conf.get(conf)
+      spark.conf.set(conf, "false") // one partition per bucket at each scan
+      try {
+        spark.table(s"${prefixA}_postings")
+          .unionByName(spark.table(s"${prefixB}_postings"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(IndexBuckets, "term").sortBy("term")
+          .saveAsTable(s"${outPrefix}_postings")
+      } finally spark.conf.set(conf, prev)
+      spark.table(s"${prefixA}_term_df")
+        .unionByName(spark.table(s"${prefixB}_term_df"))
+        .groupBy("term").agg(sum(col("df")).cast("int").as("df"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(IndexBuckets, "term").sortBy("term")
+        .saveAsTable(s"${outPrefix}_term_df")
+      spark.table(s"${prefixA}_doc_info")
+        .unionByName(spark.table(s"${prefixB}_doc_info"))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${outPrefix}_doc_info")
+    } finally spark.conf.set(unionConf, prevUnion)
+  }
+
   def compactBucketedIndex(spark: SparkSession, prefix: String,
                            maxFilesPerBucket: Int = 8): Boolean = {
     val name = s"${prefix}_postings"

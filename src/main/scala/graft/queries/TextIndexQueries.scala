@@ -235,6 +235,20 @@ object TextIndexQueries {
         sys.error("compaction unexpectedly skipped (buckets under threshold)")
     })
 
+  // ---- MERGED persisted indexes: two shard builds combined, then search ------
+  // Distributed index construction: each half of the corpus is indexed
+  // independently (as it would be where the data lives), then
+  // mergeBucketedIndexes combines the shards into a third index without
+  // shuffling postings. The oracle is the full-corpus bm25 SQL — a merged
+  // index must be indistinguishable from a from-scratch build.
+  def indexMerged(s: SparkSession, dir: String): DataFrame =
+    prebuiltSearch(s, memoizedIndex("graft_idxm_", dir) { prefix =>
+      val d = docs(s, dir)
+      Indexer.buildBucketedIndex(s, d.filter(col("doc_id") % 2 === 0), s"${prefix}_sa")
+      Indexer.buildBucketedIndex(s, d.filter(col("doc_id") % 2 === 1), s"${prefix}_sb")
+      Indexer.mergeBucketedIndexes(s, s"${prefix}_sa", s"${prefix}_sb", prefix)
+    })
+
   // ---- Batch multi-query search: one plan scores a query TABLE ---------------
   val BatchQueries: Seq[(String, String)] = Seq(
     ("q1", "spark filter join"),
@@ -645,6 +659,7 @@ object TextIndexQueries {
     "bm25_search_prebuilt" -> (bm25SearchPrebuilt _),
     "index_append_persisted" -> (indexAppendPersisted _),
     "index_compacted" -> (indexCompacted _),
+    "index_merged" -> (indexMerged _),
     "index_delete_persisted" -> (indexDeletePersisted _),
     "bm25_search_sql_api" -> (bm25SearchSqlApi _),
     "bm25_batch_search" -> (bm25BatchSearch _),
@@ -671,6 +686,7 @@ object TextIndexQueries {
     "bm25_search_prebuilt" -> bm25SearchSql,
     "index_append_persisted" -> bm25SearchSql,
     "index_compacted" -> bm25SearchSql,
+    "index_merged" -> bm25SearchSql,
     "index_delete_persisted" -> indexDeleteSql,
     "bm25_search_sql_api" -> bm25SearchSql,
     "bm25_batch_search" -> bm25BatchSearchSql,

@@ -113,6 +113,41 @@ class IndexerSpec extends SparkSpec {
     assert(!Indexer.compactBucketedIndex(spark, prefix, maxFilesPerBucket = 8))
   }
 
+  test("shard merge == full build: results, term_df, layout all agree") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    Indexer.buildBucketedIndex(spark, d.filter(col("doc_id") % 2 === 0),
+      "graft_idx_merge_sa")
+    Indexer.buildBucketedIndex(spark, d.filter(col("doc_id") % 2 === 1),
+      "graft_idx_merge_sb")
+    Indexer.mergeBucketedIndexes(spark, "graft_idx_merge_sa",
+      "graft_idx_merge_sb", "graft_idx_merge_out")
+    Indexer.buildBucketedIndex(spark, d, "graft_idx_merge_full")
+    val query = "spark filter join stream data"
+    val merged = Search.searchPrebuilt(spark, query, "graft_idx_merge_out")
+    val full = Search.searchPrebuilt(spark, query, "graft_idx_merge_full")
+    assert(merged.collect().toSeq == full.collect().toSeq,
+      "merged shards rank differently from a from-scratch build")
+    // term_df counts summed across shards == from-scratch df
+    val gotDf = spark.table("graft_idx_merge_out_term_df")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val wantDf = spark.table("graft_idx_merge_full_term_df")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(gotDf == wantDf)
+    // shuffle-free union layout: at most one file per bucket per shard
+    val files = Indexer.bucketFileCounts(spark, "graft_idx_merge_out_postings")
+    assert(files.values.max <= 2, s"merge stacked more files than its shards: $files")
+    // bucket spec survives: pruning + exchange-free term join intact
+    val p = merged.queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"),
+      s"term IN-list does not prune the merged index:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(term"),
+      s"term join shuffled a merged index scan:\n$p")
+    // inputs are untouched and still searchable
+    assert(Search.searchPrebuilt(spark, query, "graft_idx_merge_sa")
+      .collect().nonEmpty)
+  }
+
   test("deletion purges postings, decrements term_df, drops vanished terms") {
     val prefix = "graft_idx_delete_spec"
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
