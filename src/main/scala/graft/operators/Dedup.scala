@@ -43,9 +43,11 @@ object Dedup {
     (0 until numHashes).map(i => TextHash.minHashOfHashes(set, i).as(s"mh$i"))
 
   /** One row per (id, band, band-hash-struct) from a signature table
-    * (id, mh0..mh{n-1}) — the shared banding step of the LSH joins.
+    * (id, mh0..mh{n-1}) — the shared banding step of the LSH joins, also
+    * the row shape streaming collision detection keys its state by
+    * (graft.streaming.DocStreams.bucketCollisions).
     */
-  private[operators] def banded(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  def banded(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"),

@@ -160,13 +160,7 @@ object DedupQueries {
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // Tokens hashed to long once; both the signatures and the jaccard
     // verify run on the long sets (same md5 hash in the oracle).
-    val sets = Tables.documents(s, dir)
-      .filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id").as("id"),
-        array_distinct(transform(Tokenizer.tokenize(col("text")),
-          t => TextHash.hashMod(t))).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .registeredCache()
+    val sets = hashedSets(s, dir)
     val sigs = sets.select(
       col("id") +: Dedup.minHashSignaturesHashed(col("toks"), NumHashes): _*)
     val cands = Dedup.lshCandidates(sigs, NumHashes, RowsPerBand)
@@ -183,6 +177,46 @@ object DedupQueries {
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir).orderBy("doc_id_a", "doc_id_b")
+
+  // ---- STREAMING near-dup: stateful bucket collisions + batch verify ----------
+  // The same LSH pipeline run BY THE STREAMING ENGINE: the corpus arrives
+  // as three micro-batches (staged file splits), per-bucket keyed state
+  // accumulates members, and every arriving doc emits candidate pairs
+  // against the bucket's existing members — the emitted set equals the
+  // batch self-join's candidates under ANY arrival interleaving
+  // (DocStreams.bucketCollisions). The tiny candidate set then pays the
+  // exact jaccard verify in batch, so the final rows hash-match the SAME
+  // DuckDB oracle as dedup_minhash_lsh. This is the ingest-time shape: a
+  // live corpus stream surfaces near-dup pairs as documents arrive, state
+  // bounded by bucket occupancy.
+  def streamDedupNear(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.streaming.DocStreams.stagedDocSplits(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), nFiles = 3)
+    val src = graft.streaming.DocStreams
+      .docsFileStream(s, staged, oneFilePerBatch = true)
+    val sets = src.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id"),
+        array_distinct(transform(Tokenizer.tokenize(col("text")),
+          t => TextHash.hashMod(t))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val sigs = sets.select(
+      col("id") +: Dedup.minHashSignaturesHashed(col("toks"), NumHashes): _*)
+    val bandRows = Dedup.banded(sigs, NumHashes, RowsPerBand)
+      .select(col("band"), col("h.r0").as("h1"), col("h.r1").as("h2"), col("id"))
+    val cands = graft.streaming.DocStreams
+      .nearDupCandidates(s, bandRows, "dedup_near")
+      .select(col("id_a"), col("id_b"))
+    val bsets = hashedSets(s, dir)
+    cands
+      .join(bsets.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(bsets.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("jaccard",
+        graft.plans.ArrayJaccard.jaccardLong(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
+        col("jaccard").cast("double").as("jaccard"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
 
   val dedupMinhashLshSql: String = {
     val mhExprs = (0 until NumHashes).map { i =>
@@ -775,6 +809,7 @@ object DedupQueries {
     "dedup_incremental_near" -> (dedupIncrementalNear _),
     "dedup_incremental_persisted" -> (dedupIncrementalPersisted _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "stream_dedup_near" -> (streamDedupNear _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -791,6 +826,7 @@ object DedupQueries {
     "dedup_incremental_near" -> dedupIncrementalNearSql,
     "dedup_incremental_persisted" -> dedupIncrementalPersistedSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "stream_dedup_near" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,

@@ -249,6 +249,23 @@ object TextIndexQueries {
       Indexer.mergeBucketedIndexes(s, s"${prefix}_sa", s"${prefix}_sb", prefix)
     })
 
+  // ---- STREAMING index ingest: micro-batches grow the persisted index --------
+  // The reference's "index once, grow forever" pattern under the streaming
+  // engine: half the corpus is indexed up front, the other half arrives as
+  // a file stream (one micro-batch per staged file) and foreachBatch
+  // appends each batch into the SAME persisted bucketed tables via
+  // appendBucketedIndex. After the stream drains, search must be
+  // indistinguishable from a from-scratch full-corpus build — the oracle
+  // is the full-corpus bm25 SQL.
+  def streamIndexIngest(s: SparkSession, dir: String): DataFrame =
+    prebuiltSearch(s, memoizedIndex("graft_idxs_", dir) { prefix =>
+      val d = docs(s, dir)
+      Indexer.buildBucketedIndex(s, d.filter(col("doc_id") % 2 === 0), prefix)
+      val staged = graft.streaming.DocStreams
+        .stagedDocSplits(d.filter(col("doc_id") % 2 === 1), nFiles = 3)
+      graft.streaming.DocStreams.ingestAppend(s, staged, prefix)
+    })
+
   // ---- Batch multi-query search: one plan scores a query TABLE ---------------
   val BatchQueries: Seq[(String, String)] = Seq(
     ("q1", "spark filter join"),
@@ -660,6 +677,7 @@ object TextIndexQueries {
     "index_append_persisted" -> (indexAppendPersisted _),
     "index_compacted" -> (indexCompacted _),
     "index_merged" -> (indexMerged _),
+    "stream_index_ingest" -> (streamIndexIngest _),
     "index_delete_persisted" -> (indexDeletePersisted _),
     "bm25_search_sql_api" -> (bm25SearchSqlApi _),
     "bm25_batch_search" -> (bm25BatchSearch _),
@@ -687,6 +705,7 @@ object TextIndexQueries {
     "index_append_persisted" -> bm25SearchSql,
     "index_compacted" -> bm25SearchSql,
     "index_merged" -> bm25SearchSql,
+    "stream_index_ingest" -> bm25SearchSql,
     "index_delete_persisted" -> indexDeleteSql,
     "bm25_search_sql_api" -> bm25SearchSql,
     "bm25_batch_search" -> bm25BatchSearchSql,

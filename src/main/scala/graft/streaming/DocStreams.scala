@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming forms of the DOCUMENT pipeline: near-dup candidate detection
+  * with per-bucket keyed state, and live index ingestion (micro-batches
+  * appended into the persisted bucketed index). The events pipeline's
+  * streaming forms live in EventStreams; this file covers the corpus side.
+  */
+object DocStreams {
+
+  /** One MinHash band row: (band, h1, h2) is the bucket key (rowsPerBand =
+    * 2 signature values), `id` the document.
+    */
+  case class BandRow(band: Int, h1: Long, h2: Long, id: Long)
+  case class BucketState(ids: Seq[Long])
+  case class CandPair(id_a: Long, id_b: Long)
+
+  /** The documents parquet as a STREAMING file source. `dir` may be the
+    * testdata dir or a staged directory holding the corpus split into
+    * several files (maxFilesPerTrigger=1 then yields one micro-batch per
+    * file — real cross-batch state instead of a single-batch degenerate
+    * run).
+    */
+  def docsFileStream(s: SparkSession, dir: String,
+                     oneFilePerBatch: Boolean = false): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val r = s.readStream.schema(schema).option("basePath", dir)
+    (if (oneFilePerBatch) r.option("maxFilesPerTrigger", "1") else r)
+      .parquet(s"$dir/documents.parquet*")
+  }
+
+  /** Stage `docs` into a fresh stream-source dir as `nFiles` separate
+    * parquet files (doc_id mod nFiles), so the file stream sees several
+    * micro-batches. Returns the directory.
+    */
+  def stagedDocSplits(docs: DataFrame, nFiles: Int): String = {
+    val dir = graft.ScratchDirs.fresh("graft_stream", "docs_src")
+    (0 until nFiles).foreach { i =>
+      val tmp = dir.resolve(s"_split_$i")
+      docs.filter(pmod(col("doc_id"), lit(nFiles)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"doc split $i produced no parquet part file"))
+      java.nio.file.Files.move(part.toPath,
+        dir.resolve(if (i == 0) "documents.parquet" else s"documents.parquet$i"))
+      locally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively(): Unit
+      }
+    }
+    dir.toString
+  }
+
+  /** Stateful LSH bucket-collision detection: per-bucket keyed state holds
+    * every id seen in that bucket so far; each arriving id emits a
+    * candidate pair with every EXISTING member (plus pairs within its own
+    * batch), so the emitted SET over the whole run equals the batch
+    * self-join's candidates no matter how arrival interleaves — each pair
+    * surfaces exactly once per bucket, when its second member arrives. No
+    * sentinel is needed (unlike accumulate-and-evaluate operators): pair
+    * emission is monotone in the arrival prefix.
+    *
+    * State is bounded by bucket occupancy — the same collision-bounded
+    * quantity that bounds the batch join's candidate volume; at 100 TB the
+    * banding width controls it (more bits → smaller buckets), and state
+    * partitions by bucket key across executors.
+    */
+  def bucketCollisions(spark: SparkSession,
+                       rows: Dataset[BandRow]): Dataset[CandPair] = {
+    import spark.implicits._
+    rows
+      .groupByKey(r => (r.band, r.h1, r.h2))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long, Long), it: Iterator[BandRow], state: GroupState[BucketState]) =>
+          val existing = state.getOption.map(_.ids).getOrElse(Seq.empty)
+          // a doc contributes one row per (band, bucket); ids can still
+          // repeat across batches if a source replays — drop known ids
+          val incoming = it.map(_.id).toVector.distinct
+            .filterNot(existing.contains).sorted
+          val crossPairs = for (n <- incoming; e <- existing)
+            yield CandPair(math.min(n, e), math.max(n, e))
+          val withinPairs = for {
+            i <- incoming.indices; j <- (i + 1) until incoming.size
+          } yield CandPair(incoming(i), incoming(j))
+          state.update(BucketState(existing ++ incoming))
+          (crossPairs ++ withinPairs).iterator
+      }
+  }
+
+  /** Run the stateful collision detector over a staged multi-batch corpus
+    * stream and return the DISTINCT candidate pairs as a batch DataFrame
+    * (cross-band duplicates collapse here, exactly like the batch
+    * lshCandidates' distinct).
+    */
+  def nearDupCandidates(s: SparkSession, bandRows: DataFrame,
+                        tag: String): DataFrame = {
+    import s.implicits._
+    val typed = bandRows.select(
+      col("band").cast("int").as("band"), col("h1"), col("h2"), col("id"))
+      .as[BandRow]
+    EventStreams.runToSink(bucketCollisions(s, typed).toDF(),
+        OutputMode.Append, tag)
+      .distinct()
+  }
+
+  /** Live index ingestion: stream a staged corpus directory one file per
+    * micro-batch, appending each batch into the persisted bucketed index
+    * via the SAME appendBucketedIndex the batch lifecycle uses — the
+    * streaming half of the reference's "index once, grow forever" pattern
+    * (app/index.sh re-runs into the same Cassandra tables; here the
+    * arriving stream grows the same tables a concurrent searcher reads).
+    */
+  def ingestAppend(s: SparkSession, stagedDir: String, prefix: String): Unit = {
+    val ckpt = graft.ScratchDirs.fresh("graft_stream", "ingest_ckpt").toString
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = docsFileStream(s, stagedDir, oneFilePerBatch = true)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.Indexer.appendBucketedIndex(s,
+              batch.select(col("doc_id"), col("text")), prefix)
+        }
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+}

@@ -70,8 +70,8 @@ object EventStreams {
     * conf is restored after the run; a live deployment sizes this to key
     * cardinality instead.
     */
-  private def runToSink(df: DataFrame, mode: OutputMode, tag: String,
-                        statePartitions: Int = 4): DataFrame = {
+  private[streaming] def runToSink(df: DataFrame, mode: OutputMode, tag: String,
+                                   statePartitions: Int = 4): DataFrame = {
     val s = df.sparkSession
     // unique per-run sink + checkpoint: Append mode needs a fresh
     // checkpoint anyway (resuming an old one would skip already-read

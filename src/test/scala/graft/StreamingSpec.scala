@@ -258,4 +258,61 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly-once resume totals, got $counts")
   }
 
+  test("stateful bucket collisions equal the batch LSH candidate set") {
+    import graft.streaming.DocStreams
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // stream: 3 staged files => 3 micro-batches, keyed state crosses them
+    val staged = DocStreams.stagedDocSplits(docs, nFiles = 3)
+    val mkSets = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("doc_id").as("id"),
+        array_distinct(transform(
+          graft.functions.Tokenizer.tokenize(col("text")),
+          t => graft.functions.TextHash.hashMod(t))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val mkBands = (sets: org.apache.spark.sql.DataFrame) =>
+      graft.operators.Dedup.banded(
+          sets.select(col("id") +: graft.operators.Dedup
+            .minHashSignaturesHashed(col("toks"), 8): _*), 8, 2)
+        .select(col("band"), col("h.r0").as("h1"), col("h.r1").as("h2"),
+          col("id"))
+    val streamed = DocStreams.nearDupCandidates(spark,
+        mkBands(mkSets(DocStreams.docsFileStream(spark, staged,
+          oneFilePerBatch = true))), "collisions_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Dedup.lshCandidates(
+        mkSets(docs).select(col("id") +: graft.operators.Dedup
+          .minHashSignaturesHashed(col("toks"), 8): _*), 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streamed-batch diff: extra=${streamed -- batch} missing=${batch -- streamed}")
+    assert(batch.nonEmpty, "test corpus produced no LSH candidates")
+  }
+
+  test("streaming index ingest appends every micro-batch into the live index") {
+    import graft.streaming.DocStreams
+    val prefix = "graft_idx_stream_spec"
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    graft.operators.Indexer.buildBucketedIndex(spark,
+      d.filter(col("doc_id") % 2 === 0), prefix)
+    val staged = DocStreams.stagedDocSplits(
+      d.filter(col("doc_id") % 2 === 1), nFiles = 3)
+    DocStreams.ingestAppend(spark, staged, prefix)
+    // every streamed doc is searchable: doc_info covers the full corpus
+    val indexed = spark.table(s"${prefix}_doc_info").count()
+    assert(indexed == d.count(), "ingested index lost documents")
+    // the appends genuinely arrived as separate micro-batches: the busiest
+    // bucket carries the build file plus one per non-empty batch
+    val files = graft.operators.Indexer
+      .bucketFileCounts(spark, s"${prefix}_postings")
+    assert(files.values.max >= 3, s"expected stacked append files: $files")
+    // search over the ingested index == search over a from-scratch build
+    graft.operators.Indexer.buildBucketedIndex(spark, d, s"${prefix}_full")
+    val q = "spark filter join stream data"
+    assert(graft.operators.Search.searchPrebuilt(spark, q, prefix)
+        .collect().toSeq ==
+      graft.operators.Search.searchPrebuilt(spark, q, s"${prefix}_full")
+        .collect().toSeq)
+  }
 }
