@@ -704,7 +704,10 @@ object DedupQueries {
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     val edges = minhashPairs(s, dir)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-    graft.operators.PageRank.pagerank(edges, PrIterations)
+    // iteration shuffle width pinned to the graph volume (120k pairs at
+    // sf0.1), decoupled from the session's batch-analytics width — the
+    // loop pays its stage width x10 (PageRank scaladoc has the A/B)
+    graft.operators.PageRank.pagerank(edges, PrIterations, partitions = Some(4))
       .select(col("id").cast("long").as("doc_id"), col("deg"),
         (col("r").cast("double") / lit(1000000.0)).as("rank"))
       .orderBy("doc_id")
