@@ -246,6 +246,48 @@ object EventQueries {
       .orderBy("purchase_id")
   }
 
+  // ---- Forward as-of join: each click's NEXT purchase within 1 hour ----------
+  // The attribution dual of events_asof_signup (asOfPrior): direction =
+  // forward with a tolerance, pandas merge_asof's other half. Same
+  // single-shuffle window shape — no pair blowup; unmatched or
+  // out-of-tolerance clicks keep a null purchase.
+  def eventsAsofNext(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin
+      .asOfNext(clicks, purchases, "user_id", "ts", "ts", "event_id",
+        toleranceSeconds = Some(3600L))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("asof.event_id").as("purchase_id"),
+        (unix_micros(col("asof.ts")) - unix_micros(col("ts"))).as("delta_us"))
+      .orderBy("click_id")
+  }
+
+  val eventsAsofNextSql: String =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |purch AS (
+      |  SELECT event_id AS pid, user_id, ts AS pts FROM events
+      |  WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT c.event_id, p.pid, p.pts,
+      |    row_number() OVER (PARTITION BY c.event_id
+      |      ORDER BY p.pts, p.pid) AS rn
+      |  FROM clicks c JOIN purch p ON c.user_id = p.user_id
+      |    AND epoch_us(p.pts) >= epoch_us(c.ts)
+      |    AND epoch_us(p.pts) - epoch_us(c.ts) <= 3600000000)
+      |SELECT c.event_id AS click_id, c.user_id,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+      |  m.pid AS purchase_id,
+      |  CAST(epoch_us(m.pts) - epoch_us(c.ts) AS BIGINT) AS delta_us
+      |FROM clicks c LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+      |  ON c.event_id = m.event_id
+      |ORDER BY click_id""".stripMargin
+
   val eventsAsofSignupSql: String =
     """WITH u AS (
       |  SELECT user_id, ts, 1 AS side, event_id AS l_event,
@@ -425,14 +467,50 @@ object EventQueries {
        |  (SELECT count(*) FROM events WHERE user_id IS NOT NULL)
        |ORDER BY user_id""".stripMargin
 
+  // ---- Data-quality report: every ingest rule in one scan --------------------
+  // Mixed so both branches are exercised: three rules that hold on the
+  // synthetic feed (null key, negative value, unknown type) and two that
+  // genuinely fire (value outliers, error-type rows).
+  def dataQuality(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality.Rule
+    graft.operators.DataQuality.report(Tables.events(s, dir), Seq(
+        Rule("error_rows", col("event_type") === "error"),
+        Rule("negative_value", col("value") < 0),
+        Rule("null_user", col("user_id").isNull),
+        Rule("outlier_value", col("value") > 400),
+        Rule("unknown_type", !col("event_type").isin(EventTypes: _*))))
+      .orderBy("rule")
+  }
+
+  val dataQualitySql: String = {
+    val arms = Seq(
+      ("error_rows", "event_type = 'error'"),
+      ("negative_value", "value < 0"),
+      ("null_user", "user_id IS NULL"),
+      ("outlier_value", "value > 400"),
+      ("unknown_type",
+        "event_type NOT IN ('click','error','purchase','signup','view')"))
+      .map { case (n, cond) =>
+        s"SELECT '$n' AS rule, CAST(count(*) FILTER ($cond) AS BIGINT) AS v FROM events"
+      }.mkString("\n  UNION ALL\n  ")
+    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events),
+       |r AS (
+       |  $arms)
+       |SELECT r.rule, n.n_rows, r.v AS n_violations,
+       |  CAST(r.v AS DOUBLE) / CAST(n.n_rows AS DOUBLE) AS violation_rate
+       |FROM r, n ORDER BY rule""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "heavy_hitters" -> (heavyHitters _),
+    "data_quality" -> (dataQuality _),
     "events_funnel" -> (eventsFunnel _),
     "events_transitions" -> (eventsTransitions _),
     "events_retention" -> (eventsRetention _),
     "events_click_to_purchase" -> (eventsClickToPurchase _),
     "events_session_window" -> (eventsSessionWindow _),
     "events_asof_signup" -> (eventsAsofSignup _),
+    "events_asof_next" -> (eventsAsofNext _),
     "events_tumbling" -> (eventsTumbling _),
     // same oracles as the batch forms, results computed by the streaming
     // engine (file source -> AvailableNow -> materialized sink)
@@ -458,12 +536,14 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "heavy_hitters" -> heavyHittersSql,
+    "data_quality" -> dataQualitySql,
     "events_funnel" -> eventsFunnelSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_retention" -> eventsRetentionSql,
     "events_click_to_purchase" -> eventsClickToPurchaseSql,
     "events_session_window" -> eventsSessionWindowSql,
     "events_asof_signup" -> eventsAsofSignupSql,
+    "events_asof_next" -> eventsAsofNextSql,
     "events_tumbling" -> eventsTumblingSql,
     "stream_tumbling" -> eventsTumblingSql,
     "stream_click_to_purchase" -> eventsClickToPurchaseSql,

@@ -100,6 +100,54 @@ class OperatorSpec extends SparkSpec {
     assert(out("p3") == -1L)  // nothing prior
   }
 
+  test("AsOfJoin.asOfNext: earliest at-or-after right; tolerance nulls far matches") {
+    def ts(m: Int) = new Timestamp(1704067200000L + m * 60000L)
+    val left = Seq((1L, ts(10), "c1"), (1L, ts(30), "c2"), (2L, ts(5), "c3"),
+        (3L, ts(0), "c4"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (201L, 1L, ts(10)),  // simultaneous with c1 — included, wins over 202
+      (202L, 1L, ts(10)),  // same ts: LOWEST id wins forward ties
+      (203L, 1L, ts(31)),  // next after c2
+      (204L, 2L, ts(500)), // far after c3 — nulled by tolerance
+      (205L, 3L, ts(-5)))  // before c4 only -> unmatched
+      .toDF("event_id", "user_id", "ts")
+    def run(tol: Option[Long]) = AsOfJoin
+      .asOfNext(left, right, "user_id", "ts", "ts", "event_id", tol)
+      .select(col("tag"), col("asof.event_id"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val unbounded = run(None)
+    assert(unbounded("c1") == 201L) // simultaneous included, lowest id wins
+    assert(unbounded("c2") == 203L)
+    assert(unbounded("c3") == 204L) // no tolerance: far match kept
+    assert(unbounded("c4") == -1L)  // nothing at-or-after
+    val bounded = run(Some(3600L))
+    assert(bounded("c1") == 201L && bounded("c2") == 203L)
+    assert(bounded("c3") == -1L, "match past the tolerance must null out")
+  }
+
+  test("DataQuality.report: per-rule violation counts from one scan") {
+    import graft.operators.DataQuality
+    import graft.operators.DataQuality.Rule
+    val df = Seq((1L, 5.0, "a"), (2L, -1.0, "b"), (3L, -2.0, "zz"),
+        (4L, 0.0, "a")).toDF("id", "v", "cat")
+    val rep = DataQuality.report(df, Seq(
+      Rule("neg_v", col("v") < 0),
+      Rule("bad_cat", !col("cat").isin("a", "b")),
+      Rule("null_id", col("id").isNull)))
+    val rows = rep.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows("neg_v") == ((4L, 2L, 0.5)))
+    assert(rows("bad_cat") == ((4L, 1L, 0.25)))
+    assert(rows("null_id") == ((4L, 0L, 0.0)))
+    // all rules share ONE aggregate over one scan — no per-rule passes
+    val nAggs = rep.queryExecution.executedPlan.toString
+      .linesIterator.count(_.trim.startsWith("+- HashAggregate"))
+    assert(nAggs <= 2, s"expected one partial+final aggregate pair, got $nAggs")
+  }
+
   test("partitioned write enables partition pruning at read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.documents(spark, "/root/testdata/sf0.001")
