@@ -467,6 +467,36 @@ object EventQueries {
        |  (SELECT count(*) FROM events WHERE user_id IS NOT NULL)
        |ORDER BY user_id""".stripMargin
 
+  // ---- Rolling event-time window: per-user trailing 1-hour stats -------------
+  // RANGE BETWEEN INTERVAL frames — the event-time rolling aggregate
+  // (each event sees the user's activity in the preceding hour, itself
+  // included). One window shuffle keyed by user; the frame is a sliding
+  // range over the sorted partition, so cost is linear per user, never
+  // pairwise. Frame bounds are in integer epoch-microseconds in BOTH
+  // engines, so boundary inclusion can't drift through float seconds.
+  def eventsRolling1h(s: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(us)
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("n_1h", count(lit(1)).over(w).cast("long"))
+      .withColumn("value_1h", round(sum(col("value")).over(w), 6).cast("double"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("n_1h"), col("value_1h"))
+      .orderBy("event_id")
+  }
+
+  val eventsRolling1hSql: String =
+    """SELECT event_id, user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      |  CAST(round(sum(value) OVER w, 6) AS DOUBLE) AS value_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   // ---- Data-quality report: every ingest rule in one scan --------------------
   // Mixed so both branches are exercised: three rules that hold on the
   // synthetic feed (null key, negative value, unknown type) and two that
@@ -504,6 +534,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "heavy_hitters" -> (heavyHitters _),
     "data_quality" -> (dataQuality _),
+    "events_rolling_1h" -> (eventsRolling1h _),
     "events_funnel" -> (eventsFunnel _),
     "events_transitions" -> (eventsTransitions _),
     "events_retention" -> (eventsRetention _),
@@ -537,6 +568,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "heavy_hitters" -> heavyHittersSql,
     "data_quality" -> dataQualitySql,
+    "events_rolling_1h" -> eventsRolling1hSql,
     "events_funnel" -> eventsFunnelSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_retention" -> eventsRetentionSql,
