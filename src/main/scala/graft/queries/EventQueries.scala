@@ -84,6 +84,25 @@ object EventQueries {
       |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- VARIANT ingestion: parse once, shred on access -------------------------
+  // The same extraction as events_json but through Spark 4's VariantType:
+  // props parses to a binary variant value ONCE (parse_json), and fields
+  // shred out via variant_get path access. For semi-structured feeds this
+  // replaces per-field from_json re-parses (N fields = N parses of the
+  // same string) with one parse + N cheap binary path reads — the
+  // schema-on-read shape a 100 TB JSON-ish feed needs. Same DuckDB oracle
+  // as events_json: the surface changes, the semantics must not.
+  def eventsVariant(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", variant_get(col("v"), "$.k", "long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        avg(col("k")).cast("double").as("avg_k"),
+        max(col("k")).cast("long").as("max_k"),
+        min(col("k")).cast("long").as("min_k"))
+      .orderBy("event_type")
+
   // ---- Sessionization: 30-minute inactivity gap ------------------------------
   // lag -> gap flag -> running sum = session id; then per-user session stats.
   // The same lag+cumsum shape a streaming flatMapGroupsWithState implements
@@ -561,6 +580,7 @@ object EventQueries {
     "events_cube_daily" -> (eventsCubeDaily _),
     "events_sliding" -> (eventsSliding _),
     "events_json" -> (eventsJson _),
+    "events_variant" -> (eventsVariant _),
     "events_sessionize" -> (eventsSessionize _),
     "events_pivot_daily" -> (eventsPivotDaily _),
     "events_latest_per_user" -> (eventsLatestPerUser _))
@@ -587,6 +607,7 @@ object EventQueries {
     "events_cube_daily" -> eventsCubeDailySql,
     "events_sliding" -> eventsSlidingSql,
     "events_json" -> eventsJsonSql,
+    "events_variant" -> eventsJsonSql,
     "events_sessionize" -> eventsSessionizeSql,
     "events_pivot_daily" -> eventsPivotDailySql,
     "events_latest_per_user" -> eventsLatestPerUserSql)

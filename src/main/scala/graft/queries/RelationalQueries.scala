@@ -573,7 +573,42 @@ object RelationalQueries {
         col("approx_ps").getItem(2).as("p75"), col("approx_ps").getItem(3).as("p95"))
       .orderBy("l_linestatus")
 
+  // ---- MERGE INTO (copy-on-write upsert) over the document store -------------
+  // CDC ingest against an immutable columnar corpus: an update batch
+  // (revised text for doc_id%10==0) plus an insert batch (new ids) merged
+  // in ONE union + max_by groupBy — no join, skew-safe (Upsert scaladoc).
+  // The oracle is the NOT EXISTS formulation of the same merge.
+  def docsUpsert(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val revisions = d.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(lit("v2 "), col("text")))
+    val inserts = d.filter(col("doc_id") % 25 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(lit("new "), col("text")))
+    graft.operators.Upsert
+      .mergeInto(d, revisions.unionByName(inserts), "doc_id", "doc_id")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val docsUpsertSql: String =
+    """WITH upd AS (
+      |  SELECT doc_id, 'v2 ' || text AS text, lang, source FROM documents
+      |  WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'new ' || text, lang, source FROM documents
+      |  WHERE doc_id % 25 = 0),
+      |merged AS (
+      |  SELECT * FROM upd
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source FROM documents d
+      |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = d.doc_id))
+      |SELECT doc_id, md5(text) AS text_md5, lang, source
+      |FROM merged ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_upsert" -> (docsUpsert _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "unpivot_metrics" -> (unpivotMetrics _),
     "collect_agg" -> (collectAgg _),
@@ -604,6 +639,7 @@ object RelationalQueries {
     "sample_limit" -> (sampleLimit _))
 
   val oracles: Map[String, String] = Map(
+    "docs_upsert" -> docsUpsertSql,
     "skew_salted_join" -> skewSaltedJoinSql,
     "unpivot_metrics" -> unpivotMetricsSql,
     "collect_agg" -> collectAggSql,

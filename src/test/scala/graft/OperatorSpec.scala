@@ -127,6 +127,26 @@ class OperatorSpec extends SparkSpec {
     assert(bounded("c3") == -1L, "match past the tolerance must null out")
   }
 
+  test("Upsert.mergeInto: updates replace, inserts add, rest passes through") {
+    import graft.operators.Upsert
+    val target = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L))
+      .toDF("id", "v", "ver")
+    val updates = Seq(
+      (2L, "b2", 11L),  // update
+      (2L, "b3", 12L),  // later duplicate update for the same key — wins
+      (4L, "d", 11L))   // insert
+      .toDF("id", "v", "ver")
+    val got = Upsert.mergeInto(target, updates, "id", "ver")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ("a", 10L), 2L -> ("b3", 12L), 3L -> ("c", 10L), 4L -> ("d", 11L)))
+    // an update always beats target even with a LOWER tiebreak value
+    val demote = Seq((1L, "a0", 1L)).toDF("id", "v", "ver")
+    val got2 = Upsert.mergeInto(target, demote, "id", "ver")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2(1L) == "a0", "update row must win regardless of tiebreak")
+  }
+
   test("DataQuality.report: per-rule violation counts from one scan") {
     import graft.operators.DataQuality
     import graft.operators.DataQuality.Rule
