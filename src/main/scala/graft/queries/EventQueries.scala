@@ -516,6 +516,31 @@ object EventQueries {
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // ---- Z-order values: the multi-dimensional layout key ----------------------
+  // Morton interleave of (user_id, event-minute) — the clustering key a
+  // z-ordered rewrite sorts by so file min/max stats prune 2-dimensional
+  // box predicates (ZOrder scaladoc; OperatorSpec measures the actual
+  // row-group skipping win). Pure bit arithmetic, bit-identical in both
+  // engines.
+  private val ZBits = 20
+
+  def zorderValues(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("mnt", expr("unix_micros(ts) div 60000000"))
+      .select(col("event_id"), col("user_id"),
+        graft.operators.ZOrder.interleave(col("user_id"), col("mnt"), ZBits)
+          .as("z"))
+      .orderBy("event_id")
+
+  val zorderValuesSql: String = {
+    val z = graft.operators.ZOrder.interleaveSql("user_id", "mnt", ZBits)
+    s"""WITH m AS (
+       |  SELECT event_id, user_id, epoch_us(ts) // 60000000 AS mnt
+       |  FROM events)
+       |SELECT event_id, user_id, CAST($z AS BIGINT) AS z
+       |FROM m ORDER BY event_id""".stripMargin
+  }
+
   // ---- Data-quality report: every ingest rule in one scan --------------------
   // Mixed so both branches are exercised: three rules that hold on the
   // synthetic feed (null key, negative value, unknown type) and two that
@@ -554,6 +579,7 @@ object EventQueries {
     "heavy_hitters" -> (heavyHitters _),
     "data_quality" -> (dataQuality _),
     "events_rolling_1h" -> (eventsRolling1h _),
+    "zorder_values" -> (zorderValues _),
     "events_funnel" -> (eventsFunnel _),
     "events_transitions" -> (eventsTransitions _),
     "events_retention" -> (eventsRetention _),
@@ -589,6 +615,7 @@ object EventQueries {
     "heavy_hitters" -> heavyHittersSql,
     "data_quality" -> dataQualitySql,
     "events_rolling_1h" -> eventsRolling1hSql,
+    "zorder_values" -> zorderValuesSql,
     "events_funnel" -> eventsFunnelSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_retention" -> eventsRetentionSql,

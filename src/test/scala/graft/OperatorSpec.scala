@@ -127,6 +127,59 @@ class OperatorSpec extends SparkSpec {
     assert(bounded("c3") == -1L, "match past the tolerance must null out")
   }
 
+  test("ZOrder.interleave matches a reference Morton encode") {
+    import graft.operators.ZOrder
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i)))
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (255L, 255L),
+      (123456L, 654321L), ((1L << 20) - 1, (1L << 20) - 1))
+    val df = cases.toDF("a", "b")
+      .select(ZOrder.interleave(col("a"), col("b"), 20).as("z"))
+    val got = df.collect().map(_.getLong(0)).toSeq
+    val want = cases.map { case (a, b) => ref(a, b, 20) }
+    assert(got == want)
+    // masking: bits above the width are dropped, not smeared
+    val masked = Seq(((1L << 25) + 7L, 1L)).toDF("a", "b")
+      .select(ZOrder.interleave(col("a"), col("b"), 20).as("z"))
+      .head().getLong(0)
+    assert(masked == ref(7L, 1L, 20))
+  }
+
+  test("z-ordered layout prunes a user-narrow box query a time sort cannot") {
+    import graft.operators.ZOrder
+    // Dimensions must be normalized to comparable bit widths before
+    // interleaving: a 150-value user dim against a 2^20-minute time dim
+    // leaves every high user bit zero and the z-order degenerates to a
+    // time sort. Scale both to 8 bits.
+    val raw = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("mnt", expr("unix_micros(ts) div 60000000"))
+    val (mn, mx) = {
+      val r = raw.agg(min(col("mnt")), max(col("mnt"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val ev = raw.withColumn("t8",
+      ((col("mnt") - mn) * 255L / (mx - mn + 1)).cast("long"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val tDir = java.nio.file.Files.createTempDirectory("graft_t").toString
+    ZOrder.writeZOrdered(ev, "user_id", "t8", bits = 8, nFiles = 16, zDir)
+    // baseline: same file count, time-sorted only (the 1-d layout)
+    ev.repartitionByRange(16, col("mnt")).sortWithinPartitions(col("mnt"))
+      .write.mode("overwrite").parquet(tDir)
+    def scanRows(path: String): Long = {
+      // narrow in USER, wide in time — the box a time sort cannot prune
+      val q = spark.read.parquet(path).filter(col("user_id").between(10, 20))
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val (zRows, tRows) = (scanRows(zDir), scanRows(tDir))
+    info(s"scan rows after row-group pruning: z-ordered=$zRows time-sorted=$tRows")
+    assert(zRows * 2 <= tRows,
+      s"z-order layout should at least halve scanned rows ($zRows vs $tRows)")
+  }
+
   test("Upsert.mergeInto: updates replace, inserts add, rest passes through") {
     import graft.operators.Upsert
     val target = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L))
