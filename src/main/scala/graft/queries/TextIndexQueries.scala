@@ -522,6 +522,27 @@ object TextIndexQueries {
       |  md5(text) AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- JSONL sink -> scan round-trip, content md5-checked ---------------------
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = graft.sources.Pipelines.freshScratch(
+      "jsonl_rt_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    graft.sources.Pipelines.writeJsonl(docs, out)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("source", StringType)))
+    graft.sources.Pipelines.readJsonl(s, out, schema)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val jsonlRoundtripSql: String =
+    """SELECT doc_id, md5(text) AS text_md5, lang, source
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def textdirRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = graft.sources.Pipelines.freshScratch(
       "perdoc_rt_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
@@ -688,6 +709,7 @@ object TextIndexQueries {
     "phrase_search" -> (phraseSearch _),
     "doc_prep" -> (docPrep _),
     "tsv_roundtrip" -> (tsvRoundtrip _),
+    "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "textdir_roundtrip" -> (textdirRoundtrip _),
     "prep_pipeline" -> (prepPipeline _))
 
@@ -716,5 +738,6 @@ object TextIndexQueries {
     "phrase_search" -> phraseSearchSql,
     "doc_prep" -> docPrepSql,
     "tsv_roundtrip" -> tsvRoundtripSql,
+    "jsonl_roundtrip" -> jsonlRoundtripSql,
     "textdir_roundtrip" -> textdirRoundtripSql)
 }

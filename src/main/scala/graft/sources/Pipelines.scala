@@ -68,6 +68,22 @@ object Pipelines {
     spark.read.option("sep", "\t").option("multiLine", multiLine.toString)
       .schema(DocSchema).csv(path)
 
+  /** JSON-Lines sink/scan — the interchange format for training-data
+    * pipelines (one JSON object per line; every major corpus distribution
+    * ships this way). The writer emits one file per task like the TSV
+    * sink; the reader applies an explicit schema so malformed lines fall
+    * into PERMISSIVE nulls rather than failing the scan, mirroring the
+    * TSV path's P5 semantics. JSON escapes embedded newlines/tabs by
+    * construction, so unlike TSV no writer options are needed for
+    * byte-exact round-trips (jsonl_roundtrip hash-checks this).
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** F8: sanitize a filename exactly like the reference
     * (spaces -> _, then keep only [a-zA-Z0-9_-]; app/prepare_data.py:32-33).
     */
