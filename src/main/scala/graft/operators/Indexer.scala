@@ -295,6 +295,49 @@ object Indexer {
     * @return true if a rewrite happened, false if all buckets were within
     *         the threshold.
     */
+  /** Snapshot the persisted index under a tag — the point-in-time copy a
+    * risky maintenance window takes first (append/delete/compact are
+    * individually crash-safe via rename-aside, but a bad BATCH — wrong
+    * data appended, over-eager delete set — needs semantic rollback, not
+    * crash recovery). Each table is copied through a forced bucketed scan
+    * into a same-bucket-spec table, so the snapshot is itself a complete,
+    * searchable, pruning-capable index; rollbackIndex swaps it live via
+    * the same rename-aside sequence every other lifecycle op uses. Cost:
+    * one read+write of the index (identical shape to compaction); at
+    * cluster scale a storage-level snapshot (object-store copy) replaces
+    * the data movement, with the same two-name catalog discipline.
+    */
+  def snapshotIndex(spark: SparkSession, prefix: String, tag: String): Unit = {
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try {
+      Seq(("postings", true), ("term_df", true), ("doc_info", false))
+        .foreach { case (t, bucketed) =>
+          val snap = s"${prefix}_${tag}_$t"
+          dropManagedTable(spark, snap)
+          val w = spark.table(s"${prefix}_$t")
+            .write.mode("overwrite").format("parquet")
+          (if (bucketed) w.bucketBy(IndexBuckets, "term").sortBy("term") else w)
+            .saveAsTable(snap)
+        }
+    } finally spark.conf.set(conf, prev)
+  }
+
+  /** Restore the live index from a snapshot taken by snapshotIndex. The
+    * snapshot is CONSUMED (renamed in); take another if you need to keep it.
+    */
+  def rollbackIndex(spark: SparkSession, prefix: String, tag: String): Unit =
+    Seq("postings", "term_df", "doc_info").foreach { t =>
+      val live = s"${prefix}_$t"
+      val snap = s"${prefix}_${tag}_$t"
+      val old = s"${live}_old"
+      dropManagedTable(spark, old)
+      spark.sql(s"ALTER TABLE $live RENAME TO $old")
+      spark.sql(s"ALTER TABLE $snap RENAME TO $live")
+      dropManagedTable(spark, old)
+    }
+
   /** Merge two persisted bucketed indexes over DISJOINT corpora into a
     * third — the shard-merge step of distributed index construction (build
     * each shard's index where its data lives, then combine; the reference

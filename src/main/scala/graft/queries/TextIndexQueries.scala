@@ -249,6 +249,23 @@ object TextIndexQueries {
       Indexer.mergeBucketedIndexes(s, s"${prefix}_sa", s"${prefix}_sb", prefix)
     })
 
+  // ---- Snapshot + rollback: semantic undo for a bad maintenance batch --------
+  // Build the %2==0 half, SNAPSHOT it, append the other half (the "bad
+  // batch"), then ROLL BACK. The restored index must be indistinguishable
+  // from the pre-append build — the oracle is the bm25 SQL over the
+  // doc_id%2==0 half only. Completes the lifecycle: create / append /
+  // merge / compact / delete / snapshot / rollback.
+  def indexRollback(s: SparkSession, dir: String): DataFrame =
+    prebuiltSearch(s, memoizedIndex("graft_idxr_", dir) { prefix =>
+      val d = docs(s, dir)
+      Indexer.buildBucketedIndex(s, d.filter(col("doc_id") % 2 === 0), prefix)
+      Indexer.snapshotIndex(s, prefix, "pre")
+      Indexer.appendBucketedIndex(s, d.filter(col("doc_id") % 2 === 1), prefix)
+      Indexer.rollbackIndex(s, prefix, "pre")
+    })
+
+  val indexRollbackSql: String = bm25SqlOver(OracleSql.tokCte("doc_id % 2 = 0"))
+
   // ---- STREAMING index ingest: micro-batches grow the persisted index --------
   // The reference's "index once, grow forever" pattern under the streaming
   // engine: half the corpus is indexed up front, the other half arrives as
@@ -699,6 +716,7 @@ object TextIndexQueries {
     "index_compacted" -> (indexCompacted _),
     "index_merged" -> (indexMerged _),
     "stream_index_ingest" -> (streamIndexIngest _),
+    "index_rollback" -> (indexRollback _),
     "index_delete_persisted" -> (indexDeletePersisted _),
     "bm25_search_sql_api" -> (bm25SearchSqlApi _),
     "bm25_batch_search" -> (bm25BatchSearch _),
@@ -728,6 +746,7 @@ object TextIndexQueries {
     "index_compacted" -> bm25SearchSql,
     "index_merged" -> bm25SearchSql,
     "stream_index_ingest" -> bm25SearchSql,
+    "index_rollback" -> indexRollbackSql,
     "index_delete_persisted" -> indexDeleteSql,
     "bm25_search_sql_api" -> bm25SearchSql,
     "bm25_batch_search" -> bm25BatchSearchSql,

@@ -148,6 +148,34 @@ class IndexerSpec extends SparkSpec {
       .collect().nonEmpty)
   }
 
+  test("snapshot + rollback restores the pre-append index exactly") {
+    val prefix = "graft_idx_rb_spec"
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    Indexer.buildBucketedIndex(spark, d.filter(col("doc_id") % 2 === 0), prefix)
+    val query = "spark filter join stream data"
+    val before = Search.searchPrebuilt(spark, query, prefix).collect().toSeq
+    val dfBefore = spark.table(s"${prefix}_term_df")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    Indexer.snapshotIndex(spark, prefix, "pre")
+    // the "bad batch"
+    Indexer.appendBucketedIndex(spark, d.filter(col("doc_id") % 2 === 1), prefix)
+    assert(Search.searchPrebuilt(spark, query, prefix).collect().toSeq != before,
+      "append should change results (else the rollback test is vacuous)")
+    Indexer.rollbackIndex(spark, prefix, "pre")
+    assert(Search.searchPrebuilt(spark, query, prefix).collect().toSeq == before)
+    val dfAfter = spark.table(s"${prefix}_term_df")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(dfAfter == dfBefore)
+    // the restored index keeps its bucketing: pruning + no term exchange
+    val p = Search.searchPrebuilt(spark, query, prefix)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"),
+      s"rolled-back index lost bucket pruning:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(term"),
+      s"rolled-back index shuffles the term join:\n$p")
+  }
+
   test("deletion purges postings, decrements term_df, drops vanished terms") {
     val prefix = "graft_idx_delete_spec"
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
