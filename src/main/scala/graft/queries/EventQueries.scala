@@ -486,6 +486,16 @@ object EventQueries {
        |  (SELECT count(*) FROM events WHERE user_id IS NOT NULL)
        |ORDER BY user_id""".stripMargin
 
+  /** Oracle for the stream-static enrichment join (sum rounded to the
+    * 1e-6 grid — micro-batch summation order differs from scan order).
+    */
+  val streamEnrichStaticSql: String =
+    """SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(round(sum(e.value), 6) AS DOUBLE) AS total_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- Rolling event-time window: per-user trailing 1-hour stats -------------
   // RANGE BETWEEN INTERVAL frames — the event-time rolling aggregate
   // (each event sees the user's activity in the preceding hour, itself
@@ -603,6 +613,8 @@ object EventQueries {
       (graft.streaming.EventStreams.latestPerUserAvailableNow _),
     "stream_dedup_exact" ->
       (graft.streaming.EventStreams.dedupExactAvailableNow _),
+    "stream_enrich_static" ->
+      (graft.streaming.EventStreams.enrichStaticAvailableNow _),
     "events_cube_daily" -> (eventsCubeDaily _),
     "events_sliding" -> (eventsSliding _),
     "events_json" -> (eventsJson _),
@@ -631,6 +643,7 @@ object EventQueries {
     "stream_transitions" -> eventsTransitionsSql,
     "stream_latest_per_user" -> eventsLatestPerUserSql,
     "stream_dedup_exact" -> eventsTumblingRoundedSql,
+    "stream_enrich_static" -> streamEnrichStaticSql,
     "events_cube_daily" -> eventsCubeDailySql,
     "events_sliding" -> eventsSlidingSql,
     "events_json" -> eventsJsonSql,

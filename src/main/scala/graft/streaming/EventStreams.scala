@@ -289,6 +289,27 @@ object EventStreams {
       .orderBy("user_id")
   }
 
+  /** Stream-static enrichment: the arriving event stream joins a STATIC
+    * dimension table (customers) that Spark plans as a broadcast against
+    * every micro-batch — the canonical "enrich the stream with reference
+    * data" pattern; no state, no watermark, the dimension re-resolves per
+    * batch (so a refreshed dim table takes effect mid-stream). Aggregated
+    * per nation and hash-checked against the batch join's oracle.
+    */
+  def enrichStaticAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val dim = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val joined = eventsFileStream(s, dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+    runToSink(joined, OutputMode.Complete, "enrich_static")
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("n").cast("long").as("n"),
+        round(col("total_value"), 6).cast("double").as("total_value"))
+      .orderBy("nationkey")
+  }
+
   // ---- Streaming funnel ------------------------------------------------------
 
   case class FunnelState(minView: Long, clicks: Seq[Long], purchases: Seq[Long])

@@ -258,6 +258,44 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly-once resume totals, got $counts")
   }
 
+  test("dropDuplicatesWithinWatermark: dedup state is bounded, in-window replays drop") {
+    import org.apache.spark.sql.streaming.Trigger
+    // dropDuplicates keeps EVERY key forever (unbounded state);
+    // WithinWatermark evicts keys once the watermark passes them — the
+    // scale-safe form when replays can only arrive within a bounded delay.
+    val src = java.nio.file.Files.createTempDirectory("graft_ddww").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_ddww_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ddww_ck").toString
+    def ev(id: Long, minute: Int) =
+      (id, new Timestamp(1704067200000L + minute * 60000L), s"e$id")
+    // batch 1: two events + an in-batch replay of id 1
+    Seq(ev(1, 0), ev(1, 0), ev(2, 60)).toDF("event_id", "ts", "tag")
+      .coalesce(1).write.mode("overwrite").parquet(s"$src/b1")
+    val schema = spark.read.parquet(s"$src/b1").schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$src/b*")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // batch 2: key 1 recurs with a FRESH timestamp after the watermark
+    // (min 50) evicted its state -> re-emitted, the documented bounded-
+    // state trade; key 2 recurs while still in state -> suppressed
+    Seq(ev(1, 65), ev(2, 69)).toDF("event_id", "ts", "tag")
+      .coalesce(1).write.mode("overwrite").parquet(s"$src/b2")
+    runOnce()
+    val out = spark.read.parquet(sink).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSeq
+    val counts = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(counts(2L) == 1, s"in-state replay of id 2 must be suppressed: $out")
+    assert(counts(1L) == 2,
+      s"key 1 past its watermark window must re-emit (bounded state, by design): $out")
+  }
+
   test("stateful bucket collisions equal the batch LSH candidate set") {
     import graft.streaming.DocStreams
     val dir = "/root/testdata/sf0.001"
