@@ -15,6 +15,9 @@ import graft.sources.Pipelines
   *   runMain graft.cli.Main index   <docs.parquet> <prefix>
   *   runMain graft.cli.Main append  <docs.parquet> <prefix>
   *   runMain graft.cli.Main compact <prefix> [maxFilesPerBucket]
+  *   runMain graft.cli.Main merge   <prefixA> <prefixB> <outPrefix>
+  *   runMain graft.cli.Main snapshot <prefix> <tag>
+  *   runMain graft.cli.Main rollback <prefix> <tag>
   *   runMain graft.cli.Main delete  <ids.parquet> <prefix>
   *   runMain graft.cli.Main search  <prefix> "<query>" [k]
   *   runMain graft.cli.Main similar <prefix> <doc_id> [k]
@@ -32,6 +35,9 @@ object Main {
       |  index   <docs.parquet> <prefix>          build the persisted term-bucketed index
       |  append  <docs.parquet> <prefix>          merge a new batch into the persisted index
       |  compact <prefix> [maxFilesPerBucket=8]   rewrite over-threshold postings buckets
+      |  merge   <prefixA> <prefixB> <outPrefix>  combine two shard indexes into a third
+      |  snapshot <prefix> <tag>                  point-in-time copy of the index
+      |  rollback <prefix> <tag>                  restore the index from a snapshot
       |  delete  <ids.parquet> <prefix>           forget documents (doc_id column) from the index
       |  search  <prefix> "<query>" [k=10]        BM25 top-k over the persisted index
       |  similar <prefix> <doc_id> [k=5]          related documents (sparse TF-IDF cosine)
@@ -67,6 +73,15 @@ object Main {
         System.err.println(
           if (did) s"[graft] compacted ${prefix}_postings"
           else s"[graft] ${prefix}_postings within threshold, nothing to do")
+        Right(None)
+      case Seq("merge", a, b, out) =>
+        Indexer.mergeBucketedIndexes(spark, a, b, out)
+        Right(None)
+      case Seq("snapshot", prefix, tag) =>
+        Indexer.snapshotIndex(spark, prefix, tag)
+        Right(None)
+      case Seq("rollback", prefix, tag) =>
+        Indexer.rollbackIndex(spark, prefix, tag)
         Right(None)
       case Seq("delete", idsPath, prefix) =>
         Indexer.deleteFromBucketedIndex(spark, prefix,

@@ -78,10 +78,11 @@ object DocStreams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: (Int, Long, Long), it: Iterator[BandRow], state: GroupState[BucketState]) =>
           val existing = state.getOption.map(_.ids).getOrElse(Seq.empty)
+          val known = existing.toSet // Seq.contains per arrival is O(n^2)/bucket
           // a doc contributes one row per (band, bucket); ids can still
           // repeat across batches if a source replays — drop known ids
           val incoming = it.map(_.id).toVector.distinct
-            .filterNot(existing.contains).sorted
+            .filterNot(known).sorted
           val crossPairs = for (n <- incoming; e <- existing)
             yield CandPair(math.min(n, e), math.max(n, e))
           val withinPairs = for {

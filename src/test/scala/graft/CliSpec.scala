@@ -63,6 +63,28 @@ class CliSpec extends SparkSpec {
     assert(similar.forall(r => r.getAs[String]("title") != null))
   }
 
+  test("merge, snapshot and rollback drive the same lifecycle as the library") {
+    val q = "spark filter join stream data"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val halfA = ScratchDirs.fresh("graft_cli", "half_a").toString
+    val halfB = ScratchDirs.fresh("graft_cli", "half_b").toString
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(halfA)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("overwrite").parquet(halfB)
+    assert(cli.Main.run(spark, Seq("index", halfA, "graft_cli_ma")).isRight)
+    assert(cli.Main.run(spark, Seq("index", halfB, "graft_cli_mb")).isRight)
+    assert(cli.Main.run(spark,
+      Seq("merge", "graft_cli_ma", "graft_cli_mb", "graft_cli_mout")).isRight)
+    val merged = Search.searchPrebuilt(spark, q, "graft_cli_mout").collect()
+    assert(merged.nonEmpty)
+    // snapshot the merged index, damage it, roll back
+    val before = merged.toSeq
+    assert(cli.Main.run(spark, Seq("snapshot", "graft_cli_mout", "pre")).isRight)
+    assert(cli.Main.run(spark, Seq("append", halfA, "graft_cli_mout")).isRight)
+    assert(cli.Main.run(spark, Seq("rollback", "graft_cli_mout", "pre")).isRight)
+    assert(Search.searchPrebuilt(spark, q, "graft_cli_mout")
+      .collect().toSeq == before)
+  }
+
   test("prepare writes per-doc files and a TSV; unknown command yields usage") {
     val out = ScratchDirs.fresh("graft_cli", "prepare").toString
     val res = cli.Main.run(spark, Seq("prepare", docsPath, out, "10"))
