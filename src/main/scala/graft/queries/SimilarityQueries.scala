@@ -377,6 +377,167 @@ object SimilarityQueries {
        |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
 
+  // ---- IVF-PQ: coarse lists + product-quantized ADC + exact re-rank ----------
+  // The FAISS IVF-PQ serving shape: IVF lists gate candidates (nprobe/NList
+  // of the corpus), a product quantizer scores them by table lookup instead
+  // of full-precision dots (Pq scaladoc — 4 subspaces x 16 codes here, ~2
+  // bytes of scan payload per candidate instead of 256), and only the
+  // ADC shortlist pays the exact cosine. Codebooks are Lloyd-refined from
+  // the hash-ordered seed and mirrored in the oracle as CTEs; ADC sums
+  // integer micro-units, so the shortlist boundary is bit-stable across
+  // engines.
+  private val PqM = 4
+  private val PqSubDim = Dim / PqM
+  private val PqKs = 16
+
+  /** ADC shortlist depth — deeper than the full-precision paths'
+    * QShortlist because 4x16 codebooks on near-uniform vectors rank
+    * coarsely: recall@5 measured 0.42 at depth 20, 0.60 at depth 40
+    * (exact-scored IVF reaches 0.64 — the PQ path keeps 94% of its
+    * candidate generator's recall). Re-rank cost stays bounded at
+    * PqShortlist exact cosines per probe.
+    */
+  private val PqShortlist = 40
+
+  private val pqCache =
+    scala.collection.mutable.Map[String, Seq[graft.operators.Pq.Code]]()
+
+  private def pqCodes(s: SparkSession, dir: String): Seq[graft.operators.Pq.Code] =
+    synchronized {
+      pqCache.getOrElseUpdate(dir,
+        graft.operators.Pq.train(emb(s, dir).select(col("id"), col("v")),
+          PqM, PqSubDim, PqKs))
+    }
+
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = pqCodes(s, dir)
+    val cents = ivfCentroids(s, dir)
+    val e = emb(s, dir)
+    val assigned = Similarity.ivfAssign(e, cents)
+      .select(col("id").as("cand_id"), col("v").as("cv"), col("cent_id"))
+      .withColumn("codes",
+        graft.operators.Pq.encodeCol(col("cv"), codes, PqM, PqSubDim))
+    val c = cents.select(col("id").as("cent_id"), col("v").as("cv0"))
+    val pw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("psim").desc, col("cent_id").asc)
+    val probeCents = probes(s, dir)
+      .select(col("id").as("probe_id"), col("v").as("pv"))
+      .crossJoin(broadcast(c))
+      .withColumn("psim", Similarity.cosine(col("pv"), col("cv0")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= NProbe)
+      .select(col("probe_id"), col("pv"),
+        graft.operators.Pq.lutCol(col("pv"), codes, PqM, PqSubDim).as("lut"),
+        col("cent_id"))
+    val cw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qscore").desc, col("cand_id").asc)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    broadcast(probeCents).join(assigned, Seq("cent_id"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("qscore",
+        graft.operators.Pq.adcScore(col("lut"), col("codes"), PqM))
+      .withColumn("qrank", row_number().over(cw))
+      .filter(col("qrank") <= PqShortlist)
+      .withColumn("cosine", Similarity.cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val annIvfPqSql: String = {
+    val h = OracleSql.hash64("CAST(id AS VARCHAR)")
+    val avgList = (1 to PqSubDim).map(i => s"round(avg(sub[$i]), 6)")
+      .mkString("[", ", ", "]")
+    s"""WITH $EmbCte,
+       |cents0 AS (SELECT id AS cent_id, v AS cv0 FROM emb
+       |  ORDER BY $h, id LIMIT $NList),
+       |${ivfIterCtes(IvfIters)},
+       |cents AS (SELECT cent_id, cv0 FROM cents$IvfIters),
+       |assigned AS (
+       |  SELECT id AS cand_id, v AS cv, cent_id FROM (
+       |    SELECT e.id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.id ORDER BY
+       |        list_dot_product(e.v, c.cv0) /
+       |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv0, c.cv0)))
+       |        DESC, c.cent_id ASC) AS cr
+       |    FROM emb e, cents c) t
+       |  WHERE cr = 1),
+       |probe_cents AS (
+       |  SELECT probe_id, pv, cent_id FROM (
+       |    SELECT p.id AS probe_id, p.v AS pv, c.cent_id,
+       |      row_number() OVER (PARTITION BY p.id ORDER BY
+       |        list_dot_product(p.v, c.cv0) /
+       |          (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.cv0, c.cv0)))
+       |        DESC, c.cent_id ASC) AS pr
+       |    FROM probes p, cents c) t
+       |  WHERE pr <= $NProbe),
+       |seedpq AS (
+       |  SELECT row_number() OVER (ORDER BY $h, id) - 1 AS k, v
+       |  FROM emb ORDER BY $h, id LIMIT $PqKs),
+       |codespq0 AS (
+       |  SELECT t.m, s.k, s.v[(t.m*$PqSubDim+1):(t.m*$PqSubDim+$PqSubDim)] AS carr
+       |  FROM seedpq s, range($PqM) t(m)),
+       |subs AS (
+       |  SELECT e.id, t.m, e.v[(t.m*$PqSubDim+1):(t.m*$PqSubDim+$PqSubDim)] AS sub
+       |  FROM emb e, range($PqM) t(m)),
+       |pqasg AS (
+       |  SELECT m, k, sub FROM (
+       |    SELECT s.m, c.k, s.sub,
+       |      row_number() OVER (PARTITION BY s.id, s.m ORDER BY
+       |        list_dot_product(c.carr, c.carr) - 2*list_dot_product(s.sub, c.carr)
+       |        ASC, c.k ASC) AS rn
+       |    FROM subs s JOIN codespq0 c ON s.m = c.m) t
+       |  WHERE rn = 1),
+       |pqmeans AS (
+       |  SELECT m, k, $avgList AS mcarr FROM pqasg GROUP BY m, k),
+       |codespq AS (
+       |  SELECT c.m, c.k, coalesce(p.mcarr, c.carr) AS carr
+       |  FROM codespq0 c LEFT JOIN pqmeans p ON c.m = p.m AND c.k = p.k),
+       |ccodes AS (
+       |  SELECT id, m, k FROM (
+       |    SELECT s.id, s.m, c.k,
+       |      row_number() OVER (PARTITION BY s.id, s.m ORDER BY
+       |        list_dot_product(c.carr, c.carr) - 2*list_dot_product(s.sub, c.carr)
+       |        ASC, c.k ASC) AS rn
+       |    FROM subs s JOIN codespq c ON s.m = c.m) t
+       |  WHERE rn = 1),
+       |plut AS (
+       |  SELECT p.id AS probe_id, c.m, c.k,
+       |    CAST(round(list_dot_product(
+       |      p.v[(c.m*$PqSubDim+1):(c.m*$PqSubDim+$PqSubDim)], c.carr)
+       |      * 1000000) AS BIGINT) AS micro
+       |  FROM probes p CROSS JOIN codespq c),
+       |qsc AS (
+       |  SELECT pc.probe_id, a.cand_id, CAST(sum(l.micro) AS BIGINT) AS qscore
+       |  FROM probe_cents pc
+       |  JOIN assigned a ON pc.cent_id = a.cent_id AND pc.probe_id <> a.cand_id
+       |  JOIN ccodes cc ON cc.id = a.cand_id
+       |  JOIN plut l ON l.probe_id = pc.probe_id AND l.m = cc.m AND l.k = cc.k
+       |  GROUP BY pc.probe_id, a.cand_id),
+       |short AS (
+       |  SELECT probe_id, cand_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY qscore DESC, cand_id ASC) AS qrank
+       |    FROM qsc) t
+       |  WHERE qrank <= $PqShortlist),
+       |ranked AS (
+       |  SELECT x.probe_id, x.cand_id,
+       |    list_dot_product(p.v, c.v) /
+       |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY x.probe_id
+       |      ORDER BY list_dot_product(p.v, c.v) /
+       |        (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v)))
+       |        DESC, x.cand_id ASC) AS BIGINT) AS rank
+       |  FROM short x JOIN emb p ON p.id = x.probe_id
+       |       JOIN emb c ON c.id = x.cand_id)
+       |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine
+       |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
+  }
+
   val annQuantizedSql: String =
     s"""WITH $EmbCte,
        |qm AS (
@@ -578,6 +739,7 @@ object SimilarityQueries {
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_ivf_pq" -> (annIvfPq _),
     "ann_quantized" -> (annQuantized _),
     "ann_lsh_quantized" -> (annLshQuantized _),
     "embedding_norms" -> (embeddingNorms _))
@@ -588,6 +750,7 @@ object SimilarityQueries {
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_ivf_pq" -> annIvfPqSql,
     "ann_quantized" -> annQuantizedSql,
     "ann_lsh_quantized" -> annLshQuantizedSql,
     "embedding_norms" -> embeddingNormsSql)

@@ -36,9 +36,10 @@ class RecallSpec extends SparkSpec {
     val exact = topk("ann_brute_force")
     val lsh = recallVs(exact, "ann_lsh")
     val ivf = recallVs(exact, "ann_ivf")
+    val ivfPq = recallVs(exact, "ann_ivf_pq")
     val lshQ = recallVs(exact, "ann_lsh_quantized")
     val quant = recallVs(exact, "ann_quantized")
-    info(f"recall@5 sf0.01: lsh=$lsh%.3f ivf=$ivf%.3f " +
+    info(f"recall@5 sf0.01: lsh=$lsh%.3f ivf=$ivf%.3f ivf_pq=$ivfPq%.3f " +
       f"lsh_quantized=$lshQ%.3f quantized=$quant%.3f")
     // measured 0.900 with 4 bands x 2 bits (the single-table
     // full-signature form measured 0.000 — banding is load-bearing)
@@ -47,6 +48,13 @@ class RecallSpec extends SparkSpec {
     // sampled centroids) on near-uniform synthetic vectors — the
     // adversarial case for coarse quantization (see SimilarityQueries)
     assert(ivf >= 0.60, f"ann_ivf recall collapsed: $ivf%.3f")
+    // IVF-PQ shares ann_ivf's candidate lists and can only lose to it at
+    // the ADC shortlist boundary (both re-rank exactly); measured 0.60
+    // with 4x16 codebooks + a 40-deep shortlist — 94% of the coarse
+    // path's 0.64
+    assert(ivfPq <= ivf + 1e-12,
+      "IVF-PQ returned candidates its IVF stage cannot generate")
+    assert(ivfPq >= 0.50, f"ann_ivf_pq recall collapsed: $ivfPq%.3f")
     // the composed path can't beat its candidate generator
     assert(lshQ >= 0.80, f"ann_lsh_quantized recall collapsed: $lshQ%.3f")
     assert(lshQ <= lsh + 1e-12,
