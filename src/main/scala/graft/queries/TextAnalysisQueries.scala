@@ -405,6 +405,101 @@ object TextAnalysisQueries {
        |FROM docs_l d LEFT JOIN st ON d.doc_id = st.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- Top n-gram coverage (the rest of the Gopher repetition family) --------
+  // doc_repetition measures how much of the doc is REPEATED bigrams; these
+  // measure how much of the doc is covered by the single HEAVIEST n-gram
+  // for n = 2, 3, 4 (Rae et al. 2021 "Gopher" filters threshold exactly
+  // this: "fraction of characters in most common n-gram"). A page whose
+  // top 4-gram covers a third of its tokens is a template, whatever its
+  // bigram diversity looks like.
+  //
+  // One tokenize pass; n-grams are polynomial hashes over the hashMod'd
+  // token array (TextHash.hashedShingles — no string re-concat), all three
+  // n emitted from the same array. Shuffles: one (doc, n, gram) count, one
+  // per-doc conditional max. top_n * n / n_tokens is a ratio of exact
+  // integers, so the doubles match across engines bit-for-bit.
+  def docRepetitionNgrams(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        transform(Tokenizer.tokenize(col("text")),
+          t => TextHash.hashMod(t)).as("ths"))
+      .select(col("doc_id"), explode(flatten(array(Seq(2, 3, 4).map(n =>
+        transform(TextHash.hashedShingles(col("ths"), n),
+          g => struct(lit(n).as("n"), g.as("g")))): _*))).as("ng"))
+      .select(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
+    val tops = grams.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max(when(col("n") === 2, col("c"))).as("t2"),
+        max(when(col("n") === 3, col("c"))).as("t3"),
+        max(when(col("n") === 4, col("c"))).as("t4"))
+    def frac(n: Int, t: String) =
+      when(col("n_tokens") > 0,
+        (coalesce(col(t), lit(0L)) * n).cast("double") /
+          col("n_tokens").cast("double"))
+        .otherwise(lit(0.0)).cast("double")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(Tokenizer.tokenize(col("text"))).cast("long").as("n_tokens"))
+      .join(tops, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("t2"), lit(0L)).cast("long").as("top2"),
+        coalesce(col("t3"), lit(0L)).cast("long").as("top3"),
+        coalesce(col("t4"), lit(0L)).cast("long").as("top4"),
+        frac(2, "t2").as("top2_frac"),
+        frac(3, "t3").as("top3_frac"),
+        frac(4, "t4").as("top4_frac"))
+      .orderBy("doc_id")
+  }
+
+  val docRepetitionNgramsSql: String = {
+    val P = graft.functions.TextHash.P
+    s"""WITH ${OracleSql.TokCte},
+       |th AS (SELECT doc_id, pos, ${OracleSql.hashMod("term")} AS h FROM toks),
+       |g2 AS (
+       |  SELECT t1.doc_id, (t1.h * 1000003 + t2.h) % $P AS g
+       |  FROM th t1 JOIN th t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+       |g3 AS (
+       |  SELECT t1.doc_id,
+       |    (((t1.h * 1000003 + t2.h) % $P) * 1000003 + t3.h) % $P AS g
+       |  FROM th t1
+       |  JOIN th t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       |  JOIN th t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+       |g4 AS (
+       |  SELECT t1.doc_id,
+       |    ((((t1.h * 1000003 + t2.h) % $P) * 1000003 + t3.h) % $P
+       |      * 1000003 + t4.h) % $P AS g
+       |  FROM th t1
+       |  JOIN th t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       |  JOIN th t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+       |  JOIN th t4 ON t1.doc_id = t4.doc_id AND t4.pos = t1.pos + 3),
+       |m2 AS (SELECT doc_id, max(c) AS t FROM (
+       |  SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
+       |m3 AS (SELECT doc_id, max(c) AS t FROM (
+       |  SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g) GROUP BY doc_id),
+       |m4 AS (SELECT doc_id, max(c) AS t FROM (
+       |  SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY doc_id, g) GROUP BY doc_id),
+       |nt AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens FROM docs_l)
+       |SELECT d.doc_id, nt.n_tokens,
+       |  CAST(COALESCE(m2.t, 0) AS BIGINT) AS top2,
+       |  CAST(COALESCE(m3.t, 0) AS BIGINT) AS top3,
+       |  CAST(COALESCE(m4.t, 0) AS BIGINT) AS top4,
+       |  CAST(CASE WHEN nt.n_tokens > 0
+       |    THEN CAST(COALESCE(m2.t, 0) * 2 AS DOUBLE) / nt.n_tokens
+       |    ELSE 0.0 END AS DOUBLE) AS top2_frac,
+       |  CAST(CASE WHEN nt.n_tokens > 0
+       |    THEN CAST(COALESCE(m3.t, 0) * 3 AS DOUBLE) / nt.n_tokens
+       |    ELSE 0.0 END AS DOUBLE) AS top3_frac,
+       |  CAST(CASE WHEN nt.n_tokens > 0
+       |    THEN CAST(COALESCE(m4.t, 0) * 4 AS DOUBLE) / nt.n_tokens
+       |    ELSE 0.0 END AS DOUBLE) AS top4_frac
+       |FROM docs_l d
+       |JOIN nt ON d.doc_id = nt.doc_id
+       |LEFT JOIN m2 ON d.doc_id = m2.doc_id
+       |LEFT JOIN m3 ON d.doc_id = m3.doc_id
+       |LEFT JOIN m4 ON d.doc_id = m4.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- Source quota (domain balancing) ---------------------------------------
   private val SourceQuotaN = 10
 
@@ -950,6 +1045,7 @@ object TextAnalysisQueries {
     "doc_fingerprint" -> (docFingerprint _),
     "pack_windows" -> (packWindows _),
     "doc_repetition" -> (docRepetition _),
+    "doc_repetition_ngrams" -> (docRepetitionNgrams _),
     "training_manifest" -> (trainingManifest _),
     "training_manifest_clean" -> (trainingManifestClean _),
     "vocab_top_bigrams" -> (vocabTopBigrams _),
@@ -976,6 +1072,7 @@ object TextAnalysisQueries {
     "doc_fingerprint" -> docFingerprintSql,
     "pack_windows" -> packWindowsSql,
     "doc_repetition" -> docRepetitionSql,
+    "doc_repetition_ngrams" -> docRepetitionNgramsSql,
     "training_manifest" -> trainingManifestSql,
     "training_manifest_clean" -> trainingManifestCleanSql,
     "vocab_top_bigrams" -> vocabTopBigramsSql,
