@@ -175,6 +175,30 @@ object Search {
       .select(col("doc_id"), col("n_occurrences"))
   }
 
+  /** Positional PROXIMITY search: documents where `termA` and `termB`
+    * occur within `window` token positions of each other, with the closest
+    * distance and the count of close cross pairs. The sorted position
+    * arrays ride in from the two posting rows and the kernels
+    * (plans.PositionProximity) run the two-pointer merges in O(|a|+|b|)
+    * per doc inside codegen — never a position self-join, whose pair
+    * blowup is quadratic in term frequency exactly for the frequent terms
+    * proximity queries target.
+    */
+  def proximitySearch(postings: DataFrame, termA: String, termB: String,
+                      window: Int): DataFrame = {
+    val a = postings.filter(col("term") === termA)
+      .select(col("doc_id"), col("positions").as("pa"))
+    val b = postings.filter(col("term") === termB)
+      .select(col("doc_id"), col("positions").as("pb"))
+    a.join(b, "doc_id")
+      .select(col("doc_id"),
+        graft.plans.PositionProximity.minAbsDiff(col("pa"), col("pb"))
+          .as("min_dist"),
+        graft.plans.PositionProximity.pairsWithin(col("pa"), col("pb"), window)
+          .as("n_within"))
+      .filter(col("min_dist") <= window)
+  }
+
   /** Convenience: index documents (doc_id, text) in-memory and search. */
   def searchDocs(spark: SparkSession, docs: DataFrame, query: String,
                  k: Int = 10): DataFrame = {

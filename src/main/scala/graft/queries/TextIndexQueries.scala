@@ -579,6 +579,38 @@ object TextIndexQueries {
     """SELECT doc_id, md5(text) AS text_md5
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  // ---- Positional proximity search (terms near each other, not adjacent) -----
+  // Phrase search demands exact adjacency; proximity ranking ("terms within
+  // W positions") is the other consumer of the stored positions. The Spark
+  // side runs O(|a|+|b|) two-pointer kernels per doc (PositionProximity);
+  // the oracle keeps the quadratic position join, affordable at sf0.01.
+  val ProximityA = "spark"
+  val ProximityB = "window"
+  val ProximityWindow = 5
+
+  def proximitySearch(s: SparkSession, dir: String): DataFrame =
+    Search.proximitySearch(indexTriple(s, dir)._1, ProximityA, ProximityB,
+        ProximityWindow)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("min_dist").cast("long").as("min_dist"),
+        col("n_within").cast("long").as("n_within"))
+      .orderBy("doc_id")
+
+  val proximitySearchSql: String =
+    s"""WITH $TokCte,
+       |a AS (SELECT doc_id, pos FROM toks WHERE term = '$ProximityA'),
+       |b AS (SELECT doc_id, pos FROM toks WHERE term = '$ProximityB'),
+       |pairs AS (
+       |  SELECT a.doc_id, abs(a.pos - b.pos) AS d
+       |  FROM a JOIN b ON a.doc_id = b.doc_id)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(min(d) AS BIGINT) AS min_dist,
+       |  CAST(sum(CASE WHEN d <= $ProximityWindow THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_within
+       |FROM pairs GROUP BY doc_id
+       |HAVING min(d) <= $ProximityWindow
+       |ORDER BY doc_id""".stripMargin
+
   // ---- 3-word positional phrase via the generalized operator -----------------
   val Phrase3 = Seq("slow", "hash", "batch")
 
@@ -725,6 +757,7 @@ object TextIndexQueries {
     "terms_in_vocab" -> (termsInVocab _),
     "terms_not_in_vocab" -> (termsNotInVocab _),
     "phrase_search" -> (phraseSearch _),
+    "proximity_search" -> (proximitySearch _),
     "doc_prep" -> (docPrep _),
     "tsv_roundtrip" -> (tsvRoundtrip _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -755,6 +788,7 @@ object TextIndexQueries {
     "terms_in_vocab" -> termsInVocabSql,
     "terms_not_in_vocab" -> termsNotInVocabSql,
     "phrase_search" -> phraseSearchSql,
+    "proximity_search" -> proximitySearchSql,
     "doc_prep" -> docPrepSql,
     "tsv_roundtrip" -> tsvRoundtripSql,
     "jsonl_roundtrip" -> jsonlRoundtripSql,

@@ -479,4 +479,28 @@ class OperatorSpec extends SparkSpec {
       .segmentUnits(docs, "doc_id", "text", rules.take(1)).head()
     assert((partial.getLong(1), partial.getLong(2)) == ((3L, 5L)))
   }
+
+  test("PositionProximity kernels match the quadratic pair formulation") {
+    import graft.plans.PositionProximity
+    // hand vectors incl. window-boundary hits, interleaved runs, and a
+    // no-close-pair doc; arrays sorted as the postings contract requires
+    val cases = Seq(
+      (Seq(1, 5, 9), Seq(3, 20)),          // min 2; within-5 pairs: (1,3)(5,3)...
+      (Seq(0), Seq(100)),                  // far apart: min 100, none within
+      (Seq(2, 4, 6, 8), Seq(3, 5, 7)),     // dense interleave
+      (Seq(10, 11, 12), Seq(5, 17)),       // both sides exactly at window edge
+      (Seq(7), Seq(7 + 5)))                // boundary: d == window counts
+    val w = 5
+    val df = cases.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "pa", "pb")
+      .select(col("id"),
+        PositionProximity.minAbsDiff(col("pa"), col("pb")).as("md"),
+        PositionProximity.pairsWithin(col("pa"), col("pb"), w).as("nw"))
+    val got = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      val dists = for (x <- a; y <- b) yield math.abs(x.toLong - y.toLong)
+      val expect = (dists.min, dists.count(_ <= w).toLong)
+      assert(got(i.toLong) == expect, s"case $i: got ${got(i.toLong)}, want $expect")
+    }
+  }
 }
