@@ -132,7 +132,11 @@ object TextIndexQueries {
     * variants (e.g. the post-deletion index) reuse the identical scoring
     * SQL over a filtered corpus.
     */
-  private def bm25SqlOver(tok: String): String =
+  /** The scoring CTE chain up to the `top` (doc_id, score) table — shared
+    * by the flagship oracle and the snippet oracle, which consumes the
+    * same top-10.
+    */
+  private def bm25TopCtes(tok: String): String =
     s"""WITH $tok,
        |postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
        |term_df AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
@@ -147,7 +151,10 @@ object TextIndexQueries {
        |       JOIN doc_info di USING(doc_id), stats s),
        |top AS (
        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(score) AS DOUBLE) AS score
-       |  FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10)
+       |  FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10)""".stripMargin
+
+  private def bm25SqlOver(tok: String): String =
+    s"""${bm25TopCtes(tok)}
        |SELECT t.doc_id, substring(d.text, 1, 50) AS title, t.score
        |FROM top t JOIN documents d ON d.doc_id = t.doc_id
        |ORDER BY t.score DESC, t.doc_id""".stripMargin
@@ -579,6 +586,61 @@ object TextIndexQueries {
     """SELECT doc_id, md5(text) AS text_md5
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  // ---- Snippet selection for the flagship results ----------------------------
+  // For each top-10 document, the best highlight window: the start position
+  // (itself a query-term occurrence) whose following SnippetWindow
+  // positions cover the most DISTINCT query terms; ties resolve to the
+  // earliest start. The reference displays bare titles (app/query.py:199-213)
+  // — this is the result-page half a search engine layers on top, and the
+  // third consumer of the stored positions (phrase, proximity, snippets).
+  // Candidate volume is bounded by top-k docs x query-term occurrences, so
+  // the window join never touches the corpus.
+  private val SnippetWindow = 10
+
+  def searchSnippets(s: SparkSession, dir: String): DataFrame = {
+    val (p, tdf, di) = indexTriple(s, dir)
+    val top = Search.search(s, SearchQuery, p, tdf, di, k = 10)
+      .select(col("doc_id"))
+    val qp = p.filter(col("term").isin(SearchTerms: _*))
+      .join(broadcast(top), "doc_id")
+      .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
+    val win = qp.select(col("doc_id"), col("pos").as("start"))
+      .join(qp.select(col("doc_id"), col("term").as("bterm"),
+        col("pos").as("bpos")), Seq("doc_id"))
+      .filter(col("bpos") >= col("start") &&
+        col("bpos") <= col("start") + SnippetWindow)
+      .groupBy(col("doc_id"), col("start"))
+      .agg(countDistinct(col("bterm")).as("nt"))
+    win.groupBy("doc_id")
+      .agg(min(struct((-col("nt")).as("negn"), col("start").as("s"))).as("b"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("b.s").cast("long").as("best_start"),
+        (-col("b.negn")).cast("long").as("n_terms"))
+      .orderBy("doc_id")
+  }
+
+  val searchSnippetsSql: String = {
+    val inList = SearchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""${bm25TopCtes(TokCte)},
+       |qp AS (
+       |  SELECT t.doc_id, k.term, k.pos
+       |  FROM toks k JOIN top t ON k.doc_id = t.doc_id
+       |  WHERE k.term IN $inList),
+       |win AS (
+       |  SELECT a.doc_id, a.pos AS start, count(DISTINCT b.term) AS nt
+       |  FROM qp a JOIN qp b ON a.doc_id = b.doc_id
+       |    AND b.pos >= a.pos AND b.pos <= a.pos + $SnippetWindow
+       |  GROUP BY a.doc_id, a.pos),
+       |sel AS (
+       |  SELECT doc_id, start, nt, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY nt DESC, start ASC) AS rn
+       |  FROM win)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(start AS BIGINT) AS best_start,
+       |  CAST(nt AS BIGINT) AS n_terms
+       |FROM sel WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   // ---- Positional proximity search (terms near each other, not adjacent) -----
   // Phrase search demands exact adjacency; proximity ranking ("terms within
   // W positions") is the other consumer of the stored positions. The Spark
@@ -758,6 +820,7 @@ object TextIndexQueries {
     "terms_not_in_vocab" -> (termsNotInVocab _),
     "phrase_search" -> (phraseSearch _),
     "proximity_search" -> (proximitySearch _),
+    "search_snippets" -> (searchSnippets _),
     "doc_prep" -> (docPrep _),
     "tsv_roundtrip" -> (tsvRoundtrip _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -789,6 +852,7 @@ object TextIndexQueries {
     "terms_not_in_vocab" -> termsNotInVocabSql,
     "phrase_search" -> phraseSearchSql,
     "proximity_search" -> proximitySearchSql,
+    "search_snippets" -> searchSnippetsSql,
     "doc_prep" -> docPrepSql,
     "tsv_roundtrip" -> tsvRoundtripSql,
     "jsonl_roundtrip" -> jsonlRoundtripSql,
