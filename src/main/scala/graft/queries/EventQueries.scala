@@ -585,7 +585,63 @@ object EventQueries {
        |FROM r, n ORDER BY rule""".stripMargin
   }
 
+  // ---- Join-key skew report: the shuffle-planning diagnostic -----------------
+  // One row summarizing how skewed a prospective shuffle key is: key count,
+  // per-key row-count quantiles (via the range-repartitioned exact
+  // Quantiles operator — no single-task global sort), the heaviest key's
+  // count, and the share of all rows held by the top 1 / top 10 keys. This
+  // is the measurement that decides between a plain shuffle join, AQE skew
+  // splitting, and an explicit salt (SkewJoin) BEFORE burning a cluster
+  // run; at 100 TB it costs one partial-aggregated count per key plus the
+  // quantile machinery's bounded driver traffic.
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val stats = counts.agg(
+      count(lit(1)).cast("long").as("n_keys"),
+      sum(col("c")).cast("long").as("total_rows"),
+      max(col("c")).cast("long").as("max_n"))
+    val q = graft.operators.Quantiles.exactQuantiles(
+        counts.withColumn("g", lit("all")), "g", "c", Seq(0.5, 0.9, 0.99))
+      .select(col("q0").as("p50_n"), col("q1").as("p90_n"),
+        col("q2").as("p99_n"))
+    // orderBy+limit plans TakeOrderedAndProject (distributed per-partition
+    // top-k, no single-task global window over n_keys rows)
+    val top10 = counts.orderBy(col("c").desc, col("user_id").asc).limit(10)
+      .agg(sum(col("c")).cast("long").as("top10_rows"))
+    stats.crossJoin(q).crossJoin(top10)
+      .select(col("n_keys"), col("total_rows"), col("max_n"),
+        col("p50_n").cast("double").as("p50_n"),
+        col("p90_n").cast("double").as("p90_n"),
+        col("p99_n").cast("double").as("p99_n"),
+        (col("max_n").cast("double") / col("total_rows").cast("double"))
+          .as("top1_share"),
+        (col("top10_rows").cast("double") / col("total_rows").cast("double"))
+          .as("top10_share"))
+  }
+
+  val skewReportSql: String =
+    """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(c) AS BIGINT) AS total_rows,
+      |    CAST(max(c) AS BIGINT) AS max_n
+      |  FROM c),
+      |q AS (
+      |  SELECT CAST(quantile_cont(CAST(c AS DOUBLE), 0.5) AS DOUBLE) AS p50_n,
+      |    CAST(quantile_cont(CAST(c AS DOUBLE), 0.9) AS DOUBLE) AS p90_n,
+      |    CAST(quantile_cont(CAST(c AS DOUBLE), 0.99) AS DOUBLE) AS p99_n
+      |  FROM c),
+      |t AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS top10_rows FROM (
+      |    SELECT c FROM c ORDER BY c DESC, user_id ASC LIMIT 10))
+      |SELECT s.n_keys, s.total_rows, s.max_n, q.p50_n, q.p90_n, q.p99_n,
+      |  CAST(s.max_n AS DOUBLE) / s.total_rows AS top1_share,
+      |  CAST(t.top10_rows AS DOUBLE) / s.total_rows AS top10_share
+      |FROM s, q, t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_report" -> (skewReport _),
     "heavy_hitters" -> (heavyHitters _),
     "data_quality" -> (dataQuality _),
     "events_rolling_1h" -> (eventsRolling1h _),
@@ -624,6 +680,7 @@ object EventQueries {
     "events_latest_per_user" -> (eventsLatestPerUser _))
 
   val oracles: Map[String, String] = Map(
+    "skew_report" -> skewReportSql,
     "heavy_hitters" -> heavyHittersSql,
     "data_quality" -> dataQualitySql,
     "events_rolling_1h" -> eventsRolling1hSql,
