@@ -153,6 +153,56 @@ object Search {
         col("score"))
   }
 
+  /** RM3-style pseudo-relevance-feedback expansion: run the query, treat
+    * the top `fbDocs` results as relevant, pick the `fbTerms` most
+    * characteristic terms from them (idf x total-tf, original terms
+    * excluded), and re-rank with the expanded weighted query (originals at
+    * weight 1, expansions at `expWeight`). Everything is ONE lazy plan —
+    * the feedback "round trip" is just a broadcast of the fbDocs ids back
+    * into the postings probe, not a driver materialization.
+    *
+    * Determinism: the per-term expansion score multiplies idf by the
+    * INTEGER Σtf once (never a float sum over docs), so expansion
+    * selection is bit-stable; final scores keep bm25's established
+    * epsilon contract.
+    */
+  def rm3Search(spark: SparkSession, query: String,
+                postings: DataFrame, termDf: DataFrame, docInfo: DataFrame,
+                k: Int = 10, fbDocs: Int = 10, fbTerms: Int = 5,
+                expWeight: Double = 0.5): DataFrame = {
+    val origTerms = queryTokens(query)
+    val stats = docInfo.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("length")).as("avg_len"))
+    val top = termComponents(spark, query, postings, termDf, docInfo)
+      .groupBy("doc_id").agg(sum(col("score")).as("s"))
+      .orderBy(col("s").desc, col("doc_id").asc).limit(fbDocs)
+      .select(col("doc_id"))
+    val expansion = postings.select("term", "doc_id", "tf")
+      .join(broadcast(top), "doc_id")
+      .filter(!col("term").isin(origTerms: _*))
+      .groupBy("term").agg(sum(col("tf")).cast("long").as("stf"))
+      .join(termDf, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("escore",
+        BM25.idf(col("n_docs"), col("df")) * col("stf").cast("double"))
+      .orderBy(col("escore").desc, col("term").asc).limit(fbTerms)
+    val weighted = queryTerms(spark, query).withColumn("w", lit(1.0))
+      .unionByName(expansion.select(col("term"), lit(expWeight).as("w")))
+    val rescored = broadcast(weighted)
+      .join(termDf, "term")
+      .join(postings.select("term", "doc_id", "tf"), "term")
+      .join(docInfo.select("doc_id", "length"), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", col("w") * BM25.termScore(col("tf"),
+        BM25.idf(col("n_docs"), col("df")), col("length"), col("avg_len")))
+      .groupBy("doc_id").agg(sum(col("score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    docInfo.select(col("doc_id"), col("title"))
+      .join(broadcast(rescored), "doc_id")
+      .select(col("doc_id"), col("title"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
   /** Positional phrase search over the postings table (the positions the
     * reference stores but never reads, app/query.py:115-119). For terms
     * t0..tn-1: join each term's posting list on doc_id, then intersect

@@ -586,6 +586,49 @@ object TextIndexQueries {
     """SELECT doc_id, md5(text) AS text_md5
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  // ---- RM3 pseudo-relevance feedback (query expansion) ----------------------
+  // The flagship query expanded by its own top-10: the 5 most
+  // characteristic non-query terms of the feedback docs (idf x integer
+  // total-tf — no float sum, so expansion selection is bit-stable) join
+  // the query at half weight and the corpus is re-ranked. One lazy plan
+  // end to end; the oracle replays the identical chain over the shared
+  // scoring CTEs.
+  def bm25Rm3(s: SparkSession, dir: String): DataFrame = {
+    val (p, tdf, di) = indexTriple(s, dir)
+    Search.rm3Search(s, SearchQuery, p, tdf, di, k = 10)
+      .select(col("doc_id").cast("long").as("doc_id"), col("title"),
+        col("score").cast("double").as("score"))
+  }
+
+  val bm25Rm3Sql: String = {
+    val inList = SearchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""${bm25TopCtes(TokCte)},
+       |exp AS (
+       |  SELECT p.term, sum(p.tf) AS stf
+       |  FROM postings p JOIN top t ON p.doc_id = t.doc_id
+       |  WHERE p.term NOT IN $inList GROUP BY p.term),
+       |expd AS (
+       |  SELECT e.term, 0.5 AS w
+       |  FROM exp e JOIN term_df d USING(term), stats s
+       |  ORDER BY ln(greatest(1.0, s.n / greatest(1.0, CAST(d.df AS DOUBLE))))
+       |    * CAST(e.stf AS DOUBLE) DESC, e.term ASC
+       |  LIMIT 5),
+       |q2 AS (SELECT term, 1.0 AS w FROM q
+       |  UNION ALL SELECT term, w FROM expd),
+       |scored2 AS (
+       |  SELECT p.doc_id, q2.w *
+       |    (ln(greatest(1.0, s.n / greatest(1.0, CAST(d.df AS DOUBLE)))) * p.tf * 2.0 /
+       |      (p.tf + (0.25 + 0.75 * di.length / s.avgdl))) AS score
+       |  FROM q2 JOIN term_df d USING(term) JOIN postings p USING(term)
+       |       JOIN doc_info di USING(doc_id), stats s),
+       |top2 AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(score) AS DOUBLE) AS score
+       |  FROM scored2 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10)
+       |SELECT t.doc_id, substring(d.text, 1, 50) AS title, t.score
+       |FROM top2 t JOIN documents d ON d.doc_id = t.doc_id
+       |ORDER BY t.score DESC, t.doc_id""".stripMargin
+  }
+
   // ---- Snippet selection for the flagship results ----------------------------
   // For each top-10 document, the best highlight window: the start position
   // (itself a query-term occurrence) whose following SnippetWindow
@@ -821,6 +864,7 @@ object TextIndexQueries {
     "phrase_search" -> (phraseSearch _),
     "proximity_search" -> (proximitySearch _),
     "search_snippets" -> (searchSnippets _),
+    "bm25_rm3" -> (bm25Rm3 _),
     "doc_prep" -> (docPrep _),
     "tsv_roundtrip" -> (tsvRoundtrip _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -853,6 +897,7 @@ object TextIndexQueries {
     "phrase_search" -> phraseSearchSql,
     "proximity_search" -> proximitySearchSql,
     "search_snippets" -> searchSnippetsSql,
+    "bm25_rm3" -> bm25Rm3Sql,
     "doc_prep" -> docPrepSql,
     "tsv_roundtrip" -> tsvRoundtripSql,
     "jsonl_roundtrip" -> jsonlRoundtripSql,
