@@ -187,4 +187,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window over hash partition is skew-unsafe:\n$p")
     assert("Aggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
+
+  test("ann_ivf_pq scores candidates through a broadcast list join, never sort-merge") {
+    val p = plan("ann_ivf_pq")
+    // the nprobe probe rows (with their ADC LUTs) broadcast into the
+    // assigned-list probe; the PQ encode is a per-row expression, so no
+    // exchange may land on the corpus side before the candidate join
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe->list candidate join should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate join regressed to sort-merge:\n$p")
+  }
+
+  test("proximity and snippet position joins stay hash-based") {
+    val px = plan("proximity_search")
+    assert(!px.contains("CartesianProduct") &&
+      !px.contains("BroadcastNestedLoopJoin"),
+      s"proximity pair join regressed to a nested loop:\n$px")
+    val sn = plan("search_snippets")
+    assert(sn.contains("BroadcastHashJoin"),
+      s"top-10 doc filter should broadcast into the postings probe:\n$sn")
+    assert(!sn.contains("CartesianProduct"),
+      s"snippet window join went cartesian:\n$sn")
+  }
+
+  test("bm25_rm3 keeps the flagship's broadcast + TakeOrdered shape") {
+    val p = plan("bm25_rm3")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weighted term table should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+  }
+
+  test("skew_report's top-10 plans TakeOrdered, not a global window") {
+    val p = plan("skew_report")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"heavy-key top-10 should be TakeOrdered:\n$p")
+    assert(!p.contains("Window"),
+      s"a single-task global window over per-key counts is the anti-shape:\n$p")
+  }
 }
