@@ -230,6 +230,125 @@ object DedupQueries {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  // ---- End-to-end ingest pipeline: the corpus-refresh composition ------------
+  // What actually runs when a crawl batch arrives at a training corpus:
+  //   exact-dup gate vs the existing corpus (bloom prefilter + exact
+  //   anti-join) -> near-dup gate vs the existing corpus (batch bands
+  //   broadcast, jaccard-verified) -> PII scrub -> quality gate ->
+  //   accepted-docs manifest (doc_id, n_tokens, quality, scrubbed digest).
+  // One lazy plan; each gate reuses the standalone operator (Dedup
+  // .incrementalNew, lshCandidatesBetween, Scrub, Curation.qualityOf), and
+  // the oracle replays the full composition. Batch = doc_id % 4 == 0,
+  // existing = the rest (the dedup_incremental convention).
+  private val IngestMinQuality = 0.4
+
+  def ingestPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val existing = d.filter(col("doc_id") % 4 =!= 0)
+    val batch = d.filter(col("doc_id") % 4 === 0)
+    val exactNew = Dedup.incrementalNew(existing, batch, "doc_id", "text")
+      .select(col("id").as("doc_id"))
+    def setsOf(df: DataFrame) = df.select(col("doc_id").as("id"),
+        array_distinct(transform(Tokenizer.tokenize(col("text")),
+          t => TextHash.hashMod(t))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    def sigsOf(df: DataFrame) = df.select(
+      col("id") +: Dedup.minHashSignaturesHashed(col("toks"), NumHashes): _*)
+    val exSets = setsOf(existing)
+    val bSets = setsOf(batch.join(exactNew, "doc_id"))
+    val nearMatched = Dedup.lshCandidatesBetween(
+        sigsOf(bSets), sigsOf(exSets), NumHashes, RowsPerBand)
+      .join(bSets.select(col("id").as("id_new"), col("toks").as("tn")), "id_new")
+      .join(exSets.select(col("id").as("id_old"), col("toks").as("to")), "id_old")
+      .filter(graft.plans.ArrayJaccard.jaccardLong(col("tn"), col("to")) >= 0.8)
+      .select(col("id_new").as("doc_id")).distinct()
+    batch.join(exactNew, "doc_id")
+      .join(nearMatched, Seq("doc_id"), "left_anti")
+      .withColumn("toks", Tokenizer.tokenize(col("text")))
+      .withColumn("quality",
+        graft.operators.Curation.qualityOf(col("text"), col("toks")))
+      .filter(col("quality") >= IngestMinQuality)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        col("quality").cast("double").as("quality"),
+        md5(graft.operators.Scrub.scrubText(col("text"))).as("scrub_digest"))
+      .orderBy("doc_id")
+  }
+
+  val ingestPipelineSql: String = {
+    val mhExprs = (0 until NumHashes).map { i =>
+      val (a, b) = mhParams(i)
+      s"list_min(list_transform(toks, x -> (x * $a + $b) % $P)) AS mh$i"
+    }.mkString(",\n    ")
+    def bandArmsOver(src: String) =
+      (0 until NumHashes / RowsPerBand).map { bnd =>
+        val h1 = s"mh${bnd * RowsPerBand}"
+        val h2 = s"mh${bnd * RowsPerBand + 1}"
+        s"SELECT id, $bnd AS band, $h1 AS h1, $h2 AS h2 FROM $src"
+      }.mkString("\n  UNION ALL\n  ")
+    val tokList = s"""list_filter(string_split_regex(
+       |      regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'),
+       |      x -> x <> '')""".stripMargin
+    val em = graft.operators.Scrub.EmailPattern
+    val ph = graft.operators.Scrub.PhonePattern
+    val ip = graft.operators.Scrub.Ipv4Pattern
+    val sec = graft.operators.Scrub.SecretPattern
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS digest
+       |  FROM documents),
+       |ex AS (SELECT digest FROM d WHERE doc_id % 4 <> 0),
+       |inc AS (SELECT doc_id, text, digest FROM d WHERE doc_id % 4 = 0),
+       |exact_new AS (
+       |  SELECT i.doc_id, i.text FROM inc i
+       |  WHERE NOT EXISTS (SELECT 1 FROM ex e WHERE e.digest = i.digest)),
+       |tok_ex AS (
+       |  SELECT doc_id AS id, list_distinct(list_transform($tokList,
+       |    x -> ${OracleSql.hashMod("x")})) AS toks
+       |  FROM documents WHERE doc_id % 4 <> 0),
+       |tok_new AS (
+       |  SELECT doc_id AS id, list_distinct(list_transform($tokList,
+       |    x -> ${OracleSql.hashMod("x")})) AS toks
+       |  FROM exact_new),
+       |ne_ex AS (SELECT * FROM tok_ex WHERE len(toks) > 0),
+       |ne_new AS (SELECT * FROM tok_new WHERE len(toks) > 0),
+       |sigs_ex AS (SELECT id, $mhExprs FROM ne_ex),
+       |sigs_new AS (SELECT id, $mhExprs FROM ne_new),
+       |bands_ex AS (
+       |  ${bandArmsOver("sigs_ex")}),
+       |bands_new AS (
+       |  ${bandArmsOver("sigs_new")}),
+       |cands AS (
+       |  SELECT DISTINCT n.id AS id_new, o.id AS id_old
+       |  FROM bands_new n JOIN bands_ex o
+       |    ON n.band = o.band AND n.h1 = o.h1 AND n.h2 = o.h2),
+       |near_matched AS (
+       |  SELECT DISTINCT c.id_new FROM cands c
+       |  JOIN ne_new sn ON c.id_new = sn.id
+       |  JOIN ne_ex so ON c.id_old = so.id
+       |  WHERE CAST(len(list_intersect(sn.toks, so.toks)) AS DOUBLE) /
+       |    len(list_distinct(sn.toks || so.toks)) >= 0.8),
+       |surv AS (
+       |  SELECT doc_id, text FROM exact_new
+       |  WHERE doc_id NOT IN (SELECT id_new FROM near_matched)),
+       |lq AS (SELECT doc_id, text, $tokList AS l FROM surv),
+       |q AS (
+       |  SELECT doc_id, text, CAST(len(l) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(l) = 0 THEN 0.0 ELSE
+       |      least(1.0, (length(array_to_string(l, '')) * 1.0 / len(l)) / 8.0) *
+       |      (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |        (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text) END) *
+       |      (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |        (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text) END)
+       |    END AS quality
+       |  FROM lq)
+       |SELECT doc_id, n_tokens, CAST(quality AS DOUBLE) AS quality,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    text, '$em', '<EMAIL>', 'g'), '$sec', '<SECRET>', 'g'),
+       |    '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')) AS scrub_digest
+       |FROM q WHERE quality >= $IngestMinQuality ORDER BY doc_id""".stripMargin
+  }
+
   val dedupMinhashLshSql: String = {
     val mhExprs = (0 until NumHashes).map { i =>
       val (a, b) = mhParams(i)
@@ -825,6 +944,7 @@ object DedupQueries {
     "dedup_incremental_persisted" -> (dedupIncrementalPersisted _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "stream_dedup_near" -> (streamDedupNear _),
+    "ingest_pipeline" -> (ingestPipeline _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -842,6 +962,7 @@ object DedupQueries {
     "dedup_incremental_persisted" -> dedupIncrementalPersistedSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "stream_dedup_near" -> dedupMinhashLshSql,
+    "ingest_pipeline" -> ingestPipelineSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
