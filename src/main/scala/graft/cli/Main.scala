@@ -40,6 +40,8 @@ object Main {
       |  rollback <prefix> <tag>                  restore the index from a snapshot
       |  delete  <ids.parquet> <prefix>           forget documents (doc_id column) from the index
       |  search  <prefix> "<query>" [k=10]        BM25 top-k over the persisted index
+      |  rm3     <prefix> "<query>" [k=10]        BM25 with pseudo-relevance-feedback expansion
+      |  snippets <prefix> "<query>" [k=10]       best highlight window per top-k result
       |  similar <prefix> <doc_id> [k=5]          related documents (sparse TF-IDF cosine)
       |""".stripMargin
 
@@ -90,6 +92,23 @@ object Main {
       case Seq("search", prefix, query, rest @ _*) =>
         val k = rest.headOption.map(_.toInt).getOrElse(10)
         Right(Some(Search.searchPrebuilt(spark, query, prefix, k)))
+      case Seq("rm3", prefix, query, rest @ _*) =>
+        // the expansion term set is dynamic, so unlike `search` the
+        // postings cannot be statically bucket-pruned — the term joins
+        // still run co-located against the bucketed tables
+        val k = rest.headOption.map(_.toInt).getOrElse(10)
+        Right(Some(Search.rm3Search(spark, query,
+          spark.table(s"${prefix}_postings"), spark.table(s"${prefix}_term_df"),
+          spark.table(s"${prefix}_doc_info"), k)))
+      case Seq("snippets", prefix, query, rest @ _*) =>
+        val k = rest.headOption.map(_.toInt).getOrElse(10)
+        val toks = Search.queryTokens(query)
+        Right(Some(Search.snippets(spark, query,
+          spark.table(s"${prefix}_postings")
+            .filter(col("term").isin(toks: _*)),
+          spark.table(s"${prefix}_term_df")
+            .filter(col("term").isin(toks: _*)),
+          spark.table(s"${prefix}_doc_info"), k)))
       case Seq("similar", prefix, docId, rest @ _*) =>
         val k = rest.headOption.map(_.toInt).getOrElse(5)
         Right(Some(graft.operators.MoreLikeThis

@@ -203,6 +203,36 @@ object Search {
       .orderBy(col("score").desc, col("doc_id").asc)
   }
 
+  /** Best highlight window per top-k result: the query-term position whose
+    * following `window` positions cover the most DISTINCT query terms,
+    * ties to the earliest start. Candidate volume is top-k docs x
+    * query-term occurrences — the window join never touches the corpus.
+    * Returns (doc_id, best_start, n_terms).
+    */
+  def snippets(spark: SparkSession, query: String,
+               postings: DataFrame, termDf: DataFrame, docInfo: DataFrame,
+               k: Int = 10, window: Int = 10): DataFrame = {
+    val toks = queryTokens(query)
+    val top = termComponents(spark, query, postings, termDf, docInfo)
+      .groupBy("doc_id").agg(sum(col("score")).as("s"))
+      .orderBy(col("s").desc, col("doc_id").asc).limit(k)
+      .select(col("doc_id"))
+    val qp = postings.filter(col("term").isin(toks: _*))
+      .join(broadcast(top), "doc_id")
+      .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
+    val win = qp.select(col("doc_id"), col("pos").as("start"))
+      .join(qp.select(col("doc_id"), col("term").as("bterm"),
+        col("pos").as("bpos")), Seq("doc_id"))
+      .filter(col("bpos") >= col("start") &&
+        col("bpos") <= col("start") + window)
+      .groupBy(col("doc_id"), col("start"))
+      .agg(countDistinct(col("bterm")).as("nt"))
+    win.groupBy("doc_id")
+      .agg(min(struct((-col("nt")).as("negn"), col("start").as("s"))).as("b"))
+      .select(col("doc_id"),
+        col("b.s").as("best_start"), (-col("b.negn")).as("n_terms"))
+  }
+
   /** Positional phrase search over the postings table (the positions the
     * reference stores but never reads, app/query.py:115-119). For terms
     * t0..tn-1: join each term's posting list on doc_id, then intersect

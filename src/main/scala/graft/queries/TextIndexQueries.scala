@@ -642,23 +642,10 @@ object TextIndexQueries {
 
   def searchSnippets(s: SparkSession, dir: String): DataFrame = {
     val (p, tdf, di) = indexTriple(s, dir)
-    val top = Search.search(s, SearchQuery, p, tdf, di, k = 10)
-      .select(col("doc_id"))
-    val qp = p.filter(col("term").isin(SearchTerms: _*))
-      .join(broadcast(top), "doc_id")
-      .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
-    val win = qp.select(col("doc_id"), col("pos").as("start"))
-      .join(qp.select(col("doc_id"), col("term").as("bterm"),
-        col("pos").as("bpos")), Seq("doc_id"))
-      .filter(col("bpos") >= col("start") &&
-        col("bpos") <= col("start") + SnippetWindow)
-      .groupBy(col("doc_id"), col("start"))
-      .agg(countDistinct(col("bterm")).as("nt"))
-    win.groupBy("doc_id")
-      .agg(min(struct((-col("nt")).as("negn"), col("start").as("s"))).as("b"))
+    Search.snippets(s, SearchQuery, p, tdf, di, k = 10, window = SnippetWindow)
       .select(col("doc_id").cast("long").as("doc_id"),
-        col("b.s").cast("long").as("best_start"),
-        (-col("b.negn")).cast("long").as("n_terms"))
+        col("best_start").cast("long").as("best_start"),
+        col("n_terms").cast("long").as("n_terms"))
       .orderBy("doc_id")
   }
 

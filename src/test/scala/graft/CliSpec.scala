@@ -61,6 +61,23 @@ class CliSpec extends SparkSpec {
     assert(similar.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
     assert(similar.forall(_.getAs[Long]("doc_id") != surviving))
     assert(similar.forall(r => r.getAs[String]("title") != null))
+
+    // expanded search and snippets over the same persisted tables: rm3
+    // returns k ranked rows, snippets one best window per top doc whose
+    // term coverage is within [1, |query terms|]
+    val rm3 = cli.Main.run(spark,
+        Seq("rm3", prefix, "spark filter join stream data", "5"))
+      .toOption.flatten.get.collect()
+    assert(rm3.length == 5)
+    assert(rm3.forall(r => r.getAs[String]("title") != null))
+    val snip = cli.Main.run(spark,
+        Seq("snippets", prefix, "spark filter join stream data", "5"))
+      .toOption.flatten.get.collect()
+    assert(snip.length == 5)
+    assert(snip.forall { r =>
+      val nt = r.getAs[Long]("n_terms")
+      nt >= 1L && nt <= 5L
+    })
   }
 
   test("merge, snapshot and rollback drive the same lifecycle as the library") {
