@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ vector index — the embedding-side twin of the
+  * term-bucketed text index (Indexer): train once, write the layout, serve
+  * every query from the stored tables.
+  *
+  * Layout (`prefix` + suffix, parquet):
+  *  - `_centroids` (cent_id, cv): the NList Lloyd-refined coarse centroids;
+  *  - `_codes` (m, k, carr): the product-quantizer codebooks (Pq);
+  *  - `_vectors` (id, v, codes), PARTITIONED BY cent_id: each coarse list
+  *    is its own partition directory, so a probe that joins its nprobe
+  *    list ids prunes every other list at the SCAN — the on-disk form of
+  *    an inverted vector file. At 100 TB a query touches nprobe/NList of
+  *    the corpus files, exactly like the bm25 path touches |terms| buckets.
+  *
+  * Serving reads the same centroid/codebook values the build wrote (both
+  * bounded: NList and M*Ks rows), so results are bit-identical to the
+  * in-memory ann_ivf_pq plan and share its DuckDB oracle.
+  */
+object VectorIndex {
+
+  /** Write the index. `cents` (id, v) and `codes` must come from the same
+    * deterministic training the serving oracle mirrors.
+    */
+  def build(spark: SparkSession, emb: DataFrame, prefix: String,
+            cents: DataFrame, codes: Seq[Pq.Code],
+            pqM: Int, pqSubDim: Int): Unit = {
+    val base = graft.ScratchDirs.fresh("graft_vecidx", prefix).toString
+    cents.select(col("id").as("cent_id"), col("v").as("cv"))
+      .write.mode("overwrite").parquet(s"$base/centroids")
+    spark.createDataFrame(codes.map(c => (c.m, c.k, c.carr)))
+      .toDF("m", "k", "carr")
+      .write.mode("overwrite").parquet(s"$base/codes")
+    Similarity.ivfAssign(emb, cents)
+      .withColumn("codes", Pq.encodeCol(col("v"), codes, pqM, pqSubDim))
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$base/vectors")
+    Seq("centroids", "codes", "vectors").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
+      spark.catalog.createTable(s"${prefix}_$t", s"$base/$t", "parquet")
+    }
+    spark.catalog.recoverPartitions(s"${prefix}_vectors")
+  }
+
+  /** IVF-PQ serving over the persisted tables: nearest-nprobe list
+    * assignment per probe (centroid table broadcast), ADC shortlist via
+    * the stored codes, exact cosine re-rank. The probe→list join lands on
+    * `_vectors`' partition column, so Spark's dynamic partition pruning
+    * restricts the scan to the probed lists.
+    */
+  def searchPrebuilt(spark: SparkSession, prefix: String, probes: DataFrame,
+                     k: Int, nprobe: Int, shortlist: Int,
+                     pqM: Int, pqSubDim: Int): DataFrame = {
+    val codes = spark.table(s"${prefix}_codes")
+      .orderBy("m", "k").collect()
+      .map(r => Pq.Code(r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .toSeq
+    val c = spark.table(s"${prefix}_centroids")
+    val pw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("psim").desc, col("cent_id").asc)
+    val probeCents = probes
+      .select(col("id").as("probe_id"), col("v").as("pv"))
+      .crossJoin(broadcast(c))
+      .withColumn("psim", Similarity.cosine(col("pv"), col("cv")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("probe_id"), col("pv"),
+        Pq.lutCol(col("pv"), codes, pqM, pqSubDim).as("lut"), col("cent_id"))
+    val vecs = spark.table(s"${prefix}_vectors")
+      .select(col("id").as("cand_id"), col("v").as("cv"), col("codes"),
+        col("cent_id"))
+    val cw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qscore").desc, col("cand_id").asc)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    broadcast(probeCents).join(vecs, Seq("cent_id"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("qscore", Pq.adcScore(col("lut"), col("codes"), pqM))
+      .withColumn("qrank", row_number().over(cw))
+      .filter(col("qrank") <= shortlist)
+      .withColumn("cosine", Similarity.cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("cosine"))
+  }
+}

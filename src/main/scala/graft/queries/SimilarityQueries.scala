@@ -448,6 +448,32 @@ object SimilarityQueries {
       .orderBy("probe_id", "rank")
   }
 
+  // ---- IVF-PQ over the PERSISTED vector index --------------------------------
+  // The same serving math as ann_ivf_pq, but from the stored layout
+  // (VectorIndex: centroids + codebooks + cent_id-partitioned encoded
+  // vectors — the on-disk inverted-file form). Built once per (JVM, dir)
+  // like the text-index variants; results are bit-identical to the
+  // in-memory plan, so the oracle is shared.
+  private val builtVectorIdx = scala.collection.mutable.Set[String]()
+
+  private def ensureVectorIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val prefix = "graft_vecidx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!builtVectorIdx.contains(prefix)) {
+        graft.operators.VectorIndex.build(s, emb(s, dir), prefix,
+          ivfCentroids(s, dir), pqCodes(s, dir), PqM, PqSubDim)
+        builtVectorIdx += prefix
+      }
+      prefix
+    }
+
+  def annIvfPqPrebuilt(s: SparkSession, dir: String): DataFrame =
+    graft.operators.VectorIndex.searchPrebuilt(s, ensureVectorIndex(s, dir),
+        probes(s, dir), K, NProbe, PqShortlist, PqM, PqSubDim)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("probe_id", "rank")
+
   val annIvfPqSql: String = {
     val h = OracleSql.hash64("CAST(id AS VARCHAR)")
     val avgList = (1 to PqSubDim).map(i => s"round(avg(sub[$i]), 6)")
@@ -740,6 +766,7 @@ object SimilarityQueries {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_pq" -> (annIvfPq _),
+    "ann_ivf_pq_prebuilt" -> (annIvfPqPrebuilt _),
     "ann_quantized" -> (annQuantized _),
     "ann_lsh_quantized" -> (annLshQuantized _),
     "embedding_norms" -> (embeddingNorms _))
@@ -751,6 +778,7 @@ object SimilarityQueries {
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_ivf_pq" -> annIvfPqSql,
+    "ann_ivf_pq_prebuilt" -> annIvfPqSql,
     "ann_quantized" -> annQuantizedSql,
     "ann_lsh_quantized" -> annLshQuantizedSql,
     "embedding_norms" -> embeddingNormsSql)

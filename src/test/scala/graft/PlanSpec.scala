@@ -211,6 +211,16 @@ class PlanSpec extends SparkSpec {
       s"snippet window join went cartesian:\n$sn")
   }
 
+  test("persisted vector index scan is dynamically pruned to the probed lists") {
+    // the probe->list join lands on _vectors' cent_id partition column;
+    // dynamic partition pruning must restrict the scan to the nprobe
+    // lists — the on-disk inverted-file contract (losing this reads the
+    // whole corpus per query)
+    val p = plan("ann_ivf_pq_prebuilt")
+    assert(p.contains("dynamicpruning"),
+      s"vector list scan is not partition-pruned:\n$p")
+  }
+
   test("bm25_rm3 keeps the flagship's broadcast + TakeOrdered shape") {
     val p = plan("bm25_rm3")
     assert(p.contains("BroadcastHashJoin"),
