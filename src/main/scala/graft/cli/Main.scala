@@ -43,6 +43,8 @@ object Main {
       |  rm3     <prefix> "<query>" [k=10]        BM25 with pseudo-relevance-feedback expansion
       |  snippets <prefix> "<query>" [k=10]       best highlight window per top-k result
       |  similar <prefix> <doc_id> [k=5]          related documents (sparse TF-IDF cosine)
+      |  vindex  <embeddings.parquet> <prefix>    build the persisted IVF-PQ vector index
+      |  vsearch <prefix> <vec_id> [k=5]          ANN top-k over the persisted vector index
       |""".stripMargin
 
   /** docs parquet in the testdata shape: (doc_id, text[, ...]). */
@@ -113,6 +115,18 @@ object Main {
         val k = rest.headOption.map(_.toInt).getOrElse(5)
         Right(Some(graft.operators.MoreLikeThis
           .similarPrebuilt(spark, prefix, docId.toLong, k)))
+      case Seq("vindex", in, prefix) =>
+        val emb = spark.read.parquet(in).select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+        graft.operators.VectorIndex.trainAndBuild(spark, emb, prefix)
+        Right(None)
+      case Seq("vsearch", prefix, vecId, rest @ _*) =>
+        val k = rest.headOption.map(_.toInt).getOrElse(5)
+        val probe = spark.table(s"${prefix}_vectors")
+          .filter(col("id") === vecId.toLong).select(col("id"), col("v"))
+        Right(Some(graft.operators.VectorIndex.searchPrebuilt(spark, prefix,
+          probe, k, nprobe = 8, shortlist = 40, pqM = 4, pqSubDim = 16)
+          .orderBy("rank")))
       case _ => Left(Usage)
     }
 

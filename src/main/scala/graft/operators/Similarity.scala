@@ -119,6 +119,44 @@ object Similarity {
       .select(col("id"), col("v"), col("cent_id"))
   }
 
+  /** The NList hash-smallest ids' vectors — the deterministic uniform seed
+    * sample both engines reproduce (no RNG). Returns (cent_id, cv0).
+    */
+  def ivfSeed(emb: DataFrame, nlist: Int): DataFrame =
+    emb.orderBy(TextHash.hash64(col("id").cast("string")), col("id"))
+      .limit(nlist)
+      .select(col("id").as("cent_id"), col("v").as("cv0"))
+
+  /** One Lloyd step: nearest-centroid assignment (ivfAssign — the SAME
+    * broadcast argmax the serving path uses, one source of truth for
+    * tie-breaks), then per-centroid element-wise mean via `dim` scalar avg
+    * aggregates (ONE shuffle of nlist·dim partials — no posexplode row
+    * blowup). Means are rounded to the 1e-6 grid so partial-aggregation
+    * sum order can never flip a later assignment; empty clusters keep
+    * their previous centroid.
+    */
+  def lloydStep(emb: DataFrame, cents: DataFrame, dim: Int): DataFrame = {
+    val assigned = ivfAssign(emb,
+        cents.select(col("cent_id").as("id"), col("cv0").as("v")))
+      .select(col("cent_id"), col("v"))
+    val means = assigned.groupBy(col("cent_id"))
+      .agg(array((0 until dim).map(i =>
+        round(avg(col("v").getItem(i)), 6)): _*).as("mv"))
+    cents.join(means, Seq("cent_id"), "left")
+      .select(col("cent_id"), coalesce(col("mv"), col("cv0")).as("cv0"))
+  }
+
+  /** `iters` Lloyd rounds from the hash-ordered seed, collected to the
+    * driver as the bounded (nlist rows) centroid table — the amortized
+    * build step of an IVF index.
+    */
+  def trainCentroids(emb: DataFrame, nlist: Int, iters: Int,
+                     dim: Int): Seq[(Long, Seq[Double])] = {
+    val fin = (1 to iters).foldLeft(ivfSeed(emb, nlist))((c, _) =>
+      lloydStep(emb, c, dim))
+    fin.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+  }
+
   def ivfTopK(probes: DataFrame, corpus: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
     val assigned = ivfAssign(corpus, centroids)

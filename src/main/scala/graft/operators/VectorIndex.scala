@@ -46,6 +46,18 @@ object VectorIndex {
     spark.catalog.recoverPartitions(s"${prefix}_vectors")
   }
 
+  /** Train (coarse centroids + PQ codebooks) and build in one call — the
+    * CLI entry shape. `emb` needs (id, v array<double>).
+    */
+  def trainAndBuild(spark: SparkSession, emb: DataFrame, prefix: String,
+                    nlist: Int = 64, iters: Int = 2, dim: Int = 64,
+                    pqM: Int = 4, pqSubDim: Int = 16, pqKs: Int = 16): Unit = {
+    import spark.implicits._
+    val cents = Similarity.trainCentroids(emb, nlist, iters, dim).toDF("id", "v")
+    val codes = Pq.train(emb, pqM, pqSubDim, pqKs)
+    build(spark, emb, prefix, cents, codes, pqM, pqSubDim)
+  }
+
   /** IVF-PQ serving over the persisted tables: nearest-nprobe list
     * assignment per probe (centroid table broadcast), ADC shortlist via
     * the stored codes, exact cosine re-rank. The probe→list join lands on

@@ -130,33 +130,10 @@ object SimilarityQueries {
     */
   private val IvfIters = 2
 
-  private def ivfSeed(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir)
-      .orderBy(graft.functions.TextHash.hash64(col("id").cast("string")),
-        col("id"))
-      .limit(NList)
-      .select(col("id").as("cent_id"), col("v").as("cv0"))
-
-  /** One Lloyd step: nearest-centroid assignment (Similarity.ivfAssign —
-    * the SAME broadcast argmax the serving path uses, one source of truth
-    * for tie-breaks), then per-centroid element-wise mean via Dim scalar
-    * avg aggregates (ONE shuffle of NList·Dim partials — no posexplode
-    * row blowup).
-    */
-  private def lloydStep(e: DataFrame, cents: DataFrame): DataFrame = {
-    val assigned = Similarity.ivfAssign(e,
-        cents.select(col("cent_id").as("id"), col("cv0").as("v")))
-      .select(col("cent_id"), col("v"))
-    val means = assigned.groupBy(col("cent_id"))
-      .agg(array((0 until Dim).map(i =>
-        round(avg(col("v").getItem(i)), 6)): _*).as("mv"))
-    cents.join(means, Seq("cent_id"), "left")
-      .select(col("cent_id"), coalesce(col("mv"), col("cv0")).as("cv0"))
-  }
-
-  /** Refined centroids, computed once per (JVM, sfDir) and pinned as a
-    * local relation — centroid TRAINING is the amortized build step of an
-    * IVF index (exactly like the persisted bm25 index build); serving
+  /** Refined centroids (Similarity.trainCentroids — hash-ordered seed +
+    * IvfIters Lloyd rounds), computed once per (JVM, sfDir) and pinned as
+    * a local relation — centroid TRAINING is the amortized build step of
+    * an IVF index (exactly like the persisted bm25 index build); serving
     * queries broadcast the NList·Dim constant table. The collect is
     * bounded at NList rows regardless of corpus size.
     */
@@ -166,13 +143,8 @@ object SimilarityQueries {
   private def ivfCentroids(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rows = synchronized {
-      centroidCache.getOrElseUpdate(dir, {
-        val e = emb(s, dir)
-        val fin = (1 to IvfIters).foldLeft(ivfSeed(s, dir))((c, _) =>
-          lloydStep(e, c))
-        fin.collect().map(r =>
-          (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
-      })
+      centroidCache.getOrElseUpdate(dir,
+        Similarity.trainCentroids(emb(s, dir), NList, IvfIters, Dim))
     }
     rows.toDF("id", "v")
   }

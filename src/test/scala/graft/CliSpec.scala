@@ -80,6 +80,20 @@ class CliSpec extends SparkSpec {
     })
   }
 
+  test("vindex then vsearch serves ANN from the persisted vector index") {
+    val prefix = "graft_cli_vec"
+    assert(cli.Main.run(spark,
+      Seq("vindex", s"$dir/embeddings.parquet", prefix)).isRight)
+    val out = cli.Main.run(spark, Seq("vsearch", prefix, "0", "3"))
+      .toOption.flatten.get.collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(_.getAs[Long]("cand_id") != 0L))
+    // ranked by exact cosine descending after the ADC shortlist
+    val cos = out.map(_.getAs[Double]("cosine")).toSeq
+    assert(cos == cos.sorted.reverse)
+  }
+
   test("merge, snapshot and rollback drive the same lifecycle as the library") {
     val q = "spark filter join stream data"
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
