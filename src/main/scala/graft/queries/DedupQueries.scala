@@ -246,15 +246,32 @@ object DedupQueries {
     val d = Tables.documents(s, dir)
     val existing = d.filter(col("doc_id") % 4 =!= 0)
     val batch = d.filter(col("doc_id") % 4 === 0)
+    // cached: the exact-survivor id set feeds BOTH the near-gate's token
+    // sets and the final manifest join; uncached it would re-run the
+    // bloom-gated anti-join for each consumer
     val exactNew = Dedup.incrementalNew(existing, batch, "doc_id", "text")
       .select(col("id").as("doc_id"))
+      .registeredCache()
+    // MinHash over 3-token SHINGLES, not unigrams: this corpus draws from a
+    // small shared vocabulary (random-pair unigram jaccard ~0.61), so
+    // unigram bands collide almost everywhere — measured 3.6M candidate
+    // pairs for a 1.2k-doc batch, the candidate explosion LSH exists to
+    // avoid. Shingles are sparse (random pairs share few), and the SAME
+    // banding yields 129 candidates / 90 true near-dups. This is standard
+    // MinHash practice (shingle the document first) and what the full-
+    // corpus gate needs at scale.
     def setsOf(df: DataFrame) = df.select(col("doc_id").as("id"),
-        array_distinct(transform(Tokenizer.tokenize(col("text")),
-          t => TextHash.hashMod(t))).as("toks"))
+        array_distinct(TextHash.hashedShingles(
+          transform(Tokenizer.tokenize(col("text")),
+            t => TextHash.hashMod(t)), 3)).as("toks"))
       .filter(size(col("toks")) > 0)
     def sigsOf(df: DataFrame) = df.select(
       col("id") +: Dedup.minHashSignaturesHashed(col("toks"), NumHashes): _*)
-    val exSets = setsOf(existing)
+    // the existing-corpus shingle sets are the pipeline's standing asset
+    // (at scale they live as a persisted SignatureIndex; dedup_incremental
+    // _persisted shows that form) — cache them so repeat ingests pay the
+    // corpus tokenize once, not per batch
+    val exSets = setsOf(existing).registeredCache()
     val bSets = setsOf(batch.join(exactNew, "doc_id"))
     val nearMatched = Dedup.lshCandidatesBetween(
         sigsOf(bSets), sigsOf(exSets), NumHashes, RowsPerBand)
@@ -289,6 +306,22 @@ object DedupQueries {
     val tokList = s"""list_filter(string_split_regex(
        |      regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'),
        |      x -> x <> '')""".stripMargin
+    val shingle3 =
+      s"(((t1.h * 1000003 + t2.h) % $P) * 1000003 + t3.h) % $P"
+    def shingleSets(tokSrc: String) =
+      s"""SELECT t1.doc_id AS id, list(DISTINCT $shingle3) AS toks
+         |  FROM (SELECT doc_id, pos, ${OracleSql.hashMod("term")} AS h FROM (
+         |    SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+         |    FROM $tokSrc)) t1
+         |  JOIN (SELECT doc_id, pos, ${OracleSql.hashMod("term")} AS h FROM (
+         |    SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+         |    FROM $tokSrc)) t2
+         |    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+         |  JOIN (SELECT doc_id, pos, ${OracleSql.hashMod("term")} AS h FROM (
+         |    SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+         |    FROM $tokSrc)) t3
+         |    ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+         |  GROUP BY t1.doc_id""".stripMargin
     val em = graft.operators.Scrub.EmailPattern
     val ph = graft.operators.Scrub.PhonePattern
     val ip = graft.operators.Scrub.Ipv4Pattern
@@ -302,14 +335,12 @@ object DedupQueries {
        |exact_new AS (
        |  SELECT i.doc_id, i.text FROM inc i
        |  WHERE NOT EXISTS (SELECT 1 FROM ex e WHERE e.digest = i.digest)),
+       |lx AS (SELECT doc_id, $tokList AS l FROM documents WHERE doc_id % 4 <> 0),
+       |ln AS (SELECT doc_id, $tokList AS l FROM exact_new),
        |tok_ex AS (
-       |  SELECT doc_id AS id, list_distinct(list_transform($tokList,
-       |    x -> ${OracleSql.hashMod("x")})) AS toks
-       |  FROM documents WHERE doc_id % 4 <> 0),
+       |  ${shingleSets("lx")}),
        |tok_new AS (
-       |  SELECT doc_id AS id, list_distinct(list_transform($tokList,
-       |    x -> ${OracleSql.hashMod("x")})) AS toks
-       |  FROM exact_new),
+       |  ${shingleSets("ln")}),
        |ne_ex AS (SELECT * FROM tok_ex WHERE len(toks) > 0),
        |ne_new AS (SELECT * FROM tok_new WHERE len(toks) > 0),
        |sigs_ex AS (SELECT id, $mhExprs FROM ne_ex),
