@@ -39,6 +39,7 @@ object Main {
       |  snapshot <prefix> <tag>                  point-in-time copy of the index
       |  rollback <prefix> <tag>                  restore the index from a snapshot
       |  delete  <ids.parquet> <prefix>           forget documents (doc_id column) from the index
+      |  stats   <prefix>                         one-row DESCRIBE of the persisted index
       |  search  <prefix> "<query>" [k=10]        BM25 top-k over the persisted index
       |  rm3     <prefix> "<query>" [k=10]        BM25 with pseudo-relevance-feedback expansion
       |  snippets <prefix> "<query>" [k=10]       best highlight window per top-k result
@@ -91,6 +92,8 @@ object Main {
         Indexer.deleteFromBucketedIndex(spark, prefix,
           spark.read.parquet(idsPath).select(col("doc_id")))
         Right(None)
+      case Seq("stats", prefix) =>
+        Right(Some(Indexer.describeIndex(spark, prefix)))
       case Seq("search", prefix, query, rest @ _*) =>
         val k = rest.headOption.map(_.toInt).getOrElse(10)
         Right(Some(Search.searchPrebuilt(spark, query, prefix, k)))

@@ -400,6 +400,34 @@ object Indexer {
     } finally spark.conf.set(unionConf, prevUnion)
   }
 
+  /** One-row DESCRIBE of a persisted index: vocabulary size, posting
+    * volume, corpus size, average doc length, and the df distribution
+    * (max + p50/p99 via the range-partitioned exact quantile operator) —
+    * the heavy-term skew signal a maintainer reads before stop-term or
+    * compaction decisions. Runs over the same tables the searches serve.
+    */
+  def describeIndex(spark: SparkSession, prefix: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tdf = spark.table(s"${prefix}_term_df")
+    val base = tdf.agg(
+      count(lit(1)).cast("long").as("n_terms"),
+      sum(col("df")).cast("long").as("n_postings"),
+      max(col("df")).cast("long").as("max_df"))
+    val docs = spark.table(s"${prefix}_doc_info")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        avg(col("length")).cast("double").as("avg_len"))
+    val nPost = spark.table(s"${prefix}_postings")
+      .agg(count(lit(1)).cast("long").as("n_posting_rows"))
+    val q = Quantiles.exactQuantiles(
+        tdf.withColumn("g", lit("all")), "g", "df", Seq(0.5, 0.99))
+      .select(col("q0").as("p50_df"), col("q1").as("p99_df"))
+    base.crossJoin(docs).crossJoin(nPost).crossJoin(q)
+      .select(col("n_terms"), col("n_postings"), col("n_posting_rows"),
+        col("n_docs"), col("avg_len"), col("max_df"),
+        col("p50_df").cast("double").as("p50_df"),
+        col("p99_df").cast("double").as("p99_df"))
+  }
+
   def compactBucketedIndex(spark: SparkSession, prefix: String,
                            maxFilesPerBucket: Int = 8): Boolean = {
     val name = s"${prefix}_postings"

@@ -586,6 +586,37 @@ object TextIndexQueries {
     """SELECT doc_id, md5(text) AS text_md5
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  // ---- Index statistics: the DESCRIBE of the persisted index -----------------
+  // One row summarizing the index a maintainer inspects before/after
+  // lifecycle ops: vocabulary size, posting count, corpus size, average
+  // document length, and the df distribution (max + p50/p99 via the
+  // range-partitioned exact quantile operator — the heavy-term skew signal
+  // that decides stop-term policies). Runs over the same persisted tables
+  // the searches serve from.
+  def indexStats(s: SparkSession, dir: String): DataFrame =
+    Indexer.describeIndex(s, ensurePrebuilt(s, dir))
+
+  val indexStatsSql: String =
+    s"""WITH $TokCte,
+       |postings AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+       |term_df AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+       |base AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       |    CAST(sum(df) AS BIGINT) AS n_postings,
+       |    CAST(max(df) AS BIGINT) AS max_df,
+       |    CAST(quantile_cont(CAST(df AS DOUBLE), 0.5) AS DOUBLE) AS p50_df,
+       |    CAST(quantile_cont(CAST(df AS DOUBLE), 0.99) AS DOUBLE) AS p99_df
+       |  FROM term_df),
+       |docs AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(avg(len(l)) AS DOUBLE) AS avg_len
+       |  FROM docs_l),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS n_posting_rows FROM postings)
+       |SELECT base.n_terms, base.n_postings, np.n_posting_rows, docs.n_docs,
+       |  docs.avg_len, base.max_df, base.p50_df, base.p99_df
+       |FROM base, docs, np""".stripMargin
+
   // ---- RM3 pseudo-relevance feedback (query expansion) ----------------------
   // The flagship query expanded by its own top-10: the 5 most
   // characteristic non-query terms of the feedback docs (idf x integer
@@ -852,6 +883,7 @@ object TextIndexQueries {
     "proximity_search" -> (proximitySearch _),
     "search_snippets" -> (searchSnippets _),
     "bm25_rm3" -> (bm25Rm3 _),
+    "index_stats" -> (indexStats _),
     "doc_prep" -> (docPrep _),
     "tsv_roundtrip" -> (tsvRoundtrip _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -885,6 +917,7 @@ object TextIndexQueries {
     "proximity_search" -> proximitySearchSql,
     "search_snippets" -> searchSnippetsSql,
     "bm25_rm3" -> bm25Rm3Sql,
+    "index_stats" -> indexStatsSql,
     "doc_prep" -> docPrepSql,
     "tsv_roundtrip" -> tsvRoundtripSql,
     "jsonl_roundtrip" -> jsonlRoundtripSql,

@@ -62,6 +62,14 @@ class CliSpec extends SparkSpec {
     assert(similar.forall(_.getAs[Long]("doc_id") != surviving))
     assert(similar.forall(r => r.getAs[String]("title") != null))
 
+    // DESCRIBE over the post-delete index: corpus size reflects the
+    // forgotten docs, df bounded by corpus size
+    val stats = cli.Main.run(spark, Seq("stats", prefix))
+      .toOption.flatten.get.collect().head
+    assert(stats.getAs[Long]("n_docs") == 500L - forgotten.size)
+    assert(stats.getAs[Long]("max_df") <= stats.getAs[Long]("n_docs"))
+    assert(stats.getAs[Long]("n_postings") == stats.getAs[Long]("n_posting_rows"))
+
     // expanded search and snippets over the same persisted tables: rm3
     // returns k ranked rows, snippets one best window per top doc whose
     // term coverage is within [1, |query terms|]
