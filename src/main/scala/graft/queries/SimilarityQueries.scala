@@ -386,10 +386,14 @@ object SimilarityQueries {
     val codes = pqCodes(s, dir)
     val cents = ivfCentroids(s, dir)
     val e = emb(s, dir)
+    // cached: the assigned+encoded corpus IS the in-memory index (the
+    // persisted twin materializes exactly this as the _vectors table);
+    // repeat queries pay the assignment+encode once
     val assigned = Similarity.ivfAssign(e, cents)
       .select(col("id").as("cand_id"), col("v").as("cv"), col("cent_id"))
       .withColumn("codes",
         graft.operators.Pq.encodeCol(col("cv"), codes, PqM, PqSubDim))
+      .registeredCache()
     val c = cents.select(col("id").as("cent_id"), col("v").as("cv0"))
     val pw = Window.partitionBy(col("probe_id"))
       .orderBy(col("psim").desc, col("cent_id").asc)
