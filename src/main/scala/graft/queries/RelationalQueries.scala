@@ -354,6 +354,48 @@ object RelationalQueries {
       |  CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS p95
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  // ---- TPC-H Q18 shape: HAVING-subquery semi-join (large-volume orders) ------
+  // The classic "orders whose total quantity exceeds a threshold" query:
+  // an aggregated subquery gates the main join via a semi join, then the
+  // winners re-aggregate with customer context. Two partial-aggregated
+  // shuffles on l_orderkey (the gate reuses the first's shape) + broadcast
+  // customer; top-k plans TakeOrdered.
+  private val Q18Threshold = 250
+
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > Q18Threshold)
+      .select(col("l_orderkey"))
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    li.join(big, "l_orderkey")
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice"))
+      .agg(sum(col("l_quantity")).cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("total_qty"))
+  }
+
+  val q18LargeOrdersSql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey,
+       |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       |  CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE l_orderkey IN (
+       |  SELECT l_orderkey FROM lineitem
+       |  GROUP BY l_orderkey HAVING sum(l_quantity) > $Q18Threshold)
+       |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+       |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
   // ---- Scalar function sampler (string/case/conditional) ---------------------
   def scalarFunctions(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -622,6 +664,7 @@ object RelationalQueries {
     "percentiles_approx" -> (percentilesApprox _),
     "scan_filter" -> (scanFilter _),
     "q3_shipping" -> (q3Shipping _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "q5_star_join" -> (q5StarJoin _),
     "left_outer_orders" -> (leftOuterOrders _),
     "semi_join_customers" -> (semiJoinCustomers _),
@@ -649,6 +692,7 @@ object RelationalQueries {
     "customer_rfm" -> customerRfmSql,
     "scan_filter" -> scanFilterSql,
     "q3_shipping" -> q3ShippingSql,
+    "q18_large_orders" -> q18LargeOrdersSql,
     "q5_star_join" -> q5StarJoinSql,
     "left_outer_orders" -> leftOuterOrdersSql,
     "semi_join_customers" -> semiJoinCustomersSql,
