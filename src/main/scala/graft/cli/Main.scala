@@ -128,7 +128,7 @@ object Main {
         val probe = spark.table(s"${prefix}_vectors")
           .filter(col("id") === vecId.toLong).select(col("id"), col("v"))
         Right(Some(graft.operators.VectorIndex.searchPrebuilt(spark, prefix,
-          probe, k, nprobe = 8, shortlist = 40, pqM = 4, pqSubDim = 16)
+          probe, k, nprobe = 8, shortlist = 40)
           .orderBy("rank")))
       case _ => Left(Usage)
     }

@@ -418,9 +418,17 @@ object Indexer {
         avg(col("length")).cast("double").as("avg_len"))
     val nPost = spark.table(s"${prefix}_postings")
       .agg(count(lit(1)).cast("long").as("n_posting_rows"))
-    val q = Quantiles.exactQuantiles(
+    // an EMPTY index (everything deleted) has no df quantiles — substitute
+    // a null row rather than letting the crossJoin annihilate the report
+    // (exactQuantiles already runs driver actions, so the isEmpty probe
+    // adds no new materialization boundary)
+    val q0 = Quantiles.exactQuantiles(
         tdf.withColumn("g", lit("all")), "g", "df", Seq(0.5, 0.99))
       .select(col("q0").as("p50_df"), col("q1").as("p99_df"))
+    val q = if (q0.isEmpty)
+      spark.range(1).select(lit(null).cast("double").as("p50_df"),
+        lit(null).cast("double").as("p99_df"))
+    else q0
     base.crossJoin(docs).crossJoin(nPost).crossJoin(q)
       .select(col("n_terms"), col("n_postings"), col("n_posting_rows"),
         col("n_docs"), col("avg_len"), col("max_df"),

@@ -70,6 +70,10 @@ object Pq {
       .orderBy(TextHash.hash64(col("id").cast("string")), col("id"))
       .limit(ks).select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
+    require(seed.length == ks,
+      s"PQ training needs >= $ks vectors for the codebook seed, got ${seed.length}")
+    require(seed.head.length >= mSub * subDim,
+      s"vectors have ${seed.head.length} dims, codebooks need ${mSub * subDim}")
     val codes0 = for (m <- 0 until mSub; k <- 0 until ks)
       yield Code(m, k, seed(k).slice(m * subDim, (m + 1) * subDim).toSeq)
     val byM = codes0.groupBy(_.m)

@@ -47,12 +47,18 @@ object VectorIndex {
   }
 
   /** Train (coarse centroids + PQ codebooks) and build in one call — the
-    * CLI entry shape. `emb` needs (id, v array<double>).
+    * CLI entry shape. `emb` needs (id, v array<double>). Dimensionality is
+    * DERIVED from the data, not assumed: a mismatched `dim` would silently
+    * truncate (or null-poison) every centroid mean.
     */
   def trainAndBuild(spark: SparkSession, emb: DataFrame, prefix: String,
-                    nlist: Int = 64, iters: Int = 2, dim: Int = 64,
-                    pqM: Int = 4, pqSubDim: Int = 16, pqKs: Int = 16): Unit = {
+                    nlist: Int = 64, iters: Int = 2,
+                    pqM: Int = 4, pqKs: Int = 16): Unit = {
     import spark.implicits._
+    val dim = emb.select(col("v")).head().getSeq[Double](0).length
+    require(dim % pqM == 0,
+      s"embedding dim $dim is not divisible into $pqM PQ subspaces")
+    val pqSubDim = dim / pqM
     val cents = Similarity.trainCentroids(emb, nlist, iters, dim).toDF("id", "v")
     val codes = Pq.train(emb, pqM, pqSubDim, pqKs)
     build(spark, emb, prefix, cents, codes, pqM, pqSubDim)
@@ -65,12 +71,15 @@ object VectorIndex {
     * restricts the scan to the probed lists.
     */
   def searchPrebuilt(spark: SparkSession, prefix: String, probes: DataFrame,
-                     k: Int, nprobe: Int, shortlist: Int,
-                     pqM: Int, pqSubDim: Int): DataFrame = {
+                     k: Int, nprobe: Int, shortlist: Int): DataFrame = {
     val codes = spark.table(s"${prefix}_codes")
       .orderBy("m", "k").collect()
       .map(r => Pq.Code(r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
       .toSeq
+    // geometry comes from the stored codebooks, never from the caller —
+    // a mismatched assumption would silently score garbage
+    val pqM = codes.map(_.m).max + 1
+    val pqSubDim = codes.head.carr.length
     val c = spark.table(s"${prefix}_centroids")
     val pw = Window.partitionBy(col("probe_id"))
       .orderBy(col("psim").desc, col("cent_id").asc)

@@ -232,14 +232,17 @@ object DedupQueries {
 
   // ---- End-to-end ingest pipeline: the corpus-refresh composition ------------
   // What actually runs when a crawl batch arrives at a training corpus:
-  //   exact-dup gate vs the existing corpus (bloom prefilter + exact
-  //   anti-join) -> near-dup gate vs the existing corpus (batch bands
-  //   broadcast, jaccard-verified) -> PII scrub -> quality gate ->
-  //   accepted-docs manifest (doc_id, n_tokens, quality, scrubbed digest).
-  // One lazy plan; each gate reuses the standalone operator (Dedup
-  // .incrementalNew, lshCandidatesBetween, Scrub, Curation.qualityOf), and
-  // the oracle replays the full composition. Batch = doc_id % 4 == 0,
-  // existing = the rest (the dedup_incremental convention).
+  //   exact-dup gate (vs the existing corpus AND within the batch — a
+  //   crawl batch carries its own duplicates) -> near-dup gate (vs the
+  //   existing corpus signatures AND within the batch) -> PII scrub ->
+  //   quality gate -> accepted-docs manifest (doc_id, n_tokens, quality,
+  //   scrubbed digest). One lazy plan; each gate reuses the standalone
+  //   operator (Dedup.incrementalNew, lshCandidates/Between, Scrub,
+  //   Curation.qualityOf), and the oracle replays the full composition.
+  // Batch = doc_id % 4 == 0, existing = the rest (the dedup_incremental
+  // convention). Keeper conventions match the dedup family: first
+  // occurrence (min doc_id) wins exact groups; a doc is near-removed when
+  // ANY lower-id near-dup exists (semantic_dedup's rule).
   private val IngestMinQuality = 0.4
 
   def ingestPipeline(s: SparkSession, dir: String): DataFrame = {
@@ -248,9 +251,12 @@ object DedupQueries {
     val batch = d.filter(col("doc_id") % 4 === 0)
     // cached: the exact-survivor id set feeds BOTH the near-gate's token
     // sets and the final manifest join; uncached it would re-run the
-    // bloom-gated anti-join for each consumer
+    // bloom-gated anti-join for each consumer. The groupBy-min collapses
+    // INTRA-batch exact duplicates (both copies pass the vs-existing
+    // anti-join; only the first may survive).
     val exactNew = Dedup.incrementalNew(existing, batch, "doc_id", "text")
-      .select(col("id").as("doc_id"))
+      .groupBy(col("digest")).agg(min(col("id")).as("doc_id"))
+      .select(col("doc_id"))
       .registeredCache()
     // MinHash over 3-token SHINGLES, not unigrams: this corpus draws from a
     // small shared vocabulary (random-pair unigram jaccard ~0.61), so
@@ -279,8 +285,18 @@ object DedupQueries {
       .join(exSets.select(col("id").as("id_old"), col("toks").as("to")), "id_old")
       .filter(graft.plans.ArrayJaccard.jaccardLong(col("tn"), col("to")) >= 0.8)
       .select(col("id_new").as("doc_id")).distinct()
+    // INTRA-batch near-dups: the batch's own band collisions (id_a < id_b),
+    // verified the same way; the higher id of each qualifying pair is
+    // removed — without this, two near-identical docs arriving TOGETHER
+    // both pass a batch-vs-existing-only gate
+    val withinMatched = Dedup.lshCandidates(sigsOf(bSets), NumHashes, RowsPerBand)
+      .join(bSets.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(bSets.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+      .filter(graft.plans.ArrayJaccard.jaccardLong(col("ta"), col("tb")) >= 0.8)
+      .select(col("id_b").as("doc_id")).distinct()
     batch.join(exactNew, "doc_id")
-      .join(nearMatched, Seq("doc_id"), "left_anti")
+      .join(nearMatched.unionByName(withinMatched).distinct(),
+        Seq("doc_id"), "left_anti")
       .withColumn("toks", Tokenizer.tokenize(col("text")))
       .withColumn("quality",
         graft.operators.Curation.qualityOf(col("text"), col("toks")))
@@ -332,9 +348,14 @@ object DedupQueries {
        |  FROM documents),
        |ex AS (SELECT digest FROM d WHERE doc_id % 4 <> 0),
        |inc AS (SELECT doc_id, text, digest FROM d WHERE doc_id % 4 = 0),
-       |exact_new AS (
-       |  SELECT i.doc_id, i.text FROM inc i
+       |exact_new0 AS (
+       |  SELECT i.doc_id, i.text, i.digest FROM inc i
        |  WHERE NOT EXISTS (SELECT 1 FROM ex e WHERE e.digest = i.digest)),
+       |exact_new AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY digest) AS keeper
+       |    FROM exact_new0) t
+       |  WHERE doc_id = keeper),
        |lx AS (SELECT doc_id, $tokList AS l FROM documents WHERE doc_id % 4 <> 0),
        |ln AS (SELECT doc_id, $tokList AS l FROM exact_new),
        |tok_ex AS (
@@ -359,9 +380,20 @@ object DedupQueries {
        |  JOIN ne_ex so ON c.id_old = so.id
        |  WHERE CAST(len(list_intersect(sn.toks, so.toks)) AS DOUBLE) /
        |    len(list_distinct(sn.toks || so.toks)) >= 0.8),
+       |wcands AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands_new a JOIN bands_new b
+       |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.id < b.id),
+       |within_matched AS (
+       |  SELECT DISTINCT w.id_b FROM wcands w
+       |  JOIN ne_new sa ON w.id_a = sa.id
+       |  JOIN ne_new sb ON w.id_b = sb.id
+       |  WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
+       |    len(list_distinct(sa.toks || sb.toks)) >= 0.8),
        |surv AS (
        |  SELECT doc_id, text FROM exact_new
-       |  WHERE doc_id NOT IN (SELECT id_new FROM near_matched)),
+       |  WHERE doc_id NOT IN (SELECT id_new FROM near_matched)
+       |    AND doc_id NOT IN (SELECT id_b FROM within_matched)),
        |lq AS (SELECT doc_id, text, $tokList AS l FROM surv),
        |q AS (
        |  SELECT doc_id, text, CAST(len(l) AS BIGINT) AS n_tokens,

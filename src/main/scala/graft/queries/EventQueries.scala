@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.CacheRegistry.RegisteredCache
 import graft.Tables
 
 /** Event-time operators over the `events` table (SURVEY.md §7.5 extension
@@ -595,8 +596,12 @@ object EventQueries {
   // run; at 100 TB it costs one partial-aggregated count per key plus the
   // quantile machinery's bounded driver traffic.
   def skewReport(s: SparkSession, dir: String): DataFrame = {
+    // cached: the per-key count table feeds three consumers (stats agg,
+    // the eager quantile pass, the top-10) — uncached, the full-table
+    // groupBy re-runs for each
     val counts = Tables.events(s, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .registeredCache()
     val stats = counts.agg(
       count(lit(1)).cast("long").as("n_keys"),
       sum(col("c")).cast("long").as("total_rows"),

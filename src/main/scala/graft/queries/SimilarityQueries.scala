@@ -445,7 +445,7 @@ object SimilarityQueries {
 
   def annIvfPqPrebuilt(s: SparkSession, dir: String): DataFrame =
     graft.operators.VectorIndex.searchPrebuilt(s, ensureVectorIndex(s, dir),
-        probes(s, dir), K, NProbe, PqShortlist, PqM, PqSubDim)
+        probes(s, dir), K, NProbe, PqShortlist)
       .select(col("probe_id"), col("rank"), col("cand_id"),
         col("cosine").cast("double").as("cosine"))
       .orderBy("probe_id", "rank")

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.CacheRegistry.RegisteredCache
+
 import graft.Tables
 import graft.functions.{TextAnalysis, TextHash, Tokenizer}
 
@@ -419,10 +421,15 @@ object TextAnalysisQueries {
   // per-doc conditional max. top_n * n / n_tokens is a ratio of exact
   // integers, so the doubles match across engines bit-for-bit.
   def docRepetitionNgrams(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(s, dir)
+    // cached: both the gram explosion and the n_tokens side read the same
+    // hashed token arrays — uncached, each consumer re-runs the Unicode
+    // tokenize over the full corpus
+    val base = Tables.documents(s, dir)
       .select(col("doc_id"),
         transform(Tokenizer.tokenize(col("text")),
           t => TextHash.hashMod(t)).as("ths"))
+      .registeredCache()
+    val grams = base
       .select(col("doc_id"), explode(flatten(array(Seq(2, 3, 4).map(n =>
         transform(TextHash.hashedShingles(col("ths"), n),
           g => struct(lit(n).as("n"), g.as("g")))): _*))).as("ng"))
@@ -437,9 +444,8 @@ object TextAnalysisQueries {
         (coalesce(col(t), lit(0L)) * n).cast("double") /
           col("n_tokens").cast("double"))
         .otherwise(lit(0.0)).cast("double")
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        size(Tokenizer.tokenize(col("text"))).cast("long").as("n_tokens"))
+    base
+      .select(col("doc_id"), size(col("ths")).cast("long").as("n_tokens"))
       .join(tops, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("t2"), lit(0L)).cast("long").as("top2"),
