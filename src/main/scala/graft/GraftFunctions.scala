@@ -89,7 +89,20 @@ object GraftFunctions {
     ("graft_bm25_idf", "reference BM25 idf(n, df)",
       exprs => idfExpr(exprs(0), exprs(1))),
     ("graft_bm25_score", "BM25 term score(tf, idf, dl, avgdl), k1=1 b=0.75",
-      exprs => bm25Expr(exprs(0), exprs(1), exprs(2), exprs(3))))
+      exprs => bm25Expr(exprs(0), exprs(1), exprs(2), exprs(3))),
+    ("graft_jaccard", "fused set jaccard of two array<long> columns",
+      exprs => graft.plans.LongArrayJaccard(exprs(0), exprs(1))),
+    ("graft_min_dist",
+      "minimum |a_i - b_j| between two SORTED array<int> position lists",
+      exprs => graft.plans.IntArrayMinAbsDiff(exprs(0), exprs(1))),
+    ("graft_pairs_within",
+      "count of cross pairs within `w` positions (two sorted array<int>, literal w)",
+      exprs => graft.plans.IntArrayPairsWithin(exprs(0), exprs(1), {
+        // the window rides as a constructor Int, so the SQL arg must fold
+        val f = exprs(2)
+        require(f.foldable, "graft_pairs_within window must be a literal")
+        f.eval().asInstanceOf[Number].intValue()
+      })))
 
   /** Imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

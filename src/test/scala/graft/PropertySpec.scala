@@ -118,6 +118,19 @@ class PropertySpec extends SparkSpec {
       .select(graft.functions.TextHash.fingerprint(
         graft.functions.Tokenizer.tokenize(col("t")))).head().getLong(0)
     assert(fpSql == fpCol)
+    // the codegen kernels through the SQL surface
+    val jac = spark.sql(
+      "SELECT graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j")
+      .head().getDouble(0)
+    assert(jac == 0.5)
+    val md = spark.sql(
+      "SELECT graft_min_dist(array(1, 5, 9), array(3, 20)) AS d")
+      .head().getLong(0)
+    assert(md == 2L)
+    val pw = spark.sql(
+      "SELECT graft_pairs_within(array(1, 5, 9), array(3, 20), 5) AS n")
+      .head().getLong(0)
+    assert(pw == 2L) // (1,3) d=2 and (5,3) d=2; (9,3) d=6 and 20 are out
     // extensions entry point builds the same registrations
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
