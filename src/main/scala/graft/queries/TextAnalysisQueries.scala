@@ -506,6 +506,42 @@ object TextAnalysisQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- STREAMING per-source quality monitor ----------------------------------
+  // The live corpus-health dashboard: the corpus arrives as three staged
+  // micro-batches and the STREAMING ENGINE maintains per-source doc count
+  // + average quality in Complete mode. Per-doc quality quantizes to
+  // integer micro-units before the stateful sum, so the streamed result
+  // hash-matches the batch oracle under any arrival interleaving.
+  private val stagedQualitySrc = scala.collection.mutable.Map[String, String]()
+
+  private def stagedQualityDir(s: SparkSession, dir: String): String =
+    synchronized {
+      stagedQualitySrc.getOrElseUpdate(dir, graft.streaming.DocStreams
+        .stagedDocSplits(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("source")), nFiles = 3))
+    }
+
+  def streamQualityBySource(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.DocStreams
+      .qualityBySourceAvailableNow(s, stagedQualityDir(s, dir))
+
+  val streamQualityBySourceSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |m AS (
+       |  SELECT d.source,
+       |    CAST(round((CASE WHEN len(l) = 0 THEN 0.0 ELSE
+       |      least(1.0, (length(array_to_string(l, '')) * 1.0 / len(l)) / 8.0) *
+       |      (1.0 - CASE WHEN length(d.text) = 0 THEN 0.0 ELSE
+       |        (length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(d.text) END) *
+       |      (1.0 - CASE WHEN length(d.text) = 0 THEN 0.0 ELSE
+       |        (length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g'))) * 1.0 / length(d.text) END)
+       |    END) * 1000000) AS BIGINT) AS qm
+       |  FROM documents d JOIN docs_l ON d.doc_id = docs_l.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(CAST(sum(qm) AS BIGINT) AS DOUBLE) / 1000000.0
+       |    / CAST(count(*) AS DOUBLE) AS avg_quality
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   // ---- Source quota (domain balancing) ---------------------------------------
   private val SourceQuotaN = 10
 
@@ -1052,6 +1088,7 @@ object TextAnalysisQueries {
     "pack_windows" -> (packWindows _),
     "doc_repetition" -> (docRepetition _),
     "doc_repetition_ngrams" -> (docRepetitionNgrams _),
+    "stream_quality_by_source" -> (streamQualityBySource _),
     "training_manifest" -> (trainingManifest _),
     "training_manifest_clean" -> (trainingManifestClean _),
     "vocab_top_bigrams" -> (vocabTopBigrams _),
@@ -1079,6 +1116,7 @@ object TextAnalysisQueries {
     "pack_windows" -> packWindowsSql,
     "doc_repetition" -> docRepetitionSql,
     "doc_repetition_ngrams" -> docRepetitionNgramsSql,
+    "stream_quality_by_source" -> streamQualityBySourceSql,
     "training_manifest" -> trainingManifestSql,
     "training_manifest_clean" -> trainingManifestCleanSql,
     "vocab_top_bigrams" -> vocabTopBigramsSql,

@@ -109,6 +109,32 @@ object DocStreams {
       .distinct()
   }
 
+  /** Per-source quality monitoring computed BY THE STREAMING ENGINE: the
+    * corpus arrives as micro-batches and a Complete-mode aggregation
+    * maintains count + integer micro-quality sums per source — the live
+    * corpus-health dashboard an ingest pipeline watches. Per-doc quality
+    * is quantized to micro-units BEFORE the stateful sum (the repo-wide
+    * idiom), so the streamed totals are bit-identical to the batch
+    * oracle's regardless of arrival order or micro-batch boundaries.
+    * @param staged a staged multi-file dir of (doc_id, text, source)
+    */
+  def qualityBySourceAvailableNow(s: SparkSession, staged: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val src = docsFileStream(s, staged, oneFilePerBatch = true)
+    val toks = graft.functions.Tokenizer.tokenize(col("text"))
+    val agg = src
+      .withColumn("qm",
+        round(graft.operators.Curation.qualityOf(col("text"), toks)
+          * lit(1000000.0)).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("qm")).as("sum_qm"))
+    EventStreams.runToSink(agg, OutputMode.Complete, "quality_by_source")
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        (col("sum_qm").cast("double") / lit(1000000.0) /
+          col("n_docs").cast("double")).as("avg_quality"))
+      .orderBy("source")
+  }
+
   /** Live index ingestion: stream a staged corpus directory one file per
     * micro-batch, appending each batch into the persisted bucketed index
     * via the SAME appendBucketedIndex the batch lifecycle uses — the
