@@ -623,7 +623,10 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  val dedupClustersSql: String =
+  /** The recursive-closure CTE chain up to `comp`/`sizes` — shared by the
+    * clusters oracle and the quality-keeper oracle.
+    */
+  private val dedupClusterCtes: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_id_a AS a, doc_id_b AS b FROM (
        |$dedupMinhashLshSql
@@ -638,11 +641,64 @@ object DedupQueries {
        |  FROM reach GROUP BY a),
        |sizes AS (
        |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
-       |  FROM comp GROUP BY component)
+       |  FROM comp GROUP BY component)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""$dedupClusterCtes
        |SELECT c.doc_id, c.component, s.cluster_size,
        |  c.doc_id = c.component AS is_keeper
        |FROM comp c JOIN sizes s USING (component)
        |ORDER BY doc_id""".stripMargin
+
+  // ---- Quality-aware keeper selection per near-dup cluster -------------------
+  // dedup_clusters keeps the LOWEST id per cluster — deterministic but
+  // arbitrary. Production dedup keeps the BEST member: per cluster, the
+  // doc with the highest quality score (ties to the smallest id). Quality
+  // quantizes to integer micro-units before the argmax, so keeper choice
+  // is bit-stable cross-engine; the argmax itself is one partial-
+  // aggregating max(struct) — no window over the (possibly huge) cluster.
+  def dedupKeeperQuality(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val labels = graft.operators.Components
+      .connectedComponents(pairs, checkEvery = 4, pointerJump = false)
+    val qm = Tables.documents(s, dir)
+      .select(col("doc_id").as("id"),
+        round(graft.operators.Curation.qualityExpr(col("text"))
+          * lit(1000000.0)).cast("long").as("qm"))
+    labels.join(qm, "id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"),
+        max(struct(col("qm"), (-col("id")).as("negid"))).as("best"))
+      .select(col("component").cast("long").as("component"),
+        (-col("best.negid")).cast("long").as("keeper"),
+        (col("best.qm").cast("double") / lit(1000000.0)).as("keeper_quality"),
+        col("cluster_size"))
+      .orderBy("component")
+  }
+
+  val dedupKeeperQualitySql: String =
+    s"""$dedupClusterCtes,
+       |${OracleSql.TokCte},
+       |qm AS (
+       |  SELECT d.doc_id AS id,
+       |    CAST(round((CASE WHEN len(l) = 0 THEN 0.0 ELSE
+       |      least(1.0, (length(array_to_string(l, '')) * 1.0 / len(l)) / 8.0) *
+       |      (1.0 - CASE WHEN length(d.text) = 0 THEN 0.0 ELSE
+       |        (length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(d.text) END) *
+       |      (1.0 - CASE WHEN length(d.text) = 0 THEN 0.0 ELSE
+       |        (length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g'))) * 1.0 / length(d.text) END)
+       |    END) * 1000000) AS BIGINT) AS qm
+       |  FROM documents d JOIN docs_l ON d.doc_id = docs_l.doc_id),
+       |ranked AS (
+       |  SELECT c.component, c.doc_id, q.qm, s.cluster_size,
+       |    row_number() OVER (PARTITION BY c.component
+       |      ORDER BY q.qm DESC, c.doc_id ASC) AS rn
+       |  FROM comp c JOIN qm q ON c.doc_id = q.id
+       |  JOIN sizes s USING (component))
+       |SELECT component, doc_id AS keeper,
+       |  CAST(qm AS DOUBLE) / 1000000.0 AS keeper_quality, cluster_size
+       |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
 
   // ---- Leak-proof train/validation/test splits --------------------------------
   // Assigning splits per DOCUMENT leaks: a near-duplicate pair straddling
@@ -1012,6 +1068,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_keeper_quality" -> (dedupKeeperQuality _),
     "dedup_splits" -> (dedupSplits _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_passages" -> (dedupPassages _),
@@ -1030,6 +1087,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_keeper_quality" -> dedupKeeperQualitySql,
     "dedup_splits" -> dedupSplitsSql,
     "dedup_spans" -> dedupSpansSql,
     "dedup_passages" -> dedupPassagesSql,

@@ -586,6 +586,41 @@ object EventQueries {
        |FROM r, n ORDER BY rule""".stripMargin
   }
 
+  // ---- Top 3-step user paths (the transition matrix's order-3 sibling) -------
+  // Per-user consecutive event-type TRIPLES via two lags over the same
+  // (ts, event_id) window, counted corpus-wide, top-20 with full
+  // deterministic tiebreak — the path-mining signal funnels are designed
+  // from. One window exchange keyed by user + one count shuffle +
+  // TakeOrdered.
+  def eventsTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1").as("step1"), col("t2").as("step2"),
+        col("event_type").as("step3"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("step1").asc, col("step2").asc,
+        col("step3").asc)
+      .limit(20)
+  }
+
+  val eventsTrigramsSql: String =
+    """WITH lagged AS (
+      |  SELECT user_id,
+      |    lag(event_type, 2) OVER w AS step1,
+      |    lag(event_type, 1) OVER w AS step2,
+      |    event_type AS step3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+      |SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+      |FROM lagged WHERE step1 IS NOT NULL
+      |GROUP BY step1, step2, step3
+      |ORDER BY n DESC, step1 ASC, step2 ASC, step3 ASC
+      |LIMIT 20""".stripMargin
+
   // ---- Join-key skew report: the shuffle-planning diagnostic -----------------
   // One row summarizing how skewed a prospective shuffle key is: key count,
   // per-key row-count quantiles (via the range-repartitioned exact
@@ -647,6 +682,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_report" -> (skewReport _),
+    "events_trigrams" -> (eventsTrigrams _),
     "heavy_hitters" -> (heavyHitters _),
     "data_quality" -> (dataQuality _),
     "events_rolling_1h" -> (eventsRolling1h _),
@@ -686,6 +722,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "skew_report" -> skewReportSql,
+    "events_trigrams" -> eventsTrigramsSql,
     "heavy_hitters" -> heavyHittersSql,
     "data_quality" -> dataQualitySql,
     "events_rolling_1h" -> eventsRolling1hSql,
