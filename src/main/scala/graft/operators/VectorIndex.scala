@@ -64,6 +64,33 @@ object VectorIndex {
     build(spark, emb, prefix, cents, codes, pqM, pqSubDim)
   }
 
+  /** Grow the persisted index with a new batch: assign + encode with the
+    * FROZEN stored centroids and codebooks (the standard IVF-PQ append —
+    * no retrain; quantizer drift is handled by periodic rebuilds, exactly
+    * like the text index's compaction story) and write the rows into
+    * their list partitions. Work is proportional to the batch, and the
+    * serving plan is untouched — appended rows are indistinguishable from
+    * built ones.
+    */
+  def append(spark: SparkSession, batch: DataFrame, prefix: String): Unit = {
+    val codes = spark.table(s"${prefix}_codes")
+      .orderBy("m", "k").collect()
+      .map(r => Pq.Code(r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .toSeq
+    val pqM = codes.map(_.m).max + 1
+    val pqSubDim = codes.head.carr.length
+    val cents = spark.table(s"${prefix}_centroids")
+      .select(col("cent_id").as("id"), col("cv").as("v"))
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${prefix}_vectors")).location
+    Similarity.ivfAssign(batch, cents)
+      .withColumn("codes", Pq.encodeCol(col("v"), codes, pqM, pqSubDim))
+      .write.mode("append").partitionBy("cent_id").parquet(loc.toString)
+    spark.catalog.recoverPartitions(s"${prefix}_vectors")
+    spark.catalog.refreshTable(s"${prefix}_vectors")
+  }
+
   /** IVF-PQ serving over the persisted tables: nearest-nprobe list
     * assignment per probe (centroid table broadcast), ADC shortlist via
     * the stored codes, exact cosine re-rank. The probe→list join lands on

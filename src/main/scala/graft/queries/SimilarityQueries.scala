@@ -161,7 +161,7 @@ object SimilarityQueries {
     * m_k (per-centroid rounded element-wise mean), cents_k (coalesce over
     * empty clusters).
     */
-  private def ivfIterCtes(iters: Int): String =
+  private def ivfIterCtes(iters: Int, src: String = "emb"): String =
     (1 to iters).map { k =>
       val prev = s"cents${k - 1}"
       val avgList = (1 to Dim).map(i => s"round(avg(v[$i]), 6)")
@@ -173,7 +173,7 @@ object SimilarityQueries {
          |        list_dot_product(e.v, c.cv0) /
          |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv0, c.cv0)))
          |        DESC, c.cent_id ASC) AS cr
-         |    FROM emb e, $prev c) t
+         |    FROM $src e, $prev c) t
          |  WHERE cr = 1),
          |m$k AS (
          |  SELECT cent_id, $avgList AS mv FROM asg$k GROUP BY cent_id),
@@ -450,14 +450,68 @@ object SimilarityQueries {
         col("cosine").cast("double").as("cosine"))
       .orderBy("probe_id", "rank")
 
-  val annIvfPqSql: String = {
+  // ---- Vector-index APPEND lifecycle -----------------------------------------
+  // Build the persisted index from half the corpus, append the other half
+  // encoded with the FROZEN centroids/codebooks (VectorIndex.append — the
+  // standard IVF-PQ growth path), then serve the full corpus. The oracle
+  // trains on the built half and encodes everything, so the appended index
+  // must be indistinguishable from that split — the vector twin of
+  // index_append_persisted.
+  private val builtVectorIdxApp = scala.collection.mutable.Set[String]()
+
+  private def ensureAppendedVectorIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val prefix = "graft_vecidxa_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!builtVectorIdxApp.contains(prefix)) {
+        import s.implicits._
+        val e = emb(s, dir)
+        val half = e.filter(col("id") % 2 === 0)
+        val cents = Similarity.trainCentroids(half, NList, IvfIters, Dim)
+          .toDF("id", "v")
+        val codes = graft.operators.Pq.train(
+          half.select(col("id"), col("v")), PqM, PqSubDim, PqKs)
+        graft.operators.VectorIndex.build(s, half, prefix, cents, codes,
+          PqM, PqSubDim)
+        graft.operators.VectorIndex.append(s, e.filter(col("id") % 2 =!= 0),
+          prefix)
+        builtVectorIdxApp += prefix
+      }
+      prefix
+    }
+
+  def annIvfPqAppended(s: SparkSession, dir: String): DataFrame =
+    graft.operators.VectorIndex.searchPrebuilt(s,
+        ensureAppendedVectorIndex(s, dir), probes(s, dir), K, NProbe,
+        PqShortlist)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("probe_id", "rank")
+
+  val annIvfPqSql: String = annIvfPqSqlOver("emb")
+
+  /** The append lifecycle's oracle: train on the built half (id % 2 = 0),
+    * encode and serve the full corpus — what the persisted index contains
+    * after build(half) + append(other half) with frozen quantizers.
+    */
+  val annIvfPqAppendedSql: String = annIvfPqSqlOver("embh")
+
+  /** The IVF-PQ oracle body parameterized by the TRAINING relation:
+    * centroid seed + Lloyd rounds + PQ codebook seed/means all derive from
+    * `trainSrc`, while assignment, encoding and serving always run over
+    * the full `emb` — exactly the split the persisted index's append path
+    * creates (train on the built half, encode everything).
+    */
+  private def annIvfPqSqlOver(trainSrc: String): String = {
     val h = OracleSql.hash64("CAST(id AS VARCHAR)")
     val avgList = (1 to PqSubDim).map(i => s"round(avg(sub[$i]), 6)")
       .mkString("[", ", ", "]")
-    s"""WITH $EmbCte,
-       |cents0 AS (SELECT id AS cent_id, v AS cv0 FROM emb
+    val trainCte =
+      if (trainSrc == "emb") ""
+      else s"\n|$trainSrc AS (SELECT * FROM emb WHERE id % 2 = 0),".stripMargin
+    s"""WITH $EmbCte,$trainCte
+       |cents0 AS (SELECT id AS cent_id, v AS cv0 FROM $trainSrc
        |  ORDER BY $h, id LIMIT $NList),
-       |${ivfIterCtes(IvfIters)},
+       |${ivfIterCtes(IvfIters, trainSrc)},
        |cents AS (SELECT cent_id, cv0 FROM cents$IvfIters),
        |assigned AS (
        |  SELECT id AS cand_id, v AS cv, cent_id FROM (
@@ -479,10 +533,13 @@ object SimilarityQueries {
        |  WHERE pr <= $NProbe),
        |seedpq AS (
        |  SELECT row_number() OVER (ORDER BY $h, id) - 1 AS k, v
-       |  FROM emb ORDER BY $h, id LIMIT $PqKs),
+       |  FROM $trainSrc ORDER BY $h, id LIMIT $PqKs),
        |codespq0 AS (
        |  SELECT t.m, s.k, s.v[(t.m*$PqSubDim+1):(t.m*$PqSubDim+$PqSubDim)] AS carr
        |  FROM seedpq s, range($PqM) t(m)),
+       |subs_t AS (
+       |  SELECT e.id, t.m, e.v[(t.m*$PqSubDim+1):(t.m*$PqSubDim+$PqSubDim)] AS sub
+       |  FROM $trainSrc e, range($PqM) t(m)),
        |subs AS (
        |  SELECT e.id, t.m, e.v[(t.m*$PqSubDim+1):(t.m*$PqSubDim+$PqSubDim)] AS sub
        |  FROM emb e, range($PqM) t(m)),
@@ -492,7 +549,7 @@ object SimilarityQueries {
        |      row_number() OVER (PARTITION BY s.id, s.m ORDER BY
        |        list_dot_product(c.carr, c.carr) - 2*list_dot_product(s.sub, c.carr)
        |        ASC, c.k ASC) AS rn
-       |    FROM subs s JOIN codespq0 c ON s.m = c.m) t
+       |    FROM subs_t s JOIN codespq0 c ON s.m = c.m) t
        |  WHERE rn = 1),
        |pqmeans AS (
        |  SELECT m, k, $avgList AS mcarr FROM pqasg GROUP BY m, k),
@@ -743,6 +800,7 @@ object SimilarityQueries {
     "ann_ivf" -> (annIvf _),
     "ann_ivf_pq" -> (annIvfPq _),
     "ann_ivf_pq_prebuilt" -> (annIvfPqPrebuilt _),
+    "ann_ivf_pq_appended" -> (annIvfPqAppended _),
     "ann_quantized" -> (annQuantized _),
     "ann_lsh_quantized" -> (annLshQuantized _),
     "embedding_norms" -> (embeddingNorms _))
@@ -755,6 +813,7 @@ object SimilarityQueries {
     "ann_ivf" -> annIvfSql,
     "ann_ivf_pq" -> annIvfPqSql,
     "ann_ivf_pq_prebuilt" -> annIvfPqSql,
+    "ann_ivf_pq_appended" -> annIvfPqAppendedSql,
     "ann_quantized" -> annQuantizedSql,
     "ann_lsh_quantized" -> annLshQuantizedSql,
     "embedding_norms" -> embeddingNormsSql)
