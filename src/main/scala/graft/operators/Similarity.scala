@@ -200,6 +200,63 @@ object Similarity {
           .as(Seq("band", "sig")))
   }
 
+  /** Probe-side band rows with MULTI-PROBE extension (Lv et al. 2007):
+    * for every band, emit the original signature AND the signature with
+    * the band's least-confident sign bit flipped — the plane whose |dot|
+    * is smallest is the one a near neighbor most likely lands on the
+    * other side of. Candidate volume at most doubles per band while
+    * recall approaches a twice-as-wide table's; fully deterministic
+    * (exact dots, ties to the lower bit index).
+    */
+  def lshBandsMultiprobe(spark: SparkSession, vectors: DataFrame,
+                         numPlanes: Int, dim: Int, bandBits: Int): DataFrame = {
+    require(numPlanes % bandBits == 0, "bandBits must divide numPlanes")
+    val numBands = numPlanes / bandBits
+    val withBucket = lshBuckets(spark, vectors, numPlanes, dim)
+    val bandStructs = (0 until numBands).flatMap { b =>
+      val sig = shiftright(col("bucket"), b * bandBits) % (1 << bandBits)
+      val rstar = array_min(array((0 until bandBits).map { r =>
+        struct(abs(graft.plans.VectorExprs.dot(col("v"),
+          planeArray(b * bandBits + r, dim))).as("a"), lit(r).as("r"))
+      }: _*)).getField("r")
+      val flipMask = (0 until bandBits)
+        .map(r => when(rstar === r, lit(1L << r)))
+        .reduce((a, c) => coalesce(a, c))
+      Seq(struct(lit(b).as("band"), sig.as("sig")),
+        struct(lit(b).as("band"), sig.bitwiseXOR(flipMask).as("sig")))
+    }
+    withBucket
+      .select(col("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Banded-LSH top-k with multi-probe on the QUERY side only: the corpus
+    * index is untouched (same band table the plain path scans) — the
+    * probe simply checks 2x the buckets. The serving trade every ANN
+    * system tunes: recall bought at query time, not index size.
+    */
+  def lshTopKMultiprobe(spark: SparkSession, probes: DataFrame,
+                        corpus: DataFrame, k: Int, numPlanes: Int, dim: Int,
+                        bandBits: Int = 2): DataFrame = {
+    val cb = lshBands(spark, corpus, numPlanes, dim, bandBits)
+      .select(col("id").as("cand_id"), col("band"), col("sig"))
+    val pb = lshBandsMultiprobe(spark, probes, numPlanes, dim, bandBits)
+      .select(col("id").as("probe_id"), col("band"), col("sig"))
+    val cands = broadcast(pb).join(cb, Seq("band", "sig"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select("probe_id", "cand_id").distinct()
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    cands
+      .join(broadcast(probes.select(col("id").as("probe_id"), col("v").as("pv"))),
+        "probe_id")
+      .join(corpus.select(col("id").as("cand_id"), col("v").as("cv")), "cand_id")
+      .withColumn("cosine", cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("cosine"))
+  }
+
   /** DISTINCT (probe_id, cand_id) pairs colliding in at least one
     * signature band — the shared candidate generator of every banded-LSH
     * consumer (lshTopK, the composed quantized path). The band tables

@@ -105,6 +105,55 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
   }
 
+  // ---- Multi-probe banded LSH ------------------------------------------------
+  // The query-time recall knob (Lv et al. 2007): each probe also checks
+  // every band's signature with its least-confident sign bit flipped (the
+  // plane with the smallest |dot| — the one a near neighbor most likely
+  // sits across). The corpus index is UNTOUCHED; candidates at most
+  // double. RecallSpec pins multiprobe >= plain banded recall.
+  def annLshMultiprobe(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopKMultiprobe(s, probes(s, dir), emb(s, dir), K,
+        NumPlanes, Dim, BandBits)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("probe_id", "rank")
+
+  val annLshMultiprobeSql: String =
+    s"""WITH $EmbCte,
+       |$PlanesCte,
+       |$BandsCte,
+       |pd AS (
+       |  SELECT p.id, pl.j, list_dot_product(p.v, pl.parr) AS d
+       |  FROM probes p CROSS JOIN planes pl),
+       |rstar AS (
+       |  SELECT id, band, rbit FROM (
+       |    SELECT id, j // $BandBits AS band, j % $BandBits AS rbit,
+       |      row_number() OVER (PARTITION BY id, j // $BandBits
+       |        ORDER BY abs(d) ASC, j % $BandBits ASC) AS rn
+       |    FROM pd) t
+       |  WHERE rn = 1),
+       |pbands0 AS (
+       |  SELECT b.id, b.band, b.sig FROM bands b JOIN probes p ON b.id = p.id),
+       |pbands AS (
+       |  SELECT id, band, sig FROM pbands0
+       |  UNION
+       |  SELECT p0.id, p0.band, xor(p0.sig, CAST(1 AS BIGINT) << r.rbit) AS sig
+       |  FROM pbands0 p0 JOIN rstar r ON p0.id = r.id AND p0.band = r.band),
+       |cands AS (
+       |  SELECT DISTINCT pb.id AS probe_id, cb.id AS cand_id
+       |  FROM pbands pb JOIN bands cb ON pb.band = cb.band AND pb.sig = cb.sig
+       |    AND cb.id <> pb.id),
+       |scored AS (
+       |  SELECT x.probe_id, x.cand_id, $CosineSql AS cosine
+       |  FROM cands x JOIN emb p ON p.id = x.probe_id
+       |       JOIN emb c ON c.id = x.cand_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine
+       |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
+
   // ---- IVF-bucketed top-k ----------------------------------------------------
   // nprobe=8 of 64 lists: each probe scans ~1/8 of the corpus. The
   // synthetic embeddings are near-uniform (max cosine ~0.46), the
@@ -797,6 +846,7 @@ object SimilarityQueries {
     "embedding_clusters" -> (embeddingClusters _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
+    "ann_lsh_multiprobe" -> (annLshMultiprobe _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_pq" -> (annIvfPq _),
     "ann_ivf_pq_prebuilt" -> (annIvfPqPrebuilt _),
@@ -810,6 +860,7 @@ object SimilarityQueries {
     "embedding_clusters" -> embeddingClustersSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,
+    "ann_lsh_multiprobe" -> annLshMultiprobeSql,
     "ann_ivf" -> annIvfSql,
     "ann_ivf_pq" -> annIvfPqSql,
     "ann_ivf_pq_prebuilt" -> annIvfPqSql,

@@ -35,15 +35,24 @@ class RecallSpec extends SparkSpec {
   test("ANN recall@5 vs brute force stays above pinned floors") {
     val exact = topk("ann_brute_force")
     val lsh = recallVs(exact, "ann_lsh")
+    val lshMp = recallVs(exact, "ann_lsh_multiprobe")
     val ivf = recallVs(exact, "ann_ivf")
     val ivfPq = recallVs(exact, "ann_ivf_pq")
     val lshQ = recallVs(exact, "ann_lsh_quantized")
     val quant = recallVs(exact, "ann_quantized")
-    info(f"recall@5 sf0.01: lsh=$lsh%.3f ivf=$ivf%.3f ivf_pq=$ivfPq%.3f " +
+    info(f"recall@5 sf0.01: lsh=$lsh%.3f lsh_multiprobe=$lshMp%.3f " +
+      f"ivf=$ivf%.3f ivf_pq=$ivfPq%.3f " +
       f"lsh_quantized=$lshQ%.3f quantized=$quant%.3f")
     // measured 0.900 with 4 bands x 2 bits (the single-table
     // full-signature form measured 0.000 — banding is load-bearing)
     assert(lsh >= 0.80, f"ann_lsh recall collapsed: $lsh%.3f")
+    // multi-probe candidates are a superset of the plain banded path's,
+    // and both re-rank by exact cosine, so per-probe recall cannot drop;
+    // measured 1.000 (vs 0.900 plain) — the flipped weakest bit recovers
+    // exactly the neighbors the hard band boundary was losing
+    assert(lshMp >= lsh - 1e-12,
+      f"multi-probe recall below the plain banded path: $lshMp%.3f < $lsh%.3f")
+    assert(lshMp >= 0.95, f"ann_lsh_multiprobe recall collapsed: $lshMp%.3f")
     // measured 0.64 at nprobe=8/64 with 2 Lloyd iterations (0.42 with raw
     // sampled centroids) on near-uniform synthetic vectors — the
     // adversarial case for coarse quantization (see SimilarityQueries)
