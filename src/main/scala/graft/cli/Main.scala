@@ -45,6 +45,7 @@ object Main {
       |  snippets <prefix> "<query>" [k=10]       best highlight window per top-k result
       |  similar <prefix> <doc_id> [k=5]          related documents (sparse TF-IDF cosine)
       |  vindex  <embeddings.parquet> <prefix>    build the persisted IVF-PQ vector index
+      |  vappend <embeddings.parquet> <prefix>    encode a batch with the frozen quantizers and append
       |  vsearch <prefix> <vec_id> [k=5]          ANN top-k over the persisted vector index
       |""".stripMargin
 
@@ -122,6 +123,11 @@ object Main {
         val emb = spark.read.parquet(in).select(col("vec_id").as("id"),
           col("embedding").cast("array<double>").as("v"))
         graft.operators.VectorIndex.trainAndBuild(spark, emb, prefix)
+        Right(None)
+      case Seq("vappend", in, prefix) =>
+        val emb = spark.read.parquet(in).select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+        graft.operators.VectorIndex.append(spark, emb, prefix)
         Right(None)
       case Seq("vsearch", prefix, vecId, rest @ _*) =>
         val k = rest.headOption.map(_.toInt).getOrElse(5)

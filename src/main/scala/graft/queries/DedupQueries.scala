@@ -247,65 +247,10 @@ object DedupQueries {
 
   def ingestPipeline(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val existing = d.filter(col("doc_id") % 4 =!= 0)
-    val batch = d.filter(col("doc_id") % 4 === 0)
-    // cached: the exact-survivor id set feeds BOTH the near-gate's token
-    // sets and the final manifest join; uncached it would re-run the
-    // bloom-gated anti-join for each consumer. The groupBy-min collapses
-    // INTRA-batch exact duplicates (both copies pass the vs-existing
-    // anti-join; only the first may survive).
-    val exactNew = Dedup.incrementalNew(existing, batch, "doc_id", "text")
-      .groupBy(col("digest")).agg(min(col("id")).as("doc_id"))
-      .select(col("doc_id"))
-      .registeredCache()
-    // MinHash over 3-token SHINGLES, not unigrams: this corpus draws from a
-    // small shared vocabulary (random-pair unigram jaccard ~0.61), so
-    // unigram bands collide almost everywhere — measured 3.6M candidate
-    // pairs for a 1.2k-doc batch, the candidate explosion LSH exists to
-    // avoid. Shingles are sparse (random pairs share few), and the SAME
-    // banding yields 129 candidates / 90 true near-dups. This is standard
-    // MinHash practice (shingle the document first) and what the full-
-    // corpus gate needs at scale.
-    def setsOf(df: DataFrame) = df.select(col("doc_id").as("id"),
-        array_distinct(TextHash.hashedShingles(
-          transform(Tokenizer.tokenize(col("text")),
-            t => TextHash.hashMod(t)), 3)).as("toks"))
-      .filter(size(col("toks")) > 0)
-    def sigsOf(df: DataFrame) = df.select(
-      col("id") +: Dedup.minHashSignaturesHashed(col("toks"), NumHashes): _*)
-    // the existing-corpus shingle sets are the pipeline's standing asset
-    // (at scale they live as a persisted SignatureIndex; dedup_incremental
-    // _persisted shows that form) — cache them so repeat ingests pay the
-    // corpus tokenize once, not per batch
-    val exSets = setsOf(existing).registeredCache()
-    val bSets = setsOf(batch.join(exactNew, "doc_id"))
-    val nearMatched = Dedup.lshCandidatesBetween(
-        sigsOf(bSets), sigsOf(exSets), NumHashes, RowsPerBand)
-      .join(bSets.select(col("id").as("id_new"), col("toks").as("tn")), "id_new")
-      .join(exSets.select(col("id").as("id_old"), col("toks").as("to")), "id_old")
-      .filter(graft.plans.ArrayJaccard.jaccardLong(col("tn"), col("to")) >= 0.8)
-      .select(col("id_new").as("doc_id")).distinct()
-    // INTRA-batch near-dups: the batch's own band collisions (id_a < id_b),
-    // verified the same way; the higher id of each qualifying pair is
-    // removed — without this, two near-identical docs arriving TOGETHER
-    // both pass a batch-vs-existing-only gate
-    val withinMatched = Dedup.lshCandidates(sigsOf(bSets), NumHashes, RowsPerBand)
-      .join(bSets.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
-      .join(bSets.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
-      .filter(graft.plans.ArrayJaccard.jaccardLong(col("ta"), col("tb")) >= 0.8)
-      .select(col("id_b").as("doc_id")).distinct()
-    batch.join(exactNew, "doc_id")
-      .join(nearMatched.unionByName(withinMatched).distinct(),
-        Seq("doc_id"), "left_anti")
-      .withColumn("toks", Tokenizer.tokenize(col("text")))
-      .withColumn("quality",
-        graft.operators.Curation.qualityOf(col("text"), col("toks")))
-      .filter(col("quality") >= IngestMinQuality)
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        col("quality").cast("double").as("quality"),
-        md5(graft.operators.Scrub.scrubText(col("text"))).as("scrub_digest"))
-      .orderBy("doc_id")
+    graft.operators.Ingest.pipeline(s,
+      existing = d.filter(col("doc_id") % 4 =!= 0),
+      batch = d.filter(col("doc_id") % 4 === 0),
+      NumHashes, RowsPerBand, IngestMinQuality)
   }
 
   val ingestPipelineSql: String = {

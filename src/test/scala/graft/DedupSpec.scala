@@ -271,4 +271,34 @@ class DedupSpec extends SparkSpec {
     val hs = ch.map(r => r.getLong(0) -> r.getLong(4)).toMap
     assert(hs(2L) != hs(3L))
   }
+
+  test("Ingest.pipeline gates duplicates vs the corpus AND within the batch") {
+    import spark.implicits._
+    def doc(words: String*): String = words.mkString(" ")
+    val base = (1 to 14).map(i => s"alpha$i beta$i gamma$i delta$i").mkString(" ")
+    val existing = Seq(
+      (1L, doc("the quick brown fox jumps over the lazy dog again and again", base)),
+      (3L, doc("completely different existing content about streams and joins", base.reverse))
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // 10: exact duplicate OF AN EXISTING doc -> dropped by the exact gate
+      (10L, doc("the quick brown fox jumps over the lazy dog again and again", base)),
+      // 12 and 14: exact duplicates OF EACH OTHER (new text) -> only 12 survives
+      (12L, doc("fresh arriving content one two three four five six seven eight", base)),
+      (14L, doc("fresh arriving content one two three four five six seven eight", base)),
+      // 16: near-dup of EXISTING doc 3 (one word changed) -> near gate drops it
+      (16L, doc("completely different existing content about streams and hashes", base.reverse)),
+      // 18 and 20: near-dups of each other (one word changed) -> 20 dropped
+      (18L, doc("brand new unique arriving document nine ten eleven twelve moons", base)),
+      (20L, doc("brand new unique arriving document nine ten eleven twelve stars", base)),
+      // 22: genuinely novel -> accepted
+      (22L, doc("entirely unrelated survivor text with its own vocabulary words", base.toUpperCase))
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Ingest
+      .pipeline(spark, existing, batch, numHashes = 8, rowsPerBand = 2,
+        minQuality = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(12L, 18L, 22L),
+      s"expected Set(12, 18, 22), got $out")
+  }
 }
