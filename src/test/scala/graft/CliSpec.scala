@@ -100,6 +100,21 @@ class CliSpec extends SparkSpec {
     // ranked by exact cosine descending after the ADC shortlist
     val cos = out.map(_.getAs[Double]("cosine")).toSeq
     assert(cos == cos.sorted.reverse)
+
+    // append a shifted-id copy of the corpus with the FROZEN quantizers:
+    // the index doubles and appended rows are servable candidates
+    val shifted = ScratchDirs.fresh("graft_cli", "vec_batch").toString
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .write.mode("overwrite").parquet(shifted)
+    assert(cli.Main.run(spark, Seq("vappend", shifted, prefix)).isRight)
+    val n = spark.table(s"${prefix}_vectors").count()
+    assert(n == 2 * spark.read.parquet(s"$dir/embeddings.parquet").count())
+    val out2 = cli.Main.run(spark, Seq("vsearch", prefix, "0", "5"))
+      .toOption.flatten.get.collect()
+    // vec 100000 is an exact copy of probe 0 -> cosine 1.0 tops the list
+    assert(out2.head.getAs[Long]("cand_id") == 100000L)
+    assert(math.abs(out2.head.getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
   test("merge, snapshot and rollback drive the same lifecycle as the library") {
