@@ -29,12 +29,55 @@ object Ingest {
     */
   def pipeline(spark: SparkSession, existing: DataFrame, batch: DataFrame,
                numHashes: Int, rowsPerBand: Int,
-               minQuality: Double): DataFrame = {
+               minQuality: Double): DataFrame =
+    assemble(spark, existing, batch, None, None, numHashes, rowsPerBand,
+      minQuality)
+
+  /** The same gate chain with the INTRA-batch duplicate detections arriving
+    * from the streaming engine's keyed state (DocStreams.bucketCollisions
+    * run as the batch streams in): `exactPairs` are candidate same-digest
+    * pairs (id_a < id_b; digest equality is re-verified here, so a keyed-
+    * state hash collision can never drop a non-duplicate), `withinCands`
+    * are within-batch band-collision candidate pairs (jaccard-verified
+    * here). Pair-based exact removal is equivalent to the batch path's
+    * min-per-digest keep: the higher end of every same-digest pair is
+    * removed, and a group whose digest exists in the standing corpus loses
+    * every member to the vs-existing gate in both formulations.
+    */
+  def pipelineWithStreamedPairs(spark: SparkSession, existing: DataFrame,
+                                batch: DataFrame, exactPairs: DataFrame,
+                                withinCands: DataFrame,
+                                numHashes: Int, rowsPerBand: Int,
+                                minQuality: Double): DataFrame =
+    assemble(spark, existing, batch, Some(exactPairs), Some(withinCands),
+      numHashes, rowsPerBand, minQuality)
+
+  private def assemble(spark: SparkSession, existing: DataFrame,
+                       batch: DataFrame,
+                       exactPairsOpt: Option[DataFrame],
+                       withinCandsOpt: Option[DataFrame],
+                       numHashes: Int, rowsPerBand: Int,
+                       minQuality: Double): DataFrame = {
     import graft.CacheRegistry.RegisteredCache
-    val exactNew = Dedup.incrementalNew(existing, batch, "doc_id", "text")
-      .groupBy(col("digest")).agg(min(col("id")).as("doc_id"))
-      .select(col("doc_id"))
-      .registeredCache()
+    val exactNew = (exactPairsOpt match {
+      case None =>
+        Dedup.incrementalNew(existing, batch, "doc_id", "text")
+          .groupBy(col("digest")).agg(min(col("id")).as("doc_id"))
+          .select(col("doc_id"))
+      case Some(pairs) =>
+        // vs-existing via the same bloom+anti-join; intra-batch via the
+        // streamed pairs with digest equality re-verified
+        val bDig = batch.select(col("doc_id").as("id"),
+          md5(Tokenizer.normalizeWhitespace(col("text"))).as("digest"))
+        val dup = pairs
+          .join(bDig.select(col("id").as("id_a"), col("digest").as("dga")), "id_a")
+          .join(bDig.select(col("id").as("id_b"), col("digest").as("dgb")), "id_b")
+          .filter(col("dga") === col("dgb"))
+          .select(col("id_b").as("doc_id")).distinct()
+        Dedup.incrementalNew(existing, batch, "doc_id", "text")
+          .select(col("id").as("doc_id"))
+          .join(dup, Seq("doc_id"), "left_anti")
+    }).registeredCache()
     def setsOf(df: DataFrame) = df.select(col("doc_id").as("id"),
         array_distinct(TextHash.hashedShingles(
           transform(Tokenizer.tokenize(col("text")),
@@ -52,7 +95,12 @@ object Ingest {
       .join(exSets.select(col("id").as("id_old"), col("toks").as("to")), "id_old")
       .filter(graft.plans.ArrayJaccard.jaccardLong(col("tn"), col("to")) >= 0.8)
       .select(col("id_new").as("doc_id")).distinct()
-    val withinMatched = Dedup.lshCandidates(sigsOf(bSets), numHashes, rowsPerBand)
+    // streamed candidates are collisions over the WHOLE batch; joining
+    // both ends onto the exact-survivor sets restricts them to exactly
+    // the pairs the batch formulation generates
+    val withinRaw = withinCandsOpt.getOrElse(
+      Dedup.lshCandidates(sigsOf(bSets), numHashes, rowsPerBand))
+    val withinMatched = withinRaw
       .join(bSets.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(bSets.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .filter(graft.plans.ArrayJaccard.jaccardLong(col("ta"), col("tb")) >= 0.8)

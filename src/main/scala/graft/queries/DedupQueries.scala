@@ -253,6 +253,60 @@ object DedupQueries {
       NumHashes, RowsPerBand, IngestMinQuality)
   }
 
+  // ---- STREAMING ingest: duplicate state maintained as the batch arrives -----
+  // The same corpus-refresh gates, with BOTH intra-batch duplicate
+  // detections computed by the streaming engine's keyed state while the
+  // batch streams in as three micro-batches: same-digest pairs from
+  // per-digest bucket state, near-dup candidate pairs from shingle-band
+  // bucket state (the stream_dedup_near machinery). The emitted pair sets
+  // equal the batch formulations under any arrival interleaving, so the
+  // final manifest hash-matches the SAME oracle as ingest_pipeline.
+  private val stagedIngestSrc = scala.collection.mutable.Map[String, String]()
+
+  private def stagedIngestDir(s: SparkSession, dir: String): String =
+    synchronized {
+      stagedIngestSrc.getOrElseUpdate(dir, graft.streaming.DocStreams
+        .stagedDocSplits(Tables.documents(s, dir)
+          .filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), col("text")), nFiles = 3))
+    }
+
+  def streamIngestPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val src = graft.streaming.DocStreams
+      .docsFileStream(s, stagedIngestDir(s, dir), oneFilePerBatch = true)
+    // exact: per-digest keyed state emits same-digest candidate pairs as
+    // arrivals collide (digest folded to a 120-bit bucket key; Ingest
+    // re-verifies true digest equality, so a key collision cannot drop a
+    // non-duplicate)
+    val dg = md5(Tokenizer.normalizeWhitespace(col("text")))
+    val digRows = src.select(
+      lit(0).cast("int").as("band"),
+      TextHash.hash64(dg).as("h1"),
+      TextHash.hash64(concat(dg, lit("#2"))).as("h2"),
+      col("doc_id").as("id"))
+    val exactPairs = graft.streaming.DocStreams
+      .nearDupCandidates(s, digRows, "ingest_exact")
+      .select(col("id_a"), col("id_b"))
+    // near: shingle-minhash band rows through the same keyed-bucket state
+    val sets = src.select(col("doc_id").as("id"),
+        array_distinct(TextHash.hashedShingles(
+          transform(Tokenizer.tokenize(col("text")),
+            t => TextHash.hashMod(t)), 3)).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val sigs = sets.select(
+      col("id") +: Dedup.minHashSignaturesHashed(col("toks"), NumHashes): _*)
+    val bandRows = Dedup.banded(sigs, NumHashes, RowsPerBand)
+      .select(col("band"), col("h.r0").as("h1"), col("h.r1").as("h2"), col("id"))
+    val withinCands = graft.streaming.DocStreams
+      .nearDupCandidates(s, bandRows, "ingest_near")
+      .select(col("id_a"), col("id_b"))
+    graft.operators.Ingest.pipelineWithStreamedPairs(s,
+      existing = d.filter(col("doc_id") % 4 =!= 0),
+      batch = d.filter(col("doc_id") % 4 === 0),
+      exactPairs, withinCands, NumHashes, RowsPerBand, IngestMinQuality)
+  }
+
   val ingestPipelineSql: String = {
     val mhExprs = (0 until NumHashes).map { i =>
       val (a, b) = mhParams(i)
@@ -1009,6 +1063,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "stream_dedup_near" -> (streamDedupNear _),
     "ingest_pipeline" -> (ingestPipeline _),
+    "stream_ingest_pipeline" -> (streamIngestPipeline _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -1028,6 +1083,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "stream_dedup_near" -> dedupMinhashLshSql,
     "ingest_pipeline" -> ingestPipelineSql,
+    "stream_ingest_pipeline" -> ingestPipelineSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
