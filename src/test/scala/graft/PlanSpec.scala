@@ -228,6 +228,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
   }
 
+  test("multi-probe LSH stays hash-joined; ingest gates broadcast, never cartesian") {
+    val mp = plan("ann_lsh_multiprobe")
+    assert(!mp.contains("CartesianProduct") &&
+      !mp.contains("SortMergeJoin"),
+      s"multi-probe collision join regressed:\n$mp")
+    val ig = plan("ingest_pipeline")
+    assert(ig.contains("BroadcastHashJoin"),
+      s"ingest gate joins should broadcast the batch side:\n$ig")
+    assert(!ig.contains("CartesianProduct"),
+      s"an ingest gate went cartesian:\n$ig")
+  }
+
   test("skew_report's top-10 plans TakeOrdered, not a global window") {
     val p = plan("skew_report")
     assert(p.contains("TakeOrderedAndProject"),
