@@ -105,6 +105,64 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
   }
 
+  // ---- Vector-index drift report ---------------------------------------------
+  // The "when to retrain the quantizer" maintenance signal that pairs with
+  // the frozen-quantizer append path: per centroid, the member count under
+  // the CURRENT assignment and the distance the centroid would move if one
+  // more Lloyd step ran. Large drifts on heavy lists mean the stored
+  // quantizer has diverged from the corpus and a rebuild is due — the
+  // vector twin of the text index's compaction trigger. Both centroid
+  // tables are 1e-6-grid means and the distance uses three sequential dots
+  // (d^2 = <p,p> - 2<p,x> + <x,x>, clamped at 0 for float fuzz), so the
+  // report is bit-stable cross-engine.
+  def vectorIndexDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val prev = ivfCentroids(s, dir)
+      .select(col("id").as("cent_id"), col("v").as("cv0"))
+    val next = Similarity.lloydStep(e, prev, Dim)
+      .select(col("cent_id"), col("cv0").as("cv1"))
+    val members = Similarity.ivfAssign(e, prev
+        .select(col("cent_id").as("id"), col("cv0").as("v")))
+      .groupBy(col("cent_id")).agg(count(lit(1)).cast("long").as("n_members"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.plans.VectorExprs.dot(a, b)
+    prev.join(next, "cent_id")
+      .join(members, Seq("cent_id"), "left")
+      .select(col("cent_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        sqrt(greatest(
+          dot(col("cv0"), col("cv0")) - lit(2.0) * dot(col("cv0"), col("cv1"))
+            + dot(col("cv1"), col("cv1")), lit(0.0)))
+          .cast("double").as("drift"))
+      .orderBy("cent_id")
+  }
+
+  /** lazy: this section sits above the IVF constant declarations, and an
+    * eager val would capture NList/IvfIters as their pre-init zeros
+    * (Scala object vals initialize top-to-bottom).
+    */
+  lazy val vectorIndexDriftSql: String = {
+    val h = OracleSql.hash64("CAST(id AS VARCHAR)")
+    val next = IvfIters + 1
+    s"""WITH $EmbCte,
+       |cents0 AS (SELECT id AS cent_id, v AS cv0 FROM emb
+       |  ORDER BY $h, id LIMIT $NList),
+       |${ivfIterCtes(next)},
+       |members AS (
+       |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM asg$next GROUP BY cent_id)
+       |SELECT p.cent_id,
+       |  COALESCE(m.n_members, 0) AS n_members,
+       |  CAST(sqrt(greatest(
+       |    list_dot_product(p.cv0, p.cv0)
+       |      - 2*list_dot_product(p.cv0, x.cv0)
+       |      + list_dot_product(x.cv0, x.cv0), 0.0)) AS DOUBLE) AS drift
+       |FROM cents$IvfIters p
+       |JOIN cents$next x USING (cent_id)
+       |LEFT JOIN members m USING (cent_id)
+       |ORDER BY p.cent_id""".stripMargin
+  }
+
   // ---- Multi-probe banded LSH ------------------------------------------------
   // The query-time recall knob (Lv et al. 2007): each probe also checks
   // every band's signature with its least-confident sign bit flipped (the
@@ -851,6 +909,7 @@ object SimilarityQueries {
     "ann_ivf_pq" -> (annIvfPq _),
     "ann_ivf_pq_prebuilt" -> (annIvfPqPrebuilt _),
     "ann_ivf_pq_appended" -> (annIvfPqAppended _),
+    "vector_index_drift" -> (vectorIndexDrift _),
     "ann_quantized" -> (annQuantized _),
     "ann_lsh_quantized" -> (annLshQuantized _),
     "embedding_norms" -> (embeddingNorms _))
@@ -865,6 +924,7 @@ object SimilarityQueries {
     "ann_ivf_pq" -> annIvfPqSql,
     "ann_ivf_pq_prebuilt" -> annIvfPqSql,
     "ann_ivf_pq_appended" -> annIvfPqAppendedSql,
+    "vector_index_drift" -> vectorIndexDriftSql,
     "ann_quantized" -> annQuantizedSql,
     "ann_lsh_quantized" -> annLshQuantizedSql,
     "embedding_norms" -> embeddingNormsSql)
