@@ -594,6 +594,44 @@ object SimilarityQueries {
         col("cosine").cast("double").as("cosine"))
       .orderBy("probe_id", "rank")
 
+  // ---- STREAMING vector ingest: the arriving half grows the index live -------
+  // Build the persisted index from half the corpus, then STREAM the other
+  // half one micro-batch per staged file, each batch encoded with the
+  // frozen quantizers and appended by the streaming engine (foreachBatch →
+  // VectorIndex.append — the vector twin of stream_index_ingest). Append
+  // order is immaterial (per-row assignment with frozen quantizers), so
+  // serving the result hash-matches the SAME oracle as ann_ivf_pq_appended.
+  private val builtVectorIdxStream = scala.collection.mutable.Set[String]()
+
+  private def ensureStreamedVectorIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val prefix = "graft_vecidxs_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!builtVectorIdxStream.contains(prefix)) {
+        import s.implicits._
+        val e = emb(s, dir)
+        val half = e.filter(col("id") % 2 === 0)
+        val cents = Similarity.trainCentroids(half, NList, IvfIters, Dim)
+          .toDF("id", "v")
+        val codes = graft.operators.Pq.train(
+          half.select(col("id"), col("v")), PqM, PqSubDim, PqKs)
+        graft.operators.VectorIndex.build(s, half, prefix, cents, codes,
+          PqM, PqSubDim)
+        val staged = graft.streaming.DocStreams.stagedEmbSplits(
+          e.filter(col("id") % 2 =!= 0).select(col("id"), col("v")), nFiles = 3)
+        graft.streaming.DocStreams.vectorIngestAppend(s, staged, prefix)
+        builtVectorIdxStream += prefix
+      }
+      prefix
+    }
+
+  def streamVectorIngest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.VectorIndex.searchPrebuilt(s,
+        ensureStreamedVectorIndex(s, dir), probes(s, dir), K, NProbe,
+        PqShortlist)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("probe_id", "rank")
+
   val annIvfPqSql: String = annIvfPqSqlOver("emb")
 
   /** The append lifecycle's oracle: train on the built half (id % 2 = 0),
@@ -910,6 +948,7 @@ object SimilarityQueries {
     "ann_ivf_pq_prebuilt" -> (annIvfPqPrebuilt _),
     "ann_ivf_pq_appended" -> (annIvfPqAppended _),
     "vector_index_drift" -> (vectorIndexDrift _),
+    "stream_vector_ingest" -> (streamVectorIngest _),
     "ann_quantized" -> (annQuantized _),
     "ann_lsh_quantized" -> (annLshQuantized _),
     "embedding_norms" -> (embeddingNorms _))
@@ -925,6 +964,7 @@ object SimilarityQueries {
     "ann_ivf_pq_prebuilt" -> annIvfPqSql,
     "ann_ivf_pq_appended" -> annIvfPqAppendedSql,
     "vector_index_drift" -> vectorIndexDriftSql,
+    "stream_vector_ingest" -> annIvfPqAppendedSql,
     "ann_quantized" -> annQuantizedSql,
     "ann_lsh_quantized" -> annLshQuantizedSql,
     "embedding_norms" -> embeddingNormsSql)

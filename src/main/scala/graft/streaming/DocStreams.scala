@@ -135,6 +135,59 @@ object DocStreams {
       .orderBy("source")
   }
 
+  /** Live VECTOR-index ingestion: stream a staged embeddings directory one
+    * file per micro-batch, each batch encoded with the FROZEN stored
+    * quantizers and appended into the persisted IVF-PQ index
+    * (VectorIndex.append) — the vector twin of ingestAppend. A concurrent
+    * ANN searcher reads the same tables as the corpus grows.
+    */
+  def vectorIngestAppend(s: SparkSession, stagedDir: String,
+                         prefix: String): Unit = {
+    val ckpt = graft.ScratchDirs.fresh("graft_stream", "vingest_ckpt").toString
+    val schema = s.read.parquet(s"$stagedDir/embeddings.parquet").schema
+    val src = s.readStream.schema(schema).option("basePath", stagedDir)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stagedDir/embeddings.parquet*")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = src.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.VectorIndex.append(s,
+              batch.select(org.apache.spark.sql.functions.col("id"),
+                org.apache.spark.sql.functions.col("v")), prefix)
+        }
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** Stage `emb` (id, v) into a fresh stream-source dir as `nFiles`
+    * parquet files (id mod nFiles) matching the glob above.
+    */
+  def stagedEmbSplits(emb: DataFrame, nFiles: Int): String = {
+    val dir = graft.ScratchDirs.fresh("graft_stream", "emb_src")
+    (0 until nFiles).foreach { i =>
+      val tmp = dir.resolve(s"_split_$i")
+      emb.filter(pmod(col("id"), lit(nFiles)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"emb split $i produced no parquet part file"))
+      java.nio.file.Files.move(part.toPath,
+        dir.resolve(if (i == 0) "embeddings.parquet" else s"embeddings.parquet$i"))
+      locally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively(): Unit
+      }
+    }
+    dir.toString
+  }
+
   /** Live index ingestion: stream a staged corpus directory one file per
     * micro-batch, appending each batch into the persisted bucketed index
     * via the SAME appendBucketedIndex the batch lifecycle uses — the
