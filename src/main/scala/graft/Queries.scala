@@ -38,6 +38,8 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] =
     Map("q1_agg" -> (q1Agg _)) ++
       graft.queries.RelationalQueries.queries ++
+      graft.queries.TpchShapeQueries.queries ++
+      graft.queries.LayoutQueries.queries ++
       graft.queries.TextIndexQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.TextAnalysisQueries.queries ++
@@ -49,6 +51,8 @@ object Queries {
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++
       graft.queries.RelationalQueries.oracles ++
+      graft.queries.TpchShapeQueries.oracles ++
+      graft.queries.LayoutQueries.oracles ++
       graft.queries.TextIndexQueries.oracles ++
       graft.queries.EventQueries.oracles ++
       graft.queries.TextAnalysisQueries.oracles ++

@@ -712,6 +712,8 @@ object EventQueries {
       (graft.streaming.EventStreams.dedupExactAvailableNow _),
     "stream_enrich_static" ->
       (graft.streaming.EventStreams.enrichStaticAvailableNow _),
+    "stream_heavy_hitters" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      graft.streaming.EventStreams.heavyHittersAvailableNow(s, d, HhK)),
     "events_cube_daily" -> (eventsCubeDaily _),
     "events_sliding" -> (eventsSliding _),
     "events_json" -> (eventsJson _),
@@ -743,6 +745,7 @@ object EventQueries {
     "stream_latest_per_user" -> eventsLatestPerUserSql,
     "stream_dedup_exact" -> eventsTumblingRoundedSql,
     "stream_enrich_static" -> streamEnrichStaticSql,
+    "stream_heavy_hitters" -> heavyHittersSql,
     "events_cube_daily" -> eventsCubeDailySql,
     "events_sliding" -> eventsSlidingSql,
     "events_json" -> eventsJsonSql,

@@ -1048,6 +1048,36 @@ object TextAnalysisQueries {
        |SELECT doc_id, lang, rk FROM r WHERE rk <= $PerGroupN
        |ORDER BY lang, rk""".stripMargin
 
+  // ---- Weighted priority sample -----------------------------------------------
+  // Deterministic WEIGHT-PROPORTIONAL sampling (longer docs more likely):
+  // each doc draws a uniform 60-bit md5 "ticket" and its priority key is
+  // ticket ÷ weight (integer division — bit-identical across engines, no
+  // ln/pow floats); the k smallest keys win. P(small key) grows with the
+  // weight, so this is priority sampling with integer arithmetic — RNG-free,
+  // reproducible, and mergeable at scale (top-k by key is a TakeOrdered,
+  // not a global sort).
+  private val WeightedN = 25
+
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        expr(s"${hash64Sql("CAST(doc_id AS STRING)")} div greatest(n_chars, 1)")
+          .as("wkey"))
+      .orderBy(col("wkey").asc, col("doc_id").asc)
+      .limit(WeightedN)
+      .orderBy("doc_id")
+
+  /** TextHash.hash64 as SQL text (Spark side). */
+  private def hash64Sql(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
+  val sampleWeightedSql: String =
+    s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       |  ${OracleSql.hash64("CAST(doc_id AS VARCHAR)")} // greatest(n_chars, 1) AS wkey
+       |FROM documents
+       |ORDER BY wkey ASC, doc_id ASC
+       |LIMIT $WeightedN""".stripMargin
+
   // ---- Token-count histogram --------------------------------------------------
   // The length-distribution profile every curation run starts from:
   // fixed-width buckets over per-doc token counts. Pure integer
@@ -1103,6 +1133,7 @@ object TextAnalysisQueries {
     "source_overlap" -> (sourceOverlap _),
     "pack_shuffle" -> (packShuffle _),
     "sample_per_group" -> (samplePerGroup _),
+    "sample_weighted" -> (sampleWeighted _),
     "token_histogram" -> (tokenHistogram _))
 
   val oracles: Map[String, String] = Map(
@@ -1131,5 +1162,6 @@ object TextAnalysisQueries {
     "source_overlap" -> sourceOverlapSql,
     "pack_shuffle" -> packShuffleSql,
     "sample_per_group" -> samplePerGroupSql,
+    "sample_weighted" -> sampleWeightedSql,
     "token_histogram" -> tokenHistogramSql)
 }

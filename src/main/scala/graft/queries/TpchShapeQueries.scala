@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Additional TPC-H query shapes over the trimmed test tables — each one a
+  * distinct plan pattern the engine must get right at scale:
+  *
+  *  - Q7: role-playing dimensions (the same nation table joined twice under
+  *    different roles) over a 5-way join.
+  *  - Q13: outer-join fan-out followed by a two-level aggregation (the
+  *    distribution-of-counts shape; the second aggregation is tiny).
+  *  - Q15: aggregate-of-aggregate — a max over a grouped aggregate joined
+  *    back to select the argmax rows (the "view + max" formulation).
+  *  - Q17: per-group average gating its own group's rows (correlated
+  *    aggregate subquery, decorrelated into a join).
+  *  - Q22: scalar aggregate subquery as a broadcast filter + anti join.
+  *
+  * All aggregates cast to bigint/double and ordered deterministically so the
+  * DuckDB oracle hash-compares.
+  */
+object TpchShapeQueries {
+
+  // ---- Q7 shape: bidirectional trade volume, nation twice ------------------
+  // The same dimension participates under two roles (supplier nation /
+  // customer nation) — both broadcast; the fact-side join tree stays the
+  // q5 star shape. Inequality on the two roles keeps only cross-nation
+  // flows.
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    val sup = broadcast(Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7VolumeShippingSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---- Q13 shape: outer-join fan-out + distribution of counts --------------
+  // Orders-per-customer (zeros kept by the left outer join), then the tiny
+  // second-level distribution. The first aggregation carries the data
+  // volume; the second groups ~dozens of distinct counts.
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).cast("long").as("custdist"))
+      .select(col("c_count").cast("long").as("c_count"), col("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13CustDistSql: String =
+    """SELECT CAST(c_count AS BIGINT) AS c_count,
+      |  CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---- Q15 shape: aggregate-of-aggregate argmax join-back ------------------
+  // Revenue per supplier over a quarter; the single-row max broadcasts back
+  // over the (small) grouped aggregate to select the winner(s) — the
+  // decorrelated "HAVING total = (SELECT max(..))" plan.
+  private val Q15From = "1996-01-01"
+  private val Q15To = "1996-04-01"
+
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(Q15From).cast("timestamp") &&
+        col("l_shipdate") < lit(Q15To).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15TopSupplierSql: String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$Q15From'
+       |    AND l_shipdate < TIMESTAMP '$Q15To'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name,
+       |  CAST(total_revenue AS DOUBLE) AS total_revenue
+       |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  // ---- Q17 shape: per-group average gating its own rows --------------------
+  // Small-quantity line items of one brand: each row compares against 20% of
+  // ITS part's average quantity. The correlated subquery decorrelates into a
+  // per-part aggregate joined back; restricting to the brand's parts FIRST
+  // (broadcast semi-join) means the per-part averages aggregate only the
+  // gated parts' rows — identical semantics (the correlation key is the
+  // part), a fraction of the work.
+  private val Q17Brand = "Brand#4"
+
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    val brandParts = broadcast(Tables.part(s, dir)
+      .filter(col("p_brand") === Q17Brand).select(col("p_partkey")))
+    val li = Tables.lineitem(s, dir)
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val perPart = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
+    li.join(broadcast(perPart), col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg((sum(col("l_extendedprice")) / 7.0).cast("double").as("avg_yearly"))
+  }
+
+  val q17SmallQuantitySql: String =
+    s"""SELECT CAST(sum(l_extendedprice) / 7.0 AS DOUBLE) AS avg_yearly
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |WHERE p_brand = '$Q17Brand'
+       |  AND l_quantity < (
+       |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+       |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  // ---- Q22 shape: scalar subquery threshold + anti join --------------------
+  // Well-funded customers with no urgent orders: the positive-balance
+  // average is a 1-row broadcast; "no urgent order" is the anti join (the
+  // priority condition keeps the set non-trivial on the dense test data,
+  // where nearly every customer has SOME order). Grouped by nation (the
+  // trimmed schema's stand-in for Q22's phone country code).
+  def q22InactiveCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("ab"))
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).cast("long").as("numcust"),
+        sum(col("c_acctbal")).cast("double").as("totacctbal"))
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("numcust"), col("totacctbal"))
+      .orderBy("nationkey")
+  }
+
+  val q22InactiveCustomersSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(c_acctbal) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q13_custdist" -> (q13CustDist _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_quantity" -> (q17SmallQuantity _),
+    "q22_inactive_customers" -> (q22InactiveCustomers _))
+
+  val oracles: Map[String, String] = Map(
+    "q7_volume_shipping" -> q7VolumeShippingSql,
+    "q13_custdist" -> q13CustDistSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q17_small_quantity" -> q17SmallQuantitySql,
+    "q22_inactive_customers" -> q22InactiveCustomersSql)
+}

@@ -289,6 +289,29 @@ object EventStreams {
       .orderBy("user_id")
   }
 
+  /** Heavy hitters maintained BY THE STREAMING ENGINE: the per-user count
+    * state (Complete mode — the streaming frequency view) with the
+    * frequency threshold applied at read time over the materialized sink,
+    * checked against the batch `heavy_hitters` oracle. The threshold must
+    * NOT be folded into the streaming aggregation — membership in the
+    * top-1/k set is a property of the FINAL totals, so the state keeps
+    * every user's count and the sink-side filter decides. At scale the
+    * count state partitions by user; a production variant caps state with
+    * a sketch and reconciles periodically (the batch HeavyHitters
+    * operator's Misra-Gries shape).
+    */
+  def heavyHittersAvailableNow(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val agg = eventsFileStream(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("freq"))
+    val sink = runToSink(agg, OutputMode.Complete, "heavy_hitters")
+    sink.join(broadcast(sink.agg(sum(col("freq")).as("tot"))))
+      .filter(col("freq") * k > col("tot"))
+      .select(col("user_id"), col("freq").cast("long").as("freq"))
+      .orderBy("user_id")
+  }
+
   /** Stream-static enrichment: the arriving event stream joins a STATIC
     * dimension table (customers) that Spark plans as a broadcast against
     * every micro-batch — the canonical "enrich the stream with reference

@@ -247,4 +247,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"),
       s"a single-task global window over per-key counts is the anti-shape:\n$p")
   }
+
+  test("bucketed_join consumes the bucket layout: sort-merge, zero join exchanges") {
+    val p = plan("bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"co-located join should sort-merge:\n$p")
+    assert(p.contains("Bucketed: true"), s"scans do not report bucketing:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join re-shuffled a side the layout already co-located:\n$p")
+  }
+
+  test("partitioned_prune pushes day literals to directory-level pruning") {
+    val p = plan("partitioned_prune")
+    assert(p.contains("PartitionFilters: ["),
+      s"no partition filters at the scan:\n$p")
+    assert(p.contains("2024-01-04"),
+      s"day IN-list did not reach the partition filter:\n$p")
+  }
+
+  test("partitioned_dpp derives the fact partition list from the dim at runtime") {
+    val p = plan("partitioned_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning subquery on the fact scan:\n$p")
+  }
+
+  test("q7 role-playing nation joins broadcast; q15 argmax joins back via broadcast") {
+    val p7 = plan("q7_volume_shipping")
+    assert(p7.contains("BroadcastHashJoin"), s"q7 lost its broadcasts:\n$p7")
+    assert(!p7.contains("CartesianProduct"), s"q7 planned a cartesian:\n$p7")
+    val p15 = plan("q15_top_supplier")
+    assert(p15.contains("BroadcastHashJoin"),
+      s"q15 max-row should broadcast back over the aggregate:\n$p15")
+  }
 }
