@@ -278,16 +278,15 @@ object DedupQueries {
     // exact: per-digest keyed state emits same-digest candidate pairs as
     // arrivals collide (digest folded to a 120-bit bucket key; Ingest
     // re-verifies true digest equality, so a key collision cannot drop a
-    // non-duplicate)
+    // non-duplicate). band = -1 routes these buckets through channel 0 of
+    // the SAME keyed state as the near-dup bands — one streaming query,
+    // one stateful pass, instead of two full AvailableNow runs.
     val dg = md5(Tokenizer.normalizeWhitespace(col("text")))
     val digRows = src.select(
-      lit(0).cast("int").as("band"),
+      lit(-1).cast("int").as("band"),
       TextHash.hash64(dg).as("h1"),
       TextHash.hash64(concat(dg, lit("#2"))).as("h2"),
       col("doc_id").as("id"))
-    val exactPairs = graft.streaming.DocStreams
-      .nearDupCandidates(s, digRows, "ingest_exact")
-      .select(col("id_a"), col("id_b"))
     // near: shingle-minhash band rows through the same keyed-bucket state
     val sets = src.select(col("doc_id").as("id"),
         array_distinct(TextHash.hashedShingles(
@@ -298,9 +297,10 @@ object DedupQueries {
       col("id") +: Dedup.minHashSignaturesHashed(col("toks"), NumHashes): _*)
     val bandRows = Dedup.banded(sigs, NumHashes, RowsPerBand)
       .select(col("band"), col("h.r0").as("h1"), col("h.r1").as("h2"), col("id"))
-    val withinCands = graft.streaming.DocStreams
-      .nearDupCandidates(s, bandRows, "ingest_near")
-      .select(col("id_a"), col("id_b"))
+    val pairs = graft.streaming.DocStreams
+      .nearDupCandidates(s, digRows.unionByName(bandRows), "ingest_pairs")
+    val exactPairs = pairs.filter(col("ch") === 0).select(col("id_a"), col("id_b"))
+    val withinCands = pairs.filter(col("ch") === 1).select(col("id_a"), col("id_b"))
     graft.operators.Ingest.pipelineWithStreamedPairs(s,
       existing = d.filter(col("doc_id") % 4 =!= 0),
       batch = d.filter(col("doc_id") % 4 === 0),

@@ -12,11 +12,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object DocStreams {
 
   /** One MinHash band row: (band, h1, h2) is the bucket key (rowsPerBand =
-    * 2 signature values), `id` the document.
+    * 2 signature values), `id` the document. NEGATIVE band values carry a
+    * second detection CHANNEL through the same keyed state (ch 0; ch 1 for
+    * band >= 0) — e.g. exact-digest buckets riding along with near-dup
+    * band buckets in ONE streaming query, so a composed pipeline pays one
+    * stateful pass instead of two.
     */
   case class BandRow(band: Int, h1: Long, h2: Long, id: Long)
   case class BucketState(ids: Seq[Long])
-  case class CandPair(id_a: Long, id_b: Long)
+  case class CandPair(id_a: Long, id_b: Long, ch: Int)
 
   /** The documents parquet as a STREAMING file source. `dir` may be the
     * testdata dir or a staged directory holding the corpus split into
@@ -76,7 +80,8 @@ object DocStreams {
       .groupByKey(r => (r.band, r.h1, r.h2))
       .flatMapGroupsWithState[BucketState, CandPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: (Int, Long, Long), it: Iterator[BandRow], state: GroupState[BucketState]) =>
+        (key: (Int, Long, Long), it: Iterator[BandRow], state: GroupState[BucketState]) =>
+          val ch = if (key._1 < 0) 0 else 1
           val existing = state.getOption.map(_.ids).getOrElse(Seq.empty)
           val known = existing.toSet // Seq.contains per arrival is O(n^2)/bucket
           // a doc contributes one row per (band, bucket); ids can still
@@ -84,10 +89,10 @@ object DocStreams {
           val incoming = it.map(_.id).toVector.distinct
             .filterNot(known).sorted
           val crossPairs = for (n <- incoming; e <- existing)
-            yield CandPair(math.min(n, e), math.max(n, e))
+            yield CandPair(math.min(n, e), math.max(n, e), ch)
           val withinPairs = for {
             i <- incoming.indices; j <- (i + 1) until incoming.size
-          } yield CandPair(incoming(i), incoming(j))
+          } yield CandPair(incoming(i), incoming(j), ch)
           state.update(BucketState(existing ++ incoming))
           (crossPairs ++ withinPairs).iterator
       }
