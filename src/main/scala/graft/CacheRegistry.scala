@@ -23,6 +23,7 @@ import org.apache.spark.sql.DataFrame
 object CacheRegistry {
 
   private val entries = scala.collection.mutable.ListBuffer[DataFrame]()
+  private val cleanups = scala.collection.mutable.ListBuffer[() => Unit]()
 
   /** Cache `df` and register it for the next releaseAll(). */
   def cached(df: DataFrame): DataFrame = synchronized {
@@ -31,10 +32,18 @@ object CacheRegistry {
     c
   }
 
+  /** Register a callback run at every releaseAll() — for memo tables that
+    * hold references to registered caches (an entry surviving the release
+    * would silently serve an unpersisted plan and recompute from scratch
+    * on every use). Callbacks are permanent; keep them idempotent.
+    */
+  def onRelease(f: () => Unit): Unit = synchronized { cleanups += f }
+
   /** Unpersist every registered cache (idempotent). */
   def releaseAll(): Unit = synchronized {
     entries.foreach(_.unpersist(blocking = false))
     entries.clear()
+    cleanups.foreach(_.apply())
   }
 
   def registeredCount: Int = synchronized(entries.size)

@@ -178,6 +178,31 @@ object DedupQueries {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir).orderBy("doc_id_a", "doc_id_b")
 
+  /** One label-propagation run per (JVM, sfDir), shared by the three views
+    * of the same cluster structure (dedup_clusters, dedup_keeper_quality,
+    * dedup_splits). The loop is imperative — it runs jobs — so plan-level
+    * cache dedup can't collapse repeated calls the way it does for
+    * minhashPairs; an explicit memo does, and the release hook clears it
+    * when the sweep's caches go away.
+    */
+  private val componentLabelCache = {
+    val m = scala.collection.mutable.Map[String, DataFrame]()
+    graft.CacheRegistry.onRelease(() => synchronized { m.clear() })
+    m
+  }
+
+  private def componentLabels(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      import graft.CacheRegistry.RegisteredCache
+      componentLabelCache.getOrElseUpdate(dir, {
+        val pairs = minhashPairs(s, dir)
+          .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+        graft.operators.Components
+          .connectedComponents(pairs, checkEvery = 4, pointerJump = false)
+          .registeredCache()
+      })
+    }
+
   // ---- STREAMING near-dup: stateful bucket collisions + batch verify ----------
   // The same LSH pipeline run BY THE STREAMING ENGINE: the corpus arrives
   // as three micro-batches (staged file splits), per-bucket keyed state
@@ -600,14 +625,11 @@ object DedupQueries {
   // pair graph; keeper = the min doc_id of each cluster. The DuckDB oracle
   // computes the same components via a recursive transitive closure.
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir)
-      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
     // Near-dup clusters are dense and shallow (diameter 2-3, see the
     // Components scaladoc), so plain propagation converges in a handful of
     // rounds — pointer jumping would add a self-join per round for nothing,
     // and checkEvery=4 usually lands the whole loop in one counting job.
-    val labels = graft.operators.Components
-      .connectedComponents(pairs, checkEvery = 4, pointerJump = false)
+    val labels = componentLabels(s, dir)
     // cluster_size over a window: one exchange on component, vs the
     // groupBy + join-back shape which pays the aggregation exchange AND a
     // second pass over labels.
@@ -657,10 +679,7 @@ object DedupQueries {
   // is bit-stable cross-engine; the argmax itself is one partial-
   // aggregating max(struct) — no window over the (possibly huge) cluster.
   def dedupKeeperQuality(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir)
-      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-    val labels = graft.operators.Components
-      .connectedComponents(pairs, checkEvery = 4, pointerJump = false)
+    val labels = componentLabels(s, dir)
     val qm = Tables.documents(s, dir)
       .select(col("doc_id").as("id"),
         round(graft.operators.Curation.qualityExpr(col("text"))
@@ -710,10 +729,7 @@ object DedupQueries {
   def dedupSplits(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
-    val pairs = minhashPairs(s, dir)
-      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-    val labels = graft.operators.Components
-      .connectedComponents(pairs, checkEvery = 4, pointerJump = false)
+    val labels = componentLabels(s, dir)
       .select(col("id").as("doc_id"), col("component"))
     val withComp = docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
