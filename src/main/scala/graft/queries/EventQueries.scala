@@ -714,6 +714,9 @@ object EventQueries {
       (graft.streaming.EventStreams.enrichStaticAvailableNow _),
     "stream_heavy_hitters" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       graft.streaming.EventStreams.heavyHittersAvailableNow(s, d, HhK)),
+    "stream_partitioned_sink" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      graft.streaming.EventStreams.partitionedSinkAvailableNow(s, d,
+        Seq("2024-01-03", "2024-01-04", "2024-01-05"))),
     "events_cube_daily" -> (eventsCubeDaily _),
     "events_sliding" -> (eventsSliding _),
     "events_json" -> (eventsJson _),
@@ -746,6 +749,7 @@ object EventQueries {
     "stream_dedup_exact" -> eventsTumblingRoundedSql,
     "stream_enrich_static" -> streamEnrichStaticSql,
     "stream_heavy_hitters" -> heavyHittersSql,
+    "stream_partitioned_sink" -> LayoutQueries.partitionedPruneSql,
     "events_cube_daily" -> eventsCubeDailySql,
     "events_sliding" -> eventsSlidingSql,
     "events_json" -> eventsJsonSql,

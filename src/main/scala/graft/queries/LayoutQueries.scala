@@ -196,13 +196,141 @@ object LayoutQueries {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // ---- schema evolution ------------------------------------------------------
+
+  /** Two order batches written under DIFFERENT schemas — the early batch
+    * predates the `o_orderpriority` column (the normal life of a long-lived
+    * dataset: columns arrive mid-stream). Built once per (JVM, sfDir)
+    * under the process scratch root.
+    */
+  private val evolvedDirs = scala.collection.mutable.Map[String, String]()
+
+  private def ensureEvolved(s: SparkSession, dir: String): String =
+    synchronized {
+      evolvedDirs.getOrElseUpdate(dir, {
+        val base = graft.ScratchDirs.fresh("graft_layout", "evolved")
+        val ord = Tables.orders(s, dir)
+        ord.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$base/batch=1")
+        ord.filter(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$base/batch=2")
+        base.toString
+      })
+    }
+
+  /** Read the evolved dataset with schema merging: the union schema comes
+    * back with `o_orderpriority` null for pre-evolution rows, and the
+    * aggregation folds those into a sentinel bucket. The oracle replays
+    * the evolution from the raw table (even keys = the old-schema batch).
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureEvolved(s, dir)
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>"))
+        .as("priority"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("o_totalprice")).cast("double").as("total"))
+      .orderBy("priority")
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
+      |  ELSE o_orderpriority END AS priority,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_totalprice) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY priority""".stripMargin
+
+  // ---- partitioned-table compaction ------------------------------------------
+
+  /** Rewrite the partitions of a day-partitioned parquet PATH whose file
+    * count exceeds `maxFilesPerPartition`, preserving the partition layout
+    * (dynamic overwrite touches only the heavy partitions). One
+    * repartition by the partition key means each rewritten directory
+    * collapses to a single file. The generic-table twin of
+    * Indexer.compactBucketedIndex — appends grow one file per batch per
+    * partition, and scan efficiency decays until the maintenance pass
+    * runs.
+    */
+  def compactDayPartitions(s: SparkSession, path: String,
+                           maxFilesPerPartition: Int): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val heavy = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerPartition)
+      .map(st => st.getPath.getName.stripPrefix("day="))
+    if (heavy.nonEmpty) {
+      // rewrite to a staging root, then swap each heavy partition's
+      // DIRECTORY in (Spark refuses to overwrite a path it is reading, and
+      // per-partition rename is the atomic unit real compaction ships)
+      val staging = new org.apache.hadoop.fs.Path(path + "_compact_staging")
+      fs.delete(staging, true)
+      s.read.option("basePath", path).parquet(path)
+        .filter(col("day").isin(heavy: _*))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(staging.toString)
+      heavy.foreach { d =>
+        val live = new org.apache.hadoop.fs.Path(root, s"day=$d")
+        val next = new org.apache.hadoop.fs.Path(staging, s"day=$d")
+        fs.delete(live, true)
+        if (!fs.rename(next, live))
+          sys.error(s"compaction rename failed for partition day=$d")
+      }
+      fs.delete(staging, true)
+    }
+    heavy
+  }
+
+  /** Day-partitioned events built by THREE appends (each batch adds files
+    * to every partition — the daily-ingest growth pattern), then
+    * compacted. Built once per (JVM, sfDir); the query aggregates the
+    * compacted table and must match the raw-table oracle exactly — proof
+    * the maintenance pass moved bytes without changing a row.
+    */
+  private val compactedDirs = scala.collection.mutable.Map[String, String]()
+
+  private def ensureCompacted(s: SparkSession, dir: String): String =
+    synchronized {
+      compactedDirs.getOrElseUpdate(dir, {
+        val base = graft.ScratchDirs.fresh("graft_layout", "compacted").toString
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        (0 to 2).foreach { i =>
+          ev.filter(col("event_id") % 3 === i).drop("event_id")
+            .write.mode("append").partitionBy("day").parquet(base)
+        }
+        compactDayPartitions(s, base, maxFilesPerPartition = 2)
+        base
+      })
+    }
+
+  def partitionedCompacted(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureCompacted(s, dir)
+    s.read.option("basePath", path).parquet(path)
+      .filter(col("day").isin(PruneDays: _*))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("value")).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join" -> (bucketedJoin _),
     "partitioned_prune" -> (partitionedPrune _),
-    "partitioned_dpp" -> (partitionedDpp _))
+    "partitioned_dpp" -> (partitionedDpp _),
+    "schema_evolution" -> (schemaEvolution _),
+    "partitioned_compacted" -> (partitionedCompacted _))
 
   val oracles: Map[String, String] = Map(
     "bucketed_join" -> bucketedJoinSql,
     "partitioned_prune" -> partitionedPruneSql,
-    "partitioned_dpp" -> partitionedDppSql)
+    "partitioned_dpp" -> partitionedDppSql,
+    "schema_evolution" -> schemaEvolutionSql,
+    "partitioned_compacted" -> partitionedPruneSql)
 }

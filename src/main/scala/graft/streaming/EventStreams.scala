@@ -42,10 +42,12 @@ object EventStreams {
     * to a non-glob path itself and then requires a directory, so a glob
     * path keeps the explicit directory basePath.
     */
-  private def eventsFileStream(s: SparkSession, dir: String): DataFrame = {
+  private def eventsFileStream(s: SparkSession, dir: String,
+                               oneFilePerBatch: Boolean = false): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream.schema(rawSchema).option("basePath", dir)
+    val r = s.readStream.schema(rawSchema).option("basePath", dir)
+    (if (oneFilePerBatch) r.option("maxFilesPerTrigger", "1") else r)
       .parquet(s"$dir/events.parquet*")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -331,6 +333,68 @@ object EventStreams {
         col("n").cast("long").as("n"),
         round(col("total_value"), 6).cast("double").as("total_value"))
       .orderBy("nationkey")
+  }
+
+  /** Stage the events file as `nFiles` disjoint splits (event_id mod n) in
+    * a fresh stream-source dir, one micro-batch per file under
+    * maxFilesPerTrigger=1 — real multi-batch arrival instead of a
+    * single-batch degenerate run.
+    */
+  private def stagedEventSplits(s: SparkSession, dir: String, nFiles: Int,
+                                tag: String): String = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val out = freshDir(tag)
+    (0 until nFiles).foreach { i =>
+      val tmp = out.resolve(s"_split_$i")
+      raw.filter(pmod(col("event_id"), lit(nFiles)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"event split $i produced no parquet part file"))
+      java.nio.file.Files.move(part.toPath,
+        out.resolve(if (i == 0) "events.parquet" else s"events.parquet$i"))
+      locally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively(): Unit
+      }
+    }
+    out.toString
+  }
+
+  /** Streaming ingest INTO a day-partitioned layout: each micro-batch
+    * appends partition-aligned files (the daily-ingest growth pattern the
+    * compaction pass maintains), and the serving read prunes to the query
+    * days at the directory level — the full streaming-lake loop
+    * (arrive → partitioned land → pruned serve), checked against the raw
+    * events oracle. A fresh sink per run keeps appends from doubling
+    * across bench repetitions.
+    */
+  def partitionedSinkAvailableNow(s: SparkSession, dir: String,
+                                  pruneDays: Seq[String]): DataFrame = {
+    val srcDir = stagedEventSplits(s, dir, nFiles = 3, "psink_src")
+    val src = eventsFileStream(s, srcDir, oneFilePerBatch = true)
+    val base = freshDir("psink_out")
+    val table = base.resolve("table").toString
+    val ckpt = base.resolve("ckpt").toString
+    val q = src
+      .select(col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("day").parquet(table)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.option("basePath", table).parquet(table)
+      .filter(col("day").isin(pruneDays: _*))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("value")).cast("double").as("total_value"))
+      .orderBy("event_type")
   }
 
   // ---- Streaming funnel ------------------------------------------------------

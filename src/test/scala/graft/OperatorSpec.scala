@@ -503,4 +503,43 @@ class OperatorSpec extends SparkSpec {
       assert(got(i.toLong) == expect, s"case $i: got ${got(i.toLong)}, want $expect")
     }
   }
+
+  test("compactDayPartitions: heavy partitions collapse to one file, rows unchanged") {
+    import graft.queries.LayoutQueries
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.ScratchDirs.fresh("graft_layout", "compact_spec").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    (0 to 2).foreach { i =>
+      ev.filter(col("event_id") % 3 === i).drop("event_id")
+        .write.mode("append").partitionBy("day").parquet(base)
+    }
+    def filesPerDay: Map[String, Int] = {
+      val root = new org.apache.hadoop.fs.Path(base)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+        .map(st => st.getPath.getName ->
+          fs.listStatus(st.getPath)
+            .count(_.getPath.getName.endsWith(".parquet"))).toMap
+    }
+    val before = filesPerDay
+    assert(before.values.max > 2, s"appends did not fragment: $before")
+    val rowsBefore = spark.read.parquet(base)
+      .groupBy("day", "event_type").count()
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    val compacted = LayoutQueries.compactDayPartitions(spark, base,
+      maxFilesPerPartition = 2)
+    assert(compacted.nonEmpty, "nothing compacted despite fragmentation")
+    val after = filesPerDay
+    compacted.foreach { d =>
+      assert(after(s"day=$d") == 1,
+        s"partition day=$d still has ${after(s"day=$d")} files after compaction")
+    }
+    val rowsAfter = spark.read.parquet(base)
+      .groupBy("day", "event_type").count()
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(rowsAfter == rowsBefore, "compaction changed table contents")
+  }
 }
