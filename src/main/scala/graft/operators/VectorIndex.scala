@@ -91,6 +91,52 @@ object VectorIndex {
     spark.catalog.refreshTable(s"${prefix}_vectors")
   }
 
+  /** DELETE vectors from the persisted index — the right-to-be-forgotten
+    * path (the vector twin of Indexer.deleteFromBucketedIndex). Only the
+    * coarse lists that CONTAIN deleted ids are rewritten (anti-join, then
+    * staging + per-partition directory swap — the same atomic unit the
+    * compaction pass uses); untouched lists keep their files byte-for-byte.
+    * Lists emptied entirely disappear, and the catalog re-syncs its
+    * partition set. Quantizers are untouched: a delete never retrains —
+    * drift from mass deletion shows up in the drift report and is handled
+    * by rebuild, exactly like append-side drift.
+    *
+    * @param ids one column `id` — the vectors to forget
+    * @return number of coarse lists rewritten
+    */
+  def delete(spark: SparkSession, ids: DataFrame, prefix: String): Int = {
+    val t = s"${prefix}_vectors"
+    val del = ids.select(col("id")).distinct()
+    val vecs = spark.table(t)
+    val affected = vecs.join(broadcast(del), "id")
+      .select(col("cent_id")).distinct().collect().map(_.get(0))
+    if (affected.isEmpty) return 0
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .location
+    val root = new org.apache.hadoop.fs.Path(loc)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(loc.toString + "_delete_staging")
+    fs.delete(staging, true)
+    vecs.filter(col("cent_id").isin(affected: _*))
+      .join(broadcast(del), Seq("id"), "left_anti")
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(staging.toString)
+    affected.foreach { c =>
+      val live = new org.apache.hadoop.fs.Path(root, s"cent_id=$c")
+      val next = new org.apache.hadoop.fs.Path(staging, s"cent_id=$c")
+      fs.delete(live, true)
+      // a list whose every member was deleted has no staged dir — it stays
+      // deleted and SYNC PARTITIONS drops it from the catalog
+      if (fs.exists(next) && !fs.rename(next, live))
+        sys.error(s"vector delete rename failed for cent_id=$c")
+    }
+    fs.delete(staging, true)
+    spark.sql(s"MSCK REPAIR TABLE $t SYNC PARTITIONS")
+    spark.catalog.refreshTable(t)
+    affected.length
+  }
+
   /** IVF-PQ serving over the persisted tables: nearest-nprobe list
     * assignment per probe (centroid table broadcast), ADC shortlist via
     * the stored codes, exact cosine re-rank. The probe→list join lands on

@@ -557,6 +557,37 @@ object SimilarityQueries {
         col("cosine").cast("double").as("cosine"))
       .orderBy("probe_id", "rank")
 
+  // ---- Vector-index DELETE lifecycle -----------------------------------------
+  // Build the full persisted index, then FORGET every id % 7 == 0
+  // (VectorIndex.delete — anti-join rewrite of only the touched coarse
+  // lists). Serving must rank over exactly the surviving vectors with the
+  // ORIGINAL quantizers (a delete never retrains); the oracle keeps
+  // training on the full corpus and restricts candidates to the kept set.
+  private val VecDelMod = 7
+  private val builtVectorIdxDel = scala.collection.mutable.Set[String]()
+
+  private def ensureDeletedVectorIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val prefix = "graft_vecidxd_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!builtVectorIdxDel.contains(prefix)) {
+        graft.operators.VectorIndex.build(s, emb(s, dir), prefix,
+          ivfCentroids(s, dir), pqCodes(s, dir), PqM, PqSubDim)
+        graft.operators.VectorIndex.delete(s,
+          emb(s, dir).filter(col("id") % VecDelMod === 0).select(col("id")),
+          prefix)
+        builtVectorIdxDel += prefix
+      }
+      prefix
+    }
+
+  def annIvfPqDeleted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.VectorIndex.searchPrebuilt(s,
+        ensureDeletedVectorIndex(s, dir), probes(s, dir), K, NProbe,
+        PqShortlist)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("probe_id", "rank")
+
   // ---- Vector-index APPEND lifecycle -----------------------------------------
   // Build the persisted index from half the corpus, append the other half
   // encoded with the FROZEN centroids/codebooks (VectorIndex.append — the
@@ -640,20 +671,36 @@ object SimilarityQueries {
     */
   val annIvfPqAppendedSql: String = annIvfPqSqlOver("embh")
 
+  /** The delete lifecycle's oracle: quantizers from the FULL corpus (a
+    * delete never retrains), candidates restricted to the kept vectors.
+    */
+  val annIvfPqDeletedSql: String =
+    annIvfPqSqlOver("emb", candWhere = Some(s"NOT (id % $VecDelMod = 0)"))
+
   /** The IVF-PQ oracle body parameterized by the TRAINING relation:
     * centroid seed + Lloyd rounds + PQ codebook seed/means all derive from
     * `trainSrc`, while assignment, encoding and serving always run over
     * the full `emb` — exactly the split the persisted index's append path
     * creates (train on the built half, encode everything).
     */
-  private def annIvfPqSqlOver(trainSrc: String): String = {
+  /** @param trainSrc CTE the quantizers train on (frozen-quantizer
+    *   variants train on a subset or a pre-delete corpus)
+    * @param candWhere optional candidate filter — rows failing it are NOT
+    *   in the index (the delete lifecycle), though still train the
+    *   quantizers and may still probe
+    */
+  private def annIvfPqSqlOver(trainSrc: String,
+                              candWhere: Option[String] = None): String = {
     val h = OracleSql.hash64("CAST(id AS VARCHAR)")
     val avgList = (1 to PqSubDim).map(i => s"round(avg(sub[$i]), 6)")
       .mkString("[", ", ", "]")
+    val candSrc = candWhere.fold("emb")(_ => "kept")
+    val candCte = candWhere.fold("")(w =>
+      s"\nkept AS (SELECT * FROM emb WHERE $w),")
     val trainCte =
       if (trainSrc == "emb") ""
       else s"\n|$trainSrc AS (SELECT * FROM emb WHERE id % 2 = 0),".stripMargin
-    s"""WITH $EmbCte,$trainCte
+    s"""WITH $EmbCte,$trainCte$candCte
        |cents0 AS (SELECT id AS cent_id, v AS cv0 FROM $trainSrc
        |  ORDER BY $h, id LIMIT $NList),
        |${ivfIterCtes(IvfIters, trainSrc)},
@@ -665,7 +712,7 @@ object SimilarityQueries {
        |        list_dot_product(e.v, c.cv0) /
        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv0, c.cv0)))
        |        DESC, c.cent_id ASC) AS cr
-       |    FROM emb e, cents c) t
+       |    FROM $candSrc e, cents c) t
        |  WHERE cr = 1),
        |probe_cents AS (
        |  SELECT probe_id, pv, cent_id FROM (
@@ -687,7 +734,7 @@ object SimilarityQueries {
        |  FROM $trainSrc e, range($PqM) t(m)),
        |subs AS (
        |  SELECT e.id, t.m, e.v[(t.m*$PqSubDim+1):(t.m*$PqSubDim+$PqSubDim)] AS sub
-       |  FROM emb e, range($PqM) t(m)),
+       |  FROM $candSrc e, range($PqM) t(m)),
        |pqasg AS (
        |  SELECT m, k, sub FROM (
        |    SELECT s.m, c.k, s.sub,
@@ -947,6 +994,7 @@ object SimilarityQueries {
     "ann_ivf_pq" -> (annIvfPq _),
     "ann_ivf_pq_prebuilt" -> (annIvfPqPrebuilt _),
     "ann_ivf_pq_appended" -> (annIvfPqAppended _),
+    "ann_ivf_pq_deleted" -> (annIvfPqDeleted _),
     "vector_index_drift" -> (vectorIndexDrift _),
     "stream_vector_ingest" -> (streamVectorIngest _),
     "ann_quantized" -> (annQuantized _),
@@ -963,6 +1011,7 @@ object SimilarityQueries {
     "ann_ivf_pq" -> annIvfPqSql,
     "ann_ivf_pq_prebuilt" -> annIvfPqSql,
     "ann_ivf_pq_appended" -> annIvfPqAppendedSql,
+    "ann_ivf_pq_deleted" -> annIvfPqDeletedSql,
     "vector_index_drift" -> vectorIndexDriftSql,
     "stream_vector_ingest" -> annIvfPqAppendedSql,
     "ann_quantized" -> annQuantizedSql,

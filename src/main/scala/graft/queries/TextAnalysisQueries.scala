@@ -141,6 +141,51 @@ object TextAnalysisQueries {
   }
 
   // ---- Document fingerprint ---------------------------------------------------
+  // ---- Unicode NFC normalization ---------------------------------------------
+  // Testdata text is ASCII, so the query PLANTS a deterministic decomposed
+  // sequence per doc (combining accents, Hangul jamo — the forms crawl
+  // text actually mixes) and runs the native NfcNormalize expression over
+  // it; the oracle applies DuckDB's nfc_normalize to the identically
+  // planted text and compares digests byte-for-byte. len_raw > len_nfc on
+  // every row proves composition actually happened (combining pairs fold
+  // into one codepoint).
+  private val NfcForms = Seq(
+    "é",        // e + combining acute  -> é
+    "Å",        // A + combining ring   -> Å
+    "ö",        // o + combining diaeresis -> ö
+    "가",   // Hangul jamo L+V      -> 가
+    "ñ")        // n + combining tilde  -> ñ
+  private val NfcFormsChr = Seq(
+    "'e' || chr(769)", "'A' || chr(778)", "'o' || chr(776)",
+    "chr(4352) || chr(4449)", "'n' || chr(771)")
+
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val planted = element_at(
+      array(NfcForms.map(lit): _*), (col("doc_id") % 5 + 1).cast("int"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 40), planted).as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(graft.plans.NfcNormalize.nfcNormalize(col("raw")))
+          .cast("long").as("len_nfc"),
+        md5(graft.plans.NfcNormalize.nfcNormalize(col("raw"))).as("nfc_digest"))
+      .orderBy("doc_id")
+  }
+
+  val textNormalizeSql: String = {
+    val forms = NfcFormsChr.mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  CAST(length(raw) AS BIGINT) AS len_raw,
+       |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+       |  md5(nfc_normalize(raw)) AS nfc_digest
+       |FROM (
+       |  SELECT doc_id,
+       |    substring(text, 1, 40) || $forms[CAST(doc_id % 5 AS INTEGER) + 1] AS raw
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def docFingerprint(s: SparkSession, dir: String): DataFrame = {
     val toks = Tokenizer.tokenize(col("text"))
     Tables.documents(s, dir).select(
@@ -1134,6 +1179,7 @@ object TextAnalysisQueries {
     "pack_shuffle" -> (packShuffle _),
     "sample_per_group" -> (samplePerGroup _),
     "sample_weighted" -> (sampleWeighted _),
+    "text_normalize" -> (textNormalize _),
     "token_histogram" -> (tokenHistogram _))
 
   val oracles: Map[String, String] = Map(
@@ -1163,5 +1209,6 @@ object TextAnalysisQueries {
     "pack_shuffle" -> packShuffleSql,
     "sample_per_group" -> samplePerGroupSql,
     "sample_weighted" -> sampleWeightedSql,
+    "text_normalize" -> textNormalizeSql,
     "token_histogram" -> tokenHistogramSql)
 }

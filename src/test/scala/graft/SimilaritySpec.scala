@@ -20,6 +20,54 @@ class SimilaritySpec extends SparkSpec {
     assert(fromSpark == fromDriver)
   }
 
+  test("VectorIndex.delete forgets ids; untouched lists keep their files") {
+    import graft.operators.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val prefix = "vecdel_spec"
+    VectorIndex.trainAndBuild(spark, emb, prefix, nlist = 8, iters = 1,
+      pqM = 4, pqKs = 8)
+    val t = s"${prefix}_vectors"
+    def filesPerList: Map[String, Set[String]] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+      val root = new org.apache.hadoop.fs.Path(loc)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cent_id="))
+        .map(st => st.getPath.getName -> fs.listStatus(st.getPath)
+          .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val before = filesPerList
+    val deleted = emb.filter(col("id") % 5 === 0).select(col("id"))
+    val deletedIds = deleted.collect().map(_.getLong(0)).toSet
+    val affectedLists = spark.table(t)
+      .join(broadcast(deleted), "id").select(col("cent_id"))
+      .distinct().collect().map("cent_id=" + _.get(0)).toSet
+    val rewritten = VectorIndex.delete(spark, deleted, prefix)
+    assert(rewritten == affectedLists.size, "rewrite count != touched lists")
+    // every survivor present, no deleted id anywhere in the table
+    val remaining = spark.table(t).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(remaining.intersect(deletedIds).isEmpty, "deleted id still indexed")
+    assert(remaining.size == emb.count() - deletedIds.size,
+      "survivor count wrong after delete")
+    // untouched lists were not rewritten — same file names, byte-stable
+    val after = filesPerList
+    before.keys.filterNot(affectedLists).foreach { d =>
+      assert(after(d) == before(d), s"untouched list $d was rewritten")
+    }
+    // serving never returns a forgotten vector
+    val served = VectorIndex.searchPrebuilt(spark, prefix,
+        emb.filter(col("id") % 50 === 0), k = 5, nprobe = 4, shortlist = 20)
+      .select(col("cand_id")).collect().map(_.getLong(0)).toSet
+    assert(served.intersect(deletedIds).isEmpty,
+      "search served a deleted vector")
+  }
+
   test("lshBuckets: equal vectors collide, negated vectors flip every bit") {
     val v = (0 until 64).map(i => math.sin(i + 1.0))
     val df = Seq((1L, v), (2L, v), (3L, v.map(-_))).toDF("id", "v")

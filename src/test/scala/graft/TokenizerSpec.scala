@@ -62,4 +62,19 @@ class TokenizerSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(sh == Seq("abc", "bcd"))
   }
+
+  test("NfcNormalize composes decomposed sequences; normalized text passes through") {
+    val cases = Seq(
+      "é" -> "é",           // combining acute composes
+      "Å" -> "Å",           // combining ring
+      "가" -> "가",      // Hangul jamo L+V -> syllable
+      "plain ascii" -> "plain ascii",  // untouched
+      "é" -> "é",            // already composed: identity
+      "" -> "")
+    val got = cases.map(_._1).toDF("s")
+      .select(graft.plans.NfcNormalize.nfcNormalize(col("s")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2),
+      s"nfc mismatch: ${got.map(_.codePoints().toArray.toSeq)}")
+  }
 }
