@@ -92,6 +92,8 @@ object GraftFunctions {
       exprs => bm25Expr(exprs(0), exprs(1), exprs(2), exprs(3))),
     ("graft_jaccard", "fused set jaccard of two array<long> columns",
       exprs => graft.plans.LongArrayJaccard(exprs(0), exprs(1))),
+    ("graft_nfc", "Unicode NFC normalization (canonical composition)",
+      exprs => graft.plans.NfcNormalize(exprs.head)),
     ("graft_min_dist",
       "minimum |a_i - b_j| between two SORTED array<int> position lists",
       exprs => graft.plans.IntArrayMinAbsDiff(exprs(0), exprs(1))),

@@ -47,6 +47,8 @@ object Main {
       |  vindex  <embeddings.parquet> <prefix>    build the persisted IVF-PQ vector index
       |  vappend <embeddings.parquet> <prefix>    encode a batch with the frozen quantizers and append
       |  vsearch <prefix> <vec_id> [k=5]          ANN top-k over the persisted vector index
+      |  vdelete <ids.parquet> <prefix>           forget vectors (id column) from the vector index
+      |  forget  <ids.parquet> <textPrefix> <vecPrefix>  purge ids from BOTH serving stores
       |""".stripMargin
 
   /** docs parquet in the testdata shape: (doc_id, text[, ...]). */
@@ -136,6 +138,19 @@ object Main {
         Right(Some(graft.operators.VectorIndex.searchPrebuilt(spark, prefix,
           probe, k, nprobe = 8, shortlist = 40)
           .orderBy("rank")))
+      case Seq("vdelete", idsPath, prefix) =>
+        graft.operators.VectorIndex.delete(spark,
+          spark.read.parquet(idsPath).select(col("id")), prefix)
+        Right(None)
+      // right-to-be-forgotten across BOTH serving stores: one id table,
+      // the text index keyed doc_id, the vector index keyed id
+      case Seq("forget", idsPath, textPrefix, vecPrefix) =>
+        val ids = spark.read.parquet(idsPath)
+        Indexer.deleteFromBucketedIndex(spark, textPrefix,
+          ids.select(col("doc_id")))
+        graft.operators.VectorIndex.delete(spark,
+          ids.select(col("doc_id").as("id")), vecPrefix)
+        Right(None)
       case _ => Left(Usage)
     }
 

@@ -117,6 +117,39 @@ class CliSpec extends SparkSpec {
     assert(math.abs(out2.head.getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
+  test("forget purges ids from BOTH serving stores in one command") {
+    val tPrefix = "graft_cli_fg_t"
+    val vPrefix = "graft_cli_fg_v"
+    assert(cli.Main.run(spark, Seq("index", docsPath, tPrefix)).isRight)
+    assert(cli.Main.run(spark,
+      Seq("vindex", s"$dir/embeddings.parquet", vPrefix)).isRight)
+    // forget every doc the flagship query currently serves, plus its
+    // vector-store twin ids
+    val served = Search
+      .searchPrebuilt(spark, "spark filter join stream data", tPrefix, 3)
+      .select(col("doc_id").cast("long").as("doc_id"))
+    val idsPath = ScratchDirs.fresh("graft_cli", "forget_ids").toString
+    served.write.mode("overwrite").parquet(idsPath)
+    val gone = served.collect().map(_.getLong(0)).toSet
+    assert(cli.Main.run(spark,
+      Seq("forget", idsPath, tPrefix, vPrefix)).isRight)
+    // text store: none of the forgotten docs rank any more
+    val after = Search
+      .searchPrebuilt(spark, "spark filter join stream data", tPrefix, 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(after.intersect(gone).isEmpty, "text index still serves forgotten doc")
+    // vector store: rows gone from the index table and never served
+    val vLeft = spark.table(s"${vPrefix}_vectors").select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(vLeft.intersect(gone).isEmpty, "vector index still holds forgotten id")
+    // probe with a SURVIVING id (a forgotten probe has no vector to query)
+    val probeId = (0L to 499L).find(id => !gone(id) && vLeft(id)).get
+    val vOut = cli.Main.run(spark, Seq("vsearch", vPrefix, probeId.toString, "5"))
+      .toOption.flatten.get.collect().map(_.getAs[Long]("cand_id")).toSet
+    assert(vOut.nonEmpty && vOut.intersect(gone).isEmpty,
+      "vector search served forgotten id")
+  }
+
   test("merge, snapshot and rollback drive the same lifecycle as the library") {
     val q = "spark filter join stream data"
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
