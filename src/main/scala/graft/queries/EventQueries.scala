@@ -250,6 +250,15 @@ object EventQueries {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** eventsSessionWindowSql with per-session sums on the 1e-6 grid — the
+    * oracle for the STREAMING session_window run, whose state-store merge
+    * order differs from the batch scan order.
+    */
+  val eventsSessionWindowRoundedSql: String =
+    eventsSessionWindowSql.replace(
+      "CAST(sum(value) AS DOUBLE) AS total_value",
+      "CAST(round(sum(value), 6) AS DOUBLE) AS total_value")
+
   // ---- As-of join: each purchase matched to the user's latest prior signup --
   def eventsAsofSignup(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -717,6 +726,8 @@ object EventQueries {
     "stream_partitioned_sink" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       graft.streaming.EventStreams.partitionedSinkAvailableNow(s, d,
         Seq("2024-01-03", "2024-01-04", "2024-01-05"))),
+    "stream_session_window" ->
+      (graft.streaming.EventStreams.sessionWindowAvailableNow _),
     "events_cube_daily" -> (eventsCubeDaily _),
     "events_sliding" -> (eventsSliding _),
     "events_json" -> (eventsJson _),
@@ -750,6 +761,7 @@ object EventQueries {
     "stream_enrich_static" -> streamEnrichStaticSql,
     "stream_heavy_hitters" -> heavyHittersSql,
     "stream_partitioned_sink" -> LayoutQueries.partitionedPruneSql,
+    "stream_session_window" -> eventsSessionWindowRoundedSql,
     "events_cube_daily" -> eventsCubeDailySql,
     "events_sliding" -> eventsSlidingSql,
     "events_json" -> eventsJsonSql,

@@ -199,17 +199,50 @@ object TpchShapeQueries {
       |GROUP BY c_nationkey
       |ORDER BY nationkey""".stripMargin
 
+  // ---- LATERAL correlated subquery -------------------------------------------
+  // Top-2 orders per active customer via SQL-text LATERAL — the correlated
+  // per-row subquery surface (Spark plans it as a LateralJoin that
+  // decorrelates into a ranked join; DuckDB executes the same text shape).
+  // Result set equals the window formulation; the plan is the point.
+  def lateralTopOrders(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT c_custkey, t.o_orderkey, t.total
+        |FROM graft_customer,
+        |LATERAL (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+        |  FROM graft_orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 350000
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC
+        |  LIMIT 2) t
+        |ORDER BY c_custkey, total DESC, o_orderkey""".stripMargin)
+  }
+
+  val lateralTopOrdersSql: String =
+    """SELECT c_custkey, t.o_orderkey, t.total
+      |FROM customer,
+      |LATERAL (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 350000
+      |  ORDER BY o_totalprice DESC, o_orderkey ASC
+      |  LIMIT 2) t
+      |ORDER BY c_custkey, total DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q13_custdist" -> (q13CustDist _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q17_small_quantity" -> (q17SmallQuantity _),
-    "q22_inactive_customers" -> (q22InactiveCustomers _))
+    "q22_inactive_customers" -> (q22InactiveCustomers _),
+    "lateral_top_orders" -> (lateralTopOrders _))
 
   val oracles: Map[String, String] = Map(
     "q7_volume_shipping" -> q7VolumeShippingSql,
     "q13_custdist" -> q13CustDistSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q17_small_quantity" -> q17SmallQuantitySql,
-    "q22_inactive_customers" -> q22InactiveCustomersSql)
+    "q22_inactive_customers" -> q22InactiveCustomersSql,
+    "lateral_top_orders" -> lateralTopOrdersSql)
 }

@@ -237,7 +237,20 @@ object EventStreams {
     * trick that lets stateful operators flush per-user state at end of
     * input. Shared by the sessionize and funnel AvailableNow runs.
     */
-  private def sentinelStagedDir(s: SparkSession, dir: String, tag: String): String = {
+  /** @param extraSentinels additional SINGLE-ROW sentinel files staged
+    *   even later (+60 s apiece, fake user ids below every real sentinel).
+    *   Watermark-driven operators (session_window in Append mode) emit a
+    *   batch AFTER the watermark advances past a window's end, and an
+    *   AvailableNow run stops once the last file is processed — so the
+    *   emissions triggered by the last real file's watermark need one more
+    *   arriving file to be carried out. Stateful sentinel-flush operators
+    *   (sessionize/funnel/transitions) must NOT see extra sentinels: a
+    *   second flush on an already-removed state would fabricate rows —
+    *   they keep the default 0 (their emission happens IN the sentinel's
+    *   own batch, no trailing batch needed).
+    */
+  private def sentinelStagedDir(s: SparkSession, dir: String, tag: String,
+                                extraSentinels: Int = 0): String = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet") // ts = raw nanos long
     // empty source: max(ts) is null — any sentinel epoch works (there is
@@ -272,7 +285,66 @@ object EventStreams {
       import scala.reflect.io.Directory
       new Directory(tmpOut.toFile).deleteRecursively(): Unit
     }
+    (1 to extraSentinels).foreach { i =>
+      val extra = raw.sparkSession.range(1).select(
+        lit(-1000000L - i).as("event_id"),
+        lit(sentinelNanos + i * 60000000000L).as("ts"),
+        lit(-1L - i).as("user_id"),
+        lit("__sentinel").as("event_type"),
+        lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
+      val tmpX = srcDir.resolve(s"_sentinel_extra_$i")
+      extra.coalesce(1).write.mode("overwrite").parquet(tmpX.toString)
+      val px = tmpX.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error("extra sentinel write produced no parquet part file"))
+      java.nio.file.Files.move(px.toPath, srcDir.resolve(s"events.parquet${2 + i}"))
+      locally {
+        import scala.reflect.io.Directory
+        new Directory(tmpX.toFile).deleteRecursively(): Unit
+      }
+    }
     srcDir.toString
+  }
+
+  /** The NATIVE session_window aggregation run by the streaming engine in
+    * Append mode — the watermark-driven twin of the flatMapGroupsWithState
+    * sessionizer (same 30-minute gap, same batch oracle family).
+    *
+    * Append emission happens in the batch AFTER the watermark passes a
+    * session's end, so the staged source carries the per-user sentinels
+    * PLUS one extra later sentinel file: the per-user batch advances the
+    * zero-delay watermark past every real session, and the extra batch
+    * carries those emissions out (an AvailableNow run stops at the last
+    * file — there is no trailing no-data batch).
+    *
+    * The sentinels must flow THROUGH the watermark node and the
+    * aggregation: a pre-agg event_type filter gets pushed below the
+    * EventTimeWatermark operator and silently un-advances event time.
+    * Their own sessions start at the sentinel epoch and the watermark
+    * never passes them, so they stay in state and never reach the sink;
+    * the post-agg start<=corpus-max filter is a cheap second fence.
+    * Per-session sums round to the 1e-6 grid (micro-batch summation order
+    * differs from batch scan order).
+    */
+  def sessionWindowAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = sentinelStagedDir(s, dir, "swin_src", extraSentinels = 1)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val maxMicros = s.read.parquet(s"$dir/events.parquet")
+      .agg(coalesce(max(expr("ts div 1000")), lit(0L))).head().getLong(0)
+    val agg = eventsFileStream(s, srcDir, oneFilePerBatch = true)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("value")).as("tv"))
+      .filter(col("w").getField("start") <= timestamp_micros(lit(maxMicros)))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n"),
+        round(col("tv"), 6).cast("double").as("total_value"))
+    runToSink(agg, OutputMode.Append, "session_window")
+      .orderBy("user_id", "session_start")
   }
 
   def sessionizeAvailableNow(s: SparkSession, dir: String): DataFrame = {
