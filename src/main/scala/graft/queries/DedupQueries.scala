@@ -978,6 +978,43 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  // ---- Triangle counts over the near-dup graph --------------------------------
+  // Per-node triangle participation — the local-density companion to
+  // PageRank's centrality (triangle-rich docs sit in tightly-knit
+  // boilerplate cliques; pairwise-only hubs are stars). Canonical a<b<c
+  // enumeration: the pair table is already id_a < id_b, so each triangle
+  // matches exactly one (ab ⋈ bc ⋈ ac) path — two hash joins over the
+  // (small, cached) pair table, never a cartesian. Per-node counts explode
+  // the three corners and aggregate.
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = minhashPairs(s, dir)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .join(e.as("ac"),
+        col("ab.a") === col("ac.a") && col("bc.b") === col("ac.b"))
+      .select(col("ab.a").as("a"), col("ab.b").as("b"), col("bc.b").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
+  val graphTrianglesSql: String =
+    s"""WITH pairs AS (
+       |  SELECT doc_id_a AS a, doc_id_b AS b FROM (
+       |$dedupMinhashLshSql
+       |  ) mh),
+       |tri AS (
+       |  SELECT ab.a, ab.b, bc.b AS c
+       |  FROM pairs ab
+       |  JOIN pairs bc ON ab.b = bc.a
+       |  JOIN pairs ac ON ac.a = ab.a AND ac.b = bc.b),
+       |corners AS (
+       |  SELECT unnest([a, b, c]) AS doc_id FROM tri)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM corners GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val graphPagerankSql: String = {
     val rounds = (1 to PrIterations).map { k =>
       s"""pr$k AS (
@@ -1089,7 +1126,8 @@ object DedupQueries {
     "dedup_spans" -> (dedupSpans _),
     "dedup_passages" -> (dedupPassages _),
     "contrastive_triplets" -> (contrastiveTriplets _),
-    "graph_pagerank" -> (graphPagerank _))
+    "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -1109,5 +1147,6 @@ object DedupQueries {
     "dedup_spans" -> dedupSpansSql,
     "dedup_passages" -> dedupPassagesSql,
     "contrastive_triplets" -> contrastiveTripletsSql,
-    "graph_pagerank" -> graphPagerankSql)
+    "graph_pagerank" -> graphPagerankSql,
+    "graph_triangles" -> graphTrianglesSql)
 }

@@ -172,4 +172,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PageRank conserves rank mass within the integer-floor bound") {
+    import spark.implicits._
+    // a graph with mixed degrees: chain + hub
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L)) ++
+      (10L to 20L).map(i => (5L, i))).toDF("a", "b")
+    val iters = 10
+    val pr = graft.operators.PageRank.pagerank(edges, iters).collect()
+    val n = pr.length
+    val total = pr.map(_.getAs[Long]("r")).sum
+    val symEdges = edges.count() * 2
+    // each iteration floors once per contribution (|sym| terms) and once
+    // per node on the damped total; mass can only leak DOWN from n * 1e6
+    val slack = iters * (symEdges + 2L * n)
+    assert(total <= n * 1000000L, s"rank mass above n: $total vs ${n * 1000000L}")
+    assert(total >= n * 1000000L - slack,
+      s"rank mass leaked past the floor bound: $total < ${n * 1000000L - slack}")
+  }
+
+  test("weighted priority sample is biased toward heavier docs") {
+    val dir = "/root/testdata/sf0.001"
+    val sample = Queries.all("sample_weighted")(spark, dir)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    val corpus = Tables.documents(spark, dir)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sample > corpus,
+      f"weighted sample mean $sample%.1f not above corpus mean $corpus%.1f")
+  }
+
 }
