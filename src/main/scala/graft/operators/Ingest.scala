@@ -88,7 +88,16 @@ object Ingest {
     // the existing-corpus shingle sets are the pipeline's standing asset
     // (at scale they live as a persisted SignatureIndex)
     val exSets = setsOf(existing).registeredCache()
-    val bSets = setsOf(batch.join(exactNew, "doc_id"))
+    // exact survivors tokenized ONCE, shared by the shingle/near-dup gate
+    // and the final manifest's token count + quality metrics (tokenize is
+    // the pipeline's heaviest scalar work — three consumers, one pass)
+    val survivors = batch.join(exactNew, "doc_id")
+      .withColumn("toks", Tokenizer.tokenize(col("text")))
+      .registeredCache()
+    val bSets = survivors.select(col("doc_id").as("id"),
+        array_distinct(TextHash.hashedShingles(
+          transform(col("toks"), t => TextHash.hashMod(t)), 3)).as("toks"))
+      .filter(size(col("toks")) > 0)
     val nearMatched = Dedup.lshCandidatesBetween(
         sigsOf(bSets), sigsOf(exSets), numHashes, rowsPerBand)
       .join(bSets.select(col("id").as("id_new"), col("toks").as("tn")), "id_new")
@@ -105,10 +114,9 @@ object Ingest {
       .join(bSets.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .filter(graft.plans.ArrayJaccard.jaccardLong(col("ta"), col("tb")) >= 0.8)
       .select(col("id_b").as("doc_id")).distinct()
-    batch.join(exactNew, "doc_id")
+    survivors
       .join(nearMatched.unionByName(withinMatched).distinct(),
         Seq("doc_id"), "left_anti")
-      .withColumn("toks", Tokenizer.tokenize(col("text")))
       .withColumn("quality", Curation.qualityOf(col("text"), col("toks")))
       .filter(col("quality") >= minQuality)
       .select(col("doc_id"),

@@ -483,6 +483,39 @@ object EventQueries {
   // exact regardless.
   private val HhK = 128
 
+  // ---- Daily-activity anomaly flags -------------------------------------------
+  // Days where a user's event count sits > 2 sigma above their own daily
+  // mean — the per-entity outlier sweep an ops pipeline runs (bot spikes,
+  // replay storms). One aggregation shuffle to (user, day), one window
+  // keyed by user; z pinned to the 1e-6 grid.
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    daily
+      .withColumn("mu", avg(col("n")).over(w))
+      .withColumn("sd", stddev_samp(col("n")).over(w))
+      .filter(col("sd") > 0 && (col("n") - col("mu")) / col("sd") > 2.0)
+      .select(col("user_id"), col("day"), col("n").cast("long").as("n"),
+        round((col("n") - col("mu")) / col("sd"), 6).cast("double").as("z"))
+      .orderBy("user_id", "day")
+  }
+
+  val eventsAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT *, avg(n) OVER (PARTITION BY user_id) AS mu,
+      |    stddev_samp(n) OVER (PARTITION BY user_id) AS sd
+      |  FROM daily)
+      |SELECT user_id, day, CAST(n AS BIGINT) AS n,
+      |  CAST(round((n - mu) / sd, 6) AS DOUBLE) AS z
+      |FROM st WHERE sd > 0 AND (n - mu) / sd > 2.0
+      |ORDER BY user_id, day""".stripMargin
+
   def heavyHitters(s: SparkSession, dir: String): DataFrame =
     graft.operators.HeavyHitters
       .exactHeavyHitters(Tables.events(s, dir), "user_id", HhK)
@@ -693,6 +726,7 @@ object EventQueries {
     "skew_report" -> (skewReport _),
     "events_trigrams" -> (eventsTrigrams _),
     "heavy_hitters" -> (heavyHitters _),
+    "events_anomaly" -> (eventsAnomaly _),
     "data_quality" -> (dataQuality _),
     "events_rolling_1h" -> (eventsRolling1h _),
     "zorder_values" -> (zorderValues _),
@@ -740,6 +774,7 @@ object EventQueries {
     "skew_report" -> skewReportSql,
     "events_trigrams" -> eventsTrigramsSql,
     "heavy_hitters" -> heavyHittersSql,
+    "events_anomaly" -> eventsAnomalySql,
     "data_quality" -> dataQualitySql,
     "events_rolling_1h" -> eventsRolling1hSql,
     "zorder_values" -> zorderValuesSql,

@@ -138,17 +138,88 @@ object FunctionQueries {
        |FROM docs_l WHERE doc_id < 100
        |ORDER BY doc_id""".stripMargin
 
+  // ---- Linear-regression aggregates -------------------------------------------
+  // The regr_* family (slope/intercept/r2/count + avgs) per event type:
+  // value regressed on event-time day — the per-segment trend extraction
+  // analytics dashboards run; one partial-aggregated pass (moments), no
+  // window, no second scan.
+  def regressionAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+          .cast("double").as("x"))
+      .groupBy(col("event_type"))
+      // pinned to the 1e-6 grid: regression stats on near-uncorrelated
+      // data sit close to zero, where the comparator's RELATIVE epsilon
+      // would amplify benign cross-engine moment-cancellation noise
+      .agg(
+        round(expr("regr_slope(value, x)"), 6).cast("double").as("slope"),
+        round(expr("regr_intercept(value, x)"), 6).cast("double").as("intercept"),
+        round(expr("regr_r2(value, x)"), 6).cast("double").as("r2"),
+        expr("regr_count(value, x)").cast("long").as("n"))
+      .orderBy("event_type")
+
+  val regressionAggSql: String =
+    """SELECT event_type,
+      |  CAST(round(regr_slope(value, x), 6) AS DOUBLE) AS slope,
+      |  CAST(round(regr_intercept(value, x), 6) AS DOUBLE) AS intercept,
+      |  CAST(round(regr_r2(value, x), 6) AS DOUBLE) AS r2,
+      |  CAST(regr_count(value, x) AS BIGINT) AS n
+      |FROM (
+      |  SELECT event_type, value,
+      |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS DOUBLE) AS x
+      |  FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---- Higher-order array functions -------------------------------------------
+  // transform / filter / exists / aggregate / zip_with over the embedding
+  // vectors, reduced to scalars for the oracle hash. The lambda forms stay
+  // inside whole-stage codegen (no UDF boxing).
+  def hofFunctions(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        expr("CAST(round(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 6) AS DOUBLE)")
+          .as("sum_v"),
+        expr("CAST(size(filter(embedding, x -> x > 0)) AS BIGINT)").as("n_pos"),
+        expr("exists(embedding, x -> x > 0.9)").as("has_big"),
+        expr("""CAST(round(aggregate(
+                  zip_with(embedding, reverse(embedding), (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 6) AS DOUBLE)""")
+          .as("dot_reversed"),
+        expr("CAST(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE)")
+          .as("max_abs"))
+      .orderBy("vec_id")
+
+  val hofFunctionsSql: String =
+    """SELECT vec_id,
+      |  CAST(round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS DOUBLE) AS sum_v,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+      |  len(list_filter(embedding, x -> x > 0.9)) > 0 AS has_big,
+      |  CAST(round(list_dot_product(
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |    list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS DOUBLE) AS dot_reversed,
+      |  CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS max_abs
+      |FROM embeddings
+      |WHERE vec_id < 100
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "full_outer_join" -> (fullOuterJoin _),
     "cross_join_regions" -> (crossJoinRegions _),
     "datetime_functions" -> (datetimeFunctions _),
     "regexp_functions" -> (regexpFunctions _),
-    "array_functions" -> (arrayFunctions _))
+    "array_functions" -> (arrayFunctions _),
+    "regression_agg" -> (regressionAgg _),
+    "hof_functions" -> (hofFunctions _))
 
   val oracles: Map[String, String] = Map(
     "full_outer_join" -> fullOuterJoinSql,
     "cross_join_regions" -> crossJoinRegionsSql,
     "datetime_functions" -> datetimeFunctionsSql,
     "regexp_functions" -> regexpFunctionsSql,
-    "array_functions" -> arrayFunctionsSql)
+    "array_functions" -> arrayFunctionsSql,
+    "regression_agg" -> regressionAggSql,
+    "hof_functions" -> hofFunctionsSql)
 }
