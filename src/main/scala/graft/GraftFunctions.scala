@@ -25,16 +25,11 @@ object GraftFunctions {
 
   private val P = Literal(graft.functions.TextHash.P)
 
-  /** filter(split(regexp_replace(lower(e), '(?U)[^\w\s]', ' '), '\s+'), x -> x != '') */
-  private def tokenizeExpr(e: Expression): Expression = {
-    val x = UnresolvedNamedLambdaVariable(Seq("x"))
-    ArrayFilter(
-      StringSplit(
-        RegExpReplace(Lower(e), Literal(graft.functions.Tokenizer.NonWordPattern),
-          Literal(" ")),
-        Literal("\\s+"), Literal(-1)),
-      LambdaFunction(Not(EqualTo(x, Literal(""))), Seq(x)))
-  }
+  /** The fused single-pass tokenizer (same expression the Column API
+    * resolves to — one implementation serves both surfaces).
+    */
+  private def tokenizeExpr(e: Expression): Expression =
+    graft.plans.TokenizeText(e)
 
   private def hash64Expr(e: Expression): Expression =
     Cast(Conv(Substring(Md5(Cast(e, BinaryType)), Literal(1), Literal(15)),

@@ -22,8 +22,21 @@ object Tokenizer {
 
   /** Lowercase, strip punctuation to spaces, split on whitespace runs,
     * drop empty tokens. Returns `array<string>`.
+    *
+    * Implemented as the fused single-pass expression
+    * (graft.plans.TokenizeText): one scan on ASCII input instead of two
+    * regex passes + split + filter over materialized intermediates; the
+    * non-ASCII fallback runs the identical JDK regex machinery the
+    * composed form compiled to (TokenizerSpec pins the parity vectors;
+    * every DuckDB text oracle pins the corpus behavior).
     */
-  def tokenize(c: Column): Column =
+  def tokenize(c: Column): Column = graft.plans.TokenizeText.tokenizeCol(c)
+
+  /** The composed Column form the fused expression replaced — kept as the
+    * executable spec of the tokenizer's semantics (TokenizerSpec asserts
+    * fused == composed on the parity vectors and the test corpus).
+    */
+  def tokenizeComposed(c: Column): Column =
     filter(
       split(regexp_replace(lower(c), NonWordPattern, " "), "\\s+"),
       t => t =!= lit(""))

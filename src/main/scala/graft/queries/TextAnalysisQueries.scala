@@ -1123,6 +1123,59 @@ object TextAnalysisQueries {
        |ORDER BY wkey ASC, doc_id ASC
        |LIMIT $WeightedN""".stripMargin
 
+  // ---- Overlapping chunk export (RAG / retrieval granularity) -----------------
+  // Fixed-size token windows with stride < size (16-token overlap keeps
+  // boundary-spanning phrases retrievable) — the export shape a retrieval
+  // corpus or embedding-indexing job consumes. Chunk geometry is pure
+  // integer arithmetic; the chunk text digest is md5 over the
+  // space-joined token slice, identical in both engines. Narrow except
+  // the per-doc explode; chunk count ∝ tokens/stride.
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), Tokenizer.tokenize(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("nc",
+        when(col("n") <= ChunkSize, lit(1L))
+          .otherwise(expr(s"(n - $ChunkSize + $ChunkStride - 1) div $ChunkStride") + 1))
+    t.select(col("doc_id"), col("n"), col("toks"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * ChunkStride)
+      .withColumn("len", least(lit(ChunkSize), col("n") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        col("len").cast("long").as("len"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("start_tok") + 1).cast("int"),
+            col("len").cast("int")))).as("chunk_digest"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkOverlapSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |sized AS (
+       |  SELECT doc_id, l, len(l) AS n,
+       |    CASE WHEN len(l) <= $ChunkSize THEN 1
+       |         ELSE (len(l) - $ChunkSize + $ChunkStride - 1) // $ChunkStride + 1
+       |    END AS nc
+       |  FROM docs_l WHERE len(l) > 0),
+       |idx AS (
+       |  SELECT doc_id, l, n,
+       |    unnest(generate_series(0, nc - 1)) AS chunk_idx
+       |  FROM sized)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(chunk_idx * $ChunkStride AS BIGINT) AS start_tok,
+       |  CAST(least($ChunkSize, n - chunk_idx * $ChunkStride) AS BIGINT) AS len,
+       |  md5(array_to_string(
+       |    l[(chunk_idx * $ChunkStride + 1):
+       |      (chunk_idx * $ChunkStride + least($ChunkSize, n - chunk_idx * $ChunkStride))],
+       |    ' ')) AS chunk_digest
+       |FROM idx
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---- Token-count histogram --------------------------------------------------
   // The length-distribution profile every curation run starts from:
   // fixed-width buckets over per-doc token counts. Pure integer
@@ -1180,6 +1233,7 @@ object TextAnalysisQueries {
     "sample_per_group" -> (samplePerGroup _),
     "sample_weighted" -> (sampleWeighted _),
     "text_normalize" -> (textNormalize _),
+    "chunk_overlap" -> (chunkOverlap _),
     "token_histogram" -> (tokenHistogram _))
 
   val oracles: Map[String, String] = Map(
@@ -1210,5 +1264,6 @@ object TextAnalysisQueries {
     "sample_per_group" -> samplePerGroupSql,
     "sample_weighted" -> sampleWeightedSql,
     "text_normalize" -> textNormalizeSql,
+    "chunk_overlap" -> chunkOverlapSql,
     "token_histogram" -> tokenHistogramSql)
 }

@@ -63,6 +63,34 @@ class TokenizerSpec extends SparkSpec {
     assert(sh == Seq("abc", "bcd"))
   }
 
+  test("fused tokenizer equals the composed Column form on parity vectors and corpus") {
+    val vectors = Seq(
+      "Hello, World! foo_bar 42",
+      "héllo naïve_word café",          // Unicode letters kept
+      "em—dash and … ellipsis",          // non-ASCII punctuation splits
+      "tabs\tand\nnewlines  runs",
+      "",
+      "   ",
+      "ALL CAPS MiXeD",
+      "digits123 _lead trail_ 1_2",
+      "ПРИВЕТ Мир",                      // non-ASCII lowercasing
+      "a b",                        // NBSP is \s under (?U)
+      "ascii.only;string!with?punct")
+    val df = vectors.toDF("text")
+      .select(Tokenizer.tokenize(col("text")).as("fused"),
+        Tokenizer.tokenizeComposed(col("text")).as("composed"))
+    df.collect().zip(vectors).foreach { case (r, v) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"fused != composed for <$v>: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+    // whole test corpus: token streams identical doc-for-doc
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(Tokenizer.tokenize(col("text")).as("fused"),
+        Tokenizer.tokenizeComposed(col("text")).as("composed"))
+      .filter(not(col("fused") === col("composed")))
+    assert(docs.count() == 0, "fused tokenizer diverged on the corpus")
+  }
+
   test("NfcNormalize composes decomposed sequences; normalized text passes through") {
     val cases = Seq(
       "é" -> "é",           // combining acute composes
