@@ -32,8 +32,7 @@ object GraftFunctions {
     graft.plans.TokenizeText(e)
 
   private def hash64Expr(e: Expression): Expression =
-    Cast(Conv(Substring(Md5(Cast(e, BinaryType)), Literal(1), Literal(15)),
-      Literal(16), Literal(10)), LongType)
+    graft.plans.Md5Prefix64(Cast(e, StringType))
 
   private def hashModExpr(e: Expression): Expression =
     Remainder(hash64Expr(e), P)

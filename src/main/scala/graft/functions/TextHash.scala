@@ -20,8 +20,16 @@ object TextHash {
   /** Large prime modulus for rolling/minhash arithmetic. */
   val P = 1000000007L
 
-  /** 60-bit md5-prefix hash of a string column. */
-  def hash64(c: Column): Column =
+  /** 60-bit md5-prefix hash of a string column — the fused digest-to-long
+    * expression (graft.plans.Md5Prefix64); see its scaladoc. TokenizerSpec
+    * asserts fused == composed.
+    */
+  def hash64(c: Column): Column = graft.plans.Md5Prefix64.hash64Col(c)
+
+  /** The composed Column form the fused expression replaced — kept as the
+    * executable spec of the hash's cross-engine definition.
+    */
+  def hash64Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** hash64 reduced mod P (fits comfortably in later products). */

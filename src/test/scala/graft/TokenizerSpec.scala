@@ -91,6 +91,25 @@ class TokenizerSpec extends SparkSpec {
     assert(docs.count() == 0, "fused tokenizer diverged on the corpus")
   }
 
+  test("fused hash64 equals the conv(md5) Column form") {
+    val vectors = Seq("", "a", "hello world", "héllo", "ПРИВЕТ", "123",
+      "#2", "a\tb\nc", "0", "deadbeef" * 20)
+    val df = vectors.toDF("s")
+      .select(graft.functions.TextHash.hash64(col("s")).as("fused"),
+        graft.functions.TextHash.hash64Composed(col("s")).as("composed"))
+    df.collect().zip(vectors).foreach { case (r, v) =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"hash64 fused != composed for <$v>: ${r.getLong(0)} vs ${r.getLong(1)}")
+    }
+    // every token of the test corpus
+    val diverged = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(Tokenizer.tokenize(col("text"))).as("t"))
+      .select(graft.functions.TextHash.hash64(col("t")).as("fused"),
+        graft.functions.TextHash.hash64Composed(col("t")).as("composed"))
+      .filter(col("fused") =!= col("composed"))
+    assert(diverged.count() == 0, "hash64 diverged on corpus tokens")
+  }
+
   test("NfcNormalize composes decomposed sequences; normalized text passes through") {
     val cases = Seq(
       "é" -> "é",           // combining acute composes
