@@ -48,6 +48,8 @@ object Main {
       |  vappend <embeddings.parquet> <prefix>    encode a batch with the frozen quantizers and append
       |  vsearch <prefix> <vec_id> [k=5]          ANN top-k over the persisted vector index
       |  vdelete <ids.parquet> <prefix>           forget vectors (id column) from the vector index
+      |  vsnapshot <prefix> <tag>                 point-in-time copy of the vector index
+      |  vrollback <prefix> <tag>                 restore the vector index from a snapshot
       |  forget  <ids.parquet> <textPrefix> <vecPrefix>  purge ids from BOTH serving stores
       |""".stripMargin
 
@@ -138,6 +140,12 @@ object Main {
         Right(Some(graft.operators.VectorIndex.searchPrebuilt(spark, prefix,
           probe, k, nprobe = 8, shortlist = 40)
           .orderBy("rank")))
+      case Seq("vsnapshot", prefix, tag) =>
+        graft.operators.VectorIndex.snapshot(spark, prefix, tag)
+        Right(None)
+      case Seq("vrollback", prefix, tag) =>
+        graft.operators.VectorIndex.rollback(spark, prefix, tag)
+        Right(None)
       case Seq("vdelete", idsPath, prefix) =>
         graft.operators.VectorIndex.delete(spark,
           spark.read.parquet(idsPath).select(col("id")), prefix)

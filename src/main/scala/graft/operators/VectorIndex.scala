@@ -137,6 +137,52 @@ object VectorIndex {
     affected.length
   }
 
+  private def tableLocation(spark: SparkSession, name: String): String =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+      .location.toString
+
+  private val Parts = Seq("centroids", "codes", "vectors")
+
+  /** Point-in-time copy of the vector index (the risky-maintenance fence:
+    * snapshot, then append/delete/retrain; if the batch was bad, roll
+    * back). The three dirs are copied to a fresh scratch base and
+    * registered as `${prefix}_${tag}_*` — cost is one read+write of the
+    * index, the same shape as a compaction pass.
+    */
+  def snapshot(spark: SparkSession, prefix: String, tag: String): Unit = {
+    val base = graft.ScratchDirs.fresh("graft_vecidx", s"${prefix}_$tag")
+    val conf = spark.sparkContext.hadoopConfiguration
+    Parts.foreach { t =>
+      val src = new org.apache.hadoop.fs.Path(tableLocation(spark, s"${prefix}_$t"))
+      val dst = new org.apache.hadoop.fs.Path(base.toString, t)
+      val fs = src.getFileSystem(conf)
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf))
+        sys.error(s"vector snapshot copy failed for $t")
+      val snapT = s"${prefix}_${tag}_$t"
+      spark.sql(s"DROP TABLE IF EXISTS $snapT")
+      spark.catalog.createTable(snapT, dst.toString, "parquet")
+      if (t == "vectors") spark.catalog.recoverPartitions(snapT)
+    }
+  }
+
+  /** Restore the live index from a snapshot. The tables are external
+    * (path-backed), so rollback is pure catalog surgery: live names
+    * re-point at the snapshot's directories. The snapshot is CONSUMED —
+    * its files now serve the live index; take another to keep one.
+    */
+  def rollback(spark: SparkSession, prefix: String, tag: String): Unit =
+    Parts.foreach { t =>
+      val liveT = s"${prefix}_$t"
+      val snapT = s"${prefix}_${tag}_$t"
+      val snapLoc = tableLocation(spark, snapT)
+      spark.sql(s"DROP TABLE IF EXISTS $liveT") // external: files untouched
+      spark.catalog.createTable(liveT, snapLoc, "parquet")
+      spark.sql(s"DROP TABLE IF EXISTS $snapT")
+      if (t == "vectors") spark.catalog.recoverPartitions(liveT)
+      spark.catalog.refreshTable(liveT)
+    }
+
   /** IVF-PQ serving over the persisted tables: nearest-nprobe list
     * assignment per probe (centroid table broadcast), ADC shortlist via
     * the stored codes, exact cosine re-rank. The probe→list join lands on

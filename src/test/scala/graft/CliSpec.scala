@@ -150,6 +150,30 @@ class CliSpec extends SparkSpec {
       "vector search served forgotten id")
   }
 
+  test("vsnapshot then vrollback undoes a bad vector delete") {
+    val prefix = "graft_cli_vsnap"
+    assert(cli.Main.run(spark,
+      Seq("vindex", s"$dir/embeddings.parquet", prefix)).isRight)
+    val before = spark.table(s"${prefix}_vectors").select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(cli.Main.run(spark, Seq("vsnapshot", prefix, "pre")).isRight)
+    // "bad" maintenance: forget a third of the corpus
+    val idsPath = ScratchDirs.fresh("graft_cli", "vsnap_ids").toString
+    Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
+      .filter(col("id") % 3 === 0)
+      .write.mode("overwrite").parquet(idsPath)
+    assert(cli.Main.run(spark, Seq("vdelete", idsPath, prefix)).isRight)
+    assert(spark.table(s"${prefix}_vectors").count() < before.size)
+    // undo: the full id set serves again
+    assert(cli.Main.run(spark, Seq("vrollback", prefix, "pre")).isRight)
+    val after = spark.table(s"${prefix}_vectors").select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(after == before, "rollback did not restore the vector set")
+    val out = cli.Main.run(spark, Seq("vsearch", prefix, "0", "3"))
+      .toOption.flatten.get.collect()
+    assert(out.length == 3)
+  }
+
   test("merge, snapshot and rollback drive the same lifecycle as the library") {
     val q = "spark filter join stream data"
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
