@@ -822,6 +822,34 @@ object SimilarityQueries {
        |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
 
+  // ---- Deterministic random projection ---------------------------------------
+  // Every vector projected onto the 8 md5-derived hyperplanes the LSH
+  // family already defines — dimensionality reduction for visualization /
+  // coarse indexing with NO trained components and NO RNG: the planes are
+  // pure hash arithmetic, so any engine (and any rerun) produces the
+  // identical 8-d sketch. Entirely narrow; coordinates on the 1e-6 grid.
+  private val NProj = 8
+
+  def embeddingProject(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(
+      col("id") +: (0 until NProj).map(j =>
+        round(graft.plans.VectorExprs.dot(col("v"),
+          Similarity.planeArray(j, Dim)), 6).cast("double").as(s"p$j")): _*)
+      .orderBy("id")
+
+  val embeddingProjectSql: String = {
+    val cols = (0 until NProj).map(j =>
+      s"""  CAST(round(list_dot_product(v,
+         |    (SELECT parr FROM planes WHERE j = $j)), 6) AS DOUBLE) AS p$j""".stripMargin)
+      .mkString(",\n")
+    s"""WITH $EmbCte,
+       |${OracleSql.planesCte(NProj, Dim)}
+       |SELECT id,
+       |$cols
+       |FROM emb
+       |ORDER BY id""".stripMargin
+  }
+
   // ---- Per-label embedding norm stats ----------------------------------------
   def embeddingNorms(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
@@ -999,7 +1027,8 @@ object SimilarityQueries {
     "stream_vector_ingest" -> (streamVectorIngest _),
     "ann_quantized" -> (annQuantized _),
     "ann_lsh_quantized" -> (annLshQuantized _),
-    "embedding_norms" -> (embeddingNorms _))
+    "embedding_norms" -> (embeddingNorms _),
+    "embedding_project" -> (embeddingProject _))
 
   val oracles: Map[String, String] = Map(
     "semantic_dedup" -> semanticDedupSql,
@@ -1016,5 +1045,6 @@ object SimilarityQueries {
     "stream_vector_ingest" -> annIvfPqAppendedSql,
     "ann_quantized" -> annQuantizedSql,
     "ann_lsh_quantized" -> annLshQuantizedSql,
-    "embedding_norms" -> embeddingNormsSql)
+    "embedding_norms" -> embeddingNormsSql,
+    "embedding_project" -> embeddingProjectSql)
 }
