@@ -250,6 +250,56 @@ object EventQueries {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---- DYNAMIC-gap session windows --------------------------------------------
+  // The session timeout depends on the event: a purchase keeps the session
+  // alive 60 minutes, anything else 30 — the engagement-weighted
+  // sessionization real funnels use. Each event contributes the interval
+  // [ts, ts+gap); sessions are the merged overlap components, so the
+  // oracle's new-session test is ts >= running max of previous members'
+  // ends (NOT a fixed lag difference), and a session's end is the max
+  // member end. Same one-shuffle session_window plan as the fixed-gap
+  // form; the gap is a per-row column.
+  def eventsSessionDynamic(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"),
+          when(col("event_type") === "purchase", "60 minutes")
+            .otherwise("30 minutes")).as("w"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("value")).cast("double").as("total_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
+  val eventsSessionDynamicSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN event_type = 'purchase' THEN INTERVAL '60 minutes'
+      |         ELSE INTERVAL '30 minutes' END AS gap
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, value, gap,
+      |    CASE WHEN max(ts + gap) OVER w IS NULL
+      |           OR ts >= max(ts + gap) OVER w
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |sessions AS (
+      |  SELECT user_id, ts, value, gap,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts + gap), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(value) AS DOUBLE) AS total_value
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** eventsSessionWindowSql with per-session sums on the 1e-6 grid — the
     * oracle for the STREAMING session_window run, whose state-store merge
     * order differs from the batch scan order.
@@ -735,6 +785,7 @@ object EventQueries {
     "events_retention" -> (eventsRetention _),
     "events_click_to_purchase" -> (eventsClickToPurchase _),
     "events_session_window" -> (eventsSessionWindow _),
+    "events_session_dynamic" -> (eventsSessionDynamic _),
     "events_asof_signup" -> (eventsAsofSignup _),
     "events_asof_next" -> (eventsAsofNext _),
     "events_tumbling" -> (eventsTumbling _),
@@ -783,6 +834,7 @@ object EventQueries {
     "events_retention" -> eventsRetentionSql,
     "events_click_to_purchase" -> eventsClickToPurchaseSql,
     "events_session_window" -> eventsSessionWindowSql,
+    "events_session_dynamic" -> eventsSessionDynamicSql,
     "events_asof_signup" -> eventsAsofSignupSql,
     "events_asof_next" -> eventsAsofNextSql,
     "events_tumbling" -> eventsTumblingSql,
