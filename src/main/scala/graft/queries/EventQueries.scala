@@ -300,6 +300,130 @@ object EventQueries {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---- Linear multi-touch attribution -----------------------------------------
+  // The marketing-analytics staple: every purchase's value is split
+  // EQUALLY across the user's clicks in the preceding 24 h (linear
+  // attribution; click channel = props.k mod 5), purchases with no
+  // qualifying click report under channel -1 at full value. One left
+  // interval join on the user key (state bounded per user by the 24 h
+  // window — the same shape Spark's stream-stream interval join keeps
+  // bounded) plus one count window per purchase; per-touch credits round
+  // to micro-units before the integer channel sum, so the total is
+  // independent of add order and value conservation is exact: summing
+  // attributed_value over channels reproduces total purchase value up to
+  // the final per-purchase rounding.
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("ct"),
+        (from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k") % 5).as("channel"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pt"),
+        col("event_id").as("purchase_id"), col("value"))
+    val j = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("ct") <= col("pt") &&
+        col("ct") > col("pt") - lit(86400000000L), "left")
+    val perPurchase = Window.partitionBy(col("purchase_id"))
+    j.withColumn("n_clicks", count(col("ct")).over(perPurchase))
+      .withColumn("credit_micro",
+        round(when(col("n_clicks") === 0, col("value"))
+          .otherwise(col("value") / col("n_clicks").cast("double"))
+          * 1e6).cast("long"))
+      .groupBy(coalesce(col("channel"), lit(-1L)).as("channel"))
+      .agg(count(lit(1)).cast("long").as("n_touches"),
+        (sum(col("credit_micro")).cast("double") / 1e6).as("attributed_value"))
+      .orderBy("channel")
+  }
+
+  val eventsAttributionSql: String =
+    """WITH c AS (
+      |  SELECT user_id, epoch_us(ts) AS ct,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS channel
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, epoch_us(ts) AS pt, event_id AS purchase_id, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.purchase_id, p.value, c.channel, c.ct
+      |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+      |    AND c.ct <= p.pt AND c.ct > p.pt - 86400000000),
+      |n AS (
+      |  SELECT purchase_id, value, channel,
+      |    count(ct) OVER (PARTITION BY purchase_id) AS n_clicks FROM j),
+      |cr AS (
+      |  SELECT coalesce(channel, -1) AS channel,
+      |    CAST(round(CASE WHEN n_clicks = 0 THEN value
+      |      ELSE value / CAST(n_clicks AS DOUBLE) END * 1000000.0) AS BIGINT)
+      |      AS credit_micro
+      |  FROM n)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+      |  CAST(sum(credit_micro) AS DOUBLE) / 1000000.0 AS attributed_value
+      |FROM cr GROUP BY channel ORDER BY channel""".stripMargin
+
+  // ---- SCD type-2 history from the change feed --------------------------------
+  // The lakehouse dimension-build: treat each user's event_type stream as
+  // attribute changes and emit the type-2 validity intervals — one row per
+  // run of consecutive identical values, [valid_from, valid_to) half-open,
+  // NULL valid_to + is_current on the open run. Islands via the classic
+  // lag-compare + running-sum (one window pass over the user partition, no
+  // self-join); interval ends via lead over the collapsed runs — the
+  // second window runs over the ALREADY-collapsed table (rows = number of
+  // changes, not number of events), so the expensive pass is the single
+  // per-user scan. Ties inside a timestamp break on event_id, mirrored in
+  // the oracle.
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val islands = Tables.events(s, dir)
+      .withColumn("prev_state", lag(col("event_type"), 1).over(byUser))
+      .withColumn("changed",
+        when(col("prev_state").isNull ||
+          col("prev_state") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("changed")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = islands.groupBy(col("user_id"), col("island"))
+      .agg(min(col("event_type")).as("state"),
+        min(col("ts")).as("vf"),
+        count(lit(1)).cast("long").as("n_events"))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("island").asc)
+    runs.withColumn("vt", lead(col("vf"), 1).over(byRun))
+      .select(col("user_id"), col("state"),
+        date_format(col("vf"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("vt"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("n_events"),
+        col("vt").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "state")
+  }
+
+  val scd2HistorySql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS changed
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |islands AS (
+      |  SELECT user_id, event_type, ts,
+      |    sum(changed) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flagged),
+      |runs AS (
+      |  SELECT user_id, island, min(event_type) AS state, min(ts) AS vf,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM islands GROUP BY user_id, island)
+      |SELECT user_id, state,
+      |  strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  strftime(lead(vf) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+      |  n_events,
+      |  lead(vf) OVER w2 IS NULL AS is_current
+      |FROM runs
+      |WINDOW w2 AS (PARTITION BY user_id ORDER BY island ASC)
+      |ORDER BY user_id, valid_from, state""".stripMargin
+
   /** eventsSessionWindowSql with per-session sums on the 1e-6 grid — the
     * oracle for the STREAMING session_window run, whose state-store merge
     * order differs from the batch scan order.
@@ -786,6 +910,8 @@ object EventQueries {
     "events_click_to_purchase" -> (eventsClickToPurchase _),
     "events_session_window" -> (eventsSessionWindow _),
     "events_session_dynamic" -> (eventsSessionDynamic _),
+    "scd2_history" -> (scd2History _),
+    "events_attribution" -> (eventsAttribution _),
     "events_asof_signup" -> (eventsAsofSignup _),
     "events_asof_next" -> (eventsAsofNext _),
     "events_tumbling" -> (eventsTumbling _),
@@ -835,6 +961,8 @@ object EventQueries {
     "events_click_to_purchase" -> eventsClickToPurchaseSql,
     "events_session_window" -> eventsSessionWindowSql,
     "events_session_dynamic" -> eventsSessionDynamicSql,
+    "scd2_history" -> scd2HistorySql,
+    "events_attribution" -> eventsAttributionSql,
     "events_asof_signup" -> eventsAsofSignupSql,
     "events_asof_next" -> eventsAsofNextSql,
     "events_tumbling" -> eventsTumblingSql,

@@ -649,7 +649,52 @@ object RelationalQueries {
       |SELECT doc_id, md5(text) AS text_md5, lang, source
       |FROM merged ORDER BY doc_id""".stripMargin
 
+  // ---- Fuzzy entity resolution: token blocking + edit-distance verify --------
+  // The record-linkage candidate report: which distinct part names are
+  // near-identical (levenshtein <= 3) and should merge into one entity?
+  // Classic blocked ER — all-pairs levenshtein is O(V^2) in the name
+  // vocabulary, so candidates are generated only for name pairs sharing a
+  // blocking token, then verified with the exact distance. The distinct-
+  // name dictionary (V = name vocabulary, not row count — at 100 TB the
+  // rows grow, the dictionary doesn't) is one groupBy, feeds both join
+  // sides from a registered cache, and the candidate join keys on the
+  // blocking token. Per-entity row counts ride along so a downstream
+  // merge knows which spelling is canonical.
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.CacheRegistry.RegisteredCache
+    val names = Tables.part(s, dir).groupBy("p_name")
+      .agg(count(lit(1)).cast("long").as("n_parts"))
+      .registeredCache()
+    val toks = names.select(col("p_name"), col("n_parts"),
+      explode(split(col("p_name"), " ")).as("tok"))
+    val a = toks.select(col("tok"), col("p_name").as("name_a"),
+      col("n_parts").as("parts_a"))
+    val b = toks.select(col("tok"), col("p_name").as("name_b"),
+      col("n_parts").as("parts_b"))
+    a.join(b, "tok").filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b", "parts_a", "parts_b").distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .orderBy("name_a", "name_b")
+  }
+
+  val fuzzyMatchSql: String =
+    """WITH n AS (
+      |  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+      |  FROM part GROUP BY 1),
+      |t AS (SELECT p_name, n_parts, unnest(string_split(p_name, ' ')) AS tok
+      |      FROM n),
+      |cand AS (
+      |  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b,
+      |    a.n_parts AS parts_a, b.n_parts AS parts_b
+      |  FROM t a JOIN t b ON a.tok = b.tok AND a.p_name < b.p_name)
+      |SELECT name_a, name_b, parts_a, parts_b,
+      |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+      |FROM cand WHERE levenshtein(name_a, name_b) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_match" -> (fuzzyMatch _),
     "docs_upsert" -> (docsUpsert _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "unpivot_metrics" -> (unpivotMetrics _),
@@ -683,6 +728,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "docs_upsert" -> docsUpsertSql,
+    "fuzzy_match" -> fuzzyMatchSql,
     "skew_salted_join" -> skewSaltedJoinSql,
     "unpivot_metrics" -> unpivotMetricsSql,
     "collect_agg" -> collectAggSql,

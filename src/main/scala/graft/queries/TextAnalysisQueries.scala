@@ -762,6 +762,68 @@ object TextAnalysisQueries {
        |    / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS nll
        |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- Bigram-LM quality signal (conditional surprisal) -----------------------
+  // unigram_nll's higher-order sibling: per-document mean surprisal under
+  // the corpus's OWN add-one-smoothed bigram model,
+  //   P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V),
+  // with V the corpus unigram vocabulary. Repetitive boilerplate (frequent
+  // transitions) scores low, incoherent token salad scores high — and
+  // unlike the unigram gate this one catches shuffled-word spam whose
+  // unigram profile is perfectly normal. Prefix counts c(w1,·) are derived
+  // from the same (doc,bigram,tf) aggregate that feeds the scoring join
+  // (one registered cache, three consumers); V is a broadcast scalar.
+  // Per-bigram addends round to micro-units and sum as integers — the
+  // unigram_nll determinism device. The wide exchanges are the (doc,
+  // bigram) partial agg and the bigram-keyed scoring join; both partition
+  // on the data's natural keys and survive a 100x scale-up.
+  def bigramNll(s: SparkSession, dir: String): DataFrame = {
+    import graft.CacheRegistry.RegisteredCache
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), Tokenizer.tokenize(col("text")).as("toks"))
+    val db = docs
+      .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("tfb"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .registeredCache()
+    val cb = db.groupBy("bigram").agg(sum("tfb").as("cb"))
+    val c1 = db.groupBy("w1").agg(sum("tfb").as("c1"))
+    val v = docs.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).as("vs"))
+    db.join(cb, "bigram").join(c1, "w1").crossJoin(broadcast(v))
+      .withColumn("addend",
+        round(col("tfb").cast("double")
+          * log((col("c1") + col("vs")).cast("double")
+            / (col("cb") + lit(1L)).cast("double")) * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("tfb")).cast("long").as("n_bigrams"),
+        (sum(col("addend")).cast("double") / 1e6
+          / sum(col("tfb")).cast("double")).as("nll"))
+      .orderBy("doc_id")
+  }
+
+  val bigramNllSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |bg AS (
+       |  SELECT t1.doc_id, t1.term || ' ' || t2.term AS bigram, t1.term AS w1
+       |  FROM toks t1 JOIN toks t2
+       |    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+       |db AS (
+       |  SELECT doc_id, bigram, w1, CAST(count(*) AS BIGINT) AS tfb
+       |  FROM bg GROUP BY 1, 2, 3),
+       |cb AS (SELECT bigram, CAST(sum(tfb) AS BIGINT) AS cb FROM db GROUP BY 1),
+       |c1 AS (SELECT w1, CAST(sum(tfb) AS BIGINT) AS c1 FROM db GROUP BY 1),
+       |v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS vs FROM toks),
+       |a AS (
+       |  SELECT db.doc_id, db.tfb,
+       |    CAST(round(CAST(db.tfb AS DOUBLE)
+       |      * ln(CAST(c1.c1 + v.vs AS DOUBLE) / CAST(cb.cb + 1 AS DOUBLE))
+       |      * 1000000.0) AS BIGINT) AS addend
+       |  FROM db JOIN cb USING (bigram) JOIN c1 USING (w1) CROSS JOIN v)
+       |SELECT doc_id, CAST(sum(tfb) AS BIGINT) AS n_bigrams,
+       |  CAST(CAST(sum(addend) AS BIGINT) AS DOUBLE) / 1000000.0
+       |    / CAST(CAST(sum(tfb) AS BIGINT) AS DOUBLE) AS nll
+       |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- Hashed-feature linear quality classifier -------------------------------
   // The fastText-style model-serving shape (see operators/QualityClassifier):
   // tokens hash into a fixed 1024-bucket feature space, the doc logit is
@@ -876,6 +938,65 @@ object TextAnalysisQueries {
        |FROM sp a JOIN sp b ON a.span = b.span AND a.source < b.source
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  // ---- Per-source distribution divergence -------------------------------------
+  // Mixture-design diagnostic: how far does each source's unigram token
+  // distribution sit from the corpus-wide one? KL(source ‖ corpus) needs
+  // no smoothing — every source term is by construction a corpus term, so
+  // the reference probability is never zero. Per-(source,term) addends are
+  // rounded to 1e-9 units and summed as integers, making the result
+  // independent of summation order (the same cross-engine determinism
+  // device as unigram_nll). Plan: one tokenize pass into a registered-
+  // cached (source,term,cnt) aggregate that feeds all three marginals;
+  // per-source totals broadcast (source count is small by nature), the
+  // corpus total is a broadcast scalar. The only wide exchange at any
+  // scale is the (source,term) partial agg.
+  def sourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    import graft.CacheRegistry.RegisteredCache
+    val st = Tables.documents(s, dir)
+      .select(col("source"), explode(Tokenizer.tokenize(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .registeredCache()
+    val stot = st.groupBy("source").agg(sum("cnt").as("tot_s"))
+    val ct = st.groupBy("term").agg(sum("cnt").as("cnt_t"))
+    val tot = st.agg(sum("cnt").as("tot"))
+    val p = col("cnt").cast("double") / col("tot_s").cast("double")
+    val m = col("cnt_t").cast("double") / col("tot").cast("double")
+    st.join(ct, "term")
+      .join(broadcast(stot), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("addend", round(p * log(p / m) * 1e9).cast("long"))
+      .groupBy("source")
+      .agg(max(col("tot_s")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_terms"),
+        (sum("addend").cast("double") / 1e9).as("kl"))
+      .orderBy("source")
+  }
+
+  val sourceDivergenceSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |st AS (
+       |  SELECT d.source, t.term, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+       |  GROUP BY 1, 2),
+       |stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot_s
+       |         FROM st GROUP BY source),
+       |ct AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS cnt_t
+       |       FROM st GROUP BY term),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM st),
+       |a AS (
+       |  SELECT st.source, stot.tot_s,
+       |    CAST(round((CAST(st.cnt AS DOUBLE) / CAST(stot.tot_s AS DOUBLE))
+       |      * ln((CAST(st.cnt AS DOUBLE) / CAST(stot.tot_s AS DOUBLE))
+       |           / (CAST(ct.cnt_t AS DOUBLE) / CAST(tot.tot AS DOUBLE)))
+       |      * 1000000000.0) AS BIGINT) AS addend
+       |  FROM st JOIN ct ON st.term = ct.term
+       |  JOIN stot ON st.source = stot.source
+       |  CROSS JOIN tot)
+       |SELECT source, CAST(max(tot_s) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_terms,
+       |  CAST(sum(addend) AS DOUBLE) / 1000000000.0 AS kl
+       |FROM a GROUP BY source ORDER BY source""".stripMargin
 
   // ---- BPE tokenizer training -------------------------------------------------
   // Learn a byte-pair-encoding merge table from the corpus (see
@@ -1223,12 +1344,14 @@ object TextAnalysisQueries {
     "pii_scrub" -> (piiScrub _),
     "decontaminate" -> (decontaminate _),
     "unigram_nll" -> (unigramNll _),
+    "bigram_nll" -> (bigramNll _),
     "quality_classifier" -> (qualityClassifier _),
     "importance_weights" -> (importanceWeights _),
     "vocab_oov_rate" -> (vocabOovRate _),
     "bpe_merges" -> (bpeMerges _),
     "bpe_segment" -> (bpeSegment _),
     "source_overlap" -> (sourceOverlap _),
+    "source_divergence" -> (sourceDivergence _),
     "pack_shuffle" -> (packShuffle _),
     "sample_per_group" -> (samplePerGroup _),
     "sample_weighted" -> (sampleWeighted _),
@@ -1254,12 +1377,14 @@ object TextAnalysisQueries {
     "pii_scrub" -> piiScrubSql,
     "decontaminate" -> decontaminateSql,
     "unigram_nll" -> unigramNllSql,
+    "bigram_nll" -> bigramNllSql,
     "quality_classifier" -> qualityClassifierSql,
     "importance_weights" -> importanceWeightsSql,
     "vocab_oov_rate" -> vocabOovRateSql,
     "bpe_merges" -> bpeMergesSql,
     "bpe_segment" -> bpeSegmentSql,
     "source_overlap" -> sourceOverlapSql,
+    "source_divergence" -> sourceDivergenceSql,
     "pack_shuffle" -> packShuffleSql,
     "sample_per_group" -> samplePerGroupSql,
     "sample_weighted" -> sampleWeightedSql,
