@@ -42,7 +42,15 @@ object Search {
     */
   def termComponents(spark: SparkSession, query: String,
                      postings: DataFrame, termDf: DataFrame,
-                     docInfo: DataFrame): DataFrame = {
+                     docInfo: DataFrame): DataFrame =
+    componentsOver(queryTerms(spark, query), postings, termDf, docInfo)
+
+  /** The scoring chain over an arbitrary (small) terms relation — shared
+    * by the literal-query path and the fuzzy-expanded path.
+    */
+  private def componentsOver(terms: DataFrame,
+                             postings: DataFrame, termDf: DataFrame,
+                             docInfo: DataFrame): DataFrame = {
     // Collection stats (A4/A5) join in as a broadcast singleton — no driver
     // action during plan construction, so the whole search stays ONE lazy
     // DAG (the reference caches stats per session, app/query.py:52-61; the
@@ -50,8 +58,6 @@ object Search {
     val stats = docInfo.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("length")).as("avg_len"))
-
-    val terms = queryTerms(spark, query)
 
     // J1 + P6: inner join drops df==0 terms (terms absent from the index
     // simply have no match). Broadcast the tiny terms relation.
@@ -66,6 +72,42 @@ object Search {
         BM25.termScore(col("tf"), col("idf"), col("length"), col("avg_len")))
   }
 
+  /** Per-doc top-k + display-metadata attach shared by every search shape. */
+  private def topAndTitle(components: DataFrame, docInfo: DataFrame,
+                          k: Int): DataFrame = {
+    val top = components
+      .groupBy("doc_id")
+      .agg(sum(col("score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    docInfo.select(col("doc_id"), col("title"))
+      .join(broadcast(top), "doc_id")
+      .select(col("doc_id"), col("title"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
+  /** Typo-tolerant search: each query token expands to every vocabulary
+    * term within `maxDist` edits, and the DISTINCT expanded set feeds the
+    * standard BM25 chain. The expansion joins the (vocabulary-sized)
+    * term_df table against the broadcast query tokens with a length-band
+    * prefilter — |len(term) - len(qterm)| <= maxDist is necessary for
+    * edit distance <= maxDist, so the cheap codegen'd guard rejects
+    * almost all of the vocabulary before the O(len^2) levenshtein runs.
+    * Cost at 100 TB: one scan of the vocab table per query batch (the
+    * vocab grows with distinct terms, not corpus rows), then the normal
+    * term-pruned search.
+    */
+  def fuzzySearch(spark: SparkSession, query: String,
+                  postings: DataFrame, termDf: DataFrame, docInfo: DataFrame,
+                  k: Int = 10, maxDist: Int = 1): DataFrame = {
+    val qt = queryTerms(spark, query).select(col("term").as("qterm"))
+    val expanded = termDf.select("term").join(broadcast(qt),
+        abs(length(col("term")) - length(col("qterm"))) <= maxDist &&
+          levenshtein(col("term"), col("qterm")) <= maxDist)
+      .select("term").distinct()
+    topAndTitle(componentsOver(expanded, postings, termDf, docInfo), docInfo, k)
+  }
+
   /** Full search over pre-built index DataFrames. Returns
     * (doc_id, title, score) — the reference's result display shape
     * (app/query.py:199-213 prints rank, id, title, score).
@@ -75,22 +117,14 @@ object Search {
     */
   def search(spark: SparkSession, query: String,
              postings: DataFrame, termDf: DataFrame, docInfo: DataFrame,
-             k: Int = 10): DataFrame = {
+             k: Int = 10): DataFrame =
     // A6 + T1: per-doc sum (partial agg map-side), then top-k with a
     // deterministic (score DESC, doc_id ASC) tiebreak (SURVEY.md §7.6).
-    val top = termComponents(spark, query, postings, termDf, docInfo)
-      .groupBy("doc_id")
-      .agg(sum(col("score")).as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
     // Display metadata attaches to the k winners ONLY: the scoring plan
-    // never carries title through its shuffles, and this join broadcasts
+    // never carries title through its shuffles, and that join broadcasts
     // the k-row side (inner + BuildRight), probing docInfo — cost ∝ k.
-    docInfo.select(col("doc_id"), col("title"))
-      .join(broadcast(top), "doc_id")
-      .select(col("doc_id"), col("title"), col("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-  }
+    topAndTitle(termComponents(spark, query, postings, termDf, docInfo),
+      docInfo, k)
 
   /** Search over the persisted term-bucketed index tables built by
     * Indexer.buildBucketedIndex — the reference's actual architecture

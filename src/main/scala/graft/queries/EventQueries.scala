@@ -922,6 +922,8 @@ object EventQueries {
       (graft.streaming.EventStreams.clickToPurchaseAvailableNow _),
     "stream_sessionize" ->
       (graft.streaming.EventStreams.sessionizeAvailableNow _),
+    "stream_scd2" ->
+      (graft.streaming.EventStreams.scd2AvailableNow _),
     "stream_funnel" ->
       (graft.streaming.EventStreams.funnelAvailableNow _),
     "stream_transitions" ->
@@ -969,6 +971,7 @@ object EventQueries {
     "stream_tumbling" -> eventsTumblingSql,
     "stream_click_to_purchase" -> eventsClickToPurchaseSql,
     "stream_sessionize" -> eventsSessionizeSql,
+    "stream_scd2" -> scd2HistorySql,
     "stream_funnel" -> eventsFunnelSql,
     "stream_transitions" -> eventsTransitionsSql,
     "stream_latest_per_user" -> eventsLatestPerUserSql,

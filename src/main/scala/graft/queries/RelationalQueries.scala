@@ -649,6 +649,57 @@ object RelationalQueries {
       |SELECT doc_id, md5(text) AS text_md5, lang, source
       |FROM merged ORDER BY doc_id""".stripMargin
 
+  // ---- Equal-frequency feature binning (decile buckets) ----------------------
+  // The feature-engineering staple: bucket order totals into deciles and
+  // report per-bin stats. NOT a global ntile window (one task at scale) —
+  // boundaries come from the range-partitioned exact-quantile operator
+  // (Quantiles scaladoc: parallel sort, O(partitions·groups) driver
+  // traffic), then bin assignment is a completely narrow broadcast
+  // comparison against the 9 boundary literals. Boundaries and values
+  // compare on the 1e-6 integer grid so an ulp of interpolation
+  // difference between engines cannot flip a bin; per-bin averages sum
+  // exact cents. Ties ON a boundary land in the lower bin by definition.
+  def quantileBins(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice").cast("double").as("v"))
+    val ps = (1 to 9).map(_ / 10.0)
+    val qs = graft.operators.Quantiles.exactQuantiles(
+      o.withColumn("g", lit("all")), "g", "v", ps)
+    val b = qs.select(ps.indices.map(i =>
+      round(col(s"q$i") * 1e6).cast("long").as(s"b$i")): _*)
+    o.crossJoin(broadcast(b))
+      .withColumn("vmu", round(col("v") * 1e6).cast("long"))
+      .withColumn("bin",
+        ps.indices.map(i => when(col("vmu") > col(s"b$i"), 1).otherwise(0))
+          .reduce(_ + _) + lit(1))
+      .groupBy(col("bin").cast("int").as("bin"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        min(col("v")).cast("double").as("min_price"),
+        max(col("v")).cast("double").as("max_price"),
+        (sum(round(col("v") * 100.0).cast("long")).cast("double") / 100.0
+          / count(lit(1)).cast("double")).as("avg_price"))
+      .orderBy("bin")
+  }
+
+  val quantileBinsSql: String = {
+    val plist = (1 to 9).map(i => s"0.${i}").mkString("[", ",", "]")
+    s"""WITH q AS (
+       |  SELECT quantile_cont(o_totalprice, $plist) AS qs FROM orders),
+       |b AS (SELECT list_transform(qs,
+       |        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS bs FROM q),
+       |a AS (
+       |  SELECT o_totalprice AS v,
+       |    1 + len(list_filter(b.bs,
+       |      x -> CAST(round(o_totalprice * 1000000.0) AS BIGINT) > x)) AS bin
+       |  FROM orders, b)
+       |SELECT CAST(bin AS INTEGER) AS bin, CAST(count(*) AS BIGINT) AS n_orders,
+       |  CAST(min(v) AS DOUBLE) AS min_price,
+       |  CAST(max(v) AS DOUBLE) AS max_price,
+       |  CAST(sum(CAST(round(v * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+       |    / CAST(count(*) AS DOUBLE) AS avg_price
+       |FROM a GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   // ---- Fuzzy entity resolution: token blocking + edit-distance verify --------
   // The record-linkage candidate report: which distinct part names are
   // near-identical (levenshtein <= 3) and should merge into one entity?
@@ -695,6 +746,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzzy_match" -> (fuzzyMatch _),
+    "quantile_bins" -> (quantileBins _),
     "docs_upsert" -> (docsUpsert _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "unpivot_metrics" -> (unpivotMetrics _),
@@ -729,6 +781,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "docs_upsert" -> docsUpsertSql,
     "fuzzy_match" -> fuzzyMatchSql,
+    "quantile_bins" -> quantileBinsSql,
     "skew_salted_join" -> skewSaltedJoinSql,
     "unpivot_metrics" -> unpivotMetricsSql,
     "collect_agg" -> collectAggSql,

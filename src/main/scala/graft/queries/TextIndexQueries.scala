@@ -136,13 +136,14 @@ object TextIndexQueries {
     * by the flagship oracle and the snippet oracle, which consumes the
     * same top-10.
     */
-  private def bm25TopCtes(tok: String): String =
+  private def bm25TopCtes(tok: String,
+      qCte: String = s"SELECT unnest($termListSql) AS term"): String =
     s"""WITH $tok,
        |postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
        |term_df AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
        |doc_info AS (SELECT doc_id, len(l) AS length FROM docs_l),
        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(length) AS avgdl FROM doc_info),
-       |q AS (SELECT unnest($termListSql) AS term),
+       |q AS ($qCte),
        |scored AS (
        |  SELECT p.doc_id,
        |    ln(greatest(1.0, s.n / greatest(1.0, CAST(d.df AS DOUBLE)))) * p.tf * 2.0 /
@@ -153,13 +154,39 @@ object TextIndexQueries {
        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(score) AS DOUBLE) AS score
        |  FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10)""".stripMargin
 
-  private def bm25SqlOver(tok: String): String =
-    s"""${bm25TopCtes(tok)}
+  private def bm25SqlOver(tok: String,
+      qCte: String = s"SELECT unnest($termListSql) AS term"): String =
+    s"""${bm25TopCtes(tok, qCte)}
        |SELECT t.doc_id, substring(d.text, 1, 50) AS title, t.score
        |FROM top t JOIN documents d ON d.doc_id = t.doc_id
        |ORDER BY t.score DESC, t.doc_id""".stripMargin
 
   val bm25SearchSql: String = bm25SqlOver(TokCte)
+
+  // ---- Typo-tolerant search: edit-distance-1 vocabulary expansion ------------
+  // The flagship query with every term misspelled by one edit; the fuzzy
+  // expansion (Search.fuzzySearch) recovers the intended vocabulary terms
+  // from the term_df table — plus any OTHER vocab term within one edit,
+  // which is the defined semantics — and the standard BM25 chain scores
+  // the expanded set. The |len delta| <= 1 band guard is implied by
+  // levenshtein <= 1, so it can only prune, never change the result.
+  val FuzzyQuery = "spork filtr joib stream datq"
+
+  def bm25FuzzySearch(s: SparkSession, dir: String): DataFrame = {
+    val (p, tdf, di) = indexTriple(s, dir)
+    Search.fuzzySearch(s, FuzzyQuery, p, tdf, di, k = 10)
+      .select(col("doc_id").cast("long").as("doc_id"), col("title"),
+        col("score").cast("double").as("score"))
+  }
+
+  val bm25FuzzySearchSql: String = {
+    val qlist = FuzzyQuery.split(" ").map(t => s"'$t'").mkString("[", ",", "]")
+    bm25SqlOver(TokCte,
+      s"""SELECT DISTINCT d.term
+         |  FROM term_df d JOIN (SELECT unnest($qlist) AS qterm) qt
+         |    ON abs(len(d.term) - len(qt.qterm)) <= 1
+         |   AND levenshtein(d.term, qt.qterm) <= 1""".stripMargin)
+  }
 
   // ---- Flagship over the PERSISTED term-bucketed index -----------------------
   // The reference's true architecture: index.sh builds + persists ONCE;
@@ -866,6 +893,7 @@ object TextIndexQueries {
     "index_doc_info" -> (indexDocInfo _),
     "corpus_stats" -> (corpusStats _),
     "bm25_search" -> (bm25Search _),
+    "bm25_fuzzy_search" -> (bm25FuzzySearch _),
     "bm25_search_prebuilt" -> (bm25SearchPrebuilt _),
     "index_append_persisted" -> (indexAppendPersisted _),
     "index_compacted" -> (indexCompacted _),
@@ -900,6 +928,7 @@ object TextIndexQueries {
     "index_doc_info" -> indexDocInfoSql,
     "corpus_stats" -> corpusStatsSql,
     "bm25_search" -> bm25SearchSql,
+    "bm25_fuzzy_search" -> bm25FuzzySearchSql,
     "bm25_search_prebuilt" -> bm25SearchSql,
     "index_append_persisted" -> bm25SearchSql,
     "index_compacted" -> bm25SearchSql,

@@ -26,6 +26,10 @@ object EventStreams {
   case class OpenSession(startMicros: Long, lastMicros: Long, nEvents: Long)
   case class SessionOut(user_id: Long, start_micros: Long, end_micros: Long,
                         n_events: Long)
+  case class OpenRun(state: String, vfMicros: Long, nEvents: Long)
+  case class Scd2Out(user_id: Long, state: String, vf_micros: Long,
+                     vt_micros: Option[Long], n_events: Long,
+                     is_current: Boolean)
 
   /** Tumbling-window counts; run identically over readStream or read. */
   def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
@@ -618,6 +622,75 @@ object EventStreams {
     * when it closes (next event past the gap, or processing-time timeout
     * flushes the open session).
     */
+  /** SCD type-2 history maintained BY THE STREAMING ENGINE — the CDC
+    * consumer shape: per-user state carries the open attribute run
+    * (event_type value, valid_from, event count); an arriving change
+    * closes the run with valid_to = the change's timestamp (half-open
+    * intervals, exactly the batch scd2_history semantics) and opens the
+    * next one. The per-user "__sentinel" row does NOT start a run — it
+    * flushes the still-open run as the is_current row (valid_to = None)
+    * and clears state, so a bounded AvailableNow pass emits the complete
+    * type-2 table. A live deployment would instead leave the open run in
+    * state and publish is_current rows from a timeout or at read time.
+    * State per user is ONE open run — bounded regardless of stream length.
+    */
+  def scd2Runs(spark: SparkSession,
+               events: Dataset[EventRow]): Dataset[Scd2Out] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenRun, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[OpenRun]) =>
+          val sorted = rows.toVector.sortBy(r => (micros(r.ts), r.event_id))
+          var open = state.getOption
+          val out = Vector.newBuilder[Scd2Out]
+          sorted.foreach { r =>
+            val m = micros(r.ts)
+            if (r.event_type == "__sentinel") {
+              open.foreach(o => out += Scd2Out(userId, o.state, o.vfMicros,
+                None, o.nEvents, is_current = true))
+              open = None
+            } else open match {
+              case Some(o) if o.state == r.event_type =>
+                open = Some(o.copy(nEvents = o.nEvents + 1))
+              case Some(o) =>
+                out += Scd2Out(userId, o.state, o.vfMicros, Some(m),
+                  o.nEvents, is_current = false)
+                open = Some(OpenRun(r.event_type, m, 1))
+              case None =>
+                open = Some(OpenRun(r.event_type, m, 1))
+            }
+          }
+          open match {
+            case Some(o) => state.update(o)
+            case None    => state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
+  /** scd2Runs over the sentinel-staged finite source, formatted to the
+    * batch scd2_history oracle's shape.
+    */
+  def scd2AvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcDir = sentinelStagedDir(s, dir, "scd2_src")
+    val typed = eventsFileStream(s, srcDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventRow]
+    val runs = scd2Runs(s, typed).toDF()
+    runToSink(runs, OutputMode.Append, "scd2")
+      .select(col("user_id"), col("state"),
+        date_format(timestamp_micros(col("vf_micros")), "yyyy-MM-dd HH:mm:ss")
+          .as("valid_from"),
+        date_format(timestamp_micros(col("vt_micros")), "yyyy-MM-dd HH:mm:ss")
+          .as("valid_to"),
+        col("n_events"), col("is_current"))
+      .orderBy("user_id", "valid_from", "state")
+  }
+
   def sessionize(spark: SparkSession, events: Dataset[EventRow],
                  useTimeout: Boolean = true): Dataset[SessionOut] = {
     import spark.implicits._
