@@ -542,4 +542,24 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
     assert(rowsAfter == rowsBefore, "compaction changed table contents")
   }
+
+  test("fuzzySearch recovers a one-edit typo and matches the corrected query") {
+    import graft.operators.{Indexer, Search}
+    // controlled vocabulary: no OTHER term sits within 1 edit of "alpho",
+    // so the expansion is exactly {alpha} and fuzzy(typo) == exact(fixed)
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha delta"),
+      (3L, "beta gamma delta")).toDF("doc_id", "text")
+    val p = Indexer.postings(docs)
+    val (tdf, di) = (Indexer.termDf(p), Indexer.docInfo(docs))
+    val fuzzy = Search.fuzzySearch(spark, "alpho", p, tdf, di, k = 5)
+      .select("doc_id", "score").collect().map(r => (r.get(0), r.getDouble(1)))
+    val exact = Search.search(spark, "alpha", p, tdf, di, k = 5)
+      .select("doc_id", "score").collect().map(r => (r.get(0), r.getDouble(1)))
+    assert(fuzzy.nonEmpty && fuzzy.toSeq == exact.toSeq)
+    // a typo 2 edits from every vocab term expands to nothing — empty result
+    val far = Search.fuzzySearch(spark, "zzzzq", p, tdf, di, k = 5)
+    assert(far.isEmpty)
+  }
 }

@@ -279,4 +279,37 @@ class PlanSpec extends SparkSpec {
     assert(p15.contains("BroadcastHashJoin"),
       s"q15 max-row should broadcast back over the aggregate:\n$p15")
   }
+
+  test("fuzzy_match blocks on the token equi-join — no cartesian over the dictionary") {
+    val p = plan("fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy ER must candidate-generate via the blocking join:\n$p")
+  }
+
+  test("source_divergence broadcasts the per-source totals and the corpus scalar") {
+    val p = plan("source_divergence")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source totals should broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus-total scalar should broadcast:\n$p")
+  }
+
+  test("quantile_bins assigns bins narrowly — no global single-partition window") {
+    val p = plan("quantile_bins")
+    // Window in this plan may only be the Quantiles operator's salted
+    // (pid, g) form; a global `Window [partitionBy []]`-style sort would
+    // serialize the scan at scale.
+    assert(!p.contains("Window [") || p.contains("pid"),
+      s"bin assignment regressed to a global window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"boundaries should broadcast to the assignment scan:\n$p")
+  }
+
+  test("bm25_fuzzy_search expands against term_df then keeps the flagship shape") {
+    val p = plan("bm25_fuzzy_search")
+    assert(p.contains("levenshtein"),
+      s"expansion must verify with the exact edit distance:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbounded cartesian:\n$p")
+  }
 }

@@ -70,6 +70,45 @@ class StreamingSpec extends SparkSpec {
     assert(s.end_micros - s.start_micros == 10L * 60 * 1000000)
   }
 
+  test("scd2Runs carries the open run across micro-batches; sentinel flushes is_current") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.Scd2Out
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.scd2Runs(spark, stream.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: click run (2 events) closed by the view at minute 10
+      stream.addData(ev(1, 0, 1, "click"), ev(2, 5, 1, "click"), ev(3, 10, 1, "view"))
+      q.processAllAvailable()
+      // batch 2: the view at 20 must CONTINUE the open view run from
+      // batch 1 (state carry), then purchase closes it
+      stream.addData(ev(4, 20, 1, "view"), ev(5, 30, 1, "purchase"))
+      q.processAllAvailable()
+      stream.addData(ev(-2, 999, 1, "__sentinel"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("scd2_out").as[Scd2Out].collect().sortBy(_.vf_micros)
+    assert(rows.length == 3, rows.mkString("; "))
+    assert(rows(0).state == "click" && rows(0).n_events == 2 &&
+      rows(0).vt_micros.contains(rows(1).vf_micros) && !rows(0).is_current)
+    assert(rows(1).state == "view" && rows(1).n_events == 2 &&
+      rows(1).vt_micros.contains(rows(2).vf_micros) && !rows(1).is_current,
+      "open run must survive the batch boundary")
+    assert(rows(2).state == "purchase" && rows(2).n_events == 1 &&
+      rows(2).vt_micros.isEmpty && rows(2).is_current)
+  }
+
+  test("scd2AvailableNow equals the batch SCD2 history on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getLong(4), r.getBoolean(5))
+    val streamed = EventStreams.scd2AvailableNow(spark, dir).collect().map(key)
+    val batch = graft.queries.EventQueries.scd2History(spark, dir).collect().map(key)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("funnelReach: late-arriving earlier view re-admits a click; sentinel flushes") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventRow]
