@@ -300,6 +300,102 @@ object EventQueries {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---- Calendar densification + forward fill ----------------------------------
+  // The time-series prep step every per-entity model needs: give EVERY
+  // user a row for EVERY day of the observed range — absent days with
+  // n_events = 0 and the day's total forward-filled from the last
+  // observed day (null before a user's first activity). The day grid is
+  // one broadcast (min,max) scalar exploded per user, so the densified
+  // row count is users x days by construction — the intended output, not
+  // a join blowup; the fill is one per-user window over that grid. Daily
+  // totals sum exact micro-units (double order-free).
+  def eventsGapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    val daily = ev.groupBy("user_id", "day")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(round(col("value") * 1e6).cast("long")).as("tv_micro"))
+    val range = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = daily.select("user_id").distinct()
+      .crossJoin(broadcast(range))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_micro",
+        last(col("tv_micro"), ignoreNulls = true).over(byUser))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        (col("filled_micro").cast("double") / 1e6).as("filled_value"))
+      .orderBy("user_id", "day")
+  }
+
+  val eventsGapFillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) AS tv_micro
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |grid AS (
+      |  SELECT u.user_id, CAST(gs.d AS DATE) AS day
+      |  FROM (SELECT DISTINCT user_id FROM daily) u
+      |  CROSS JOIN r
+      |  CROSS JOIN LATERAL (
+      |    SELECT unnest(generate_series(CAST(r.d0 AS TIMESTAMP),
+      |      CAST(r.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS d) gs)
+      |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+      |  coalesce(d.n, 0) AS n_events,
+      |  CAST(last_value(d.tv_micro IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.day ASC) AS DOUBLE) / 1000000.0
+      |    AS filled_value
+      |FROM grid g LEFT JOIN daily d
+      |  ON g.user_id = d.user_id AND g.day = d.day
+      |ORDER BY g.user_id, g.day""".stripMargin
+
+  // ---- Incremental materialized-view refresh ----------------------------------
+  // The daily-rollup MV (event_type x day: count + value sum) is BUILT
+  // AND STORED from the historical slice (day < cutoff) once per (JVM,
+  // sfDir), then refreshed with the post-cutoff feed through
+  // MaterializedView.additiveRefresh — history is never rescanned, and a
+  // late event landing on a pre-cutoff day would merge correctly into its
+  // stored partial. The oracle is the full recompute: refresh(stored,
+  // delta) must be indistinguishable from aggregating all of history.
+  private val MvCutoff = "2024-01-21"
+  private val mvDirs = scala.collection.mutable.Map[String, String]()
+
+  private def dailyPartial(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(round(col("value") * 1e6).cast("long")).as("tv_micro"))
+
+  private def ensureMv(s: SparkSession, dir: String): String = synchronized {
+    mvDirs.getOrElseUpdate(dir, {
+      val base = graft.ScratchDirs.fresh("graft_mv", "daily").toString
+      dailyPartial(Tables.events(s, dir)
+          .filter(to_date(col("ts")) < lit(MvCutoff).cast("date")))
+        .write.mode("overwrite").parquet(base)
+      base
+    })
+  }
+
+  def mvRefresh(s: SparkSession, dir: String): DataFrame = {
+    val mv = s.read.parquet(ensureMv(s, dir))
+    val delta = dailyPartial(Tables.events(s, dir)
+      .filter(to_date(col("ts")) >= lit(MvCutoff).cast("date")))
+    graft.operators.MaterializedView
+      .additiveRefresh(mv, delta, Seq("event_type", "day"), Seq("n", "tv_micro"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n").cast("long").as("n_events"),
+        (col("tv_micro").cast("double") / 1e6).as("total_value"))
+      .orderBy("event_type", "day")
+  }
+
+  val mvRefreshSql: String =
+    """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |    / 1000000.0 AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+
   // ---- Linear multi-touch attribution -----------------------------------------
   // The marketing-analytics staple: every purchase's value is split
   // EQUALLY across the user's clicks in the preceding 24 h (linear
@@ -912,6 +1008,8 @@ object EventQueries {
     "events_session_dynamic" -> (eventsSessionDynamic _),
     "scd2_history" -> (scd2History _),
     "events_attribution" -> (eventsAttribution _),
+    "events_gap_fill" -> (eventsGapFill _),
+    "mv_refresh" -> (mvRefresh _),
     "events_asof_signup" -> (eventsAsofSignup _),
     "events_asof_next" -> (eventsAsofNext _),
     "events_tumbling" -> (eventsTumbling _),
@@ -965,6 +1063,8 @@ object EventQueries {
     "events_session_dynamic" -> eventsSessionDynamicSql,
     "scd2_history" -> scd2HistorySql,
     "events_attribution" -> eventsAttributionSql,
+    "events_gap_fill" -> eventsGapFillSql,
+    "mv_refresh" -> mvRefreshSql,
     "events_asof_signup" -> eventsAsofSignupSql,
     "events_asof_next" -> eventsAsofNextSql,
     "events_tumbling" -> eventsTumblingSql,

@@ -315,6 +315,33 @@ object RelationalQueries {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin
 
+  // ---- GROUPING SETS (non-hierarchical) ---------------------------------------
+  // Two independent groupings in one pass — ((l_returnflag), (l_linestatus))
+  // is expressible as neither ROLLUP nor CUBE, the case that needs the
+  // explicit GROUPING SETS surface. One Expand + one aggregation shuffle,
+  // same plan family as the cube/rollup queries.
+  def groupingSetsPricing(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+        |    AS lvl
+        |FROM graft_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  val groupingSetsPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS lvl
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin
+
   // ---- Distinct aggregates ----------------------------------------------------
   def distinctAgg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -747,6 +774,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzzy_match" -> (fuzzyMatch _),
     "quantile_bins" -> (quantileBins _),
+    "grouping_sets" -> (groupingSetsPricing _),
     "docs_upsert" -> (docsUpsert _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "unpivot_metrics" -> (unpivotMetrics _),
@@ -782,6 +810,7 @@ object RelationalQueries {
     "docs_upsert" -> docsUpsertSql,
     "fuzzy_match" -> fuzzyMatchSql,
     "quantile_bins" -> quantileBinsSql,
+    "grouping_sets" -> groupingSetsPricingSql,
     "skew_salted_join" -> skewSaltedJoinSql,
     "unpivot_metrics" -> unpivotMetricsSql,
     "collect_agg" -> collectAggSql,
