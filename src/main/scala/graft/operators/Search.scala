@@ -146,6 +146,37 @@ object Search {
     search(spark, query, postings, termDf, docInfo, k)
   }
 
+  /** Typo-tolerant search over the persisted bucketed index. Two phases:
+    * the expansion scans the (vocabulary-sized) stored term_df table for
+    * terms within `maxDist` edits of the query tokens and collects the
+    * tiny match set — a driver round-trip bounded by the expansion size,
+    * never the index. The expanded literals then drive the SAME
+    * bucket-pruned search as the exact path: without the materialized
+    * IN-list the term filter would be a join against a computed set, and
+    * SelectedBucketsCount pruning — the thing that makes a query touch
+    * |terms| buckets instead of the corpus at 100 TB — cannot happen.
+    * The lost laziness is the price of the pruning; production engines
+    * make the same trade (query rewrite before index access).
+    */
+  def fuzzySearchPrebuilt(spark: SparkSession, query: String, prefix: String,
+                          k: Int = 10, maxDist: Int = 1): DataFrame = {
+    val qt = queryTerms(spark, query).select(col("term").as("qterm"))
+    val expanded = spark.table(s"${prefix}_term_df").select("term")
+      .join(broadcast(qt),
+        abs(length(col("term")) - length(col("qterm"))) <= maxDist &&
+          levenshtein(col("term"), col("qterm")) <= maxDist)
+      .select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val postings = spark.table(s"${prefix}_postings")
+      .filter(col("term").isin(expanded: _*))
+    val termDf = spark.table(s"${prefix}_term_df")
+      .filter(col("term").isin(expanded: _*))
+    val docInfo = spark.table(s"${prefix}_doc_info")
+    import spark.implicits._
+    topAndTitle(componentsOver(expanded.toDF("term"), postings, termDf, docInfo),
+      docInfo, k)
+  }
+
   /** Batch search: score a whole TABLE of queries in one lazy plan — the
     * 100-TB serving pattern (thousands of queries per pass, one shuffle
     * set, no per-query driver round-trips; collection stats join in as a

@@ -225,6 +225,16 @@ object TextIndexQueries {
   def bm25SearchPrebuilt(s: SparkSession, dir: String): DataFrame =
     prebuiltSearch(s, ensurePrebuilt(s, dir))
 
+  /** The typo'd flagship over the persisted index: expansion against the
+    * stored term_df, then the bucket-pruned exact search on the expanded
+    * literals (Search.fuzzySearchPrebuilt) — same oracle as the
+    * from-scratch fuzzy path.
+    */
+  def bm25FuzzyPrebuilt(s: SparkSession, dir: String): DataFrame =
+    Search.fuzzySearchPrebuilt(s, FuzzyQuery, ensurePrebuilt(s, dir), k = 10)
+      .select(col("doc_id").cast("long").as("doc_id"), col("title"),
+        col("score").cast("double").as("score"))
+
   // ---- Persisted-index APPEND: grow the bucketed tables, then search ---------
   // Index half the corpus, appendBucketedIndex the other half into the
   // SAME persisted tables, search the result. The oracle is the full-corpus
@@ -894,6 +904,7 @@ object TextIndexQueries {
     "corpus_stats" -> (corpusStats _),
     "bm25_search" -> (bm25Search _),
     "bm25_fuzzy_search" -> (bm25FuzzySearch _),
+    "bm25_fuzzy_prebuilt" -> (bm25FuzzyPrebuilt _),
     "bm25_search_prebuilt" -> (bm25SearchPrebuilt _),
     "index_append_persisted" -> (indexAppendPersisted _),
     "index_compacted" -> (indexCompacted _),
@@ -929,6 +940,7 @@ object TextIndexQueries {
     "corpus_stats" -> corpusStatsSql,
     "bm25_search" -> bm25SearchSql,
     "bm25_fuzzy_search" -> bm25FuzzySearchSql,
+    "bm25_fuzzy_prebuilt" -> bm25FuzzySearchSql,
     "bm25_search_prebuilt" -> bm25SearchSql,
     "index_append_persisted" -> bm25SearchSql,
     "index_compacted" -> bm25SearchSql,

