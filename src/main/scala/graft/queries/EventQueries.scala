@@ -362,7 +362,7 @@ object EventQueries {
   private val MvCutoff = "2024-01-21"
   private val mvDirs = scala.collection.mutable.Map[String, String]()
 
-  private def dailyPartial(df: DataFrame): DataFrame =
+  private[graft] def dailyPartial(df: DataFrame): DataFrame =
     df.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(round(col("value") * 1e6).cast("long")).as("tv_micro"))
@@ -1022,6 +1022,8 @@ object EventQueries {
       (graft.streaming.EventStreams.sessionizeAvailableNow _),
     "stream_scd2" ->
       (graft.streaming.EventStreams.scd2AvailableNow _),
+    "stream_mv_refresh" ->
+      (graft.streaming.EventStreams.mvRefreshAvailableNow _),
     "stream_funnel" ->
       (graft.streaming.EventStreams.funnelAvailableNow _),
     "stream_transitions" ->
@@ -1072,6 +1074,7 @@ object EventQueries {
     "stream_click_to_purchase" -> eventsClickToPurchaseSql,
     "stream_sessionize" -> eventsSessionizeSql,
     "stream_scd2" -> scd2HistorySql,
+    "stream_mv_refresh" -> mvRefreshSql,
     "stream_funnel" -> eventsFunnelSql,
     "stream_transitions" -> eventsTransitionsSql,
     "stream_latest_per_user" -> eventsLatestPerUserSql,

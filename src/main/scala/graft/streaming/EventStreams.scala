@@ -622,6 +622,76 @@ object EventStreams {
     * when it closes (next event past the gap, or processing-time timeout
     * flushes the open session).
     */
+  /** The daily-rollup materialized view maintained BY THE STREAMING
+    * ENGINE — the continuous-rollup lakehouse pattern: the events feed
+    * arrives as three chronological slices (one micro-batch each under
+    * maxFilesPerTrigger=1) and every micro-batch folds into the STORED
+    * view through MaterializedView.additiveRefresh — read the current
+    * version, merge the batch's partial aggregates, write the next
+    * version. Versioned dirs make the commit a pointer swap: a reader of
+    * version N is never disturbed by the N+1 write. The final stored
+    * table must be indistinguishable from the batch full recompute
+    * (mv_refresh's oracle); history is only ever read back as the
+    * view-sized table, never rescanned as events.
+    */
+  def mvRefreshAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val bounds = raw.agg(
+      coalesce(min(col("ts")), lit(0L)), coalesce(max(col("ts")), lit(0L))).head()
+    val (t0, t1) = (bounds.getLong(0), bounds.getLong(1))
+    val cut1 = t0 + (t1 - t0) / 3
+    val cut2 = t0 + 2 * (t1 - t0) / 3
+    val srcDir = freshDir("mvr_src")
+    def slice(i: Int, cond: org.apache.spark.sql.Column): Unit = {
+      val tmp = srcDir.resolve(s"_tmp_$i")
+      raw.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error("slice write produced no parquet part file"))
+      // slice 1 takes the exact name eventsFileStream reads its schema
+      // from; later slices ride the `events.parquet*` glob
+      val dest = if (i == 1) "events.parquet" else s"events.parquet$i"
+      java.nio.file.Files.move(part.toPath, srcDir.resolve(dest))
+      locally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively(): Unit
+      }
+    }
+    slice(1, col("ts") <= cut1)
+    slice(2, col("ts") > cut1 && col("ts") <= cut2)
+    slice(3, col("ts") > cut2)
+    val store = freshDir("mvr_store")
+    val ckpt = java.nio.file.Files
+      .createDirectories(store.resolve("ckpt")).toString
+    @volatile var current: Option[String] = None
+    val q = eventsFileStream(s, srcDir.toString, oneFilePerBatch = true)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val partial = graft.queries.EventQueries.dailyPartial(batch)
+        val next = current match {
+          case Some(p) => graft.operators.MaterializedView.additiveRefresh(
+            s.read.parquet(p), partial,
+            Seq("event_type", "day"), Seq("n", "tv_micro"))
+          case None => partial
+        }
+        val dest = store.resolve(s"v$id").toString
+        next.write.mode("overwrite").parquet(dest)
+        current = Some(dest)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(current.getOrElse(sys.error("no micro-batches ran")))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n").cast("long").as("n_events"),
+        (col("tv_micro").cast("double") / 1e6).as("total_value"))
+      .orderBy("event_type", "day")
+  }
+
   /** SCD type-2 history maintained BY THE STREAMING ENGINE — the CDC
     * consumer shape: per-user state carries the open attribute run
     * (event_type value, valid_from, event count); an arriving change
