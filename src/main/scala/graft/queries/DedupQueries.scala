@@ -1015,6 +1015,52 @@ object DedupQueries {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
        |FROM corners GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- Multi-source BFS: blast radius over the near-dup graph -----------------
+  // How far does contamination spread? Seeds are every 11th doc present
+  // in the near-dup graph (id % 11 == 0 — 5 of the 59 graph nodes at
+  // sf0.01, so the result exercises real multi-hop spread; the
+  // decontaminate convention id % 97 == 0 hits zero graph nodes here);
+  // BFS walks the symmetrized pair edges up to 4 hops, reporting each
+  // reached doc's exact hop distance. One frontier join per hop,
+  // anti-join keeps first discovery (Bfs scaladoc); the oracle unrolls
+  // the same rounds with min-dist folding.
+  private val BfsMaxHops = 4
+
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val sym = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b")))
+    val seeds = sym.select(col("a").as("id")).distinct()
+      .filter(col("id") % 11 === 0)
+    graft.operators.Bfs.multiSource(sym, seeds, BfsMaxHops)
+      .select(col("id").cast("long").as("doc_id"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("doc_id")
+  }
+
+  val graphBfsSql: String = {
+    val rounds = (1 to BfsMaxHops).map { k =>
+      s"""d$k AS (
+         |  SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT id, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.b AS id, $k AS dist
+         |    FROM sym e JOIN d${k - 1} p ON e.a = p.id AND p.dist = ${k - 1}
+         |  ) t GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT doc_id_a AS a, doc_id_b AS b FROM (
+       |$dedupMinhashLshSql
+       |  ) mh),
+       |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |d0 AS (
+       |  SELECT DISTINCT a AS id, CAST(0 AS BIGINT) AS dist FROM sym
+       |  WHERE a % 11 = 0),
+       |$rounds
+       |SELECT id AS doc_id, dist FROM d$BfsMaxHops ORDER BY doc_id""".stripMargin
+  }
+
   val graphPagerankSql: String = {
     val rounds = (1 to PrIterations).map { k =>
       s"""pr$k AS (
@@ -1127,7 +1173,8 @@ object DedupQueries {
     "dedup_passages" -> (dedupPassages _),
     "contrastive_triplets" -> (contrastiveTriplets _),
     "graph_pagerank" -> (graphPagerank _),
-    "graph_triangles" -> (graphTriangles _))
+    "graph_triangles" -> (graphTriangles _),
+    "graph_bfs" -> (graphBfs _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -1148,5 +1195,6 @@ object DedupQueries {
     "dedup_passages" -> dedupPassagesSql,
     "contrastive_triplets" -> contrastiveTripletsSql,
     "graph_pagerank" -> graphPagerankSql,
-    "graph_triangles" -> graphTrianglesSql)
+    "graph_triangles" -> graphTrianglesSql,
+    "graph_bfs" -> graphBfsSql)
 }

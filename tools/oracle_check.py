@@ -25,6 +25,8 @@ import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    if df.empty:  # apply(axis=1) on an empty frame yields a DataFrame
+        return df.reset_index(drop=True)
     # stringify for stable sort; keep originals for numeric compare
     key = df.astype(str).apply(lambda r: "\x00".join(r), axis=1)
     return df.iloc[key.argsort(kind="mergesort")].reset_index(drop=True)
