@@ -421,6 +421,15 @@ object EventQueries {
       col("user_id") === col("c_user") &&
         col("ct") <= col("pt") &&
         col("ct") > col("pt") - lit(86400000000L), "left")
+    attributionRollup(j)
+  }
+
+  /** The credit-division + channel-rollup tail over left-joined
+    * (purchase_id, value, channel, ct) touch rows — shared verbatim by
+    * the batch query and the streaming post-pass so the two paths cannot
+    * diverge semantically.
+    */
+  private[graft] def attributionRollup(j: DataFrame): DataFrame = {
     val perPurchase = Window.partitionBy(col("purchase_id"))
     j.withColumn("n_clicks", count(col("ct")).over(perPurchase))
       .withColumn("credit_micro",
@@ -1024,6 +1033,8 @@ object EventQueries {
       (graft.streaming.EventStreams.scd2AvailableNow _),
     "stream_mv_refresh" ->
       (graft.streaming.EventStreams.mvRefreshAvailableNow _),
+    "stream_attribution" ->
+      (graft.streaming.EventStreams.attributionAvailableNow _),
     "stream_funnel" ->
       (graft.streaming.EventStreams.funnelAvailableNow _),
     "stream_transitions" ->
@@ -1075,6 +1086,7 @@ object EventQueries {
     "stream_sessionize" -> eventsSessionizeSql,
     "stream_scd2" -> scd2HistorySql,
     "stream_mv_refresh" -> mvRefreshSql,
+    "stream_attribution" -> eventsAttributionSql,
     "stream_funnel" -> eventsFunnelSql,
     "stream_transitions" -> eventsTransitionsSql,
     "stream_latest_per_user" -> eventsLatestPerUserSql,

@@ -622,6 +622,89 @@ object EventStreams {
     * when it closes (next event past the gap, or processing-time timeout
     * flushes the open session).
     */
+  /** Stage the events file plus TWO later single-pair files, each
+    * carrying one fake click and one fake purchase (fake negative user,
+    * +2 h / +4 h past the corpus max). Unlike the "__sentinel" rows, the
+    * fakes keep REAL event types: an event_type side filter is pushed
+    * below the EventTimeWatermark node (it does not reference the event
+    * time), so only rows that SURVIVE the filters can advance each join
+    * side's watermark. File 2 advances both watermarks past every real
+    * event; file 3 triggers the batch in which the outer join's
+    * watermark-eviction emissions are carried out (AvailableNow stops at
+    * the last file — there is no trailing no-data batch).
+    */
+  private def lateTypedStagedDir(s: SparkSession, dir: String,
+                                 tag: String): String = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val maxNanos = raw.agg(coalesce(max(col("ts")), lit(0L))).head().getLong(0)
+    val srcDir = freshDir(tag)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      srcDir.resolve("events.parquet"))
+    (1 to 2).foreach { i =>
+      val ts = maxNanos + i * 7200L * 1000000000L
+      def fake(typ: String, idOff: Long) = raw.sparkSession.range(1).select(
+        lit(-1000000L - idOff).as("event_id"),
+        lit(ts).as("ts"),
+        lit(-1L - i).as("user_id"),
+        lit(typ).as("event_type"),
+        lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
+      val pair = fake("click", 2L * i).unionByName(fake("purchase", 2L * i + 1))
+      val tmp = srcDir.resolve(s"_fake_$i")
+      pair.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error("fake-pair write produced no parquet part file"))
+      java.nio.file.Files.move(part.toPath, srcDir.resolve(s"events.parquet${i + 1}"))
+      locally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively(): Unit
+      }
+    }
+    srcDir.toString
+  }
+
+  /** Linear multi-touch attribution through the streaming engine's
+    * stream-stream LEFT OUTER interval join — the hardest streaming join
+    * shape: matched (purchase, click) pairs emit eagerly, but a
+    * purchase's unmatched null row may only emit once the watermark
+    * proves no qualifying click can still arrive (state eviction). Both
+    * sides carry zero-delay watermarks; the staged source's late typed
+    * fakes advance them past every real event and carry the eviction
+    * batch out. Credit division and the channel rollup are a batch pass
+    * over the sink (EventQueries.attributionRollup — shared verbatim
+    * with the batch query), fenced to real users; checked against the
+    * events_attribution oracle.
+    */
+  def attributionAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = lateTypedStagedDir(s, dir, "attr_src")
+    val src = eventsFileStream(s, srcDir, oneFilePerBatch = true)
+    val p = src.withWatermark("ts", "0 seconds")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pt"),
+        col("event_id").as("purchase_id"), col("value"))
+    val c = src.withWatermark("ts", "0 seconds")
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("ct"),
+        (from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))
+          .getField("k") % 5).as("channel"))
+    val joined = p.join(c,
+      col("user_id") === col("c_user") &&
+        col("ct") <= col("pt") &&
+        col("ct") > col("pt") - expr("INTERVAL 24 HOURS"), "leftOuter")
+    val sunk = runToSink(
+      joined.select(col("user_id"), col("purchase_id"), col("value"),
+        col("channel"), col("ct")),
+      OutputMode.Append, "attribution")
+    graft.queries.EventQueries.attributionRollup(
+      sunk.filter(col("user_id") >= 0))
+  }
+
   /** The daily-rollup materialized view maintained BY THE STREAMING
     * ENGINE — the continuous-rollup lakehouse pattern: the events feed
     * arrives as three chronological slices (one micro-batch each under
