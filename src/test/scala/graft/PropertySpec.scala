@@ -200,4 +200,30 @@ class PropertySpec extends SparkSpec {
       f"weighted sample mean $sample%.1f not above corpus mean $corpus%.1f")
   }
 
+  test("Bfs.multiSource equals an in-memory reference BFS on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)).suchThat(p => p._1 != p._2))
+    (1 to 5).foreach { i =>
+      val edges = edgeGen(Gen.Parameters.default, Seed(i.toLong)).get.distinct
+      val sym = (edges ++ edges.map(_.swap)).distinct
+      val seeds = sym.map(_._1).distinct.filter(_ % 5 == 0)
+      // reference: plain queue BFS over the adjacency map
+      val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val expect = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+      var frontier = seeds
+      var d = 1L
+      while (frontier.nonEmpty && d <= 4) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Nil)).distinct
+          .filterNot(expect.contains)
+        frontier.foreach(expect(_) = d)
+        d += 1
+      }
+      val got = graft.operators.Bfs.multiSource(
+        sym.toDF("a", "b"), seeds.toDF("id"), maxHops = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect.toMap, s"graph seed $i: $got vs $expect")
+    }
+  }
+
 }
