@@ -42,6 +42,7 @@ object Main {
       |  stats   <prefix>                         one-row DESCRIBE of the persisted index
       |  search  <prefix> "<query>" [k=10]        BM25 top-k over the persisted index
       |  fsearch <prefix> "<query>" [k=10]        typo-tolerant BM25 (1-edit vocabulary expansion)
+      |  suggest <prefix> "<query>"               "did you mean" per query token (2-edit, df tiebreak)
       |  rm3     <prefix> "<query>" [k=10]        BM25 with pseudo-relevance-feedback expansion
       |  snippets <prefix> "<query>" [k=10]       best highlight window per top-k result
       |  similar <prefix> <doc_id> [k=5]          related documents (sparse TF-IDF cosine)
@@ -106,6 +107,9 @@ object Main {
       case Seq("fsearch", prefix, query, rest @ _*) =>
         val k = rest.headOption.map(_.toInt).getOrElse(10)
         Right(Some(Search.fuzzySearchPrebuilt(spark, query, prefix, k)))
+      case Seq("suggest", prefix, query) =>
+        Right(Some(Search.spellSuggest(spark, query,
+          spark.table(s"${prefix}_term_df"))))
       case Seq("rm3", prefix, query, rest @ _*) =>
         // the expansion term set is dynamic, so unlike `search` the
         // postings cannot be statically bucket-pruned — the term joins

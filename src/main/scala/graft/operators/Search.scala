@@ -146,6 +146,31 @@ object Search {
     search(spark, query, postings, termDf, docInfo, k)
   }
 
+  /** "Did you mean": for each query token, the best correction among
+    * vocabulary terms within `maxDist` edits — closest distance first,
+    * then highest document frequency (the commoner word is the likelier
+    * intent), then lexicographic. One vocabulary-sized expansion scan
+    * (length-band guard before the levenshtein, as in fuzzySearch), one
+    * window over the per-token candidates. Tokens with no neighbour
+    * produce no row.
+    */
+  def spellSuggest(spark: SparkSession, query: String, termDf: DataFrame,
+                   maxDist: Int = 2): DataFrame = {
+    import spark.implicits._
+    val qt = queryTokens(query).toDF("qterm")
+    val cand = termDf.join(broadcast(qt),
+      abs(length(col("term")) - length(col("qterm"))) <= maxDist &&
+        levenshtein(col("term"), col("qterm")) <= maxDist)
+      .withColumn("dist", levenshtein(col("term"), col("qterm")))
+    val best = Window.partitionBy(col("qterm"))
+      .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+    cand.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("qterm"), col("term").as("suggestion"),
+        col("dist").cast("int").as("dist"), col("df").cast("long").as("df"))
+      .orderBy("qterm")
+  }
+
   /** Typo-tolerant search over the persisted bucketed index. Two phases:
     * the expansion scans the (vocabulary-sized) stored term_df table for
     * terms within `maxDist` edits of the query tokens and collects the

@@ -179,6 +179,38 @@ object TextIndexQueries {
         col("score").cast("double").as("score"))
   }
 
+  // ---- Spell suggestion: "did you mean" over the index vocabulary ------------
+  // For each (typo'd) query token, the best correction among vocabulary
+  // terms within 2 edits: closest distance first, then HIGHEST document
+  // frequency (the more common word is the likelier intent), then
+  // lexicographic. Same vocabulary-sized expansion scan as fuzzy search
+  // with the wider band, then one tiny window over the candidates.
+  // Tokens with no 2-edit neighbour simply produce no row — the UI's
+  // "no suggestion" case.
+  def spellSuggest(s: SparkSession, dir: String): DataFrame =
+    Search.spellSuggest(s, FuzzyQuery,
+      Indexer.termDf(Indexer.postings(docs(s, dir))))
+
+  val spellSuggestSql: String = {
+    val qlist = FuzzyQuery.split(" ").map(t => s"'$t'").mkString("[", ",", "]")
+    s"""WITH $TokCte,
+       |postings AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+       |term_df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |            FROM postings GROUP BY term),
+       |q AS (SELECT unnest($qlist) AS qterm),
+       |cand AS (
+       |  SELECT q.qterm, d.term, levenshtein(d.term, q.qterm) AS dist, d.df
+       |  FROM term_df d JOIN q
+       |    ON abs(len(d.term) - len(q.qterm)) <= 2
+       |   AND levenshtein(d.term, q.qterm) <= 2),
+       |r AS (
+       |  SELECT qterm, term, dist, df, row_number() OVER (
+       |    PARTITION BY qterm ORDER BY dist ASC, df DESC, term ASC) AS rn
+       |  FROM cand)
+       |SELECT qterm, term AS suggestion, CAST(dist AS INTEGER) AS dist, df
+       |FROM r WHERE rn = 1 ORDER BY qterm""".stripMargin
+  }
+
   val bm25FuzzySearchSql: String = {
     val qlist = FuzzyQuery.split(" ").map(t => s"'$t'").mkString("[", ",", "]")
     bm25SqlOver(TokCte,
@@ -905,6 +937,7 @@ object TextIndexQueries {
     "bm25_search" -> (bm25Search _),
     "bm25_fuzzy_search" -> (bm25FuzzySearch _),
     "bm25_fuzzy_prebuilt" -> (bm25FuzzyPrebuilt _),
+    "spell_suggest" -> (spellSuggest _),
     "bm25_search_prebuilt" -> (bm25SearchPrebuilt _),
     "index_append_persisted" -> (indexAppendPersisted _),
     "index_compacted" -> (indexCompacted _),
@@ -941,6 +974,7 @@ object TextIndexQueries {
     "bm25_search" -> bm25SearchSql,
     "bm25_fuzzy_search" -> bm25FuzzySearchSql,
     "bm25_fuzzy_prebuilt" -> bm25FuzzySearchSql,
+    "spell_suggest" -> spellSuggestSql,
     "bm25_search_prebuilt" -> bm25SearchSql,
     "index_append_persisted" -> bm25SearchSql,
     "index_compacted" -> bm25SearchSql,

@@ -224,5 +224,13 @@ class CliSpec extends SparkSpec {
     val none = cli.Main.run(spark, Seq("fsearch", prefix, "qqqqqqqz", "10"))
       .toOption.flatten.get
     assert(none.isEmpty)
+    // "did you mean" over the same stored vocabulary: each typo'd token
+    // gets its intended correction back
+    val sugg = cli.Main.run(spark, Seq("suggest", prefix, "spork filtr datq"))
+      .toOption.flatten.get.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sugg.get("spork").contains("spark") &&
+      sugg.get("filtr").contains("filter") && sugg.get("datq").contains("data"),
+      sugg.toString)
   }
 }
