@@ -230,19 +230,278 @@ object TpchShapeQueries {
       |  LIMIT 2) t
       |ORDER BY c_custkey, total DESC, o_orderkey""".stripMargin
 
+  // ---- Q4 shape: EXISTS decorrelated to a semi join ------------------------
+  // Orders in a quarter that had at least one returned line item, counted by
+  // priority. The EXISTS never needs the lineitem payload — a left-semi hash
+  // join on orderkey is the whole plan; the date filter prunes the probe
+  // side before the shuffle. (The trimmed lineitem has no commit/receipt
+  // dates, so "late delivery" becomes "had a return" — same plan shape.)
+  private val Q4From = "1996-01-01"
+  private val Q4To = "1996-04-01"
+
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val returned = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(Q4From).cast("timestamp") &&
+        col("o_orderdate") < lit(Q4To).cast("timestamp"))
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4OrderPrioritySql: String =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+       |FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '$Q4From'
+       |  AND o_orderdate < TIMESTAMP '$Q4To'
+       |  AND EXISTS (SELECT 1 FROM lineitem
+       |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- Q8 shape: market share (ratio of conditional sums per group) --------
+  // One nation's share of a region's part-type trade, per year: the 6-way
+  // star join (all dims broadcast) feeding a conditional-sum ratio. The
+  // CASE lives inside the aggregate so one pass computes numerator and
+  // denominator — no second scan, no self-join.
+  private val Q8Region = "ASIA"
+  private val Q8Nation = "CHINA"
+  private val Q8Type = "ECONOMY"
+
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = broadcast(Tables.nation(s, dir)
+      .join(Tables.region(s, dir).filter(col("r_name") === Q8Region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk")))
+    val suppNation = broadcast(Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val econParts = broadcast(Tables.part(s, dir)
+      .filter(col("p_type") === Q8Type).select(col("p_partkey")))
+    val sup = broadcast(Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(econParts, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(asiaNations, col("c_nationkey") === col("c_nk"), "left_semi")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("s_nk"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(when(col("supp_nation") === Q8Nation, col("volume"))
+        .otherwise(lit(0.0))) / sum(col("volume")))
+        .cast("double").as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q8MarketShareSql: String =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(sum(CASE WHEN n2.n_name = '$Q8Nation'
+       |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+       |    / sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS mkt_share
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation n1 ON n1.n_nationkey = c_nationkey
+       |JOIN region ON r_regionkey = n1.n_regionkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation n2 ON n2.n_nationkey = s_nationkey
+       |WHERE r_name = '$Q8Region' AND p_type = '$Q8Type'
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  // ---- Q10 shape: returned-item revenue, deterministic top-20 --------------
+  // Customers ranked by revenue lost to returns in a quarter. The heavy
+  // part is the lineitem-orders join; customer and nation attach by
+  // broadcast AFTER the aggregation (k rows, not fact rows) — the same
+  // attach-dims-to-winners discipline as the BM25 title join.
+  private val Q10From = "1996-07-01"
+  private val Q10To = "1996-10-01"
+
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(Q10From).cast("timestamp") &&
+        col("o_orderdate") < lit(Q10To).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val perCust = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_custkey").asc)
+      .limit(20)
+    perCust
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal").cast("double").as("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+  }
+
+  val q10ReturnedItemsSql: String =
+    s"""SELECT c_custkey, c_name,
+       |  CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS revenue,
+       |  CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation ON n_nationkey = c_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '$Q10From'
+       |  AND o_orderdate < TIMESTAMP '$Q10To'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey ASC
+       |LIMIT 20""".stripMargin
+
+  // ---- Q14 shape: conditional-sum ratio as one scalar ----------------------
+  // Share of one part class in a month's revenue: single-pass CASE inside
+  // the aggregate over the month's join, one output row. The part dim
+  // broadcasts; the month filter prunes the fact scan first.
+  private val Q14Month = "1997-03-01"
+  private val Q14NextMonth = "1997-04-01"
+
+  def q14ClassShare(s: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_type")))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(Q14Month).cast("timestamp") &&
+        col("l_shipdate") < lit(Q14NextMonth).cast("timestamp"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .agg((lit(100.0) *
+        sum(when(col("p_type") === Q8Type, col("volume")).otherwise(lit(0.0))) /
+        sum(col("volume"))).cast("double").as("class_share"))
+  }
+
+  val q14ClassShareSql: String =
+    s"""SELECT CAST(100.0 * sum(CASE WHEN p_type = '$Q8Type'
+       |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+       |    / sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS class_share
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE l_shipdate >= TIMESTAMP '$Q14Month'
+       |  AND l_shipdate < TIMESTAMP '$Q14NextMonth'""".stripMargin
+
+  // ---- Q19 shape: OR-of-ANDs join predicate --------------------------------
+  // Three disjoint (brand, size-range, quantity-range) clauses OR'd across
+  // the part join. The common conjuncts Catalyst can factor out
+  // (p_partkey equality, the quantity/size bounds' union) stay pushable;
+  // the residual disjunction evaluates post-join — the classic CNF
+  // extraction test. Part still broadcasts, so no shuffle either way.
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size")))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(parts, col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("double").as("revenue"))
+  }
+
+  val q19DisjunctiveSql: String =
+    """SELECT CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // ---- Q21 shape: semi + anti correlated on the same fact ------------------
+  // Suppliers who were the SOLE returner in multi-supplier finished orders:
+  // EXISTS (another supplier in the order) AND NOT EXISTS (another supplier
+  // who also returned). Both correlations decorrelate to order-level
+  // aggregates over one scan — count distinct suppliers overall and among
+  // returners — instead of two more joins against the fact table; the
+  // order-level frame then joins back once. Top 20 by count.
+  def q21SoleReturner(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val finished = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val orderStats = li.join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey").as("g_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_ret_supp"))
+      .filter(col("n_supp") > 1 && col("n_ret_supp") === 1)
+    val perSupp = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(orderStats, col("l_orderkey") === col("g_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).cast("long").as("numwait"))
+    perSupp
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
+  val q21SoleReturnerSql: String =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      |      WHERE l_returnflag = 'R') l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name ASC
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> (q4OrderPriority _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q10_returned_items" -> (q10ReturnedItems _),
     "q13_custdist" -> (q13CustDist _),
+    "q14_class_share" -> (q14ClassShare _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q17_small_quantity" -> (q17SmallQuantity _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "q21_sole_returner" -> (q21SoleReturner _),
     "q22_inactive_customers" -> (q22InactiveCustomers _),
     "lateral_top_orders" -> (lateralTopOrders _))
 
   val oracles: Map[String, String] = Map(
+    "q4_order_priority" -> q4OrderPrioritySql,
     "q7_volume_shipping" -> q7VolumeShippingSql,
+    "q8_market_share" -> q8MarketShareSql,
+    "q10_returned_items" -> q10ReturnedItemsSql,
     "q13_custdist" -> q13CustDistSql,
+    "q14_class_share" -> q14ClassShareSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q17_small_quantity" -> q17SmallQuantitySql,
+    "q19_disjunctive" -> q19DisjunctiveSql,
+    "q21_sole_returner" -> q21SoleReturnerSql,
     "q22_inactive_customers" -> q22InactiveCustomersSql,
     "lateral_top_orders" -> lateralTopOrdersSql)
 }

@@ -280,6 +280,24 @@ class PlanSpec extends SparkSpec {
       s"q15 max-row should broadcast back over the aggregate:\n$p15")
   }
 
+  test("new TPC-H shapes: semi/anti stay hash-joined, top-20 is TakeOrdered, dims broadcast") {
+    val p4 = plan("q4_order_priority")
+    assert(p4.contains("LeftSemi"), s"q4 EXISTS should plan a semi join:\n$p4")
+    assert(!p4.contains("CartesianProduct"), s"q4 cartesian:\n$p4")
+    val p10 = plan("q10_returned_items")
+    assert(p10.contains("TakeOrderedAndProject"), s"q10 top-20 not TakeOrdered:\n$p10")
+    assert(p10.contains("BroadcastHashJoin"),
+      s"q10 customer/nation should attach to the 20 winners by broadcast:\n$p10")
+    val p19 = plan("q19_disjunctive")
+    assert(p19.contains("BroadcastHashJoin") && !p19.contains("CartesianProduct"),
+      s"q19 part join must stay a broadcast equi-join with residual disjunction:\n$p19")
+    val p21 = plan("q21_sole_returner")
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"),
+      s"q21 correlations must decorrelate to hash joins:\n$p21")
+    assert(p21.contains("partial_count") || p21.contains("partial"),
+      s"q21 order-level stats should partial-aggregate:\n$p21")
+  }
+
   test("fuzzy_match blocks on the token equi-join — no cartesian over the dictionary") {
     val p = plan("fuzzy_match")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
