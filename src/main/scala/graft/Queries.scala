@@ -46,7 +46,8 @@ object Queries {
       graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.FunctionQueries.queries
+      graft.queries.FunctionQueries.queries ++
+      graft.queries.SketchQueries.queries
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++
@@ -59,5 +60,6 @@ object Queries {
       graft.queries.DedupQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.MultimodalQueries.oracles ++
-      graft.queries.FunctionQueries.oracles
+      graft.queries.FunctionQueries.oracles ++
+      graft.queries.SketchQueries.oracles
 }

@@ -1154,6 +1154,54 @@ object DedupQueries {
        |FROM pairs WHERE cosine >= 0.35
        |ORDER BY vec_id_a, vec_id_b""".stripMargin
 
+  // ---- Link prediction over the near-dup graph --------------------------------
+  // Which non-adjacent doc pairs LOOK like they should be duplicates?
+  // Common-neighbor candidates come from one self-join of the symmetrized
+  // (small, cached) pair table — length-2 paths, canonical a<b, adjacent
+  // pairs anti-joined away — scored by Adamic-Adar (1/ln degree of each
+  // shared neighbor; every shared neighbor has degree >= 2 by construction,
+  // so the log never vanishes). Candidate volume is bounded by the
+  // duplicate-cluster sizes, not the corpus: at 100 TB this stays a
+  // cluster-local join. All candidates returned in (a, b) order — no
+  // score-ordered cut, so float ulps can't flip which rows the oracle sees.
+  def graphLinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val und = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("w")).agg(count(lit(1)).as("deg"))
+    und.as("uw").join(und.as("wv"), col("uw.b") === col("wv.a"))
+      .select(col("uw.a").as("a"), col("wv.b").as("b"), col("uw.b").as("w"))
+      .filter(col("a") < col("b"))
+      .join(pairs.select(col("a").as("ea"), col("b").as("eb")),
+        col("a") === col("ea") && col("b") === col("eb"), "left_anti")
+      .join(deg, "w")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("common_cnt"),
+        sum(lit(1.0) / log(col("deg").cast("double"))).cast("double").as("score_aa"))
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+        col("common_cnt"), col("score_aa"))
+      .orderBy("a", "b")
+  }
+
+  val graphLinkPredictionSql: String =
+    s"""WITH pairs AS (
+       |  SELECT doc_id_a AS a, doc_id_b AS b FROM (
+       |$dedupMinhashLshSql
+       |  ) mh),
+       |und AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+       |deg AS (SELECT a AS w, count(*) AS deg FROM und GROUP BY a),
+       |cand AS (
+       |  SELECT uw.a AS a, wv.b AS b, uw.b AS w
+       |  FROM und uw JOIN und wv ON uw.b = wv.a
+       |  WHERE uw.a < wv.b
+       |    AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.a = uw.a AND p.b = wv.b))
+       |SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b,
+       |  CAST(count(*) AS BIGINT) AS common_cnt,
+       |  CAST(sum(1.0 / ln(d.deg)) AS DOUBLE) AS score_aa
+       |FROM cand c JOIN deg d ON d.w = c.w
+       |GROUP BY c.a, c.b
+       |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -1174,7 +1222,8 @@ object DedupQueries {
     "contrastive_triplets" -> (contrastiveTriplets _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
-    "graph_bfs" -> (graphBfs _))
+    "graph_bfs" -> (graphBfs _),
+    "graph_link_prediction" -> (graphLinkPrediction _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -1196,5 +1245,6 @@ object DedupQueries {
     "contrastive_triplets" -> contrastiveTripletsSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
-    "graph_bfs" -> graphBfsSql)
+    "graph_bfs" -> graphBfsSql,
+    "graph_link_prediction" -> graphLinkPredictionSql)
 }

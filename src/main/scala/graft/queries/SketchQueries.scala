@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Sketches
+
+/** Sketch-backed approximation queries with exact DuckDB mirrors — the
+  * md5-prefix hash family makes every bit and counter reproducible in SQL,
+  * so the oracle checks the sketch CONTENTS, not just its invariants.
+  */
+object SketchQueries {
+
+  // Bloom geometry: ~300 member keys at sf0.01 → kn/m ≈ 0.44, expected
+  // false-positive rate (1-e^-0.44)^3 ≈ 4% — small enough to be a useful
+  // pre-filter, large enough that the query's n_false_pos column actually
+  // exercises the collision path.
+  private val BloomM = 2048
+  private val BloomK = 3
+
+  // ---- bloom_prefilter: semi-join pre-filter accounting -------------------
+  // Membership filter built from one customer segment, probed by every
+  // order: per priority, how many orders the Bloom filter would let
+  // through vs the exact semi join, and how many are false positives.
+  // The filter is ONE broadcast row; the probe is narrow — the pattern
+  // that replaces a fact-table shuffle with O(m) bits at scale. Exact
+  // flags attach via a broadcast left join on the (small) key set.
+  def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val segKeys = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("key")).distinct()
+    val bits = Sketches.bloomBuild(segKeys, "key", BloomM, BloomK)
+    Sketches.bloomProbe(
+        Tables.orders(s, dir).select(col("o_custkey"), col("o_orderpriority")),
+        "o_custkey", bits, BloomM, BloomK, "bloom_pass")
+      .join(broadcast(segKeys), col("o_custkey") === col("key"), "left_outer")
+      .withColumn("exact_pass", col("key").isNotNull)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(when(col("bloom_pass"), 1L).otherwise(0L)).cast("long").as("n_bloom"),
+        sum(when(col("exact_pass"), 1L).otherwise(0L)).cast("long").as("n_exact"),
+        sum(when(col("bloom_pass") && !col("exact_pass"), 1L).otherwise(0L))
+          .cast("long").as("n_false_pos"))
+      .orderBy("o_orderpriority")
+  }
+
+  private def bloomPos(jExpr: String, keyExpr: String): String =
+    s"(${OracleSql.hash64(s"concat(CAST($jExpr AS VARCHAR), '_', CAST($keyExpr AS VARCHAR))")} % $BloomM)"
+
+  val bloomPrefilterSql: String =
+    s"""WITH keys AS (
+       |  SELECT DISTINCT c_custkey AS key FROM customer
+       |  WHERE c_mktsegment = 'BUILDING'),
+       |bits AS (
+       |  SELECT list(DISTINCT ${bloomPos("j", "key")}) AS bs
+       |  FROM keys, range($BloomK) t(j)),
+       |flags AS (
+       |  SELECT o_orderpriority,
+       |    (SELECT bool_and(list_contains(bits.bs, ${bloomPos("t.j", "o_custkey")}))
+       |     FROM range($BloomK) t(j), bits) AS bloom_pass,
+       |    o_custkey IN (SELECT key FROM keys) AS exact_pass
+       |  FROM orders)
+       |SELECT o_orderpriority,
+       |  CAST(count(*) AS BIGINT) AS n_orders,
+       |  CAST(count(*) FILTER (bloom_pass) AS BIGINT) AS n_bloom,
+       |  CAST(count(*) FILTER (exact_pass) AS BIGINT) AS n_exact,
+       |  CAST(count(*) FILTER (bloom_pass AND NOT exact_pass) AS BIGINT) AS n_false_pos
+       |FROM flags
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  // CMS geometry: 150 users over w=64 buckets → ~2.3 keys per cell, so
+  // collisions (and therefore visible overestimates) are guaranteed while
+  // min-over-d=4 keeps them modest — the estimate-vs-exact gap the query
+  // reports is real sketch behavior, reproduced exactly by the oracle.
+  private val CmsD = 4
+  private val CmsW = 64
+
+  // ---- cms_estimate: count-min point estimates vs exact counts ------------
+  // Per-user event counts estimated from the d×w sketch next to the true
+  // counts. est >= exact always (ApproxSpec pins it); equality whenever
+  // some row of the sketch gave the key a private cell.
+  def cmsEstimate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val sketch = Sketches.cmsBuild(ev, "user_id", CmsD, CmsW)
+    val exact = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("exact_cnt"))
+    exact.join(
+        Sketches.cmsEstimate(exact.select(col("user_id")), "user_id",
+          sketch, CmsD, CmsW),
+        Seq("user_id"))
+      .select(col("user_id"), col("exact_cnt"), col("cms_est"))
+      .orderBy("user_id")
+  }
+
+  private def cmsPos(jExpr: String, keyExpr: String): String =
+    s"(${OracleSql.hash64(s"concat(CAST($jExpr AS VARCHAR), '_', CAST($keyExpr AS VARCHAR))")} % $CmsW)"
+
+  val cmsEstimateSql: String =
+    s"""WITH f AS (SELECT user_id FROM events),
+       |cnt AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+       |  FROM f GROUP BY user_id),
+       |cells AS (
+       |  SELECT j, ${cmsPos("j", "user_id")} AS b, count(*) AS c
+       |  FROM f, range($CmsD) t(j)
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT k.user_id, min(c.c) AS e
+       |  FROM cnt k, range($CmsD) t(j), cells c
+       |  WHERE c.j = t.j AND c.b = ${cmsPos("t.j", "k.user_id")}
+       |  GROUP BY k.user_id)
+       |SELECT cnt.user_id, exact_cnt, CAST(e AS BIGINT) AS cms_est
+       |FROM cnt JOIN est ON cnt.user_id = est.user_id
+       |ORDER BY cnt.user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bloom_prefilter" -> (bloomPrefilter _),
+    "cms_estimate" -> (cmsEstimate _))
+
+  val oracles: Map[String, String] = Map(
+    "bloom_prefilter" -> bloomPrefilterSql,
+    "cms_estimate" -> cmsEstimateSql)
+}

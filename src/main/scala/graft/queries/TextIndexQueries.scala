@@ -925,7 +925,132 @@ object TextIndexQueries {
        |SELECT probe_id, rank, cand_id, cosine FROM ranked WHERE rank <= $MltK
        |ORDER BY probe_id, rank""".stripMargin
 
+  // ---- Ranking-quality eval: MRR@10 / NDCG@10 against pseudo-qrels ---------
+  // The retrieval engine measured offline: relevance of a doc to a query is
+  // its count of distinct query terms (a deterministic graded qrel both
+  // engines derive from the corpus itself), the ranking is the batch BM25
+  // top-10. Per query: reciprocal rank of the first relevant hit and DCG
+  // normalized by the ideal ordering (ties broken by doc_id). Everything is
+  // per-query-keyed — a million-query eval shuffles each ranked row once.
+  def searchEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (p, tdf, di) = indexTriple(s, dir)
+    val ranked = Search.batchSearch(BatchQueries.toDF("query_id", "query_text"),
+        p, tdf, di, k = 10)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val qTerms = BatchQueries.flatMap { case (id, text) =>
+      Search.queryTokens(text).distinct.map(id -> _) }.toDF("query_id", "term")
+    val rels = p.select(col("term"), col("doc_id"))
+      .join(broadcast(qTerms), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("rel"))
+    graft.operators.RankEval.rankingMetrics(ranked, rels, k = 10)
+      .orderBy("query_id")
+  }
+
+  val searchEvalSql: String = {
+    val qArms = BatchQueries.map { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => s"'$t'").mkString("[", ",", "]")
+      s"SELECT '$id' AS query_id, unnest($toks) AS term"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $TokCte,
+       |postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+       |term_df AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+       |doc_info AS (SELECT doc_id, len(l) AS length FROM docs_l),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(length) AS avgdl FROM doc_info),
+       |q AS (
+       |  $qArms),
+       |scored AS (
+       |  SELECT q.query_id, p.doc_id,
+       |    ln(greatest(1.0, s.n / greatest(1.0, CAST(d.df AS DOUBLE)))) * p.tf * 2.0 /
+       |      (p.tf + (0.25 + 0.75 * di.length / s.avgdl)) AS score
+       |  FROM q JOIN term_df d USING(term) JOIN postings p USING(term)
+       |       JOIN doc_info di USING(doc_id), stats s),
+       |summed AS (
+       |  SELECT query_id, doc_id, sum(score) AS score
+       |  FROM scored GROUP BY query_id, doc_id),
+       |topk AS (
+       |  SELECT * FROM (
+       |    SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+       |    FROM summed) r
+       |  WHERE rank <= 10),
+       |rels AS (
+       |  SELECT q.query_id, p.doc_id, CAST(count(DISTINCT q.term) AS BIGINT) AS rel
+       |  FROM q JOIN postings p USING(term) GROUP BY 1, 2),
+       |gains AS (
+       |  SELECT t.query_id, t.rank, coalesce(r.rel, 0) AS rel
+       |  FROM topk t LEFT JOIN rels r
+       |    ON r.query_id = t.query_id AND r.doc_id = t.doc_id),
+       |perq AS (
+       |  SELECT query_id, sum((pow(2.0, rel) - 1.0) / log2(rank + 1.0)) AS dcg,
+       |    min(CASE WHEN rel > 0 THEN rank END) AS first_rel
+       |  FROM gains GROUP BY query_id),
+       |ideal AS (
+       |  SELECT query_id, sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)) AS idcg
+       |  FROM (SELECT query_id, rel, row_number() OVER (
+       |          PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS irank
+       |        FROM rels) i
+       |  WHERE irank <= 10 GROUP BY query_id),
+       |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |         FROM rels GROUP BY query_id)
+       |SELECT p.query_id,
+       |  CAST(coalesce(1.0 / first_rel, 0.0) AS DOUBLE) AS mrr,
+       |  CAST(coalesce(dcg / idcg, 0.0) AS DOUBLE) AS ndcg,
+       |  CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel
+       |FROM perq p LEFT JOIN ideal USING(query_id) LEFT JOIN nrel USING(query_id)
+       |ORDER BY p.query_id""".stripMargin
+  }
+
+  // ---- RAG context assembly: budgeted top-k packing ------------------------
+  // The retrieve-then-assemble step of a RAG serving path as ONE lazy plan:
+  // flagship top-10, token costs from doc_info, a running total in rank
+  // order, cut at the context budget, passage text attached to the
+  // surviving handful only (never carried through the scoring shuffles).
+  // The rank/cumsum windows run over k rows — single-partition by design.
+  private val RagBudget = 600
+
+  def ragContext(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (p, tdf, di) = indexTriple(s, dir)
+    val top = Search.search(s, SearchQuery, p, tdf, di, k = 10)
+      .select(col("doc_id"), col("score"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+    val w = Window.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.join(di.select(col("doc_id"), col("length")), "doc_id")
+      .withColumn("cum_tokens", sum(col("length")).over(w).cast("long"))
+      .filter(col("cum_tokens") <= RagBudget)
+      .join(docs(s, dir), "doc_id")
+      .select(col("rank"), col("doc_id").cast("long").as("doc_id"),
+        col("length").cast("long").as("n_tokens"), col("cum_tokens"),
+        substring(col("text"), 1, 80).as("passage"))
+      .orderBy("rank")
+  }
+
+  val ragContextSql: String =
+    s"""${bm25TopCtes(TokCte)},
+       |ranked AS (
+       |  SELECT doc_id, CAST(row_number() OVER (
+       |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM top),
+       |ctx AS (
+       |  SELECT r.rank, r.doc_id, di.length AS n_tokens,
+       |    sum(di.length) OVER (ORDER BY r.rank) AS cum_tokens
+       |  FROM ranked r JOIN doc_info di USING(doc_id))
+       |SELECT rank, CAST(c.doc_id AS BIGINT) AS doc_id,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |  substring(d.text, 1, 80) AS passage
+       |FROM ctx c JOIN documents d ON d.doc_id = c.doc_id
+       |WHERE cum_tokens <= $RagBudget
+       |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_eval" -> (searchEval _),
+    "rag_context" -> (ragContext _),
     "phrase_search3" -> (phraseSearch3 _),
     "tfidf_keywords" -> (tfidfKeywords _),
     "more_like_this" -> (moreLikeThis _),
@@ -963,6 +1088,8 @@ object TextIndexQueries {
     "prep_pipeline" -> (prepPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "search_eval" -> searchEvalSql,
+    "rag_context" -> ragContextSql,
     "phrase_search3" -> phraseSearch3Sql,
     "tfidf_keywords" -> tfidfKeywordsSql,
     "more_like_this" -> moreLikeThisSql,

@@ -75,4 +75,34 @@ class ApproxSpec extends SparkSpec {
         f"stratum $flag: $frac%.4f outside $rate +/- ${4 * sigma}%.4f")
     }
   }
+
+  test("bloom filter admits every member and keeps false positives under 10%") {
+    val rows = Queries.all("bloom_prefilter")(spark, dir).collect()
+    val (orders, bloom, exact, fp) = rows.map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+    // no false negatives by construction: everything exact admits, bloom admits
+    assert(bloom - fp == exact,
+      s"bloom pass minus false positives must equal the exact semi join ($bloom - $fp != $exact)")
+    assert(bloom >= exact, "bloom filter dropped a member (false negative)")
+    val nonMembers = orders - exact
+    assert(fp.toDouble / nonMembers <= 0.10,
+      f"false-positive rate ${fp.toDouble / nonMembers}%.4f above the geometry's budget")
+  }
+
+  test("count-min never underestimates and stays within the w-collision bound") {
+    val rows = Queries.all("cms_estimate")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = rows.map(_._2).sum
+    rows.foreach { case (u, exact, est) =>
+      assert(est >= exact, s"user $u: CMS underestimated ($est < $exact)")
+      // Markov bound with d=4, w=64: P[err > 2e/w * total] < (1/2)^... —
+      // deterministic check uses the hard eN/w ceiling times a slack of 4.
+      assert(est - exact <= 4.0 * math.E * total / 64,
+        s"user $u: overestimate ${est - exact} beyond the sketch's error budget")
+    }
+    assert(rows.exists { case (_, exact, est) => est > exact },
+      "w=64 over 150 keys must produce at least one visible collision " +
+        "(otherwise the estimate path is not being exercised)")
+  }
 }
