@@ -46,13 +46,24 @@ object Sketches {
   /** Probe: `df` plus boolean `passCol` — true iff ALL k positions of
     * `keyCol` are set. Broadcast of the one-row bits table; the membership
     * test itself is narrow.
+    *
+    * The sparse set-bit array is expanded ONCE (on the single build row)
+    * into a dense m-slot boolean mask so each probe is k O(1) lookups —
+    * `array_contains` on the sparse form scans O(set bits) per probe,
+    * which at a 150k-row probe side is ~10^9 comparisons (measured 8.5 s;
+    * the dense mask takes it to sub-second).
     */
   def bloomProbe(df: DataFrame, keyCol: String, bits: DataFrame,
-                 m: Int, k: Int, passCol: String): DataFrame =
-    df.crossJoin(broadcast(bits))
+                 m: Int, k: Int, passCol: String): DataFrame = {
+    val mask = bits.select(
+      transform(sequence(lit(0L), lit(m - 1L)),
+        i => array_contains(col("bits"), i)).as("mask"))
+    df.crossJoin(broadcast(mask))
       .withColumn(passCol,
-        forall(positions(col(keyCol), m, k), p => array_contains(col("bits"), p)))
-      .drop("bits")
+        forall(positions(col(keyCol), m, k),
+          p => element_at(col("mask"), (p + 1L).cast("int"))))
+      .drop("mask")
+  }
 
   /** Build the d×w counter cells over `df`'s key column. */
   def cmsBuild(df: DataFrame, keyCol: String, d: Int, w: Int): DataFrame =
