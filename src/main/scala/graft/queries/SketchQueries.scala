@@ -115,11 +115,73 @@ object SketchQueries {
        |FROM cnt JOIN est ON cnt.user_id = est.user_id
        |ORDER BY cnt.user_id""".stripMargin
 
+  // ---- hll_shard_union: mergeable per-shard cardinality sketches ----------
+  // THE sketch pattern that matters at 100 TB: each shard (here: source)
+  // builds its own HLL sketch of distinct tokens in one pass, and the
+  // global distinct count comes from UNIONING the fixed-size sketches —
+  // never re-touching the data. Register state depends only on the input
+  // value SET (per-bucket max of hashed values), so the estimate is
+  // deterministic under any partitioning/arrival order, and union is
+  // commutative — exactly what lets per-day/per-shard sketches be stored
+  // and merged incrementally. The global exact distinct is NOT the sum of
+  // shard exacts (shared vocabulary) — the union sketch estimates it
+  // correctly anyway.
+  //
+  // Oracle story: DataSketches estimates can't be reproduced in DuckDB, so
+  // the query emits the EXACT distinct counts (hash-checkable) plus an
+  // `est_ok` flag asserting the sketch estimate landed within 2% of exact
+  // (lgK=12 → ~1.6% relative stddev at this scale, and the estimator is
+  // near-exact below ~3/4·2^lgK items; measured max error 0.0% at sf0.01
+  // and sf0.1). Determinism makes the flag stable run-to-run; ApproxSpec
+  // additionally pins the real estimate errors and union-vs-rebuild
+  // equality.
+  private val HllLgK = 12
+  private val HllTol = 0.02
+
+  def hllShardUnion(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir).select(col("source"),
+      explode(graft.functions.Tokenizer.tokenize(col("text"))).as("tok"))
+    val shard = toks.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("tok"), HllLgK).as("sk"),
+        count_distinct(col("tok")).cast("long").as("exact_distinct"))
+    val perShard = shard.select(col("source").as("shard"), col("exact_distinct"),
+      (abs(hll_sketch_estimate(col("sk")).cast("double")
+          - col("exact_distinct").cast("double"))
+        <= lit(HllTol) * col("exact_distinct").cast("double")).as("est_ok"))
+    val globalExact = toks.agg(count_distinct(col("tok")).cast("long")
+      .as("exact_distinct"))
+    val globalEst = shard.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).cast("double").as("est"))
+    val global = globalEst.crossJoin(globalExact)
+      .select(lit("__all__").as("shard"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct").cast("double"))
+          <= lit(HllTol) * col("exact_distinct").cast("double")).as("est_ok"))
+    perShard.unionByName(global).orderBy("shard")
+  }
+
+  val hllShardUnionSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |st AS (
+       |  SELECT d.source, t.term
+       |  FROM toks t JOIN documents d ON d.doc_id = t.doc_id)
+       |SELECT source AS shard,
+       |  CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct,
+       |  TRUE AS est_ok
+       |FROM st GROUP BY source
+       |UNION ALL
+       |SELECT '__all__' AS shard,
+       |  CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct,
+       |  TRUE AS est_ok
+       |FROM st
+       |ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bloom_prefilter" -> (bloomPrefilter _),
-    "cms_estimate" -> (cmsEstimate _))
+    "cms_estimate" -> (cmsEstimate _),
+    "hll_shard_union" -> (hllShardUnion _))
 
   val oracles: Map[String, String] = Map(
     "bloom_prefilter" -> bloomPrefilterSql,
-    "cms_estimate" -> cmsEstimateSql)
+    "cms_estimate" -> cmsEstimateSql,
+    "hll_shard_union" -> hllShardUnionSql)
 }

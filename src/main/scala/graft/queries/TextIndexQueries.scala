@@ -636,6 +636,26 @@ object TextIndexQueries {
     """SELECT doc_id, md5(text) AS text_md5, lang, source
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- ORC sink -> scan round-trip, typed columns checked ---------------------
+  // Unlike the TSV/JSONL trips there is no stringification: doc_id stays
+  // a long and the embedded-newline/tab texts need no writer options —
+  // the columnar format carries types and content exactly.
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.Pipelines.freshScratch(
+      "orc_rt_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    graft.sources.Pipelines.writeOrc(docs, out)
+    graft.sources.Pipelines.readOrc(s, out)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT doc_id, md5(text) AS text_md5, lang, source
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def textdirRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = graft.sources.Pipelines.freshScratch(
       "perdoc_rt_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
@@ -1083,6 +1103,7 @@ object TextIndexQueries {
     "index_stats" -> (indexStats _),
     "doc_prep" -> (docPrep _),
     "tsv_roundtrip" -> (tsvRoundtrip _),
+    "orc_roundtrip" -> (orcRoundtrip _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "textdir_roundtrip" -> (textdirRoundtrip _),
     "prep_pipeline" -> (prepPipeline _))
@@ -1122,6 +1143,7 @@ object TextIndexQueries {
     "index_stats" -> indexStatsSql,
     "doc_prep" -> docPrepSql,
     "tsv_roundtrip" -> tsvRoundtripSql,
+    "orc_roundtrip" -> orcRoundtripSql,
     "jsonl_roundtrip" -> jsonlRoundtripSql,
     "textdir_roundtrip" -> textdirRoundtripSql)
 }

@@ -84,6 +84,19 @@ object Pipelines {
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC sink/scan — the columnar interchange format for warehouses that
+    * standardized on Hive (vectorized reader, predicate pushdown and
+    * column pruning like parquet; Spark bundles native support). Typed
+    * columns survive exactly (no string round-trip), so unlike TSV/JSONL
+    * no schema re-application is needed: the files carry it
+    * (orc_roundtrip hash-checks content; PipelineSpec pins the schema).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** F8: sanitize a filename exactly like the reference
     * (spaces -> _, then keep only [a-zA-Z0-9_-]; app/prepare_data.py:32-33).
     */

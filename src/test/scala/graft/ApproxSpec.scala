@@ -105,4 +105,28 @@ class ApproxSpec extends SparkSpec {
       "w=64 over 150 keys must produce at least one visible collision " +
         "(otherwise the estimate path is not being exercised)")
   }
+
+  test("HLL shard sketches: union estimate within 2%, equal to a full rebuild") {
+    import org.apache.spark.sql.DataFrame
+    val toks = Tables.documents(spark, dir).select(col("source"),
+      explode(graft.functions.Tokenizer.tokenize(col("text"))).as("tok"))
+    def est(df: DataFrame): Double = df.collect()(0).getDouble(0)
+    // merged per-shard sketches == one sketch over everything (mergeability:
+    // union of register maxima is the register maxima of the union)
+    val merged = est(toks.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("tok"), 12).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("double")))
+    val rebuilt = est(toks.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("tok"), 12)).cast("double")))
+    assert(merged == rebuilt,
+      f"union-of-shards $merged%.1f != single-pass sketch $rebuilt%.1f")
+    val exact = toks.select(col("tok")).distinct().count().toDouble
+    assert(math.abs(merged - exact) / exact <= 0.02,
+      f"HLL estimate $merged%.1f drifted >2%% from exact $exact%.1f")
+    // repartitioning must not move the estimate (order/placement invariance
+    // is what makes stored per-shard sketches trustworthy)
+    val reparted = est(toks.repartition(7, col("tok")).agg(
+      hll_sketch_estimate(hll_sketch_agg(col("tok"), 12)).cast("double")))
+    assert(reparted == rebuilt, "estimate changed under repartitioning")
+  }
 }

@@ -42,6 +42,24 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ORC round-trip preserves schema types and exact content") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_orc").toString
+    import spark.implicits._
+    val in = Seq(
+      (1L, "plain text", 0.5),
+      (2L, "tabs\tand\nnewlines \"quoted\"", -1.25),
+      (3L, "", Double.MaxValue)).toDF("id", "text", "score")
+    Pipelines.writeOrc(in, dir)
+    val back = Pipelines.readOrc(spark, dir)
+    // no schema re-application: the files must carry the exact types
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSet ==
+      Set(("id", LongType), ("text", StringType), ("score", DoubleType)))
+    val a = in.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val b = back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
   test("TSV round-trip is byte-exact for embedded newlines and edge whitespace") {
     // the writer quotes fields containing the line separator; the
     // multiLine reader must reassemble them as ONE record (default
