@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.CacheRegistry.RegisteredCache
@@ -104,6 +105,55 @@ object SimilarityQueries {
        |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
   }
+
+  // ---- kNN graph: every node's k nearest via LSH buckets ---------------------
+  // The all-nodes neighbor-graph construction (clustering, agglomerative
+  // dedup, label propagation all start here) — distinct from ann_lsh's
+  // serving shape, where a small probe set is broadcast against the
+  // corpus. Here NOTHING is broadcastable: candidates come from the
+  // band-bucket self-join (collision-bounded volume), vectors attach via
+  // two shuffle joins keyed on id, and the top-k cut is a per-source
+  // window. Every stage shuffles on a key, none on data size² — the
+  // plan survives a corpus no single executor can hold.
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("id"), col("v"))
+    val bands = Similarity.lshBands(s, e, NumPlanes, Dim, BandBits)
+    val cands = bands.select(col("band"), col("sig"), col("id").as("src_id"))
+      .join(bands.select(col("band"), col("sig"), col("id").as("nbr_id")),
+        Seq("band", "sig"))
+      .filter(col("src_id") =!= col("nbr_id"))
+      .select("src_id", "nbr_id").distinct()
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    cands
+      .join(e.select(col("id").as("src_id"), col("v").as("pv")), "src_id")
+      .join(e.select(col("id").as("nbr_id"), col("v").as("cv")), "nbr_id")
+      .withColumn("cosine", Similarity.cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("src_id"), col("rank"), col("nbr_id"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("src_id", "rank")
+  }
+
+  val knnGraphSql: String =
+    s"""WITH $EmbCte,
+       |$PlanesCte,
+       |$BandsCte,
+       |cands AS (
+       |  SELECT DISTINCT a.id AS src_id, b.id AS nbr_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.id <> b.id),
+       |scored AS (
+       |  SELECT x.src_id, x.nbr_id, $CosineSql AS cosine
+       |  FROM cands x JOIN emb p ON p.id = x.src_id
+       |       JOIN emb c ON c.id = x.nbr_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id
+       |    ORDER BY cosine DESC, nbr_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT src_id, rank, nbr_id, CAST(cosine AS DOUBLE) AS cosine
+       |FROM ranked WHERE rank <= $K ORDER BY src_id, rank""".stripMargin
 
   // ---- Vector-index drift report ---------------------------------------------
   // The "when to retrain the quantizer" maintenance signal that pairs with
@@ -1017,6 +1067,7 @@ object SimilarityQueries {
     "embedding_clusters" -> (embeddingClusters _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
+    "knn_graph" -> (knnGraph _),
     "ann_lsh_multiprobe" -> (annLshMultiprobe _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_pq" -> (annIvfPq _),
@@ -1035,6 +1086,7 @@ object SimilarityQueries {
     "embedding_clusters" -> embeddingClustersSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,
+    "knn_graph" -> knnGraphSql,
     "ann_lsh_multiprobe" -> annLshMultiprobeSql,
     "ann_ivf" -> annIvfSql,
     "ann_ivf_pq" -> annIvfPqSql,

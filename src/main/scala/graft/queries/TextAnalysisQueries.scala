@@ -395,6 +395,103 @@ object TextAnalysisQueries {
        |FROM bg GROUP BY bigram
        |ORDER BY n DESC, bigram ASC LIMIT $VocabTopK""".stripMargin
 
+  // ---- Blocklist (badwords) filter: the C4-style curation gate ---------------
+  // Per-doc count of blocklisted tokens and the keep/drop decision —
+  // entirely NARROW: the blocklist is a literal array folded into the
+  // filter expression (at real scale: a broadcast variable), tokens never
+  // explode, nothing shuffles. Both the total blocked occurrences and the
+  // distinct blocked terms are reported; keep = blocked fraction < 5%.
+  private val Blocklist = Seq("slow", "drop", "error")
+
+  def blocklistFilter(s: SparkSession, dir: String): DataFrame = {
+    val bl = array(Blocklist.map(lit): _*)
+    val toks = Tokenizer.tokenize(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("l"))
+      .select(col("doc_id"),
+        size(col("l")).cast("long").as("n_tokens"),
+        size(filter(col("l"), t => array_contains(bl, t)))
+          .cast("long").as("n_blocked"),
+        size(array_intersect(array_distinct(col("l")), bl))
+          .cast("long").as("n_blocked_terms"))
+      .withColumn("keep", col("n_blocked").cast("double")
+        < lit(0.05) * col("n_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val blocklistFilterSql: String = {
+    val blSql = Blocklist.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH ${OracleSql.TokCte}
+       |SELECT doc_id,
+       |  CAST(len(l) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(l, t -> list_contains($blSql, t))) AS BIGINT)
+       |    AS n_blocked,
+       |  CAST(len(list_intersect(list_distinct(l), $blSql)) AS BIGINT)
+       |    AS n_blocked_terms,
+       |  CAST(len(list_filter(l, t -> list_contains($blSql, t))) AS DOUBLE)
+       |    < 0.05 * CAST(len(l) AS DOUBLE) AS keep
+       |FROM docs_l ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- PMI collocations: which bigrams are REAL phrases ----------------------
+  // Pointwise mutual information over the corpus bigram/unigram
+  // distributions: pmi = ln(p(xy)/(p(x)p(y))). Two aggregations (bigram
+  // counts, unigram counts) + two broadcast joins of the (vocabulary-
+  // sized) unigram table; selection is by deterministic PREDICATE
+  // (count floor + pmi threshold), not a score-ordered cut, so float ulps
+  // can't change which rows the oracle sees.
+  private val PmiMinCount = 20L
+
+  def tokenPmi(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), Tokenizer.tokenize(col("text")).as("l"))
+    val uni = toks.select(explode(col("l")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cu"))
+    val uniTotal = uni.agg(sum(col("cu")).cast("double").as("nu"))
+    val bg = toks.select(explode(bigramsOf(col("l"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= PmiMinCount)
+    val bgTotal = toks.select(
+        greatest(size(col("l")) - 1, lit(0)).cast("long").as("k"))
+      .agg(sum(col("k")).cast("double").as("nb"))
+    bg.withColumn("x", split(col("bigram"), " ").getItem(0))
+      .withColumn("y", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(uni.select(col("t").as("x"), col("cu").as("cx"))), "x")
+      .join(broadcast(uni.select(col("t").as("y"), col("cu").as("cy"))), "y")
+      .crossJoin(broadcast(uniTotal)).crossJoin(broadcast(bgTotal))
+      .withColumn("pmi",
+        log((col("cb").cast("double") / col("nb")) /
+          ((col("cx").cast("double") / col("nu"))
+            * (col("cy").cast("double") / col("nu")))))
+      .filter(col("pmi") >= 0.05)
+      .select(col("bigram"), col("cb").cast("long").as("n"),
+        col("pmi").cast("double").as("pmi"))
+      .orderBy("bigram")
+  }
+
+  val tokenPmiSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |uni AS (SELECT term AS t, count(*) AS cu FROM toks GROUP BY term),
+       |ut AS (SELECT CAST(sum(cu) AS DOUBLE) AS nu FROM uni),
+       |bg AS (
+       |  SELECT t1.term || ' ' || t2.term AS bigram, count(*) AS cb
+       |  FROM toks t1 JOIN toks t2
+       |    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       |  GROUP BY 1 HAVING count(*) >= $PmiMinCount),
+       |bt AS (
+       |  SELECT CAST(sum(greatest(len(l) - 1, 0)) AS DOUBLE) AS nb
+       |  FROM docs_l),
+       |scored AS (
+       |  SELECT bigram, cb,
+       |    ln((CAST(cb AS DOUBLE) / nb) /
+       |      ((CAST(ux.cu AS DOUBLE) / nu) * (CAST(uy.cu AS DOUBLE) / nu))) AS pmi
+       |  FROM bg
+       |  JOIN uni ux ON ux.t = string_split(bigram, ' ')[1]
+       |  JOIN uni uy ON uy.t = string_split(bigram, ' ')[2],
+       |  ut, bt)
+       |SELECT bigram, CAST(cb AS BIGINT) AS n, pmi
+       |FROM scored WHERE pmi >= 0.05 ORDER BY bigram""".stripMargin
+
   /** Adjacent-token bigrams from a token-array column — one narrow
     * zip_with, no token self-join. Shared by docRepetition and
     * vocabTopBigrams (their SQL mirrors share the `bg` self-join CTE).
@@ -1341,6 +1438,8 @@ object TextAnalysisQueries {
     "training_manifest" -> (trainingManifest _),
     "training_manifest_clean" -> (trainingManifestClean _),
     "vocab_top_bigrams" -> (vocabTopBigrams _),
+    "blocklist_filter" -> (blocklistFilter _),
+    "token_pmi" -> (tokenPmi _),
     "pii_scrub" -> (piiScrub _),
     "decontaminate" -> (decontaminate _),
     "unigram_nll" -> (unigramNll _),
@@ -1374,6 +1473,8 @@ object TextAnalysisQueries {
     "training_manifest" -> trainingManifestSql,
     "training_manifest_clean" -> trainingManifestCleanSql,
     "vocab_top_bigrams" -> vocabTopBigramsSql,
+    "blocklist_filter" -> blocklistFilterSql,
+    "token_pmi" -> tokenPmiSql,
     "pii_scrub" -> piiScrubSql,
     "decontaminate" -> decontaminateSql,
     "unigram_nll" -> unigramNllSql,
