@@ -136,8 +136,11 @@ object SimilarityQueries {
       .orderBy("src_id", "rank")
   }
 
-  val knnGraphSql: String =
-    s"""WITH $EmbCte,
+  /** emb→planes→bands→candidate pairs→scored→ranked: the full kNN-graph
+    * CTE chain, shared by knnGraphSql and labelPropagationSql.
+    */
+  private val KnnCtes: String =
+    s"""$EmbCte,
        |$PlanesCte,
        |$BandsCte,
        |cands AS (
@@ -151,9 +154,94 @@ object SimilarityQueries {
        |ranked AS (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id
        |    ORDER BY cosine DESC, nbr_id ASC) AS BIGINT) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  val knnGraphSql: String =
+    s"""WITH $KnnCtes
        |SELECT src_id, rank, nbr_id, CAST(cosine AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $K ORDER BY src_id, rank""".stripMargin
+
+  // ---- Label propagation over the kNN graph ----------------------------------
+  // Semi-supervised classification the way a curation pipeline labels an
+  // unlabeled corpus from a small seeded subset: seeds keep their label,
+  // every other node takes the MAJORITY label among its k nearest
+  // neighbors' current labels (ties to the smallest label — fully
+  // deterministic), for a fixed number of synchronous rounds. Each round
+  // is one edge join + one (node, label) count + one per-node argmax
+  // window — all keyed shuffles; rounds are a fixed unrolled chain, so
+  // the plan is static and AQE-optimizable end to end. Emits which round
+  // labeled each node (0 = seed) — the confidence tier a consumer
+  // filters on.
+  private val LpSeedMod = 5
+  private val LpRounds = 2
+
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraph(s, dir).select(col("src_id"), col("nbr_id"))
+    val l0 = emb(s, dir).select(col("id"),
+      when(col("id") % LpSeedMod === 0, col("label")).as("lab"))
+    def step(cur: DataFrame): DataFrame = {
+      val votes = edges
+        .join(cur.select(col("id").as("nbr_id"), col("lab").as("nbr_lab")),
+          "nbr_id")
+        .filter(col("nbr_lab").isNotNull)
+        .groupBy(col("src_id"), col("nbr_lab")).agg(count(lit(1)).as("c"))
+      val win = Window.partitionBy(col("src_id"))
+        .orderBy(col("c").desc, col("nbr_lab").asc)
+      val best = votes.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .select(col("src_id").as("id"), col("nbr_lab").as("new_lab"))
+      cur.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lab"), col("new_lab")).as("lab"))
+    }
+    val rounds = Iterator.iterate(l0)(step).take(LpRounds + 1).toSeq
+    val joined = rounds.zipWithIndex.map { case (df, i) =>
+      df.select(col("id"), col("lab").as(s"lab$i"))
+    }.reduce(_.join(_, "id"))
+    joined
+      .filter(col(s"lab$LpRounds").isNotNull)
+      .select(col("id"),
+        col(s"lab$LpRounds").cast("int").as("label"),
+        (0 to LpRounds).foldRight(lit(null).cast("long")) { (i, acc) =>
+          when(col(s"lab$i").isNotNull, lit(i.toLong)).otherwise(acc)
+        }.as("round"))
+      .orderBy("id")
+  }
+
+  val labelPropagationSql: String =
+    s"""WITH $KnnCtes,
+       |knn AS (SELECT src_id, nbr_id FROM ranked WHERE rank <= $K),
+       |l0 AS (
+       |  SELECT id, CASE WHEN id % $LpSeedMod = 0 THEN label END AS lab
+       |  FROM emb),
+       |v1 AS (
+       |  SELECT e.src_id, l.lab, count(*) AS c
+       |  FROM knn e JOIN l0 l ON l.id = e.nbr_id
+       |  WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+       |b1 AS (
+       |  SELECT src_id AS id, lab FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src_id
+       |      ORDER BY c DESC, lab ASC) AS rn FROM v1) WHERE rn = 1),
+       |l1 AS (
+       |  SELECT l0.id, coalesce(l0.lab, b1.lab) AS lab
+       |  FROM l0 LEFT JOIN b1 ON b1.id = l0.id),
+       |v2 AS (
+       |  SELECT e.src_id, l.lab, count(*) AS c
+       |  FROM knn e JOIN l1 l ON l.id = e.nbr_id
+       |  WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+       |b2 AS (
+       |  SELECT src_id AS id, lab FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src_id
+       |      ORDER BY c DESC, lab ASC) AS rn FROM v2) WHERE rn = 1),
+       |l2 AS (
+       |  SELECT l1.id, coalesce(l1.lab, b2.lab) AS lab
+       |  FROM l1 LEFT JOIN b2 ON b2.id = l1.id)
+       |SELECT l2.id, CAST(l2.lab AS INT) AS label,
+       |  CAST(CASE WHEN l0.lab IS NOT NULL THEN 0
+       |       WHEN l1.lab IS NOT NULL THEN 1
+       |       ELSE 2 END AS BIGINT) AS round
+       |FROM l2 JOIN l1 ON l1.id = l2.id JOIN l0 ON l0.id = l2.id
+       |WHERE l2.lab IS NOT NULL
+       |ORDER BY l2.id""".stripMargin
 
   // ---- Vector-index drift report ---------------------------------------------
   // The "when to retrain the quantizer" maintenance signal that pairs with
@@ -1068,6 +1156,7 @@ object SimilarityQueries {
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
     "knn_graph" -> (knnGraph _),
+    "label_propagation" -> (labelPropagation _),
     "ann_lsh_multiprobe" -> (annLshMultiprobe _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_pq" -> (annIvfPq _),
@@ -1087,6 +1176,7 @@ object SimilarityQueries {
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,
     "knn_graph" -> knnGraphSql,
+    "label_propagation" -> labelPropagationSql,
     "ann_lsh_multiprobe" -> annLshMultiprobeSql,
     "ann_ivf" -> annIvfSql,
     "ann_ivf_pq" -> annIvfPqSql,

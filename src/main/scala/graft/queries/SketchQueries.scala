@@ -175,13 +175,59 @@ object SketchQueries {
        |FROM st
        |ORDER BY shard""".stripMargin
 
+  // ---- hll_incremental: the stored-sketch lifecycle ------------------------
+  // Day-1 builds per-source sketches and PERSISTS them (binary column in
+  // parquet); day-2's batch arrives, sketches only ITS tokens, and merges
+  // with the stored sketches — the historical corpus is never re-read.
+  // That read-merge-write loop is how per-day distinct counts stay O(shard
+  // count), not O(data), at 100 TB; serialization round-trip + merge both
+  // preserve the register state exactly (est_ok stays within the same 2%
+  // band as the one-shot sketch, checked against the full-corpus exact).
+  def hllIncremental(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.sources.Pipelines.freshScratch(
+      "hll_store_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val docs = Tables.documents(s, dir)
+    def toks(df: DataFrame): DataFrame = df.select(col("source"),
+      explode(graft.functions.Tokenizer.tokenize(col("text"))).as("tok"))
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    toks(old).groupBy(col("source"))
+      .agg(hll_sketch_agg(col("tok"), HllLgK).as("sk"))
+      .write.mode("overwrite").parquet(store)
+    val merged = s.read.parquet(store)
+      .unionByName(toks(fresh).groupBy(col("source"))
+        .agg(hll_sketch_agg(col("tok"), HllLgK).as("sk")))
+      .groupBy(col("source")).agg(hll_union_agg(col("sk")).as("sk"))
+    val exact = toks(docs).groupBy(col("source"))
+      .agg(count_distinct(col("tok")).cast("long").as("exact_distinct"))
+    merged.join(exact, "source")
+      .select(col("source").as("shard"), col("exact_distinct"),
+        (abs(hll_sketch_estimate(col("sk")).cast("double")
+            - col("exact_distinct").cast("double"))
+          <= lit(HllTol) * col("exact_distinct").cast("double")).as("est_ok"))
+      .orderBy("shard")
+  }
+
+  val hllIncrementalSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |st AS (
+       |  SELECT d.source, t.term
+       |  FROM toks t JOIN documents d ON d.doc_id = t.doc_id)
+       |SELECT source AS shard,
+       |  CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct,
+       |  TRUE AS est_ok
+       |FROM st GROUP BY source
+       |ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bloom_prefilter" -> (bloomPrefilter _),
     "cms_estimate" -> (cmsEstimate _),
-    "hll_shard_union" -> (hllShardUnion _))
+    "hll_shard_union" -> (hllShardUnion _),
+    "hll_incremental" -> (hllIncremental _))
 
   val oracles: Map[String, String] = Map(
     "bloom_prefilter" -> bloomPrefilterSql,
     "cms_estimate" -> cmsEstimateSql,
-    "hll_shard_union" -> hllShardUnionSql)
+    "hll_shard_union" -> hllShardUnionSql,
+    "hll_incremental" -> hllIncrementalSql)
 }
