@@ -330,4 +330,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
     assert(!p.contains("CartesianProduct"), s"unbounded cartesian:\n$p")
   }
+
+  test("blocklist_filter is fully narrow — only the presentation sort exchanges") {
+    val p = plan("blocklist_filter")
+    val exchanges = "Exchange".r.findAllIn(p.replace("BroadcastExchange", "")).size
+    assert(exchanges <= 1, s"blocklist gate must not shuffle the corpus:\n$p")
+    assert(!p.contains("Generate"), s"token array must not explode:\n$p")
+  }
+
+  test("knn_graph candidates come from equi hash joins with the top-k pushed down") {
+    val p = plan("knn_graph")
+    // every join must stay an equi hash join — (band, sig) collisions for
+    // candidates, id keys for the vector attach. At this SF the planner
+    // rightly broadcasts the tiny table; at scale the same plan degrades
+    // to shuffle joins by stats. What must NEVER appear is an all-pairs
+    // fallback.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"kNN graph fell back to all-pairs:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k should push into the window sort:\n$p")
+  }
+
+  test("hll shard sketches use partial (map-side) sketch aggregation") {
+    val p = plan("hll_shard_union")
+    // DataSketches agg must show partial+final like any hash agg — the
+    // shuffle moves fixed-size sketch states, not raw tokens
+    assert(p.contains("partial_hllsketchagg") || p.contains("partial_hll"),
+      s"per-shard sketches must combine map-side:\n$p")
+  }
+
+  test("token_pmi broadcasts the unigram table against filtered bigrams") {
+    val p = plan("token_pmi")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary-sized unigram attach should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbounded cartesian:\n$p")
+  }
 }
