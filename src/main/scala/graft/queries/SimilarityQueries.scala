@@ -176,7 +176,11 @@ object SimilarityQueries {
   private val LpRounds = 2
 
   def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    // every round (and the final 3-way join) re-consumes the edge table;
+    // without the cache the whole LSH+re-rank subtree executes per round
+    // (measured 4.4 s uncached vs 1.3 s steady-state at sf0.1)
     val edges = knnGraph(s, dir).select(col("src_id"), col("nbr_id"))
+      .registeredCache()
     val l0 = emb(s, dir).select(col("id"),
       when(col("id") % LpSeedMod === 0, col("label")).as("lab"))
     def step(cur: DataFrame): DataFrame = {
