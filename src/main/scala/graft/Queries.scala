@@ -12,28 +12,36 @@ object Queries {
 
   /** q1_agg — TPC-H Q1-style grouped aggregation (A1-family: hash agg with
     * partial aggregation; no join). SURVEY §2.4.
+    *
+    * Money columns sum on the integer-cent grid ([[Money]]) so the
+    * ~100k-row-per-group totals are accumulation-order-free; `sum_qty`
+    * stays a raw double sum because l_quantity is integer-valued (1..50)
+    * and integer double sums below 2^53 are exact in any order.
     */
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity")).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice")).cast("double").as("sum_base_price"),
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("double").as("sum_disc_price"),
-        avg(col("l_discount")).cast("double").as("avg_disc"),
+        Money.sumCents(col("l_extendedprice")).as("sum_base_price"),
+        Money.sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        (Money.sumCentsLong(col("l_discount")).cast("double") / 100.0
+          / count(lit(1)).cast("double")).as("avg_disc"),
         count(lit(1)).cast("long").as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q1AggSql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
-      |  CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS sum_disc_price,
-      |  CAST(avg(l_discount) AS DOUBLE) AS avg_disc,
-      |  CAST(count(*) AS BIGINT) AS count_order
-      |FROM lineitem
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       |  ${Money.sumCentsSql("l_extendedprice")} AS sum_base_price,
+       |  ${Money.sumCentsSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  CAST(${Money.sumCentsLongSql("l_discount")} AS DOUBLE) / 100.0
+       |    / CAST(count(*) AS DOUBLE) AS avg_disc,
+       |  CAST(count(*) AS BIGINT) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
     Map("q1_agg" -> (q1Agg _)) ++

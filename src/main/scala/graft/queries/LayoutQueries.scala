@@ -78,7 +78,10 @@ object LayoutQueries {
   /** Revenue per order priority through the co-located join. The `merge`
     * hint keeps the join in the sort-merge family (a broadcast would
     * bypass the bucket layout this query demonstrates); both scans report
-    * their bucket spec and neither side exchanges.
+    * their bucket spec and neither side exchanges. Revenue sums on the
+    * integer-cent grid ([[graft.Money]]) so the ~120k-row-per-priority
+    * total is order-free — raw double sums here differ from the oracle's
+    * scan-order accumulation at ~1e-6 absolute, across the hash grain.
     */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val (liT, ordT) = ensureBucketed(s, dir)
@@ -86,19 +89,22 @@ object LayoutQueries {
       .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("double").as("revenue"),
+        graft.Money.sumCents(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
         count(lit(1)).cast("long").as("n_items"))
       .orderBy("o_orderpriority")
   }
 
-  val bucketedJoinSql: String =
-    """SELECT o_orderpriority,
-      |  CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS revenue,
-      |  CAST(count(*) AS BIGINT) AS n_items
-      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |GROUP BY o_orderpriority
-      |ORDER BY o_orderpriority""".stripMargin
+  val bucketedJoinSql: String = {
+    val rev = graft.Money.sumCentsSql("l_extendedprice * (1.0 - l_discount)")
+    s"""SELECT o_orderpriority,
+       |  $rev AS revenue,
+       |  CAST(count(*) AS BIGINT) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+  }
 
   // ---- date-partitioned fact -------------------------------------------------
 

@@ -40,15 +40,16 @@ object RelationalQueries {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderpriority"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("double").as("revenue"))
+      .agg(graft.Money.sumCents(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
 
   val q3ShippingSql: String =
-    """SELECT l_orderkey, o_orderpriority,
-      |  CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS revenue
+    s"""SELECT l_orderkey, o_orderpriority,
+      |  ${graft.Money.sumCentsSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -72,15 +73,16 @@ object RelationalQueries {
       .join(region, nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("double").as("revenue"),
+        graft.Money.sumCents(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
         count(lit(1)).cast("long").as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
   val q5StarJoinSql: String =
-    """SELECT r_name, n_name,
-      |  CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS revenue,
+    s"""SELECT r_name, n_name,
+      |  ${graft.Money.sumCentsSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
       |  CAST(count(*) AS BIGINT) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -296,6 +298,9 @@ object RelationalQueries {
       |FROM labeled GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---- Rollup with grouping indicator ----------------------------------------
+  // sum_qty stays a raw double sum: l_quantity is integer-valued (1..50),
+  // and integer double sums below 2^53 are exact in any accumulation
+  // order — no cent grid needed (PropertySpec pins the invariance class).
   def rollupPricing(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -386,7 +391,9 @@ object RelationalQueries {
   // an aggregated subquery gates the main join via a semi join, then the
   // winners re-aggregate with customer context. Two partial-aggregated
   // shuffles on l_orderkey (the gate reuses the first's shape) + broadcast
-  // customer; top-k plans TakeOrdered.
+  // customer; top-k plans TakeOrdered. Both the gate's sum and total_qty
+  // are sums of integer-valued l_quantity — exact in double in any
+  // accumulation order, so no cent grid is needed.
   private val Q18Threshold = 250
 
   def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
