@@ -27,7 +27,15 @@ import org.apache.spark.sql.functions._
   */
 object Money {
 
-  /** Per-row exact cents: round(x*100) as a long. */
+  /** Per-row exact cents: round(x*100) as a long.
+    *
+    * Precondition: finite inputs. The post-round value is integral, where
+    * Spark's double→long cast (truncate toward zero) and DuckDB's
+    * (round to nearest, error on NaN/Inf) agree; a NaN/Inf reaching a
+    * money column would silently diverge (Spark: 0/Long.Max) vs hard-fail
+    * (DuckDB). Money columns in this engine are parquet-sourced finite
+    * doubles — guard with nanvl/isfinite before reusing on wilder data.
+    */
   def cents(x: Column): Column =
     round(x * 100.0).cast("long")
 

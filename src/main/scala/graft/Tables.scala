@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   * All reads are plain parquet scans — column pruning and filter pushdown
@@ -15,18 +16,42 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/part.parquet")
   def nation(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/nation.parquet")
   def region(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/region.parquet")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses natively.
-    * Read it as raw nanos (legacy conf) and convert to a microsecond
-    * timestamp — the same truncation DuckDB applies when it reads NANOS into
-    * its µs TIMESTAMP, so oracle epoch arithmetic agrees exactly.
+  /** Canonicalize the events `ts` column to a session-zone TIMESTAMP at
+    * microsecond precision, whatever physical type the parquet shipped.
+    * Driver testdata generations have varied: TIMESTAMP(NANOS) (Spark 4
+    * refuses it natively; the legacy conf reads it as a raw nanos LONG)
+    * and TIMESTAMP(MICROS) without UTC adjustment (reads as
+    * TIMESTAMP_NTZ). Branching on the schema actually read — instead of
+    * assuming one physical type — keeps every events consumer working
+    * across regenerations. The session zone is pinned to UTC, so the
+    * canonical value equals DuckDB's µs TIMESTAMP for the same file and
+    * oracle epoch arithmetic agrees exactly (NANOS truncates to µs in
+    * both engines).
     */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      // `div` (integer division): `/` on longs routes through DOUBLE, whose
+      // 53-bit mantissa mis-rounds epoch-nanos by ±1us at 2024 magnitudes
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => sys.error(s"events.ts: unsupported parquet type $other")
+    }
+
   def events(s: SparkSession, dir: String): DataFrame = {
+    // needed BEFORE the read when the file ships TIMESTAMP(NANOS);
+    // harmless when ts is already µs — the read never sees nanos then
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `div` (integer division): `/` on longs routes through DOUBLE, whose
-    // 53-bit mantissa mis-rounds epoch-nanos by ±1us at 2024 magnitudes
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventsTs(s.read.parquet(s"$dir/events.parquet"))
   }
+
+  /** Max event time as epoch micros (0 on an empty source — any sentinel
+    * epoch works when there is no state to flush). Shared by the streaming
+    * harness's sentinel/fake-row staging, which must stamp rows strictly
+    * after every real event.
+    */
+  private[graft] def eventsMaxMicros(ev: DataFrame): Long =
+    ev.agg(coalesce(max(unix_micros(col("ts"))), lit(0L))).head().getLong(0)
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
 
   /** documents with doc_id kept as the source long — cast to string only where

@@ -1160,21 +1160,31 @@ object DedupQueries {
   // (small, cached) pair table — length-2 paths, canonical a<b, adjacent
   // pairs anti-joined away — scored by Adamic-Adar (1/ln degree of each
   // shared neighbor; every shared neighbor has degree >= 2 by construction,
-  // so the log never vanishes). Candidate volume is bounded by the
-  // duplicate-cluster sizes, not the corpus: at 100 TB this stays a
-  // cluster-local join. All candidates returned in (a, b) order — no
-  // score-ordered cut, so float ulps can't flip which rows the oracle sees.
+  // so the log never vanishes). Common neighbors with deg > HubDegreeCap
+  // are SKIPPED before the wedge join: a node of degree d fans out d²
+  // wedges, so one boilerplate hub at web scale is non-terminating, while
+  // its AA weight 1/ln(d) is noise by construction — capping bounds wedge
+  // volume per neighbor at HubDegreeCap² and keeps the join cluster-local
+  // at 100 TB. All candidates returned in (a, b) order — no score-ordered
+  // cut, so float ulps can't flip which rows the oracle sees.
+  private val HubDegreeCap = 64
+
   def graphLinkPrediction(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(s, dir)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
     val und = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
     val deg = und.groupBy(col("a").as("w")).agg(count(lit(1)).as("deg"))
-    und.as("uw").join(und.as("wv"), col("uw.b") === col("wv.a"))
-      .select(col("uw.a").as("a"), col("wv.b").as("b"), col("uw.b").as("w"))
+    // edges whose far end is an allowed (non-hub) common neighbor, with the
+    // neighbor's degree attached here — no post-wedge deg join needed
+    val uw = und.join(deg.filter(col("deg") <= HubDegreeCap),
+        col("b") === col("w"))
+      .select(col("a").as("u"), col("w"), col("deg"))
+    val wv = und.select(col("a").as("w2"), col("b").as("v"))
+    uw.join(wv, col("w") === col("w2"))
+      .select(col("u").as("a"), col("v").as("b"), col("deg"))
       .filter(col("a") < col("b"))
       .join(pairs.select(col("a").as("ea"), col("b").as("eb")),
         col("a") === col("ea") && col("b") === col("eb"), "left_anti")
-      .join(deg, "w")
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("long").as("common_cnt"),
         sum(lit(1.0) / log(col("deg").cast("double"))).cast("double").as("score_aa"))
@@ -1191,14 +1201,16 @@ object DedupQueries {
        |und AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
        |deg AS (SELECT a AS w, count(*) AS deg FROM und GROUP BY a),
        |cand AS (
-       |  SELECT uw.a AS a, wv.b AS b, uw.b AS w
-       |  FROM und uw JOIN und wv ON uw.b = wv.a
+       |  SELECT uw.a AS a, wv.b AS b, d.deg AS deg
+       |  FROM und uw
+       |  JOIN deg d ON d.w = uw.b AND d.deg <= $HubDegreeCap
+       |  JOIN und wv ON uw.b = wv.a
        |  WHERE uw.a < wv.b
        |    AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.a = uw.a AND p.b = wv.b))
        |SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b,
        |  CAST(count(*) AS BIGINT) AS common_cnt,
-       |  CAST(sum(1.0 / ln(d.deg)) AS DOUBLE) AS score_aa
-       |FROM cand c JOIN deg d ON d.w = c.w
+       |  CAST(sum(1.0 / ln(c.deg)) AS DOUBLE) AS score_aa
+       |FROM cand c
        |GROUP BY c.a, c.b
        |ORDER BY a, b""".stripMargin
 

@@ -237,15 +237,15 @@ object LayoutQueries {
       .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>"))
         .as("priority"))
       .agg(count(lit(1)).cast("long").as("n"),
-        sum(col("o_totalprice")).cast("double").as("total"))
+        graft.Money.sumCents(col("o_totalprice")).as("total"))
       .orderBy("priority")
   }
 
   val schemaEvolutionSql: String =
-    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
+    s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
       |  ELSE o_orderpriority END AS priority,
       |  CAST(count(*) AS BIGINT) AS n,
-      |  CAST(sum(o_totalprice) AS DOUBLE) AS total
+      |  ${graft.Money.sumCentsSql("o_totalprice")} AS total
       |FROM orders
       |GROUP BY 1
       |ORDER BY priority""".stripMargin

@@ -300,7 +300,8 @@ object RelationalQueries {
   // ---- Rollup with grouping indicator ----------------------------------------
   // sum_qty stays a raw double sum: l_quantity is integer-valued (1..50),
   // and integer double sums below 2^53 are exact in any accumulation
-  // order — no cent grid needed (PropertySpec pins the invariance class).
+  // order — no cent grid needed (MoneySpec pins the integer-valued
+  // property over the testdata).
   def rollupPricing(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -560,33 +561,35 @@ object RelationalQueries {
         datediff(lit("1998-12-31").cast("date"),
           max(col("o_orderdate")).cast("date")).cast("long").as("recency_days"),
         count(lit(1)).cast("long").as("frequency"),
-        sum(col("o_totalprice")).cast("double").as("monetary"))
+        graft.Money.sumCents(col("o_totalprice")).as("monetary"))
       .orderBy("o_custkey")
 
   val customerRfmSql: String =
-    """SELECT o_custkey,
+    s"""SELECT o_custkey,
       |  CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '1998-12-31') AS BIGINT) AS recency_days,
       |  CAST(count(*) AS BIGINT) AS frequency,
-      |  CAST(sum(o_totalprice) AS DOUBLE) AS monetary
+      |  ${graft.Money.sumCentsSql("o_totalprice")} AS monetary
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   // ---- Unpivot/melt: wide per-flag aggregates back to long form --------------
   def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
+      // qty stays a raw double sum (integer-valued, exact below 2^53);
+      // price/disc go through the cent grid (Money.scala)
       .agg(sum(col("l_quantity")).cast("double").as("qty"),
-        sum(col("l_extendedprice")).cast("double").as("price"),
-        sum(col("l_discount")).cast("double").as("disc"))
+        graft.Money.sumCents(col("l_extendedprice")).as("price"),
+        graft.Money.sumCents(col("l_discount")).as("disc"))
       .unpivot(Array(col("l_returnflag")),
         Array(col("qty"), col("price"), col("disc")), "metric", "value")
       .orderBy("l_returnflag", "metric")
 
   val unpivotMetricsSql: String =
-    """WITH wide AS (
+    s"""WITH wide AS (
       |  SELECT l_returnflag,
       |    CAST(sum(l_quantity) AS DOUBLE) AS qty,
-      |    CAST(sum(l_extendedprice) AS DOUBLE) AS price,
-      |    CAST(sum(l_discount) AS DOUBLE) AS disc
+      |    ${graft.Money.sumCentsSql("l_extendedprice")} AS price,
+      |    ${graft.Money.sumCentsSql("l_discount")} AS disc
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, 'qty' AS metric, qty AS value FROM wide
       |UNION ALL SELECT l_returnflag, 'price', price FROM wide
@@ -605,13 +608,13 @@ object RelationalQueries {
     graft.operators.SkewJoin.saltedInnerJoin(ord, cust, "c_custkey", buckets = 8)
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).cast("long").as("n"),
-        sum(col("o_totalprice")).cast("double").as("total"))
+        graft.Money.sumCents(col("o_totalprice")).as("total"))
       .orderBy("c_mktsegment")
   }
 
   val skewSaltedJoinSql: String =
-    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-      |  CAST(sum(o_totalprice) AS DOUBLE) AS total
+    s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  ${graft.Money.sumCentsSql("o_totalprice")} AS total
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 

@@ -436,10 +436,13 @@ object TextAnalysisQueries {
   // ---- PMI collocations: which bigrams are REAL phrases ----------------------
   // Pointwise mutual information over the corpus bigram/unigram
   // distributions: pmi = ln(p(xy)/(p(x)p(y))). Two aggregations (bigram
-  // counts, unigram counts) + two broadcast joins of the (vocabulary-
-  // sized) unigram table; selection is by deterministic PREDICATE
-  // (count floor + pmi threshold), not a score-ordered cut, so float ulps
-  // can't change which rows the oracle sees.
+  // counts, unigram counts) + two broadcast joins of a unigram table
+  // SEMI-JOINED down to the terms the surviving bigrams reference — the
+  // broadcast side is bounded by 2×|bigrams past the count floor| BY
+  // CONSTRUCTION, where broadcasting the full vocabulary (1e8+ terms at
+  // web-corpus scale) would OOM the driver. Selection is by deterministic
+  // PREDICATE (count floor + pmi threshold), not a score-ordered cut, so
+  // float ulps can't change which rows the oracle sees.
   private val PmiMinCount = 20L
 
   def tokenPmi(s: SparkSession, dir: String): DataFrame = {
@@ -447,6 +450,7 @@ object TextAnalysisQueries {
       .select(col("doc_id"), Tokenizer.tokenize(col("text")).as("l"))
     val uni = toks.select(explode(col("l")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cu"))
+    // nu sums the FULL unigram distribution — computed before the trim
     val uniTotal = uni.agg(sum(col("cu")).cast("double").as("nu"))
     val bg = toks.select(explode(bigramsOf(col("l"))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cb"))
@@ -454,10 +458,16 @@ object TextAnalysisQueries {
     val bgTotal = toks.select(
         greatest(size(col("l")) - 1, lit(0)).cast("long").as("k"))
       .agg(sum(col("k")).cast("double").as("nb"))
+    // the bigram agg feeds both subtrees identically, so its shuffle
+    // exchange is computed once and reused (AQE ReusedExchange)
+    val bgTerms = bg.select(split(col("bigram"), " ").getItem(0).as("t"))
+      .unionByName(bg.select(split(col("bigram"), " ").getItem(1).as("t")))
+      .distinct()
+    val uniNeeded = uni.join(bgTerms, Seq("t"), "left_semi")
     bg.withColumn("x", split(col("bigram"), " ").getItem(0))
       .withColumn("y", split(col("bigram"), " ").getItem(1))
-      .join(broadcast(uni.select(col("t").as("x"), col("cu").as("cx"))), "x")
-      .join(broadcast(uni.select(col("t").as("y"), col("cu").as("cy"))), "y")
+      .join(broadcast(uniNeeded.select(col("t").as("x"), col("cu").as("cx"))), "x")
+      .join(broadcast(uniNeeded.select(col("t").as("y"), col("cu").as("cy"))), "y")
       .crossJoin(broadcast(uniTotal)).crossJoin(broadcast(bgTotal))
       .withColumn("pmi",
         log((col("cb").cast("double") / col("nb")) /

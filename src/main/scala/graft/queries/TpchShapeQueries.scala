@@ -48,15 +48,17 @@ object TpchShapeQueries {
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("double").as("revenue"))
+      // cent-grid sum: q7's large per-group row counts make a raw double
+      // sum the likeliest next accumulation-order hash flake (Money.scala)
+      .agg(graft.Money.sumCents(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
   val q7VolumeShippingSql: String =
-    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
-      |  CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS revenue
+      |  ${graft.Money.sumCentsSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -104,33 +106,39 @@ object TpchShapeQueries {
   private val Q15To = "1996-04-01"
 
   def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    // revenue kept ON the integer cent grid end to end: the winner is
+    // picked by an EXACT-equality join against the max, which is only
+    // sound on longs — a raw double sum makes "equal to the max" an
+    // accumulation-order coin flip (Money.scala)
     val rev = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit(Q15From).cast("timestamp") &&
         col("l_shipdate") < lit(Q15To).cast("timestamp"))
       .groupBy(col("l_suppkey"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("total_revenue"))
-    val mx = rev.agg(max(col("total_revenue")).as("mx"))
-    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .agg(graft.Money.sumCentsLong(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_cents"))
+    val mx = rev.agg(max(col("rev_cents")).as("mx"))
+    rev.join(broadcast(mx), col("rev_cents") === col("mx"))
       .join(broadcast(Tables.supplier(s, dir)
         .select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
-        col("total_revenue").cast("double").as("total_revenue"))
+        (col("rev_cents").cast("double") / 100.0).as("total_revenue"))
       .orderBy("s_suppkey")
   }
 
   val q15TopSupplierSql: String =
     s"""WITH revenue AS (
-       |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+       |  SELECT l_suppkey,
+       |    ${graft.Money.sumCentsLongSql("l_extendedprice * (1.0 - l_discount)")}
+       |      AS rev_cents
        |  FROM lineitem
        |  WHERE l_shipdate >= TIMESTAMP '$Q15From'
        |    AND l_shipdate < TIMESTAMP '$Q15To'
        |  GROUP BY l_suppkey)
        |SELECT s_suppkey, s_name,
-       |  CAST(total_revenue AS DOUBLE) AS total_revenue
+       |  CAST(rev_cents AS DOUBLE) / 100.0 AS total_revenue
        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
-       |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+       |WHERE rev_cents = (SELECT max(rev_cents) FROM revenue)
        |ORDER BY s_suppkey""".stripMargin
 
   // ---- Q17 shape: per-group average gating its own rows --------------------

@@ -40,8 +40,10 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  /** The events parquet as a STREAMING file source, mirroring
-    * Tables.events (TIMESTAMP(NANOS) read as raw nanos, µs truncate).
+  /** The events parquet as a STREAMING file source, with `ts` canonicalized
+    * exactly as in `Tables.events` (one shared schema-adaptive branch —
+    * `Tables.normalizeEventsTs` — so a testdata regeneration that changes
+    * the physical timestamp type cannot split batch and streaming reads).
     * events.parquet is a single file; FileStreamSource force-sets basePath
     * to a non-glob path itself and then requires a directory, so a glob
     * path keeps the explicit directory basePath.
@@ -51,9 +53,9 @@ object EventStreams {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     val r = s.readStream.schema(rawSchema).option("basePath", dir)
-    (if (oneFilePerBatch) r.option("maxFilesPerTrigger", "1") else r)
-      .parquet(s"$dir/events.parquet*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventsTs(
+      (if (oneFilePerBatch) r.option("maxFilesPerTrigger", "1") else r)
+        .parquet(s"$dir/events.parquet*"))
   }
 
   /** Per-process, per-run scratch (PID isolation + never-reused dirs +
@@ -61,6 +63,26 @@ object EventStreams {
     */
   private def freshDir(name: String): java.nio.file.Path =
     graft.ScratchDirs.fresh("graft_stream", name)
+
+  /** Write `df` as ONE flat parquet file at `dir/name` (stream-source
+    * staging: files must match the `events.parquet*` glob, and writing
+    * through Spark — rather than copying the source file — guarantees
+    * every staged file carries the SAME canonical ts type regardless of
+    * which physical timestamp the driver's parquet shipped).
+    */
+  private def writeSingleFile(df: DataFrame, dir: java.nio.file.Path,
+                              name: String): Unit = {
+    val tmp = dir.resolve(s"_tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"staging write for $name produced no parquet part file"))
+    java.nio.file.Files.move(part.toPath, dir.resolve(name))
+    locally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively(): Unit
+    }
+  }
 
   /** Run a finite streaming query to completion (Trigger.AvailableNow —
     * the standard backfill shape: same code path as the live stream,
@@ -255,58 +277,36 @@ object EventStreams {
     */
   private def sentinelStagedDir(s: SparkSession, dir: String, tag: String,
                                 extraSentinels: Int = 0): String = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet") // ts = raw nanos long
-    // empty source: max(ts) is null — any sentinel epoch works (there is
-    // no state to flush), so coalesce instead of NPE-ing on getLong
-    val maxNanos = raw.agg(coalesce(max(col("ts")), lit(0L))).head().getLong(0)
-    val sentinelNanos = maxNanos + (SessionGapSeconds + 60) * 1000000000L
+    val ev = graft.Tables.events(s, dir) // ts canonical µs TIMESTAMP
+    val sentinelMicros =
+      graft.Tables.eventsMaxMicros(ev) + (SessionGapSeconds + 60) * 1000000L
     val srcDir = freshDir(tag)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      srcDir.resolve("events.parquet"))
+    // rewrite (not copy) the source file: staged files must all carry the
+    // canonical ts type for one fixed stream read schema
+    writeSingleFile(ev, srcDir, "events.parquet")
     // sentinel rows carry the full source schema (props null); negative
-    // event_ids cannot collide with real events
-    val sentinel = raw.select(col("user_id")).distinct()
+    // event_ids cannot collide with real events. Written after the main
+    // file, so file-order processing sees real events first (order is
+    // immaterial anyway: the per-batch handlers sort or accumulate by
+    // event time, and state carries across batches)
+    val sentinel = ev.select(col("user_id")).distinct()
       .select(
         (-col("user_id") - 1).as("event_id"),
-        lit(sentinelNanos).as("ts"),
+        timestamp_micros(lit(sentinelMicros)).as("ts"),
         col("user_id"),
         lit("__sentinel").as("event_type"),
         lit(0.0).as("value"),
         lit(null).cast("string").as("props"))
-    val tmpOut = srcDir.resolve("_sentinel_out")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-    val part = tmpOut.toFile.listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .getOrElse(sys.error("sentinel write produced no parquet part file"))
-    // flat file matching eventsFileStream's `events.parquet*` glob; written
-    // after the copy, so file-order processing sees real events first
-    // (order is immaterial anyway: the per-batch handlers sort or
-    // accumulate by event time, and state carries across batches)
-    java.nio.file.Files.move(part.toPath, srcDir.resolve("events.parquet2"))
-    locally {
-      import scala.reflect.io.Directory
-      new Directory(tmpOut.toFile).deleteRecursively(): Unit
-    }
+    writeSingleFile(sentinel, srcDir, "events.parquet2")
     (1 to extraSentinels).foreach { i =>
-      val extra = raw.sparkSession.range(1).select(
+      val extra = s.range(1).select(
         lit(-1000000L - i).as("event_id"),
-        lit(sentinelNanos + i * 60000000000L).as("ts"),
+        timestamp_micros(lit(sentinelMicros + i * 60000000L)).as("ts"),
         lit(-1L - i).as("user_id"),
         lit("__sentinel").as("event_type"),
         lit(0.0).as("value"),
         lit(null).cast("string").as("props"))
-      val tmpX = srcDir.resolve(s"_sentinel_extra_$i")
-      extra.coalesce(1).write.mode("overwrite").parquet(tmpX.toString)
-      val px = tmpX.toFile.listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error("extra sentinel write produced no parquet part file"))
-      java.nio.file.Files.move(px.toPath, srcDir.resolve(s"events.parquet${2 + i}"))
-      locally {
-        import scala.reflect.io.Directory
-        new Directory(tmpX.toFile).deleteRecursively(): Unit
-      }
+      writeSingleFile(extra, srcDir, s"events.parquet${2 + i}")
     }
     srcDir.toString
   }
@@ -333,9 +333,7 @@ object EventStreams {
     */
   def sessionWindowAvailableNow(s: SparkSession, dir: String): DataFrame = {
     val srcDir = sentinelStagedDir(s, dir, "swin_src", extraSentinels = 1)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val maxMicros = s.read.parquet(s"$dir/events.parquet")
-      .agg(coalesce(max(expr("ts div 1000")), lit(0L))).head().getLong(0)
+    val maxMicros = graft.Tables.eventsMaxMicros(graft.Tables.events(s, dir))
     val agg = eventsFileStream(s, srcDir, oneFilePerBatch = true)
       .withWatermark("ts", "0 seconds")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -418,22 +416,11 @@ object EventStreams {
     */
   private def stagedEventSplits(s: SparkSession, dir: String, nFiles: Int,
                                 tag: String): String = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = graft.Tables.events(s, dir) // ts canonical µs TIMESTAMP
     val out = freshDir(tag)
     (0 until nFiles).foreach { i =>
-      val tmp = out.resolve(s"_split_$i")
-      raw.filter(pmod(col("event_id"), lit(nFiles)) === i)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = tmp.toFile.listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"event split $i produced no parquet part file"))
-      java.nio.file.Files.move(part.toPath,
-        out.resolve(if (i == 0) "events.parquet" else s"events.parquet$i"))
-      locally {
-        import scala.reflect.io.Directory
-        new Directory(tmp.toFile).deleteRecursively(): Unit
-      }
+      writeSingleFile(raw.filter(pmod(col("event_id"), lit(nFiles)) === i),
+        out, if (i == 0) "events.parquet" else s"events.parquet$i")
     }
     out.toString
   }
@@ -635,33 +622,22 @@ object EventStreams {
     */
   private def lateTypedStagedDir(s: SparkSession, dir: String,
                                  tag: String): String = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    val maxNanos = raw.agg(coalesce(max(col("ts")), lit(0L))).head().getLong(0)
+    val raw = graft.Tables.events(s, dir) // ts canonical µs TIMESTAMP
+    val maxMicros = graft.Tables.eventsMaxMicros(raw)
     val srcDir = freshDir(tag)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      srcDir.resolve("events.parquet"))
+    // rewrite (not copy): staged files must share the canonical ts type
+    writeSingleFile(raw, srcDir, "events.parquet")
     (1 to 2).foreach { i =>
-      val ts = maxNanos + i * 7200L * 1000000000L
-      def fake(typ: String, idOff: Long) = raw.sparkSession.range(1).select(
+      val ts = maxMicros + i * 7200L * 1000000L
+      def fake(typ: String, idOff: Long) = s.range(1).select(
         lit(-1000000L - idOff).as("event_id"),
-        lit(ts).as("ts"),
+        timestamp_micros(lit(ts)).as("ts"),
         lit(-1L - i).as("user_id"),
         lit(typ).as("event_type"),
         lit(0.0).as("value"),
         lit(null).cast("string").as("props"))
       val pair = fake("click", 2L * i).unionByName(fake("purchase", 2L * i + 1))
-      val tmp = srcDir.resolve(s"_fake_$i")
-      pair.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = tmp.toFile.listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error("fake-pair write produced no parquet part file"))
-      java.nio.file.Files.move(part.toPath, srcDir.resolve(s"events.parquet${i + 1}"))
-      locally {
-        import scala.reflect.io.Directory
-        new Directory(tmp.toFile).deleteRecursively(): Unit
-      }
+      writeSingleFile(pair, srcDir, s"events.parquet${i + 1}")
     }
     srcDir.toString
   }
@@ -718,29 +694,19 @@ object EventStreams {
     * view-sized table, never rescanned as events.
     */
   def mvRefreshAvailableNow(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = graft.Tables.events(s, dir) // ts canonical µs TIMESTAMP
     val bounds = raw.agg(
-      coalesce(min(col("ts")), lit(0L)), coalesce(max(col("ts")), lit(0L))).head()
+      coalesce(min(unix_micros(col("ts"))), lit(0L)),
+      coalesce(max(unix_micros(col("ts"))), lit(0L))).head()
     val (t0, t1) = (bounds.getLong(0), bounds.getLong(1))
-    val cut1 = t0 + (t1 - t0) / 3
-    val cut2 = t0 + 2 * (t1 - t0) / 3
+    val cut1 = timestamp_micros(lit(t0 + (t1 - t0) / 3))
+    val cut2 = timestamp_micros(lit(t0 + 2 * (t1 - t0) / 3))
     val srcDir = freshDir("mvr_src")
-    def slice(i: Int, cond: org.apache.spark.sql.Column): Unit = {
-      val tmp = srcDir.resolve(s"_tmp_$i")
-      raw.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = tmp.toFile.listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error("slice write produced no parquet part file"))
-      // slice 1 takes the exact name eventsFileStream reads its schema
-      // from; later slices ride the `events.parquet*` glob
-      val dest = if (i == 1) "events.parquet" else s"events.parquet$i"
-      java.nio.file.Files.move(part.toPath, srcDir.resolve(dest))
-      locally {
-        import scala.reflect.io.Directory
-        new Directory(tmp.toFile).deleteRecursively(): Unit
-      }
-    }
+    // slice 1 takes the exact name eventsFileStream reads its schema
+    // from; later slices ride the `events.parquet*` glob
+    def slice(i: Int, cond: org.apache.spark.sql.Column): Unit =
+      writeSingleFile(raw.filter(cond), srcDir,
+        if (i == 1) "events.parquet" else s"events.parquet$i")
     slice(1, col("ts") <= cut1)
     slice(2, col("ts") > cut1 && col("ts") <= cut2)
     slice(3, col("ts") > cut2)

@@ -364,5 +364,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"vocabulary-sized unigram attach should broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"unbounded cartesian:\n$p")
+    // the broadcast side must be the SEMI-JOIN-trimmed unigram table —
+    // bounded by the surviving bigrams' terms, never the full vocabulary
+    // (1e8+ terms at web scale = guaranteed driver OOM)
+    assert(p.contains("LeftSemi"),
+      s"broadcast side is the untrimmed vocabulary:\n$p")
+  }
+
+  test("link prediction hub-caps degrees before a hash-based wedge join") {
+    val p = plan("graph_link_prediction")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge enumeration fell back to a non-hash join:\n$p")
+    // the deg <= cap filter must sit on the wedge-center side BEFORE the
+    // self-join — one uncapped boilerplate hub fans out deg² wedges
+    assert(p.contains("<= 64"),
+      s"hub degree cap missing from the wedge join input:\n$p")
   }
 }

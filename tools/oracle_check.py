@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/oracle_check.py [sfDir] [outDir]
+Usage: python3 tools/oracle_check.py [sfDir] [outDir] [--strict]
 
 1. Expects `graft.Verify` to have been run first:
      sbt "runMain graft.Verify <sfDir> <outDir>"
@@ -32,6 +32,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.iloc[key.argsort(kind="mergesort")].reset_index(drop=True)
 
 
+# --strict replicates the driver's hash gate: values must be EXACTLY
+# equal (the driver sorts columns by name and hashes values — a rel-2e-15
+# float difference reds the gate, as r4's bucketed_join proved). The
+# default epsilon compare is for quick triage only; strict is the mode
+# whose green cannot disagree with a driver red. Strict may over-flag:
+# last-ulp float formation differences (window sums, corr, ndcg) that the
+# driver's hash grain tolerates show up as strict FAILs.
+STRICT = False
+
+
 def values_equal(a, b) -> bool:
     if pd.isna(a) and pd.isna(b):
         return True
@@ -42,6 +52,8 @@ def values_equal(a, b) -> bool:
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
+        if STRICT:
+            return fa == fb
         return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-12)
     return a == b or str(a) == str(b)
 
@@ -61,8 +73,11 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    global STRICT
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = "--strict" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out_dir = args[1] if len(args) > 1 else "/tmp/graft_verify"
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         tbl = os.path.splitext(os.path.basename(p))[0]
