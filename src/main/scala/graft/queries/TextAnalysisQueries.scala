@@ -1433,7 +1433,57 @@ object TextAnalysisQueries {
        |  (bucket + 1) * $HistBucket - 1 AS hi, n_docs, total_tokens
        |FROM b ORDER BY bucket""".stripMargin
 
+  // ---- Fill-in-middle transform (code-LM training data) ----------------------
+  // PSM reordering for FIM pretraining: a deterministic middle span (the
+  // 40%..60% character window) is cut out and the document re-emitted as
+  // <PRE> prefix <SUF> suffix <MID> middle. Applied to a deterministic
+  // half of the corpus (doc_id parity — the hash-gate convention of
+  // mixture_sample, trivially oracle-mirrored); the rest passes through
+  // unchanged, exactly the mixed-objective batch a FIM run trains on.
+  // Entirely NARROW — per-row substring arithmetic, no shuffle but the
+  // presentation sort; at 100 TB this is a map-only pass. Spans are
+  // CHARACTER-based so both engines compute identical cuts (corpus is
+  // single-byte text; a multi-byte corpus would need codepoint-aligned
+  // substr on the Spark side, where length() counts UTF-16 units).
+  def fimTransform(s: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text"))
+    val a = floor(n.cast("double") * 0.4).cast("int")
+    val b = floor(n.cast("double") * 0.6).cast("int")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), a.as("a"), b.as("b"), n.as("n"))
+      .select(
+        col("doc_id"),
+        (col("doc_id") % 2 === 0).as("fim_applied"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<PRE>"), col("text").substr(lit(1), col("a")),
+            lit("<SUF>"), col("text").substr(col("b") + 1, col("n") - col("b")),
+            lit("<MID>"), col("text").substr(col("a") + 1, col("b") - col("a"))))
+          .otherwise(col("text")).as("out_text"),
+        when(col("doc_id") % 2 === 0, col("b") - col("a")).otherwise(lit(0))
+          .cast("long").as("middle_len"))
+      .orderBy("doc_id")
+  }
+
+  val fimTransformSql: String =
+    """WITH cuts AS (
+      |  SELECT doc_id, text,
+      |    CAST(floor(length(text) * 0.4) AS INT) AS a,
+      |    CAST(floor(length(text) * 0.6) AS INT) AS b,
+      |    length(text) AS n
+      |  FROM documents)
+      |SELECT doc_id,
+      |  doc_id % 2 = 0 AS fim_applied,
+      |  CASE WHEN doc_id % 2 = 0 THEN
+      |    '<PRE>' || substr(text, 1, a) ||
+      |    '<SUF>' || substr(text, b + 1, n - b) ||
+      |    '<MID>' || substr(text, a + 1, b - a)
+      |  ELSE text END AS out_text,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN b - a ELSE 0 END AS BIGINT)
+      |    AS middle_len
+      |FROM cuts ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fim_transform" -> (fimTransform _),
     "curation_pipeline" -> (curationPipeline _),
     "source_quota" -> (sourceQuota _),
     "mixture_sample" -> (mixtureSample _),
@@ -1469,6 +1519,7 @@ object TextAnalysisQueries {
     "token_histogram" -> (tokenHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "fim_transform" -> fimTransformSql,
     "curation_pipeline" -> curationPipelineSql,
     "source_quota" -> sourceQuotaSql,
     "mixture_sample" -> mixtureSampleSql,

@@ -43,4 +43,63 @@ class TablesSpec extends SparkSpec {
     val e = intercept[RuntimeException](Tables.events(spark, asString))
     assert(e.getMessage.contains("unsupported parquet type"))
   }
+
+  /** Schema contract over the driver testdata: the column names and the
+    * type CLASSES the engine depends on. A regeneration that drifts (the
+    * r5 events ts change) fails here by NAME at round start instead of
+    * erroring 46 queries deep. Type classes, not exact types: integral /
+    * fractional / string / timestamp-like / array — the loaders tolerate
+    * width and tz-ness changes within a class.
+    */
+  test("driver testdata matches the engine's schema contract") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    def cls(dt: DataType): String = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => "int"
+      case _: FloatType | _: DoubleType | _: DecimalType => "num"
+      case _: StringType => "str"
+      case _: TimestampType | _: TimestampNTZType | _: DateType => "time"
+      case ArrayType(e, _) => s"arr<${cls(e)}>"
+      case other => other.simpleString
+    }
+    val contract: Seq[(String, org.apache.spark.sql.DataFrame, Seq[(String, String)])] = Seq(
+      ("region", Tables.region(spark, dir),
+        Seq("r_regionkey" -> "int", "r_name" -> "str")),
+      ("nation", Tables.nation(spark, dir),
+        Seq("n_nationkey" -> "int", "n_name" -> "str", "n_regionkey" -> "int")),
+      ("customer", Tables.customer(spark, dir),
+        Seq("c_custkey" -> "int", "c_name" -> "str", "c_nationkey" -> "int",
+          "c_acctbal" -> "num", "c_mktsegment" -> "str")),
+      ("supplier", Tables.supplier(spark, dir),
+        Seq("s_suppkey" -> "int", "s_name" -> "str", "s_nationkey" -> "int",
+          "s_acctbal" -> "num")),
+      ("part", Tables.part(spark, dir),
+        Seq("p_partkey" -> "int", "p_name" -> "str", "p_brand" -> "str",
+          "p_type" -> "str", "p_size" -> "int", "p_retailprice" -> "num")),
+      ("orders", Tables.orders(spark, dir),
+        Seq("o_orderkey" -> "int", "o_custkey" -> "int", "o_orderstatus" -> "str",
+          "o_totalprice" -> "num", "o_orderdate" -> "time",
+          "o_orderpriority" -> "str")),
+      ("lineitem", Tables.lineitem(spark, dir),
+        Seq("l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
+          "l_linenumber" -> "int", "l_quantity" -> "num",
+          "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+          "l_returnflag" -> "str", "l_linestatus" -> "str",
+          "l_shipdate" -> "time")),
+      ("events", Tables.events(spark, dir), // post-normalization view
+        Seq("event_id" -> "int", "ts" -> "time", "user_id" -> "int",
+          "event_type" -> "str", "value" -> "num", "props" -> "str")),
+      ("documents", Tables.documents(spark, dir),
+        Seq("doc_id" -> "int", "text" -> "str", "lang" -> "str",
+          "source" -> "str", "n_chars" -> "int")),
+      ("embeddings", Tables.embeddings(spark, dir),
+        Seq("vec_id" -> "int", "embedding" -> "arr<num>", "label" -> "int")))
+    for ((tbl, df, want) <- contract) {
+      val got = df.schema.map(f => f.name -> cls(f.dataType)).toMap
+      for ((c, k) <- want)
+        assert(got.get(c).contains(k),
+          s"$tbl.$c: expected class $k, schema has ${got.get(c)} — " +
+            "driver testdata drifted; check the loaders in Tables.scala")
+    }
+  }
 }
