@@ -133,12 +133,13 @@ object Dedup {
     *
     * The result is therefore exact — the bloom is a performance device,
     * not an approximation of the answer — and hash-checkable against a
-    * plain anti-join oracle. The probe is a Scala predicate over the
-    * broadcast sketch (the codegen'd bloom expressions are
-    * session-internal); one xxhash + a few bit probes per row, never the
-    * bottleneck next to the md5 digest itself. NULL digests (null text)
-    * are definitely new — SQL equality never matches NULL, matching the
-    * NOT EXISTS oracle semantics.
+    * plain anti-join oracle. The probe is a codegen'd expression over the
+    * broadcast sketch (graft.plans.BloomMightContain — probes the UTF-8
+    * bytes with no per-row boxing, keeping the gate inside the
+    * whole-stage-codegen span); one hash + a few bit probes per row,
+    * never the bottleneck next to the md5 digest itself. NULL digests
+    * (null text) are definitely new — SQL equality never matches NULL,
+    * matching the NOT EXISTS oracle semantics.
     *
     * Cost shape: building the bloom is one scan of the existing digests
     * (pass `expectedItems` to skip the sizing count — at real scale the
@@ -161,8 +162,8 @@ object Dedup {
     val expected = math.max(1000L, expectedItems.getOrElse(ex.count()))
     val bloom = ex.stat.bloomFilter("digest", expected, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain =
-      udf((d: String) => d != null && bloomBc.value.mightContainString(d))
+    def mightContain(c: org.apache.spark.sql.Column) =
+      graft.plans.BloomMightContain.probeCol(c, bloomBc)
     val in = digests(incoming)
     val definitelyNew = in.filter(!mightContain(col("digest")))
     val maybeDup = in.filter(mightContain(col("digest")))

@@ -71,6 +71,14 @@ class PlanSpec extends SparkSpec {
       s"new-batch band table should broadcast into the corpus probe:\n$p")
   }
 
+  test("incremental exact dedup probes the bloom inside codegen, not a UDF") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("graft_bloom_might_contain"),
+      s"bloom gate missing from the plan:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("UDF("),
+      s"bloom probe regressed to a codegen-breaking UDF:\n$p")
+  }
+
   test("events_cube_daily expands grouping sets before ONE aggregation shuffle") {
     val p = plan("events_cube_daily")
     assert(p.contains("Expand"), s"cube should plan an Expand:\n$p")
