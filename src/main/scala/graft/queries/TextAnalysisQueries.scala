@@ -469,10 +469,14 @@ object TextAnalysisQueries {
       .join(broadcast(uniNeeded.select(col("t").as("x"), col("cu").as("cx"))), "x")
       .join(broadcast(uniNeeded.select(col("t").as("y"), col("cu").as("cy"))), "y")
       .crossJoin(broadcast(uniTotal)).crossJoin(broadcast(bgTotal))
+      // pmi pinned to the 1e-6 grid (tfidf house style): ln is not
+      // correctly-rounded across libms, so identical inputs drift a ulp
+      // between Spark and DuckDB — the grid absorbs it, and the >= 0.05
+      // selection reads the pinned value so the row set can't flip
       .withColumn("pmi",
-        log((col("cb").cast("double") / col("nb")) /
+        round(log((col("cb").cast("double") / col("nb")) /
           ((col("cx").cast("double") / col("nu"))
-            * (col("cy").cast("double") / col("nu")))))
+            * (col("cy").cast("double") / col("nu")))) * 1e6) / 1e6)
       .filter(col("pmi") >= 0.05)
       .select(col("bigram"), col("cb").cast("long").as("n"),
         col("pmi").cast("double").as("pmi"))
@@ -493,8 +497,9 @@ object TextAnalysisQueries {
        |  FROM docs_l),
        |scored AS (
        |  SELECT bigram, cb,
-       |    ln((CAST(cb AS DOUBLE) / nb) /
-       |      ((CAST(ux.cu AS DOUBLE) / nu) * (CAST(uy.cu AS DOUBLE) / nu))) AS pmi
+       |    round(ln((CAST(cb AS DOUBLE) / nb) /
+       |      ((CAST(ux.cu AS DOUBLE) / nu) * (CAST(uy.cu AS DOUBLE) / nu)))
+       |      * 1000000.0) / 1000000.0 AS pmi
        |  FROM bg
        |  JOIN uni ux ON ux.t = string_split(bigram, ' ')[1]
        |  JOIN uni uy ON uy.t = string_split(bigram, ' ')[2],
