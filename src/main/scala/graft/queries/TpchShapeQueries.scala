@@ -160,11 +160,14 @@ object TpchShapeQueries {
       .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
     li.join(broadcast(perPart), col("l_partkey") === col("t_partkey"))
       .filter(col("l_quantity") < col("qty_thresh"))
-      .agg((sum(col("l_extendedprice")) / 7.0).cast("double").as("avg_yearly"))
+      // cent-grid sum before the /7: whole-corpus money magnitude is
+      // exactly the accumulation-order class that flaked bucketed_join
+      .agg((graft.Money.sumCents(col("l_extendedprice")) / 7.0)
+        .cast("double").as("avg_yearly"))
   }
 
   val q17SmallQuantitySql: String =
-    s"""SELECT CAST(sum(l_extendedprice) / 7.0 AS DOUBLE) AS avg_yearly
+    s"""SELECT CAST(${graft.Money.sumCentsSql("l_extendedprice")} / 7.0 AS DOUBLE) AS avg_yearly
        |FROM lineitem
        |JOIN part ON p_partkey = l_partkey
        |WHERE p_brand = '$Q17Brand'
@@ -180,8 +183,12 @@ object TpchShapeQueries {
   // trimmed schema's stand-in for Q22's phone country code).
   def q22InactiveCustomers(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
+    // the threshold GATES row membership, so it must be bit-identical in
+    // both engines in any accumulation order: exact cent sum / count
+    // (both single IEEE divisions on identical operands), never avg()
     val avgBal = cust.filter(col("c_acctbal") > 0.0)
-      .agg(avg(col("c_acctbal")).as("ab"))
+      .agg((graft.Money.sumCentsLong(col("c_acctbal")).cast("double") / 100.0 /
+        count(lit(1)).cast("double")).as("ab"))
     cust.join(broadcast(avgBal))
       .filter(col("c_acctbal") > col("ab"))
       .join(Tables.orders(s, dir)
@@ -189,19 +196,21 @@ object TpchShapeQueries {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).cast("long").as("numcust"),
-        sum(col("c_acctbal")).cast("double").as("totacctbal"))
+        graft.Money.sumCents(col("c_acctbal")).as("totacctbal"))
       .select(col("c_nationkey").cast("long").as("nationkey"),
         col("numcust"), col("totacctbal"))
       .orderBy("nationkey")
   }
 
   val q22InactiveCustomersSql: String =
-    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+    s"""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
       |  CAST(count(*) AS BIGINT) AS numcust,
-      |  CAST(sum(c_acctbal) AS DOUBLE) AS totacctbal
+      |  ${graft.Money.sumCentsSql("c_acctbal")} AS totacctbal
       |FROM customer
       |WHERE c_acctbal > (
-      |    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |    SELECT CAST(${graft.Money.sumCentsLongSql("c_acctbal")} AS DOUBLE)
+      |      / 100.0 / CAST(count(*) AS DOUBLE)
+      |    FROM customer WHERE c_acctbal > 0.0)
       |  AND NOT EXISTS (SELECT 1 FROM orders
       |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |GROUP BY c_nationkey
@@ -344,8 +353,11 @@ object TpchShapeQueries {
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("double").as("revenue"))
+      // cent-grid revenue: the top-20 CUT reads this value, so an
+      // accumulation-order ulp could otherwise swap the boundary row —
+      // a row-set flake, not just a hash ulp
+      .agg(graft.Money.sumCents(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("o_custkey").asc)
       .limit(20)
     perCust
@@ -362,7 +374,7 @@ object TpchShapeQueries {
 
   val q10ReturnedItemsSql: String =
     s"""SELECT c_custkey, c_name,
-       |  CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS revenue,
+       |  ${graft.Money.sumCentsSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
        |  CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
        |FROM lineitem
        |JOIN orders ON o_orderkey = l_orderkey
@@ -423,12 +435,12 @@ object TpchShapeQueries {
           col("l_quantity").between(10, 20)) ||
         (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
           col("l_quantity").between(20, 30))))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("double").as("revenue"))
+      .agg(graft.Money.sumCents(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
   }
 
   val q19DisjunctiveSql: String =
-    """SELECT CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS revenue
+    s"""SELECT ${graft.Money.sumCentsSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
       |       AND l_quantity BETWEEN 1 AND 11)
