@@ -51,10 +51,17 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":3,"reported":"min"}"""
     println(line)
     // Stdout capture can truncate the head of a long line; the file is the
-    // auditable artifact with all per-query numbers.
-    java.nio.file.Files.write(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
-      (line + "\n").getBytes("UTF-8"))
+    // auditable artifact with all per-query numbers. Default is a
+    // TIMESTAMPED file under bench_out/ (gitignored) so re-running Bench
+    // never dirties a committed snapshot — BENCH_FULL.json previously sat
+    // tracked and was silently overwritten in place by every run.
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench_out"))
+        java.nio.file.Paths.get(s"bench_out/BENCH_${System.currentTimeMillis() / 1000}.json")
+      }
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    System.err.println(s"[bench] wrote $out")
     spark.stop()
   }
 }

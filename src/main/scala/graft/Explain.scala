@@ -6,6 +6,7 @@ object Explain {
     val dir = "/root/testdata/sf0.01"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq("scan_filter", "q3_shipping", "q5_star_join", "bm25_search")

@@ -59,4 +59,43 @@ object Money {
   /** DuckDB mirror of [[sumCentsLong]]. */
   def sumCentsLongSql(expr: String): String =
     s"sum(${centsSql(expr)})"
+
+  // ---- Score grids -----------------------------------------------------
+  // The same convention at score scale: computed metrics whose formation
+  // chains through libm (ln/sqrt in BM25, NDCG) legitimately differ in
+  // the last ulp across engines on identical inputs. Pinning the OUTPUT
+  // to a fixed grid makes both engines land on the same representable
+  // double unless the true value sits within an ulp of a rounding
+  // boundary (~1e-10 probability per value — and then the disagreement
+  // was already present, just hidden below the old grain). Ordering /
+  // top-k cuts stay on the raw value; only the displayed column is
+  // pinned.
+
+  /** Pin a score to the 1e-6 grid (micro units). */
+  def micros(x: Column): Column =
+    round(x * 1000000.0).cast("long").cast("double") / 1000000.0
+
+  /** DuckDB mirror of [[micros]]. */
+  def microsSql(expr: String): String =
+    s"CAST(CAST(round(($expr) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0"
+
+  /** Pin a statistic to the 1e-9 grid — for small-magnitude values
+    * (correlations, z-scores) where 1e-6 would cost real precision.
+    */
+  def nanos(x: Column): Column =
+    round(x * 1.0e9).cast("long").cast("double") / 1.0e9
+
+  /** DuckDB mirror of [[nanos]]. */
+  def nanosSql(expr: String): String =
+    s"CAST(CAST(round(($expr) * 1000000000.0) AS BIGINT) AS DOUBLE) / 1000000000.0"
+
+  /** Order-free sum on the 1e-6 grid: for value columns that are not
+    * money (events.value) but still need accumulation-order-free totals.
+    */
+  def sumMicros(x: Column): Column =
+    sum(round(x * 1000000.0).cast("long")).cast("double") / 1000000.0
+
+  /** DuckDB mirror of [[sumMicros]]. */
+  def sumMicrosSql(expr: String): String =
+    s"CAST(sum(CAST(round(($expr) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0"
 }

@@ -2,11 +2,19 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: sweep every registered query's physical plan at sf0.001 and
-  * flag scale anti-patterns — CartesianProduct / BroadcastNestedLoopJoin
-  * anywhere, and single-partition exchanges feeding non-presentation
-  * work. A structural complement to PlanSpec's targeted pins: PlanSpec
-  * asserts the plans we designed; this catches the ones we didn't look at.
+/** Dev tool: EXECUTE every registered query at sf0.001 and audit the
+  * final (post-AQE) physical plan for scale anti-patterns —
+  * CartesianProduct / unbounded BroadcastNestedLoopJoin, parquet scans
+  * whose pushable data filters did not push down, partitioned-table scans
+  * with no partition filter, and sort-merge joins that kept a sub-10 MB
+  * side after AQE had its chance to broadcast it. A structural complement
+  * to PlanSpec's targeted pins: PlanSpec asserts the plans we designed;
+  * this catches the ones we didn't look at.
+  *
+  * Queries are executed (noop sink) before auditing: under AQE the
+  * pre-execution plan is conservative (every join starts sort-merge and
+  * converts at runtime), so a static audit would drown in false
+  * positives — r7 measured 7 spurious SMJ flags static vs 0 executed.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -18,21 +26,45 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
+    import org.apache.spark.sql.catalyst.expressions.{Contains, EndsWith, StartsWith}
+    import org.apache.spark.sql.catalyst.plans.FullOuter
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, ProjectExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.{LocalTableScanExec, RDDScanExec, SortExec}
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 
-    // a build side is BOUNDED if it reduces to a grouping-key-less
-    // aggregate (exactly one row: corpus totals, scalar stats) or a
-    // literal local relation — the standard crossJoin(broadcast(scalar))
-    // shape, safe at any corpus size
-    def bounded(p: SparkPlan): Boolean = {
-      val s = p.toString
-      s.contains("keys=[]") || s.contains("LocalTableScan") ||
-        s.contains("OneRowRelation") || s.contains("ReusedExchange")
+    // strip wrappers that don't change a subtree's boundedness, and
+    // RESOLVE ReusedExchange to the exchange it references — a substring
+    // match over the subtree string (the pre-r7 implementation) would
+    // accept any build side that merely contained 'keys=[]' or
+    // 'ReusedExchange' somewhere below a wide join
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case r: ReusedExchangeExec => unwrap(r.child)
+      case e: BroadcastExchangeExec => unwrap(e.child)
+      case e: ShuffleExchangeExec => unwrap(e.child)
+      case s: SortExec => unwrap(s.child)
+      case pr: ProjectExec => unwrap(pr.child)
+      case f: FilterExec => unwrap(f.child)
+      case other => other
     }
 
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // a build side is BOUNDED iff its ROOT (after unwrapping) is a
+    // grouping-key-less aggregate (exactly one row: corpus totals, scalar
+    // stats), a literal local relation, or a nested join of bounded sides
+    // (scalar x scalar cross joins stack in stats queries)
+    def bounded(p: SparkPlan): Boolean = unwrap(p) match {
+      case agg: BaseAggregateExec => agg.groupingExpressions.isEmpty
+      case _: LocalTableScanExec => true
+      case r: RDDScanExec => r.nodeName.contains("OneRowRelation")
+      case j: BroadcastNestedLoopJoinExec => bounded(j.left) && bounded(j.right)
+      case _ => false
+    }
 
     // SparkPlan.collect does NOT descend through AdaptiveSparkPlanExec
     // (its `children` is empty — the wrapped plan hides in
@@ -47,12 +79,36 @@ object PlanAudit {
       Iterator(p) ++ kids.iterator.flatMap(nodes)
     }
 
+    // a data filter is PUSHABLE-LOOKING when it is built only from plain
+    // column comparisons the parquet source translates; filters over
+    // computed expressions (graft_tokenize(text), hash gates) can never
+    // push and are not findings
+    def pushable(e: Expression): Boolean = e match {
+      case _: AttributeReference | _: Literal => true
+      case c: Cast => pushable(c.child)
+      case b @ (_: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+                _: LessThan | _: LessThanOrEqual | _: StartsWith |
+                _: EndsWith | _: Contains | _: And | _: Or) =>
+        b.children.forall(pushable)
+      case n: Not => pushable(n.child)
+      case i: IsNotNull => pushable(i.child)
+      case i: IsNull => pushable(i.child)
+      case i: In => i.children.forall(pushable)
+      case _ => false
+    }
+
+    // plan-time size of a join side as the planner saw it: logical link
+    // of the side BELOW the sort/exchange wrappers (the SMJ node's own
+    // link is the join — its stats are the product estimate)
+    def sideSize(p: SparkPlan): Option[BigInt] =
+      unwrap(p).logicalLink.map(_.stats.sizeInBytes)
+
     // BNLJ build sides that ARE bounded but not provably so from the plan
-    // text: config-sized tables (probe sets limited to NQueries=10,
-    // centroid/codebook tables of nlist=64 / M*Ks=64 rows) and the one
+    // root (config-sized tables: probe sets limited to NQueries=10,
+    // centroid/codebook tables of nlist=64 / M*Ks=64 rows) plus the
     // labeled cartesian baseline. Adjudicated by hand; a NEW query
     // acquiring a nested-loop join still gets flagged.
-    val allowed: Map[String, String] = Map(
+    val allowedJoins: Map[String, String] = Map(
       "ann_brute_force" -> "labeled all-pairs baseline: 10-probe set x corpus",
       "ann_quantized" -> "10-probe set x corpus, int8 exact re-rank baseline",
       "ann_ivf_pq_prebuilt" -> "probes x 64-row stored centroid table (ADC prep)",
@@ -62,27 +118,85 @@ object PlanAudit {
       "cross_join_regions" -> "labeled cartesian: 5 regions x 25 nations",
       "quantile_bins" -> "values x 10-row quantile cut-point table")
 
+    // scan/SMJ findings adjudicated by hand. The "small at audit SF"
+    // entries are sides PROPORTIONAL to the corpus: tiny at sf0.001, but
+    // broadcast would be wrong at 100 TB — SMJ is the scale-correct
+    // shape, so the finding is a property of the audit's SF, not the plan.
+    val allowedShapes: Map[String, String] = Map(
+      "bucketed_join" -> ("merge-hinted on purpose: the query DEMONSTRATES " +
+        "the exchange-free bucketed sort-merge join (PlanSpec pins zero " +
+        "join exchanges); broadcasting would bypass the layout under test"),
+      "schema_evolution" -> ("mergeSchema scan reads both schema batches " +
+        "by design — the query's aggregation IS the full-table evolution " +
+        "rollup; the staged dirs are schema epochs, not data partitions"),
+      "label_propagation" -> ("labels (~N rows) join edges (~N*k rows) over " +
+        "the cached knn graph: both sides scale with the corpus — small " +
+        "only at audit SF; SMJ is the scale-correct shape"),
+      "training_manifest_clean" -> ("curated corpus anti-join contaminated " +
+        "set: both sides scale with the corpus (contaminated ~ N/97) — " +
+        "small only at audit SF"),
+      "ingest_pipeline" -> ("batch-vs-corpus gates: the batch side is " +
+        "small at audit SF but a production ingest batch is unbounded; " +
+        "SMJ is the scale-safe default (the codegen'd bloom prefilter " +
+        "already collapses the anti-join probe volume)"),
+      "stream_ingest_pipeline" -> ("same gates as ingest_pipeline with " +
+        "streamed candidate pairs; batch side unbounded in production"))
+
     var flagged = 0
     Queries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, dir).queryExecution.executedPlan
-        val bad = nodes(plan).toSeq.collect {
+        val df = fn(spark, dir)
+        // execute so AQE reaches its FINAL plan (broadcast conversions,
+        // skew splits); the audit below reads runtime truth
+        df.write.format("noop").mode("overwrite").save()
+        val plan = df.queryExecution.executedPlan
+        val joinBad = nodes(plan).toSeq.collect {
           case j: BroadcastNestedLoopJoinExec =>
             val build = j.buildSide match {
               case BuildLeft => j.left
               case BuildRight => j.right
             }
             if (bounded(build)) None
-            else Some(s"BNLJ(${j.joinType}) build=${build.nodeName}")
+            else Some(s"BNLJ(${j.joinType}) build=${unwrap(build).nodeName}")
           case c: CartesianProductExec => Some(s"Cartesian ${c.nodeName}")
         }.flatten
-        if (bad.nonEmpty) {
-          allowed.get(name) match {
-            case Some(reason) => println(s"OK   $name (allowed: $reason)")
-            case None =>
-              flagged += 1
-              println(s"FLAG $name: ${bad.mkString("; ")}")
+        val scanBad = nodes(plan).toSeq.collect {
+          case f: FileSourceScanExec
+            if f.dataFilters.exists(pushable) &&
+              f.metadata.getOrElse("PushedFilters", "[]") == "[]" =>
+            s"unpushed pushable filter on ${f.relation.location.rootPaths
+              .headOption.fold("?")(_.getName)}: " +
+              f.dataFilters.filter(pushable).mkString(",").take(70)
+          case f: FileSourceScanExec
+            if f.relation.partitionSchema.nonEmpty && f.partitionFilters.isEmpty =>
+            s"unpruned partitioned scan ${f.relation.location.rootPaths
+              .headOption.fold("?")(_.getName)}"
+        }
+        // a post-AQE SMJ with a sub-10 MB side = a missed broadcast
+        // (full outer exempt: Spark cannot broadcast it)
+        val smjBad = nodes(plan).toSeq.collect {
+          case j: SortMergeJoinExec if j.joinType != FullOuter =>
+            val thresh = BigInt(10L << 20)
+            val l = sideSize(j.left)
+            val r = sideSize(j.right)
+            if (l.exists(_ < thresh) || r.exists(_ < thresh))
+              Some(s"SMJ small side (plan-time bytes L=${l.getOrElse("?")} " +
+                s"R=${r.getOrElse("?")})")
+            else None
+        }.flatten
+        def report(kind: String, found: Seq[String],
+                   allow: Map[String, String]): Seq[String] =
+          if (found.isEmpty) Seq.empty
+          else allow.get(name) match {
+            case Some(reason) =>
+              println(s"OK   $name $kind (allowed: $reason)"); Seq.empty
+            case None => found
           }
+        val rest = report("joins", joinBad, allowedJoins) ++
+          report("shapes", scanBad ++ smjBad, allowedShapes)
+        if (rest.nonEmpty) {
+          flagged += 1
+          println(s"FLAG $name: ${rest.mkString("; ")}")
         }
       } catch {
         case e: Throwable =>

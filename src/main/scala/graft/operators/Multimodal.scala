@@ -29,11 +29,13 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            features: Array[Double])
 
-  /** STUB decoder =========================================================
-    * A real implementation would decode the image/audio payload here
-    * (JPEG -> pixels, WAV -> samples) and derive model features. This
-    * deterministic stand-in computes a normalized byte histogram folded to
-    * `FeatureDim` buckets — real plumbing, fake decode.
+  /** STUB decoder (compressed formats only) ================================
+    * JPEG/PNG/MP3/H.264 need codec libraries this container doesn't have;
+    * for those kinds this deterministic stand-in computes a normalized
+    * byte histogram folded to `FeatureDim` buckets — real plumbing, fake
+    * decode. UNCOMPRESSED formats (BMP pixel rows, WAV PCM samples) are
+    * parseable in pure JVM and get REAL decoders below; [[decodeFeatures]]
+    * dispatches on the payload's magic bytes.
     */
   def decodeFeaturesStub(payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](FeatureDim)
@@ -48,6 +50,131 @@ object Multimodal {
     }
     hist
   }
+
+  /** Decoded uncompressed image: row-major top-down RGB triples. */
+  case class ImageDecoded(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Decoded PCM audio. */
+  case class AudioDecoded(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** REAL decoder: uncompressed 24-bpp BMP (BITMAPINFOHEADER, BI_RGB).
+    * Pure JVM — file header ("BM", pixel-array offset at byte 10), info
+    * header (width/height/bpp/compression), 4-byte-padded BGR pixel rows,
+    * bottom-up when height > 0 (the format's default). Returns None on
+    * anything malformed or any other BMP variant — the caller falls back
+    * to the stub rather than guessing.
+    */
+  def decodeBmp(payload: Array[Byte]): Option[ImageDecoded] = {
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return None
+    val pixelOff = le32(payload, 10)
+    val headerSize = le32(payload, 14)
+    if (headerSize < 40) return None // BITMAPCOREHEADER etc. unsupported
+    val width = le32(payload, 18)
+    val rawHeight = le32(payload, 22)
+    val bpp = le16(payload, 28)
+    val compression = le32(payload, 30)
+    if (width <= 0 || rawHeight == 0 || bpp != 24 || compression != 0) return None
+    val bottomUp = rawHeight > 0
+    val height = math.abs(rawHeight)
+    val rowBytes = (width * 3 + 3) & ~3 // rows pad to 4-byte boundaries
+    if (pixelOff < 0 || pixelOff.toLong + rowBytes.toLong * height > payload.length)
+      return None
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = pixelOff + (if (bottomUp) height - 1 - y else y) * rowBytes
+      var x = 0
+      while (x < width) {
+        val s = srcRow + x * 3 // stored BGR
+        val d = (y * width + x) * 3
+        rgb(d) = payload(s + 2)
+        rgb(d + 1) = payload(s + 1)
+        rgb(d + 2) = payload(s)
+        x += 1
+      }
+      y += 1
+    }
+    Some(ImageDecoded(width, height, rgb))
+  }
+
+  /** REAL decoder: RIFF/WAVE with 16-bit integer PCM (format tag 1).
+    * Walks the chunk list (fmt / data may be preceded by LIST etc.,
+    * chunks pad to even sizes). Returns None for any other encoding.
+    */
+  def decodeWav(payload: Array[Byte]): Option[AudioDecoded] = {
+    if (payload.length < 44 ||
+      payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' || payload(3) != 'F' ||
+      payload(8) != 'W' || payload(9) != 'A' || payload(10) != 'V' || payload(11) != 'E')
+      return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, bits)
+    var data: Option[(Int, Int)] = None // (offset, size)
+    while (off + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(payload, off, 4, StandardCharsets.US_ASCII)
+      val size = le32(payload, off + 4)
+      if (size < 0 || off + 8 + size > payload.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          val audioFormat = le16(payload, off + 8)
+          val channels = le16(payload, off + 10)
+          val sampleRate = le32(payload, off + 12)
+          val bits = le16(payload, off + 22)
+          if (audioFormat != 1 || bits != 16 || channels <= 0) return None
+          fmt = Some((channels, sampleRate, bits))
+        case "data" => data = Some((off + 8, size))
+        case _ => // skip LIST/fact/…
+      }
+      off += 8 + size + (size & 1) // chunks pad to even length
+    }
+    for ((channels, rate, _) <- fmt; (dOff, dSize) <- data) yield {
+      val n = dSize / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) { samples(i) = le16(payload, dOff + 2 * i).toShort; i += 1 }
+      AudioDecoded(rate, channels, samples)
+    }
+  }
+
+  /** Feature vector from REAL decoded content, same 16-dim normalized
+    * histogram shape as the stub so the schema and every consumer are
+    * unchanged: BMP -> luminance histogram over decoded pixels (integer
+    * luma (r+g+b)/3, 16 buckets of 16), WAV -> amplitude histogram over
+    * PCM samples (16 buckets of 4096 across the int16 range). Anything
+    * else (compressed kinds, text payloads) falls back to the byte
+    * histogram stub.
+    */
+  def decodeFeatures(payload: Array[Byte]): Array[Double] =
+    decodeBmp(payload).map { img =>
+      val hist = new Array[Double](FeatureDim)
+      val n = img.rgb.length / 3
+      var i = 0
+      while (i < n) {
+        val luma = ((img.rgb(3 * i) & 0xff) + (img.rgb(3 * i + 1) & 0xff) +
+          (img.rgb(3 * i + 2) & 0xff)) / 3
+        hist(luma / FeatureDim) += 1.0
+        i += 1
+      }
+      if (n > 0) { var j = 0; while (j < FeatureDim) { hist(j) /= n; j += 1 } }
+      hist
+    }.orElse(decodeWav(payload).map { au =>
+      val hist = new Array[Double](FeatureDim)
+      var i = 0
+      while (i < au.samples.length) {
+        hist((au.samples(i) + 32768) / 4096) += 1.0
+        i += 1
+      }
+      if (au.samples.length > 0) {
+        var j = 0
+        while (j < FeatureDim) { hist(j) /= au.samples.length; j += 1 }
+      }
+      hist
+    }).getOrElse(decodeFeaturesStub(payload))
 
   /** Synthesize a media table from `documents` (UTF-8 text bytes as the
     * opaque payload) — the testdata carries no real binary column.
@@ -121,7 +248,7 @@ object Multimodal {
       // per-partition init would go here (load codec once)
       rows.map { r =>
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
-          decodeFeaturesStub(r.payload))
+          decodeFeatures(r.payload))
       }
     }
   }

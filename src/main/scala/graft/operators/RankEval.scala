@@ -47,8 +47,10 @@ object RankEval {
     perQ.join(ideal, Seq("query_id"), "left_outer")
       .join(nRel, Seq("query_id"), "left_outer")
       .select(col("query_id"),
-        coalesce(lit(1.0) / col("first_rel"), lit(0.0)).cast("double").as("mrr"),
-        coalesce(col("dcg") / col("idcg"), lit(0.0)).cast("double").as("ndcg"),
+        // metrics pinned to the 1e-9 grid (Money.nanos): DCG chains
+        // through pow/log2, whose last ulp is engine-specific
+        graft.Money.nanos(coalesce(lit(1.0) / col("first_rel"), lit(0.0))).as("mrr"),
+        graft.Money.nanos(coalesce(col("dcg") / col("idcg"), lit(0.0))).as("ndcg"),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"))
   }
 }

@@ -82,7 +82,10 @@ object Search {
       .limit(k)
     docInfo.select(col("doc_id"), col("title"))
       .join(broadcast(top), "doc_id")
-      .select(col("doc_id"), col("title"), col("score"))
+      // display score pinned to the 1e-6 grid (Money.micros): the raw
+      // score chains through libm ln, whose last ulp is engine-specific;
+      // ordering and the top-k cut stay on the raw value
+      .select(col("doc_id"), col("title"), graft.Money.micros(col("score")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
   }
 
@@ -240,7 +243,7 @@ object Search {
     docInfo.select(col("doc_id"), col("title"))
       .join(broadcast(top), "doc_id")
       .select(col("query_id"), col("rank"), col("doc_id"), col("title"),
-        col("score"))
+        graft.Money.micros(col("score")).as("score"))
   }
 
   /** RM3-style pseudo-relevance-feedback expansion: run the query, treat
@@ -289,7 +292,7 @@ object Search {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
     docInfo.select(col("doc_id"), col("title"))
       .join(broadcast(rescored), "doc_id")
-      .select(col("doc_id"), col("title"), col("score"))
+      .select(col("doc_id"), col("title"), graft.Money.micros(col("score")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
   }
 

@@ -142,7 +142,11 @@ object Similarity {
     val means = assigned.groupBy(col("cent_id"))
       .agg(array((0 until dim).map(i =>
         round(avg(col("v").getItem(i)), 6)): _*).as("mv"))
-    cents.join(means, Seq("cent_id"), "left")
+    // both sides are <= nlist (config-bounded) rows at any corpus scale;
+    // broadcast explicitly — the aggregated subtree hides its true size
+    // from the planner and this otherwise rides a sort-merge join
+    // (r7 PlanAudit finding)
+    cents.join(broadcast(means), Seq("cent_id"), "left")
       .select(col("cent_id"), coalesce(col("mv"), col("cv0")).as("cv0"))
   }
 

@@ -156,14 +156,14 @@ object LayoutQueries {
       .filter(col("day").isin(PruneDays: _*))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
-        sum(col("value")).cast("double").as("total_value"))
+        graft.Money.sumMicros(col("value")).as("total_value"))
       .orderBy("event_type")
   }
 
   val partitionedPruneSql: String = {
     val inList = PruneDays.map(d => s"'$d'").mkString(", ")
     s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       |  CAST(sum(value) AS DOUBLE) AS total_value
+       |  CAST(sum(CAST(round((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_value
        |FROM events
        |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') IN ($inList)
        |GROUP BY event_type
@@ -182,7 +182,7 @@ object LayoutQueries {
       .join(s.table(dimT).filter(col("dow") >= 5), "day")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
-        sum(col("value")).cast("double").as("total_value"))
+        graft.Money.sumMicros(col("value")).as("total_value"))
       .orderBy("event_type")
   }
 
@@ -196,7 +196,7 @@ object LayoutQueries {
        |    ((CAST(day AS DATE) - DATE '$DayAnchor') % 7) AS dow
        |  FROM fact)
        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       |  CAST(sum(value) AS DOUBLE) AS total_value
+       |  CAST(sum(CAST(round((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_value
        |FROM fact JOIN dim USING (day)
        |WHERE dow >= 5
        |GROUP BY event_type
@@ -322,7 +322,7 @@ object LayoutQueries {
       .filter(col("day").isin(PruneDays: _*))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
-        sum(col("value")).cast("double").as("total_value"))
+        graft.Money.sumMicros(col("value")).as("total_value"))
       .orderBy("event_type")
   }
 

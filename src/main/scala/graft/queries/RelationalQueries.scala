@@ -499,18 +499,22 @@ object RelationalQueries {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        corr(col("l_quantity"), col("l_extendedprice")).cast("double").as("corr_qty_price"),
-        covar_samp(col("l_quantity"), col("l_extendedprice")).cast("double").as("covar_qty_price"),
-        stddev_samp(col("l_extendedprice")).cast("double").as("sd_price"),
-        var_samp(col("l_discount")).cast("double").as("var_disc"))
+        // moment aggregates (corr/covar/stddev/var) merge partial moments
+        // in partition order — a few-ulp formation difference across
+        // engines and thread counts; all four pinned to the 1e-9 grid
+        // (observed noise <= 1e-12 absolute, half-grid 5e-10: safe)
+        graft.Money.nanos(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        graft.Money.nanos(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qty_price"),
+        graft.Money.nanos(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+        graft.Money.nanos(var_samp(col("l_discount"))).as("var_disc"))
       .orderBy("l_returnflag")
 
   val statsAggSql: String =
     """SELECT l_returnflag,
-      |  CAST(corr(l_quantity, l_extendedprice) AS DOUBLE) AS corr_qty_price,
-      |  CAST(covar_samp(l_quantity, l_extendedprice) AS DOUBLE) AS covar_qty_price,
-      |  CAST(stddev_samp(l_extendedprice) AS DOUBLE) AS sd_price,
-      |  CAST(var_samp(l_discount) AS DOUBLE) AS var_disc
+      |  CAST(CAST(round((corr(l_quantity, l_extendedprice)) * 1000000000.0) AS BIGINT) AS DOUBLE) / 1000000000.0 AS corr_qty_price,
+      |  CAST(CAST(round((covar_samp(l_quantity, l_extendedprice)) * 1000000000.0) AS BIGINT) AS DOUBLE) / 1000000000.0 AS covar_qty_price,
+      |  CAST(CAST(round((stddev_samp(l_extendedprice)) * 1000000000.0) AS BIGINT) AS DOUBLE) / 1000000000.0 AS sd_price,
+      |  CAST(CAST(round((var_samp(l_discount)) * 1000000000.0) AS BIGINT) AS DOUBLE) / 1000000000.0 AS var_disc
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---- Conditional / boolean aggregates ---------------------------------------
@@ -541,14 +545,16 @@ object RelationalQueries {
       .withColumn("mu", avg(col("l_extendedprice")).over(w))
       .withColumn("sd", stddev_samp(col("l_extendedprice")).over(w))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        ((col("l_extendedprice") - col("mu")) / col("sd")).cast("double").as("z"))
+        // z chains through stddev's sqrt — pinned to the 1e-9 grid
+        graft.Money.nanos((col("l_extendedprice") - col("mu")) / col("sd")).as("z"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
   val zscoreValuesSql: String =
     """SELECT l_orderkey, l_linenumber, l_returnflag,
-      |  CAST((l_extendedprice - avg(l_extendedprice) OVER w) /
-      |       (stddev_samp(l_extendedprice) OVER w) AS DOUBLE) AS z
+      |  CAST(CAST(round(((l_extendedprice - avg(l_extendedprice) OVER w) /
+      |       (stddev_samp(l_extendedprice) OVER w)) * 1000000000.0) AS BIGINT) AS DOUBLE)
+      |    / 1000000000.0 AS z
       |FROM lineitem WHERE l_orderkey < 1000
       |WINDOW w AS (PARTITION BY l_returnflag)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
@@ -618,22 +624,83 @@ object RelationalQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
-  // ---- Rows-only queries (no SQL oracle: nondeterministic-across-engines
-  //      by nature; driver records the weaker rows>0 check) ----------------
+  // ---- Engine-RNG / engine-sketch shapes: NOT registry entries.
+  //      Their internals are nondeterministic across engines by nature, so
+  //      a DuckDB hash can never match; ApproxSpec owns them (seed
+  //      reproducibility, fraction/error envelopes). The registry carries
+  //      deterministic md5-gate twins (sample_hash, sample_stratified_hash)
+  //      that oracle exactly — SURVEY §5.2's contract (every entry has an
+  //      oracle) holds with zero exceptions. ------------------------------
 
-  /** P2: true Bernoulli sample (seed-deterministic within Spark). */
+  /** P2: true Bernoulli sample (seed-deterministic within Spark).
+    * NOT in the driver registry — engine RNG has no cross-engine oracle;
+    * ApproxSpec pins seed reproducibility and the binomial fraction band.
+    * The registry carries the deterministic twin [[sampleHash]].
+    */
   def sampleBernoulli(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).sample(0.1, seed = 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
 
-  /** Stratified sample: per-stratum fractions (engine-specific RNG). */
+  /** P2 deterministic twin: 10% Bernoulli-style gate on a 60-bit md5
+    * prefix of the row key (the mixture_sample idiom) — same selectivity,
+    * same per-row independence, but reproducible in any engine, so the
+    * DuckDB oracle hashes it exactly. At scale this is strictly better
+    * than engine RNG for pipeline reproducibility: re-running the job, on
+    * a different cluster or engine, keeps the identical sample.
+    */
+  def sampleHash(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(graft.functions.TextHash.hash64(
+        concat(col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string"))) % 1000L < 100L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val sampleHashSql: String =
+    s"""SELECT l_orderkey, l_linenumber, l_quantity
+       |FROM lineitem
+       |WHERE ${OracleSql.hash64(
+      "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)")} % 1000 < 100
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Stratified sample: per-stratum fractions (engine-specific RNG).
+    * NOT in the driver registry (see [[sampleBernoulli]]); ApproxSpec pins
+    * reproducibility and per-stratum rate bands. The registry carries the
+    * deterministic twin [[sampleStratifiedHash]].
+    */
   def sampleStratified(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .stat.sampleBy("l_returnflag",
         Map("A" -> 0.05, "N" -> 0.2, "R" -> 0.05), seed = 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
 
-  /** A2-scalable variant: HLL++ approximate distinct counts. */
+  /** Stratified deterministic twin: per-stratum md5-gate thresholds
+    * (A 5%, N 20%, R 5%) on the same row key as [[sampleHash]] — exact
+    * cross-engine agreement, no RNG state, fully codegen'd predicate.
+    */
+  def sampleStratifiedHash(s: SparkSession, dir: String): DataFrame = {
+    val thresh = when(col("l_returnflag") === "N", lit(200L)).otherwise(lit(50L))
+    Tables.lineitem(s, dir)
+      .filter(graft.functions.TextHash.hash64(
+        concat(col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string"))) % 1000L < thresh)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val sampleStratifiedHashSql: String =
+    s"""SELECT l_orderkey, l_linenumber, l_returnflag
+       |FROM lineitem
+       |WHERE ${OracleSql.hash64(
+      "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)")} % 1000
+       |  < CASE WHEN l_returnflag = 'N' THEN 200 ELSE 50 END
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** A2-scalable variant: HLL++ approximate distinct counts.
+    * NOT in the driver registry — sketch internals are engine-specific;
+    * ApproxSpec pins the 5% error envelope vs exact distinct counts
+    * (the exact A2 surface is registry-green as distinct_agg).
+    */
   def distinctApprox(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
@@ -641,7 +708,11 @@ object RelationalQueries {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"))
       .orderBy("l_returnflag")
 
-  /** T-digest approximate percentiles (scalable alternative to Quantiles). */
+  /** T-digest approximate percentiles (scalable alternative to Quantiles).
+    * NOT in the driver registry — sketch internals are engine-specific;
+    * ApproxSpec pins the 2% envelope vs exact distributed quantiles
+    * (the exact surface is registry-green as percentiles).
+    */
   def percentilesApprox(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_linestatus"))
@@ -793,10 +864,8 @@ object RelationalQueries {
     "conditional_agg" -> (conditionalAgg _),
     "zscore_values" -> (zscoreValues _),
     "customer_rfm" -> (customerRfm _),
-    "sample_bernoulli" -> (sampleBernoulli _),
-    "sample_stratified" -> (sampleStratified _),
-    "distinct_approx" -> (distinctApprox _),
-    "percentiles_approx" -> (percentilesApprox _),
+    "sample_hash" -> (sampleHash _),
+    "sample_stratified_hash" -> (sampleStratifiedHash _),
     "scan_filter" -> (scanFilter _),
     "q3_shipping" -> (q3Shipping _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -828,6 +897,8 @@ object RelationalQueries {
     "conditional_agg" -> conditionalAggSql,
     "zscore_values" -> zscoreValuesSql,
     "customer_rfm" -> customerRfmSql,
+    "sample_hash" -> sampleHashSql,
+    "sample_stratified_hash" -> sampleStratifiedHashSql,
     "scan_filter" -> scanFilterSql,
     "q3_shipping" -> q3ShippingSql,
     "q18_large_orders" -> q18LargeOrdersSql,

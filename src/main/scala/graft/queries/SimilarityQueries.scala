@@ -268,8 +268,12 @@ object SimilarityQueries {
       .groupBy(col("cent_id")).agg(count(lit(1)).cast("long").as("n_members"))
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.plans.VectorExprs.dot(a, b)
-    prev.join(next, "cent_id")
-      .join(members, Seq("cent_id"), "left")
+    // all three sides are <= NList (64) rows BY CONFIG at any corpus
+    // scale — broadcast explicitly (r7 PlanAudit caught these riding a
+    // sort-merge join: the cached/aggregated subtrees hide their true
+    // size from the planner)
+    prev.join(broadcast(next), "cent_id")
+      .join(broadcast(members), Seq("cent_id"), "left")
       .select(col("cent_id"),
         coalesce(col("n_members"), lit(0L)).as("n_members"),
         sqrt(greatest(

@@ -157,7 +157,8 @@ object TextIndexQueries {
   private def bm25SqlOver(tok: String,
       qCte: String = s"SELECT unnest($termListSql) AS term"): String =
     s"""${bm25TopCtes(tok, qCte)}
-       |SELECT t.doc_id, substring(d.text, 1, 50) AS title, t.score
+       |SELECT t.doc_id, substring(d.text, 1, 50) AS title,
+       |  CAST(CAST(round((t.score) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
        |FROM top t JOIN documents d ON d.doc_id = t.doc_id
        |ORDER BY t.score DESC, t.doc_id""".stripMargin
 
@@ -425,7 +426,7 @@ object TextIndexQueries {
        |  FROM summed)
        |SELECT r.query_id, r.rank, CAST(r.doc_id AS BIGINT) AS doc_id,
        |  substring(d.text, 1, 50) AS title,
-       |  CAST(r.score AS DOUBLE) AS score
+       |  CAST(CAST(round((r.score) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
        |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
        |WHERE r.rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
@@ -481,7 +482,8 @@ object TextIndexQueries {
          |top AS (
          |  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(score) AS DOUBLE) AS score
          |  FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10)
-         |SELECT t.doc_id, substring(d.text, 1, 50) AS title, t.score
+         |SELECT t.doc_id, substring(d.text, 1, 50) AS title,
+         |  CAST(CAST(round((t.score) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
          |FROM top t JOIN graft_docs d ON d.doc_id = t.doc_id
          |ORDER BY t.score DESC, t.doc_id""".stripMargin)
   }
@@ -575,20 +577,39 @@ object TextIndexQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---- Reference prep entry point, end-to-end (app/prepare_data.py:19-29) ----
-  // select -> Bernoulli sample at fraction min(1, 100*n/count) seed 0 ->
-  // limit(n) -> whitespace-normalized title. The sample RNG is
-  // engine-specific, so this is a rows-only entry (driver records rows>0);
-  // PipelineSpec pins count<=n and the normalization exactly. At sf0.1 the
-  // fraction is genuinely < 1, so the real sample+limit path executes.
+  // select -> sample at fraction min(1, 100*n/count) -> cap at n ->
+  // whitespace-normalized title. The registry runs the DETERMINISTIC
+  // hash-gate twin (Pipelines.prepareHashGate: md5 gate + lowest-n ids)
+  // so the DuckDB oracle hashes it exactly; the reference-parity seed-0
+  // Bernoulli variant (Pipelines.prepare) stays pinned by PipelineSpec
+  // (count<=n, normalization, seed reproducibility). At sf0.1 the
+  // fraction is genuinely < 1, so the real gate+cap path executes.
   def prepPipeline(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val docs = d.select(col("doc_id").cast("string").as("id"),
       substring(col("text"), 1, 50).as("title"), col("text"))
     // the reference counts the corpus before sampling (prepare_data.py:20)
     val total = d.count()
-    graft.sources.Pipelines.prepare(docs, n = 30, totalCount = total)
+    graft.sources.Pipelines.prepareHashGate(docs, n = 30, totalCount = total)
       .orderBy(col("id"))
   }
+
+  // Mirrors prepareHashGate exactly: same fraction arithmetic (IEEE double
+  // min/floor in both engines), same md5-prefix gate, same lowest-30-ids
+  // cap, same \s+ title normalization. String ids sort bytewise in both
+  // engines (ASCII digits), so ORDER BY id LIMIT 30 picks the same rows.
+  val prepPipelineSql: String =
+    s"""WITH src AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS id,
+       |    substring(text, 1, 50) AS title, text
+       |  FROM documents),
+       |gated AS (
+       |  SELECT * FROM src
+       |  WHERE ${OracleSql.hash64("id")} % 1000000
+       |    < CAST(floor(least(1.0, (100.0 * 30) / (SELECT count(*) FROM documents)) * 1000000) AS BIGINT)
+       |  ORDER BY id LIMIT 30)
+       |SELECT id, trim(regexp_replace(title, '\\s+', ' ', 'g')) AS title, text
+       |FROM gated ORDER BY id""".stripMargin
 
   // ---- Sink/scan ROUND-TRIPS: the S2/S4 (TSV) and S3/S5 (per-doc files)
   //      surfaces earn oracle rows. Each query writes with the graft sink,
@@ -744,7 +765,8 @@ object TextIndexQueries {
        |top2 AS (
        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(score) AS DOUBLE) AS score
        |  FROM scored2 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10)
-       |SELECT t.doc_id, substring(d.text, 1, 50) AS title, t.score
+       |SELECT t.doc_id, substring(d.text, 1, 50) AS title,
+       |  CAST(CAST(round((t.score) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
        |FROM top2 t JOIN documents d ON d.doc_id = t.doc_id
        |ORDER BY t.score DESC, t.doc_id""".stripMargin
   }
@@ -1016,8 +1038,8 @@ object TextIndexQueries {
        |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
        |         FROM rels GROUP BY query_id)
        |SELECT p.query_id,
-       |  CAST(coalesce(1.0 / first_rel, 0.0) AS DOUBLE) AS mrr,
-       |  CAST(coalesce(dcg / idcg, 0.0) AS DOUBLE) AS ndcg,
+       |  CAST(CAST(round((coalesce(1.0 / first_rel, 0.0)) * 1000000000.0) AS BIGINT) AS DOUBLE) / 1000000000.0 AS mrr,
+       |  CAST(CAST(round((coalesce(dcg / idcg, 0.0)) * 1000000000.0) AS BIGINT) AS DOUBLE) / 1000000000.0 AS ndcg,
        |  CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel
        |FROM perq p LEFT JOIN ideal USING(query_id) LEFT JOIN nrel USING(query_id)
        |ORDER BY p.query_id""".stripMargin
@@ -1142,6 +1164,7 @@ object TextIndexQueries {
     "bm25_rm3" -> bm25Rm3Sql,
     "index_stats" -> indexStatsSql,
     "doc_prep" -> docPrepSql,
+    "prep_pipeline" -> prepPipelineSql,
     "tsv_roundtrip" -> tsvRoundtripSql,
     "orc_roundtrip" -> orcRoundtripSql,
     "jsonl_roundtrip" -> jsonlRoundtripSql,

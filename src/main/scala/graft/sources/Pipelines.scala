@@ -39,6 +39,28 @@ object Pipelines {
       .withColumn("title", Tokenizer.normalizeWhitespace(col("title")))
   }
 
+  /** `prepare` with the Bernoulli limb replaced by a deterministic md5
+    * hash gate (the mixture_sample idiom): a row survives when
+    * hash64(id) % 1e6 < floor(fraction * 1e6), and the cap becomes the
+    * lexicographically-lowest n ids (TakeOrderedAndProject) instead of an
+    * arbitrary limit. Same fraction arithmetic as `prepare`, but every
+    * step is reproducible in ANY engine — this is the variant the driver
+    * oracle checks (prep_pipeline); seed-0 `prepare` stays as the
+    * reference-parity surface, pinned by PipelineSpec.
+    *
+    * Scale: the gate is a codegen'd per-row predicate (no RNG state, no
+    * sort until the final top-n, which is a partial top-n per partition).
+    */
+  def prepareHashGate(docs: DataFrame, n: Int, totalCount: Long): DataFrame = {
+    val fraction = math.min(1.0, if (totalCount == 0) 1.0 else 100.0 * n / totalCount)
+    val threshold = math.floor(fraction * 1e6).toLong
+    docs.select(col("id"), col("title"), col("text"))
+      .filter(graft.functions.TextHash.hash64(col("id")) % 1000000L < threshold)
+      .orderBy(col("id"))
+      .limit(n)
+      .withColumn("title", Tokenizer.normalizeWhitespace(col("title")))
+  }
+
   /** S2: tab-separated sink, overwrite (app/prepare_data.py:41).
     * Spark's CSV WRITER trims leading/trailing whitespace by default
     * (ignore*WhiteSpace default true on write, false on read) — that

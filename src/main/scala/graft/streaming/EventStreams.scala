@@ -70,6 +70,16 @@ object EventStreams {
     * every staged file carries the SAME canonical ts type regardless of
     * which physical timestamp the driver's parquet shipped).
     */
+  /** Cast every column of a synthetic (sentinel/fake) row frame to the
+    * reference frame's exact types. Synthetic rows are built from
+    * literals (lit(0.0) is double, lit(-1L) is long); if a testdata
+    * regeneration ships e.g. value as float, staged files would otherwise
+    * mix physical types across files under one fixed read schema — the
+    * exact failure writeSingleFile's rewrite exists to prevent.
+    */
+  private def conformTo(df: DataFrame, ref: DataFrame): DataFrame =
+    df.select(ref.schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+
   private def writeSingleFile(df: DataFrame, dir: java.nio.file.Path,
                               name: String): Unit = {
     val tmp = dir.resolve(s"_tmp_$name")
@@ -275,15 +285,42 @@ object EventStreams {
     *   they keep the default 0 (their emission happens IN the sentinel's
     *   own batch, no trailing batch needed).
     */
+  /** Write the corpus as `slices` CHRONOLOGICAL files. Slice names sort
+    * between "events.parquet" and the sentinel/fake files that follow
+    * ("events.parquet0_i" < "events.parquet2": '0' < '2'), and files are
+    * written in order (increasing mtimes), so an oneFilePerBatch
+    * AvailableNow run processes slices in event-time order with the
+    * sentinels last — the replay-invariance harness varies `slices` to
+    * prove stateful results don't depend on micro-batch boundaries.
+    */
+  private def writeChronoSlices(ev: DataFrame, srcDir: java.nio.file.Path,
+                                slices: Int): Unit =
+    if (slices <= 1) writeSingleFile(ev, srcDir, "events.parquet")
+    else {
+      val b = ev.agg(coalesce(min(unix_micros(col("ts"))), lit(0L)),
+        coalesce(max(unix_micros(col("ts"))), lit(0L))).head()
+      val (t0, t1) = (b.getLong(0), b.getLong(1))
+      (1 to slices).foreach { i =>
+        val lo = t0 + (t1 - t0) * (i - 1) / slices
+        val hi = t0 + (t1 - t0) * i / slices
+        val cond =
+          (if (i == 1) lit(true) else unix_micros(col("ts")) > lo) &&
+            (if (i == slices) lit(true) else unix_micros(col("ts")) <= hi)
+        writeSingleFile(ev.filter(cond), srcDir,
+          if (i == 1) "events.parquet" else s"events.parquet0_$i")
+      }
+    }
+
   private def sentinelStagedDir(s: SparkSession, dir: String, tag: String,
-                                extraSentinels: Int = 0): String = {
+                                extraSentinels: Int = 0,
+                                slices: Int = 1): String = {
     val ev = graft.Tables.events(s, dir) // ts canonical µs TIMESTAMP
     val sentinelMicros =
       graft.Tables.eventsMaxMicros(ev) + (SessionGapSeconds + 60) * 1000000L
     val srcDir = freshDir(tag)
     // rewrite (not copy) the source file: staged files must all carry the
     // canonical ts type for one fixed stream read schema
-    writeSingleFile(ev, srcDir, "events.parquet")
+    writeChronoSlices(ev, srcDir, slices)
     // sentinel rows carry the full source schema (props null); negative
     // event_ids cannot collide with real events. Written after the main
     // file, so file-order processing sees real events first (order is
@@ -297,7 +334,7 @@ object EventStreams {
         lit("__sentinel").as("event_type"),
         lit(0.0).as("value"),
         lit(null).cast("string").as("props"))
-    writeSingleFile(sentinel, srcDir, "events.parquet2")
+    writeSingleFile(conformTo(sentinel, ev), srcDir, "events.parquet2")
     (1 to extraSentinels).foreach { i =>
       val extra = s.range(1).select(
         lit(-1000000L - i).as("event_id"),
@@ -306,7 +343,7 @@ object EventStreams {
         lit("__sentinel").as("event_type"),
         lit(0.0).as("value"),
         lit(null).cast("string").as("props"))
-      writeSingleFile(extra, srcDir, s"events.parquet${2 + i}")
+      writeSingleFile(conformTo(extra, ev), srcDir, s"events.parquet${2 + i}")
     }
     srcDir.toString
   }
@@ -349,10 +386,20 @@ object EventStreams {
       .orderBy("user_id", "session_start")
   }
 
-  def sessionizeAvailableNow(s: SparkSession, dir: String): DataFrame = {
+  def sessionizeAvailableNow(s: SparkSession, dir: String): DataFrame =
+    sessionizeReplay(s, dir, slices = 1)
+
+  /** Replay harness: the identical sessionize pipeline with the corpus
+    * staged as `slices` chronological micro-batches — StreamingSpec
+    * asserts the final sink is batch-boundary invariant (slices=1 vs 2
+    * vs 5 identical).
+    */
+  private[graft] def sessionizeReplay(s: SparkSession, dir: String,
+                                      slices: Int): DataFrame = {
     import s.implicits._
-    val srcDir = sentinelStagedDir(s, dir, "sessionize_src")
-    val typed = eventsFileStream(s, srcDir)
+    val srcDir = sentinelStagedDir(s, dir, s"sessionize_src$slices",
+      slices = slices)
+    val typed = eventsFileStream(s, srcDir, oneFilePerBatch = slices > 1)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .as[EventRow]
@@ -456,7 +503,7 @@ object EventStreams {
       .filter(col("day").isin(pruneDays: _*))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
-        sum(col("value")).cast("double").as("total_value"))
+        graft.Money.sumMicros(col("value")).as("total_value"))
       .orderBy("event_type")
   }
 
@@ -621,12 +668,12 @@ object EventStreams {
     * the last file — there is no trailing no-data batch).
     */
   private def lateTypedStagedDir(s: SparkSession, dir: String,
-                                 tag: String): String = {
+                                 tag: String, slices: Int = 1): String = {
     val raw = graft.Tables.events(s, dir) // ts canonical µs TIMESTAMP
     val maxMicros = graft.Tables.eventsMaxMicros(raw)
     val srcDir = freshDir(tag)
     // rewrite (not copy): staged files must share the canonical ts type
-    writeSingleFile(raw, srcDir, "events.parquet")
+    writeChronoSlices(raw, srcDir, slices)
     (1 to 2).foreach { i =>
       val ts = maxMicros + i * 7200L * 1000000L
       def fake(typ: String, idOff: Long) = s.range(1).select(
@@ -637,7 +684,7 @@ object EventStreams {
         lit(0.0).as("value"),
         lit(null).cast("string").as("props"))
       val pair = fake("click", 2L * i).unionByName(fake("purchase", 2L * i + 1))
-      writeSingleFile(pair, srcDir, s"events.parquet${i + 1}")
+      writeSingleFile(conformTo(pair, raw), srcDir, s"events.parquet${i + 1}")
     }
     srcDir.toString
   }
@@ -654,8 +701,17 @@ object EventStreams {
     * with the batch query), fenced to real users; checked against the
     * events_attribution oracle.
     */
-  def attributionAvailableNow(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = lateTypedStagedDir(s, dir, "attr_src")
+  def attributionAvailableNow(s: SparkSession, dir: String): DataFrame =
+    attributionReplay(s, dir, slices = 1)
+
+  /** Replay harness for the stream-stream attribution join (see
+    * [[sessionizeReplay]]): the 24 h range condition must keep click
+    * state alive across batch boundaries, so a purchase arriving in a
+    * later micro-batch than its click still joins.
+    */
+  private[graft] def attributionReplay(s: SparkSession, dir: String,
+                                       slices: Int): DataFrame = {
+    val srcDir = lateTypedStagedDir(s, dir, s"attr_src$slices", slices = slices)
     val src = eventsFileStream(s, srcDir, oneFilePerBatch = true)
     val p = src.withWatermark("ts", "0 seconds")
       .filter(col("event_type") === "purchase")
@@ -693,23 +749,18 @@ object EventStreams {
     * (mv_refresh's oracle); history is only ever read back as the
     * view-sized table, never rescanned as events.
     */
-  def mvRefreshAvailableNow(s: SparkSession, dir: String): DataFrame = {
+  def mvRefreshAvailableNow(s: SparkSession, dir: String): DataFrame =
+    mvRefreshReplay(s, dir, slices = 3)
+
+  /** Replay harness: same continuous rollup under a different refresh
+    * cadence — the stored view must equal the batch recompute at ANY
+    * slice count (additivity of the partial aggregates).
+    */
+  private[graft] def mvRefreshReplay(s: SparkSession, dir: String,
+                                     slices: Int): DataFrame = {
     val raw = graft.Tables.events(s, dir) // ts canonical µs TIMESTAMP
-    val bounds = raw.agg(
-      coalesce(min(unix_micros(col("ts"))), lit(0L)),
-      coalesce(max(unix_micros(col("ts"))), lit(0L))).head()
-    val (t0, t1) = (bounds.getLong(0), bounds.getLong(1))
-    val cut1 = timestamp_micros(lit(t0 + (t1 - t0) / 3))
-    val cut2 = timestamp_micros(lit(t0 + 2 * (t1 - t0) / 3))
-    val srcDir = freshDir("mvr_src")
-    // slice 1 takes the exact name eventsFileStream reads its schema
-    // from; later slices ride the `events.parquet*` glob
-    def slice(i: Int, cond: org.apache.spark.sql.Column): Unit =
-      writeSingleFile(raw.filter(cond), srcDir,
-        if (i == 1) "events.parquet" else s"events.parquet$i")
-    slice(1, col("ts") <= cut1)
-    slice(2, col("ts") > cut1 && col("ts") <= cut2)
-    slice(3, col("ts") > cut2)
+    val srcDir = freshDir(s"mvr_src$slices")
+    writeChronoSlices(raw, srcDir, slices)
     val store = freshDir("mvr_store")
     val ckpt = java.nio.file.Files
       .createDirectories(store.resolve("ckpt")).toString
@@ -792,10 +843,15 @@ object EventStreams {
   /** scd2Runs over the sentinel-staged finite source, formatted to the
     * batch scd2_history oracle's shape.
     */
-  def scd2AvailableNow(s: SparkSession, dir: String): DataFrame = {
+  def scd2AvailableNow(s: SparkSession, dir: String): DataFrame =
+    scd2Replay(s, dir, slices = 1)
+
+  /** Replay harness for the SCD2 pipeline (see [[sessionizeReplay]]). */
+  private[graft] def scd2Replay(s: SparkSession, dir: String,
+                                slices: Int): DataFrame = {
     import s.implicits._
-    val srcDir = sentinelStagedDir(s, dir, "scd2_src")
-    val typed = eventsFileStream(s, srcDir)
+    val srcDir = sentinelStagedDir(s, dir, s"scd2_src$slices", slices = slices)
+    val typed = eventsFileStream(s, srcDir, oneFilePerBatch = slices > 1)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .as[EventRow]

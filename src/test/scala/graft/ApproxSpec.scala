@@ -2,16 +2,19 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Error-bound and determinism guards for the queries the DuckDB oracle
-  * cannot hash (engine-specific RNG / sketch internals). The driver
-  * records them rows-only; these specs pin the properties that actually
-  * matter — sketch estimates land within their documented error, and
-  * seeded samples reproduce exactly — so "no oracle" never degrades into
+/** Error-bound and determinism guards for the shapes the DuckDB oracle
+  * cannot hash (engine-specific RNG / sketch internals). These live
+  * OUTSIDE the driver registry — the registry carries deterministic
+  * md5-gate twins (sample_hash, sample_stratified_hash, prep_pipeline)
+  * that oracle exactly — and this spec owns the RNG/sketch variants
+  * directly: estimates land within their documented error, seeded
+  * samples reproduce exactly. "No oracle" never degrades into
   * "unchecked".
   */
 class ApproxSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
+  private val rq = graft.queries.RelationalQueries
 
   test("approx_percentile lands within 2% of the exact distributed quantiles") {
     val exact = graft.operators.Quantiles.exactQuantiles(
@@ -19,7 +22,7 @@ class ApproxSpec extends SparkSpec {
       "l_linestatus", "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.95))
       .collect().map(r => r.getString(0) ->
         (1 to 4).map(r.getDouble)).toMap
-    val approx = Queries.all("percentiles_approx")(spark, dir)
+    val approx = rq.percentilesApprox(spark, dir)
       .collect().map(r => r.getString(0) ->
         (1 to 4).map(r.getDouble)).toMap
     assert(approx.keySet == exact.keySet)
@@ -35,7 +38,7 @@ class ApproxSpec extends SparkSpec {
       .agg(countDistinct(col("l_partkey")).as("p"),
         countDistinct(col("l_suppkey")).as("s"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val approx = Queries.all("distinct_approx")(spark, dir)
+    val approx = rq.distinctApprox(spark, dir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(approx.keySet == exact.keySet)
     for ((g, (ap, as_)) <- approx; (ep, es) = exact(g)) {
@@ -45,7 +48,7 @@ class ApproxSpec extends SparkSpec {
   }
 
   test("seeded Bernoulli sample reproduces exactly and hits its fraction") {
-    def keys() = Queries.all("sample_bernoulli")(spark, dir)
+    def keys() = rq.sampleBernoulli(spark, dir)
       .select("l_orderkey", "l_linenumber")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     val k1 = keys()
@@ -59,7 +62,7 @@ class ApproxSpec extends SparkSpec {
   }
 
   test("stratified sample reproduces exactly and respects per-stratum rates") {
-    def rows() = Queries.all("sample_stratified")(spark, dir)
+    def rows() = rq.sampleStratified(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     val r1 = rows()
     assert(r1 == rows(), "same seed must reproduce the identical sample")

@@ -301,4 +301,20 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(12L, 18L, 22L),
       s"expected Set(12, 18, 22), got $out")
   }
+
+  // graph_link_prediction's AA micro-weight round(1e6/ln deg) claims to be
+  // cross-libm stable. ln is libm-dependent (±1 ulp), so the claim only
+  // holds if no weight lands NEAR a .5 rounding boundary. deg is bounded
+  // to [2, HubDegreeCap=64] — check the whole domain: a ±few-ulp
+  // perturbation of ln(d) moves 1e6/ln(d) by ~1e-9, so a 1e-6 distance
+  // from the boundary is 1000× the worst cross-engine wobble.
+  test("AA micro-weights stay clear of .5 rounding boundaries for all degrees") {
+    for (d <- 2 to 64) {
+      val x = 1e6 / math.log(d.toDouble)
+      val frac = x - math.floor(x)
+      assert(math.abs(frac - 0.5) > 1e-6,
+        f"deg $d: 1e6/ln(d) = $x%.9f sits within 1e-6 of a rounding boundary " +
+          "— a last-ulp libm difference could flip round() between engines")
+    }
+  }
 }

@@ -48,8 +48,11 @@ class IndexerSpec extends SparkSpec {
     val idf = math.log(2.0)
     val d2 = idf * 2 * 2 / (2 + (0.25 + 0.75 * 4 / 2.75))
     val d1 = idf * 1 * 2 / (1 + (0.25 + 0.75 * 5 / 2.75))
-    assert(math.abs(res("d2") - d2) < 1e-12)
-    assert(math.abs(res("d1") - d1) < 1e-12)
+    // displayed scores are pinned to the 1e-6 grid (Money.micros) — apply
+    // the same grid to the hand computation, then compare exactly
+    def micros(x: Double): Double = math.round(x * 1e6).toDouble / 1e6
+    assert(res("d2") == micros(d2))
+    assert(res("d1") == micros(d1))
     assert(res.size == 2)
   }
 

@@ -128,8 +128,11 @@ class PipelineSpec extends SparkSpec {
     }
     val expected = score("spark data")
     assert(got.map(_._1).toSeq == expected.map(_._1))
+    // engine scores are pinned to the 1e-6 grid (Money.micros); grid the
+    // independent scorer the same way and require exact agreement
     got.zip(expected).foreach { case ((_, g), (_, e)) =>
-      assert(math.abs(g - e) < 1e-9, s"score mismatch: $g vs $e")
+      assert(g == math.round(e * 1e6).toDouble / 1e6,
+        s"score mismatch: $g vs $e")
     }
   }
 }

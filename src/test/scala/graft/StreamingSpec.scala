@@ -260,6 +260,85 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(feats(1L).features(97 % 16) - 0.75) < 1e-12)
     assert(feats(2L).features.forall(_ == 0.0))
   }
+
+  /** A 3x2 24-bpp bottom-up BMP with known pixels and 4-byte row padding
+    * (3 px * 3 B = 9 B -> rows pad to 12). Top row (in image space):
+    * red, green, blue; bottom row: black, white, mid-gray.
+    */
+  private def bmpFixture(): Array[Byte] = {
+    val rowBytes = 12
+    val pixelOff = 54
+    val size = pixelOff + rowBytes * 2
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(pixelOff)
+    b.putInt(40).putInt(3).putInt(2) // BITMAPINFOHEADER, w=3, h=2 bottom-up
+    b.putShort(1).putShort(24).putInt(0).putInt(rowBytes * 2) // planes,bpp,BI_RGB,imgsize
+    b.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // stored BGR, bottom row FIRST (bottom-up): black, white, gray(120)
+    b.put(Array[Byte](0, 0, 0, -1, -1, -1, 120, 120, 120, 0, 0, 0))
+    // top row: red(255,0,0) green(0,255,0) blue(0,0,255) as BGR + pad
+    b.put(Array[Byte](0, 0, -1, 0, -1, 0, -1, 0, 0, 0, 0, 0))
+    b.array()
+  }
+
+  /** Mono 16-bit PCM WAV, 4 known samples, plus a LIST chunk the walker
+    * must skip.
+    */
+  private def wavFixture(): Array[Byte] = {
+    val samples = Array[Short](0, 1000, -32768, 32767)
+    val dataSize = samples.length * 2
+    val listSize = 4
+    val size = 12 + (8 + listSize) + (8 + 16) + (8 + dataSize)
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(size - 8).put("WAVE".getBytes)
+    b.put("LIST".getBytes).putInt(listSize).put("INFO".getBytes) // skipped
+    b.put("fmt ".getBytes).putInt(16)
+    b.putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(dataSize)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  test("BMP decode: real pixels out of a bottom-up padded 24-bpp file") {
+    val img = graft.operators.Multimodal.decodeBmp(bmpFixture()).get
+    assert(img.width == 3 && img.height == 2)
+    // top-down row-major RGB
+    val px = img.rgb.map(_ & 0xff).grouped(3).map(_.toSeq).toSeq
+    assert(px == Seq(Seq(255, 0, 0), Seq(0, 255, 0), Seq(0, 0, 255),
+      Seq(0, 0, 0), Seq(255, 255, 255), Seq(120, 120, 120)))
+    // luminance histogram: lumas are 85,85,85,0,255,120 -> buckets 5,5,5,0,15,7
+    val f = graft.operators.Multimodal.decodeFeatures(bmpFixture())
+    assert(f(5) == 3.0 / 6 && f(0) == 1.0 / 6 && f(15) == 1.0 / 6 && f(7) == 1.0 / 6)
+    assert(math.abs(f.sum - 1.0) < 1e-12)
+  }
+
+  test("WAV decode: real PCM samples, LIST chunk skipped, amplitude histogram") {
+    val au = graft.operators.Multimodal.decodeWav(wavFixture()).get
+    assert(au.sampleRate == 8000 && au.channels == 1)
+    assert(au.samples.toSeq == Seq[Short](0, 1000, -32768, 32767))
+    // amplitude buckets: (s+32768)/4096 -> 8, 8, 0, 15
+    val f = graft.operators.Multimodal.decodeFeatures(wavFixture())
+    assert(f(8) == 0.5 && f(0) == 0.25 && f(15) == 0.25)
+  }
+
+  test("extractFeatures dispatches: BMP/WAV payloads get real decode, text the stub") {
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    val rows = Seq(
+      (1L, "image/bmp", bmpFixture()),
+      (2L, "audio/wav", wavFixture()),
+      (3L, "text/en", "aaab".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val feats = graft.operators.Multimodal.extractFeatures(spark, rows)
+      .collect().map(f => f.media_id -> f.features).toMap
+    assert(feats(1L)(5) == 0.5) // luminance histogram, not byte histogram
+    assert(feats(2L)(8) == 0.5) // amplitude histogram
+    assert(feats(3L)(97 % 16) == 0.75) // stub byte histogram unchanged
+    // truncated/garbage payloads that START like BMP/WAV fall back safely
+    assert(graft.operators.Multimodal.decodeBmp("BMgarbage".getBytes).isEmpty)
+    assert(graft.operators.Multimodal.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
   test("checkpoint resume: second AvailableNow run processes only new files, totals stay exact") {
     import java.nio.file.Files
     val srcDir = Files.createTempDirectory("graft_ckpt_src").toString
@@ -391,5 +470,40 @@ class StreamingSpec extends SparkSpec {
         .collect().toSeq ==
       graft.operators.Search.searchPrebuilt(spark, q, s"${prefix}_full")
         .collect().toSeq)
+  }
+
+  // ---- Replay invariance -----------------------------------------------------
+  // The registry's stream_* rows run one AvailableNow pass over a
+  // single-file source (one micro-batch plus sentinels). A live stream has
+  // no such luck: batch boundaries land wherever the trigger cuts them.
+  // These tests replay the SAME corpus as 2 vs 5 chronological
+  // micro-batches and assert the stateful results are identical — state
+  // carry (sessionize/SCD2), additive view refresh (MV), and
+  // range-condition state retention in the stream-stream join
+  // (attribution: a purchase must still find a click from an earlier
+  // micro-batch) all have to hold for this to pass.
+  private val replayDir = "/root/testdata/sf0.001"
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("replay invariance: sessionize identical at 2 vs 5 micro-batches") {
+    assert(canon(EventStreams.sessionizeReplay(spark, replayDir, 2)) ==
+      canon(EventStreams.sessionizeReplay(spark, replayDir, 5)))
+  }
+
+  test("replay invariance: SCD2 history identical at 2 vs 5 micro-batches") {
+    assert(canon(EventStreams.scd2Replay(spark, replayDir, 2)) ==
+      canon(EventStreams.scd2Replay(spark, replayDir, 5)))
+  }
+
+  test("replay invariance: MV refresh identical at 2 vs 5 refresh cadences") {
+    assert(canon(EventStreams.mvRefreshReplay(spark, replayDir, 2)) ==
+      canon(EventStreams.mvRefreshReplay(spark, replayDir, 5)))
+  }
+
+  test("replay invariance: attribution identical at 2 vs 5 micro-batches") {
+    assert(canon(EventStreams.attributionReplay(spark, replayDir, 2)) ==
+      canon(EventStreams.attributionReplay(spark, replayDir, 5)))
   }
 }
