@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: 10x scale probe for the hottest non-streaming families.
+  *
+  * Builds a synthetic sf1 (10x sf0.1) under /tmp once per machine —
+  * documents replicated 10x with per-replica id offsets and a trailing
+  * unique token (replicas remain near-dups of each other: a crawl with
+  * duplication factor 10, the hard case for the dedup family), and
+  * embeddings replicated 10x with deterministic hash-derived jitter
+  * (+-0.01 per component: cluster structure preserved, exact ties
+  * broken). Then times knn_graph and ingest_pipeline at sf0.1 and the
+  * synthetic sf1 (one untimed warmup + 3 timed runs, min reported) and
+  * prints the 10x-data runtime ratio — the number that says whether the
+  * plan survives a scale-up, with superlinear steps named for the next
+  * round. Never touches /root/testdata.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val sf1 = "/tmp/graft_scaleprobe_sf1"
+
+    def ensureSf1(): Unit = {
+      val done = new java.io.File(s"$sf1/_DONE")
+      if (done.exists()) return
+      val docs = Tables.documents(spark, src)
+      val embs = spark.read.parquet(s"$src/embeddings.parquet")
+      val replicas = (0 until 10).map { r =>
+        docs.select(
+          (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          // replicas keep ~all shingles in common (near-dups by design);
+          // the trailing token breaks exact-digest equality for r > 0
+          (if (r == 0) col("text")
+           else concat(col("text"), lit(s" replica$r"))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      replicas.reduce(_.unionByName(_))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$sf1/documents.parquet")
+      val embReplicas = (0 until 10).map { r =>
+        embs.select(
+          (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+          (if (r == 0) col("embedding")
+           else transform(col("embedding"), x =>
+             (x + (graft.functions.TextHash.hash64(
+               concat(lit(r), lit("_"), col("vec_id"))) % 2001L - 1000L)
+               .cast("float") / 100000.0f).cast("float"))).as("embedding"),
+          col("label"))
+      }
+      embReplicas.reduce(_.unionByName(_))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$sf1/embeddings.parquet")
+      done.createNewFile(): Unit
+    }
+
+    def time(name: String, dir: String): (Double, Long) = {
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val df: DataFrame = Queries.all(name)(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        (dt, -1L)
+      }
+      once() // warmup: memoized builds + codegen outside the timed runs
+      val runs = (1 to 3).map(_ => once()._1)
+      val rows = Queries.all(name)(spark, dir).count()
+      (runs.min, rows)
+    }
+
+    ensureSf1()
+    println(f"${"query"}%-18s ${"sf0.1 s"}%9s ${"sf1 s"}%9s ${"ratio"}%7s rows0.1 rows1")
+    Seq("knn_graph", "ingest_pipeline").foreach { q =>
+      val (t01, r01) = time(q, src)
+      val (t1, r1) = time(q, sf1)
+      println(f"$q%-18s $t01%9.2f $t1%9.2f ${t1 / t01}%7.2f $r01 $r1")
+    }
+    spark.stop()
+  }
+}

@@ -115,12 +115,33 @@ object SimilarityQueries {
   // two shuffle joins keyed on id, and the top-k cut is a per-source
   // window. Every stage shuffles on a key, none on data size² — the
   // plan survives a corpus no single executor can hold.
+  /** Neighbor-side bucket occupancy cap. A band-bucket of occupancy n
+    * contributes n² candidate pairs to the self-join — fixed band
+    * geometry means occupancy (and so pair volume) grows quadratically
+    * with the corpus (r7 ScaleProbe measured 15.3x runtime for 10x data,
+    * dup-heavy worst case). Capping only the NEIGHBOR side of the join at
+    * `BucketNbrCap` hash-selected members per bucket makes per-bucket
+    * volume n·cap (linear) while every node still SOURCES pairs from all
+    * its buckets — no node is ever isolated by the cap. The cap cannot
+    * engage at the oracle gate SF (sf0.01 has 500 vectors total, so no
+    * bucket can exceed 512); at larger corpora it bounds the join against
+    * both growth and adversarial duplication. Production tuning note:
+    * band geometry (NumPlanes/BandBits) should ALSO scale with corpus
+    * size — the cap is the safety bound, not the recall knob (SCALE_r7.md).
+    */
+  private val BucketNbrCap = 512
+
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("id"), col("v"))
     val bands = Similarity.lshBands(s, e, NumPlanes, Dim, BandBits)
+    val wcap = Window.partitionBy(col("band"), col("sig"))
+      .orderBy(graft.functions.TextHash.hash64(col("id").cast("string")),
+        col("id"))
+    val nbrSide = bands.withColumn("bi", row_number().over(wcap))
+      .filter(col("bi") <= BucketNbrCap)
+      .select(col("band"), col("sig"), col("id").as("nbr_id"))
     val cands = bands.select(col("band"), col("sig"), col("id").as("src_id"))
-      .join(bands.select(col("band"), col("sig"), col("id").as("nbr_id")),
-        Seq("band", "sig"))
+      .join(nbrSide, Seq("band", "sig"))
       .filter(col("src_id") =!= col("nbr_id"))
       .select("src_id", "nbr_id").distinct()
     val w = Window.partitionBy(col("src_id"))
@@ -143,9 +164,15 @@ object SimilarityQueries {
     s"""$EmbCte,
        |$PlanesCte,
        |$BandsCte,
+       |nbr_side AS (
+       |  SELECT band, sig, id FROM (
+       |    SELECT band, sig, id, row_number() OVER (PARTITION BY band, sig
+       |      ORDER BY ${OracleSql.hash64("CAST(id AS VARCHAR)")}, id) AS bi
+       |    FROM bands) capped
+       |  WHERE bi <= $BucketNbrCap),
        |cands AS (
        |  SELECT DISTINCT a.id AS src_id, b.id AS nbr_id
-       |  FROM bands a JOIN bands b
+       |  FROM bands a JOIN nbr_side b
        |    ON a.band = b.band AND a.sig = b.sig AND a.id <> b.id),
        |scored AS (
        |  SELECT x.src_id, x.nbr_id, $CosineSql AS cosine
