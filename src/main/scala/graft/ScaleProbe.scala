@@ -60,6 +60,36 @@ object ScaleProbe {
       embReplicas.reduce(_.unionByName(_))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$sf1/embeddings.parquet")
+      // facts replicate 10x with key offsets that KEEP joins consistent
+      // (orderkeys offset identically on both sides; customers grow with
+      // orders as TPC-H scales them); part/supplier/nation/region stay
+      // dims at this scale and copy through unchanged
+      val li = Tables.lineitem(spark, src)
+      (0 until 10).map(r => li.withColumn("l_orderkey",
+          col("l_orderkey") + lit(r * 100000000L)))
+        .reduce(_.unionByName(_)).repartition(64)
+        .write.mode("overwrite").parquet(s"$sf1/lineitem.parquet")
+      val ord = Tables.orders(spark, src)
+      (0 until 10).map(r => ord
+          .withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(r * 10000000L)))
+        .reduce(_.unionByName(_)).repartition(32)
+        .write.mode("overwrite").parquet(s"$sf1/orders.parquet")
+      val cust = Tables.customer(spark, src)
+      (0 until 10).map(r => cust.withColumn("c_custkey",
+          col("c_custkey") + lit(r * 10000000L)))
+        .reduce(_.unionByName(_)).repartition(8)
+        .write.mode("overwrite").parquet(s"$sf1/customer.parquet")
+      val ev = Tables.events(spark, src)
+      (0 until 10).map(r => ev
+          .withColumn("event_id", col("event_id") + lit(r * 100000000L))
+          .withColumn("user_id", col("user_id") + lit(r * 10000000L)))
+        .reduce(_.unionByName(_)).repartition(32)
+        .write.mode("overwrite").parquet(s"$sf1/events.parquet")
+      Seq("part", "supplier", "nation", "region").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$sf1/$t.parquet")
+      }
       done.createNewFile(): Unit
     }
 
@@ -78,11 +108,17 @@ object ScaleProbe {
     }
 
     ensureSf1()
-    println(f"${"query"}%-18s ${"sf0.1 s"}%9s ${"sf1 s"}%9s ${"ratio"}%7s rows0.1 rows1")
-    Seq("knn_graph", "ingest_pipeline").foreach { q =>
+    val targets =
+      if (args.nonEmpty) args.toSeq
+      else Seq("knn_graph", "ingest_pipeline", "q1_agg", "q3_shipping",
+        "q5_star_join", "q7_volume_shipping", "events_sessionize",
+        "events_session_window", "scd2_history", "dedup_minhash_lsh",
+        "token_pmi", "graph_pagerank", "index_postings", "bm25_search")
+    println(f"${"query"}%-22s ${"sf0.1 s"}%9s ${"sf1 s"}%9s ${"ratio"}%7s rows0.1 rows1")
+    targets.foreach { q =>
       val (t01, r01) = time(q, src)
       val (t1, r1) = time(q, sf1)
-      println(f"$q%-18s $t01%9.2f $t1%9.2f ${t1 / t01}%7.2f $r01 $r1")
+      println(f"$q%-22s $t01%9.2f $t1%9.2f ${t1 / t01}%7.2f $r01 $r1")
     }
     spark.stop()
   }

@@ -79,4 +79,22 @@ class SimilaritySpec extends SparkSpec {
     // 8 sign bits: buckets are bitwise complements within the low byte
     assert((b(1L) ^ b(3L)) == 0xffL)
   }
+
+  // knn_graph's neighbor-side bucket cap (512) must NOT engage at the
+  // oracle gate SF — if it did, capping would change which candidates the
+  // oracle sees and the invariant "cap is a pure scale guard" breaks.
+  // sf0.01 has 500 vectors, so no band-bucket can reach 512 by counting;
+  // this pins that arithmetic against testdata regeneration.
+  test("knn bucket cap cannot engage at the oracle gate SF") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    val occ = Similarity.lshBands(spark, e, 8, 64, 2)
+      .groupBy("band", "sig").count()
+      .agg(max("count")).head().getLong(0)
+    assert(occ < 512,
+      s"max band-bucket occupancy $occ reached the knn_graph neighbor cap " +
+        "(512): the cap would now alter oracle-gate results — retune")
+  }
 }
