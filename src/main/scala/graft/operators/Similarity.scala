@@ -193,6 +193,24 @@ object Similarity {
     * (1-θ/π)^bandBits per table, and numPlanes/bandBits tables buy recall
     * back without admitting far pairs in bulk.
     */
+  /** Band geometry sized to a corpus: more bits per band as N grows, so
+    * EXPECTED bucket occupancy stays near `targetOccupancy` instead of
+    * growing linearly with the corpus (and the bucket self-join's
+    * per-bucket volume quadratically — the r7 ScaleProbe finding). Fixed
+    * band count keeps recall semantics stable; bits clamp to [2, 16]
+    * (4 .. 65536 buckets per band). Deployments pass n from a corpus
+    * count (a driver-side scalar, the prep_pipeline idiom); the
+    * knn_graph neighbor-side cap remains the safety bound for skewed
+    * buckets this sizing can't see.
+    */
+  def autoBandGeometry(n: Long, targetOccupancy: Int = 64,
+                       bands: Int = 4): (Int, Int) = {
+    val buckets = math.max(1.0, n.toDouble / targetOccupancy)
+    val bits = math.min(16,
+      math.max(2, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+    (bands * bits, bits)
+  }
+
   def lshBands(spark: SparkSession, vectors: DataFrame, numPlanes: Int,
                dim: Int, bandBits: Int): DataFrame = {
     require(numPlanes % bandBits == 0, "bandBits must divide numPlanes")

@@ -355,8 +355,11 @@ class PlanSpec extends SparkSpec {
     // fallback.
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"kNN graph fell back to all-pairs:\n$p")
-    assert(p.contains("WindowGroupLimit"),
-      s"rank<=k should push into the window sort:\n$p")
+    // TWO pushed window limits: the per-source top-k AND the r7
+    // neighbor-side bucket occupancy cap — if either loses its
+    // WindowGroupLimit, that window sorts its full partition
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"rank<=k and the bucket cap should both push into their window sorts:\n$p")
   }
 
   test("hll shard sketches use partial (map-side) sketch aggregation") {

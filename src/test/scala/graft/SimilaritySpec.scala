@@ -97,4 +97,21 @@ class SimilaritySpec extends SparkSpec {
       s"max band-bucket occupancy $occ reached the knn_graph neighbor cap " +
         "(512): the cap would now alter oracle-gate results — retune")
   }
+
+  // autoBandGeometry is the documented scaling path for LSH self-joins:
+  // bits grow with the corpus so expected occupancy stays near target.
+  test("autoBandGeometry keeps expected occupancy near target as N grows") {
+    import graft.operators.Similarity.autoBandGeometry
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L)) {
+      val (planes, bits) = autoBandGeometry(n, targetOccupancy = 64)
+      assert(planes == 4 * bits)
+      val expectedOcc = n.toDouble / (1L << bits)
+      // ceil(log2) overshoots by at most 1 bit: occupancy in (target/2, target]
+      if (bits < 16)
+        assert(expectedOcc <= 64.0 && expectedOcc > 16.0,
+          s"n=$n bits=$bits expected occupancy $expectedOcc off target")
+    }
+    assert(autoBandGeometry(10L)._2 == 2, "small corpora clamp to 2 bits")
+    assert(autoBandGeometry(Long.MaxValue)._2 == 16, "bits clamp at 16")
+  }
 }
