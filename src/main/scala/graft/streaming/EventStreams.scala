@@ -568,10 +568,19 @@ object EventStreams {
     * shape — hash-checked against the same DuckDB oracle as
     * `events_funnel`.
     */
-  def funnelAvailableNow(s: SparkSession, dir: String): DataFrame = {
+  def funnelAvailableNow(s: SparkSession, dir: String): DataFrame =
+    funnelReplay(s, dir, slices = 1)
+
+  /** Replay harness for the funnel (see [[sessionizeReplay]]): state
+    * accumulates across micro-batches; the sentinel (always in the LAST
+    * file) flushes once, so slicing must not change any user's reach.
+    */
+  private[graft] def funnelReplay(s: SparkSession, dir: String,
+                                  slices: Int): DataFrame = {
     import s.implicits._
-    val srcDir = sentinelStagedDir(s, dir, "funnel_src")
-    val typed = eventsFileStream(s, srcDir)
+    val srcDir = sentinelStagedDir(s, dir, s"funnel_src$slices",
+      slices = slices)
+    val typed = eventsFileStream(s, srcDir, oneFilePerBatch = slices > 1)
       .filter(col("event_type")
         .isin("view", "click", "purchase", "__sentinel"))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -635,10 +644,19 @@ object EventStreams {
     * aggregated to the batch query's shape — hash-checked against the
     * same DuckDB oracle as `events_transitions`.
     */
-  def transitionsAvailableNow(s: SparkSession, dir: String): DataFrame = {
+  def transitionsAvailableNow(s: SparkSession, dir: String): DataFrame =
+    transitionsReplay(s, dir, slices = 1)
+
+  /** Replay harness for transition pairs (see [[sessionizeReplay]]):
+    * "consecutive" is an event-time property evaluated at the sentinel
+    * flush, so pairs straddling a micro-batch boundary must still form.
+    */
+  private[graft] def transitionsReplay(s: SparkSession, dir: String,
+                                       slices: Int): DataFrame = {
     import s.implicits._
-    val srcDir = sentinelStagedDir(s, dir, "transitions_src")
-    val typed = eventsFileStream(s, srcDir)
+    val srcDir = sentinelStagedDir(s, dir, s"transitions_src$slices",
+      slices = slices)
+    val typed = eventsFileStream(s, srcDir, oneFilePerBatch = slices > 1)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .as[EventRow]

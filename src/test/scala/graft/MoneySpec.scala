@@ -77,4 +77,34 @@ class MoneySpec extends SparkSpec {
     // and the total is itself on the cent grid
     assert(sums.head * 100.0 == math.rint(sums.head * 100.0))
   }
+
+  // ---- Score grids (micros/nanos — the r7 strict-mode convention) ------------
+
+  test("micros/nanos are idempotent and absorb last-ulp perturbations") {
+    val xs = Seq(1.8475805825296261, 0.9999999999999999, -0.3246523063797349,
+      2.715907737884824, 1e-4, 0.0)
+    val df = xs.toDF("x")
+    val once = df.select(Money.micros(col("x")).as("m"),
+      Money.nanos(col("x")).as("n")).collect()
+    val twice = df.select(Money.micros(Money.micros(col("x"))).as("m"),
+      Money.nanos(Money.nanos(col("x"))).as("n")).collect()
+    assert(once.map(_.toString).toSeq == twice.map(_.toString).toSeq,
+      "grid pin must be idempotent (a grid point maps to itself)")
+    // a one-ulp perturbation (the cross-libm case) lands on the SAME
+    // grid point — the property the strict oracle relies on
+    val ulped = xs.map(x => math.nextUp(x)).toDF("x")
+      .select(Money.micros(col("x")).as("m"), Money.nanos(col("x")).as("n"))
+      .collect()
+    assert(once.map(_.toString).toSeq == ulped.map(_.toString).toSeq,
+      "one-ulp input difference must not move the pinned output")
+  }
+
+  test("sumMicros is repartition-invariant over the events value column") {
+    val ev = Tables.events(spark, dir).select(col("value").as("x"))
+    val sums = Seq(1, 7, 32).map { n =>
+      ev.repartition(n).agg(Money.sumMicros(col("x")).as("s"))
+        .as[Double].head()
+    }
+    assert(sums.distinct.size == 1, s"sumMicros varies with partitioning: $sums")
+  }
 }

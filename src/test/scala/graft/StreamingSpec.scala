@@ -506,4 +506,14 @@ class StreamingSpec extends SparkSpec {
     assert(canon(EventStreams.attributionReplay(spark, replayDir, 2)) ==
       canon(EventStreams.attributionReplay(spark, replayDir, 5)))
   }
+
+  test("replay invariance: funnel identical at 2 vs 5 micro-batches") {
+    assert(canon(EventStreams.funnelReplay(spark, replayDir, 2)) ==
+      canon(EventStreams.funnelReplay(spark, replayDir, 5)))
+  }
+
+  test("replay invariance: transitions identical at 2 vs 5 micro-batches") {
+    assert(canon(EventStreams.transitionsReplay(spark, replayDir, 2)) ==
+      canon(EventStreams.transitionsReplay(spark, replayDir, 5)))
+  }
 }
