@@ -78,6 +78,46 @@ object Curation {
       .filter(col("bucket") < rate * 1000)
   }
 
+  /** Temperature-sampled mixture — the pretraining reweighting that
+    * upweights RARE sources: source s with corpus share p_s is sampled
+    * proportionally to p_s^alpha (alpha < 1 flattens the distribution;
+    * alpha=1 is natural sampling, alpha=0 uniform-over-sources). The
+    * per-source keep rate hits an overall target fraction f:
+    * rate_s = min(1, f * N * w_s / n_s) with w_s = p_s^alpha / sum w.
+    *
+    * The gate stays the md5-hash idiom (content-independent,
+    * reproducible, nested under rate increases), with the rate pinned to
+    * an integer-micro threshold so the same comparison runs in any
+    * engine. Everything derives from the (tiny) per-source count table:
+    * one groupBy on source, a broadcast join back, a narrow filter — at
+    * 100 TB the only shuffle is the count.
+    *
+    * @param docs  (doc_id, source, ...)
+    * @return surviving docs with their source kept for composition audits
+    */
+  def mixtureTemperature(docs: DataFrame, alpha: Double,
+                         targetFraction: Double): DataFrame = {
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy() // source table is a handful of rows: global window OK
+    val rates = counts
+      .withColumn("nn", sum(col("n")).over(tot))
+      // w pinned to the 1e-6 grid (Money.micros): pow is libm, and the
+      // cross-source wsum would otherwise add last-ulp-different doubles
+      // in engine-specific order; grid values sum EXACTLY in any order
+      .withColumn("w", graft.Money.micros(pow(col("n") / col("nn"), alpha)))
+      .withColumn("wsum", sum(col("w")).over(tot))
+      .withColumn("thr",
+        round(least(lit(1.0),
+          lit(targetFraction) * col("nn") * (col("w") / col("wsum")) / col("n"))
+          * 1000000.0).cast("long"))
+      .select(col("source"), col("thr"))
+    docs.join(broadcast(rates), "source")
+      .filter(TextHash.hash64(col("doc_id").cast("string")) % 1000000L
+        < col("thr"))
+  }
+
   /** DSIR-style importance weighting: score every document by how much
     * more its content resembles a TARGET subset (the in-domain sample you
     * want more of) than the corpus at large. Features are hashed bigrams

@@ -756,6 +756,46 @@ object TextAnalysisQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Temperature-sampled mixture (p^alpha source reweighting) --------------
+  // The pretraining-mix staple: rare sources upweighted by flattening the
+  // source distribution with alpha < 1, overall volume held at a target
+  // fraction. Keep/drop is the same md5 gate as mixture_sample; the
+  // per-source thresholds derive from the corpus itself (one tiny count
+  // aggregation, broadcast back), so the query is self-contained and the
+  // oracle replays the identical arithmetic. CurationSpec pins that every
+  // intermediate the gate depends on sits safely off rounding boundaries
+  // at the gate SF (the AA-weight idiom).
+  private val MixtureAlpha = 0.5
+  private val MixtureTargetFraction = 0.5
+
+  def mixtureTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation
+      .mixtureTemperature(Tables.documents(s, dir), MixtureAlpha,
+        MixtureTargetFraction)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  val mixtureTemperatureSql: String =
+    s"""WITH counts AS (
+       |  SELECT source, CAST(count(*) AS DOUBLE) AS n
+       |  FROM documents GROUP BY source),
+       |tots AS (SELECT source, n, sum(n) OVER () AS nn FROM counts),
+       |wts AS (
+       |  SELECT source, n, nn,
+       |    CAST(CAST(round(pow(n / nn, $MixtureAlpha) * 1000000.0) AS BIGINT)
+       |      AS DOUBLE) / 1000000.0 AS w
+       |  FROM tots),
+       |rates AS (
+       |  SELECT source,
+       |    CAST(round(least(1.0,
+       |      $MixtureTargetFraction * nn * (w / sum(w) OVER ()) / n)
+       |      * 1000000.0) AS BIGINT) AS thr
+       |  FROM wts)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN rates r USING (source)
+       |WHERE ${OracleSql.hash64("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.thr
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- PII scrub (audit counts + scrubbed digest) ----------------------------
   // Testdata carries no real PII, so the query plants deterministic
   // doc_id-derived email/phone/IP strings, scrubs them back out, and
@@ -1492,6 +1532,7 @@ object TextAnalysisQueries {
     "curation_pipeline" -> (curationPipeline _),
     "source_quota" -> (sourceQuota _),
     "mixture_sample" -> (mixtureSample _),
+    "mixture_temperature" -> (mixtureTemperature _),
     "token_stats" -> (tokenStats _),
     "lang_id" -> (langId _),
     "quality_score" -> (qualityScore _),
@@ -1528,6 +1569,7 @@ object TextAnalysisQueries {
     "curation_pipeline" -> curationPipelineSql,
     "source_quota" -> sourceQuotaSql,
     "mixture_sample" -> mixtureSampleSql,
+    "mixture_temperature" -> mixtureTemperatureSql,
     "token_stats" -> tokenStatsSql,
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,

@@ -26,6 +26,56 @@ class OperatorSpec extends SparkSpec {
     assert(full == (3L to 200L by 3).toSet)
   }
 
+  test("mixtureTemperature: flattens toward rare sources; thresholds off boundaries") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val alpha = 0.5
+    val target = 0.5
+    // cross-libm safety guard (the AA-weight idiom): every libm-derived
+    // intermediate the hash gate compares against must sit > 1e-6 from a
+    // .5 rounding boundary, or a last-ulp pow() difference between
+    // engines could flip a per-source threshold
+    val counts = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nn = counts.values.sum.toDouble
+    val ws = counts.map { case (src, n) =>
+      val x = math.pow(n / nn, alpha) * 1e6
+      val frac = x - math.floor(x)
+      assert(math.abs(frac - 0.5) > 1e-6,
+        s"source $src: w*1e6 = $x sits on a rounding boundary")
+      src -> math.round(x).toDouble / 1e6
+    }
+    val wsum = ws.values.sum
+    counts.foreach { case (src, n) =>
+      val rate = math.min(1.0, target * nn * (ws(src) / wsum) / n)
+      if (rate < 1.0) {
+        val y = rate * 1e6
+        val frac = y - math.floor(y)
+        assert(math.abs(frac - 0.5) > 1e-6,
+          s"source $src: threshold $y sits on a rounding boundary")
+      }
+    }
+    // behavior: overall volume near the target fraction (realized counts
+    // carry hash-gate binomial noise, so only the big total is checked),
+    // and the DETERMINISTIC per-source keep RATES are monotone
+    // non-increasing in source size — alpha<1 flattens the mix
+    val kept = graft.operators.Curation.mixtureTemperature(docs, alpha, target)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracTotal = kept.values.sum.toDouble / nn
+    assert(math.abs(fracTotal - target) < 0.1,
+      s"overall kept fraction $fracTotal far from target $target")
+    val rateOf = counts.map { case (src, n) =>
+      src -> math.min(1.0, target * nn * (ws(src) / wsum) / n)
+    }
+    counts.toSeq.sortBy(_._2).sliding(2).foreach {
+      case Seq((rare, _), (common, _)) =>
+        assert(rateOf(rare) >= rateOf(common) - 1e-12,
+          s"rarer source $rare rate ${rateOf(rare)} below " +
+            s"more-common $common's ${rateOf(common)}")
+      case _ => ()
+    }
+  }
+
   test("sourceQuota: caps per source, keeps the highest-quality docs") {
     // src A: 3 docs with increasing digit pollution (lower quality);
     // quota 2 must keep the two clean ones
