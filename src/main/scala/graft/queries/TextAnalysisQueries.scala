@@ -517,6 +517,56 @@ object TextAnalysisQueries {
         (a, b) => concat_ws(" ", a, b))).otherwise(array().cast("array<string>"))
 
   // ---- Within-document repetition (Gopher-style filter signal) ---------------
+  // ---- Repetition REMOVAL: collapse consecutive duplicate-token runs ---------
+  // doc_repetition DETECTS looping text; this TRANSFORMS it — the
+  // boilerplate-trim cleaning step that rewrites "buy now now now" to
+  // "buy now". Pure declarative run-collapse: lag over (doc, pos) keeps a
+  // token iff it differs from its predecessor, then the surviving tokens
+  // reassemble in position order (sort_array over (pos, tok) structs — no
+  // collect_list order dependence). Every shuffle is doc-keyed; the
+  // rewrite is verified by md5 of the reassembled text so the oracle
+  // proves the full string, not just counts.
+  def collapseTokenRuns(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(Tokenizer.tokenize(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val kept = toks
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNull || col("tok") =!= col("prev"))
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            st => st.getField("tok")))).as("clean_md5"))
+      .join(toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_orig")), "doc_id")
+      .select(col("doc_id"), col("n_orig"), col("n_kept"),
+        (col("n_orig") - col("n_kept")).cast("long").as("n_removed"),
+        col("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val collapseTokenRunsSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |kept AS (
+       |  SELECT doc_id, pos, term FROM (
+       |    SELECT doc_id, pos, term,
+       |      lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |    FROM toks) t
+       |  WHERE prev IS NULL OR term <> prev),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    md5(string_agg(term, ' ' ORDER BY pos)) AS clean_md5
+       |  FROM kept GROUP BY doc_id),
+       |orig AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_orig
+       |  FROM toks GROUP BY doc_id)
+       |SELECT a.doc_id, o.n_orig, a.n_kept,
+       |  CAST(o.n_orig - a.n_kept AS BIGINT) AS n_removed, a.clean_md5
+       |FROM agg a JOIN orig o USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // Bigram duplication fraction + heaviest bigram per doc: high dup_frac
   // marks boilerplate/looping text. Bigrams come from one narrow zip_with
   // (no token self-join); the only shuffle is the per-(doc, bigram) count.
@@ -1539,6 +1589,7 @@ object TextAnalysisQueries {
     "doc_fingerprint" -> (docFingerprint _),
     "pack_windows" -> (packWindows _),
     "doc_repetition" -> (docRepetition _),
+    "collapse_token_runs" -> (collapseTokenRuns _),
     "doc_repetition_ngrams" -> (docRepetitionNgrams _),
     "stream_quality_by_source" -> (streamQualityBySource _),
     "training_manifest" -> (trainingManifest _),
@@ -1576,6 +1627,7 @@ object TextAnalysisQueries {
     "doc_fingerprint" -> docFingerprintSql,
     "pack_windows" -> packWindowsSql,
     "doc_repetition" -> docRepetitionSql,
+    "collapse_token_runs" -> collapseTokenRunsSql,
     "doc_repetition_ngrams" -> docRepetitionNgramsSql,
     "stream_quality_by_source" -> streamQualityBySourceSql,
     "training_manifest" -> trainingManifestSql,
