@@ -1043,6 +1043,68 @@ object SimilarityQueries {
        |  CAST(max(norm) AS DOUBLE) AS max_norm
        |FROM norms GROUP BY label ORDER BY label""".stripMargin
 
+  // ---- Embedding covariance matrix (the PCA prep pass) -----------------------
+  // The d×d second-moment matrix in ONE corpus pass: each row explodes its
+  // upper-triangle outer product (d(d+1)/2 structs, built by in-row array
+  // arithmetic — no self-join of the exploded component table, which
+  // would shuffle n·d rows against n·d rows), and hash aggregation with
+  // map-side combine collapses the explosion to d(d+1)/2 rows PER
+  // PARTITION before any exchange. Per-row products are quantized to
+  // integer micros, so the moment sums are reduction-order-free; the
+  // centered covariance forms from exact integer sums with one fixed
+  // expression both engines evaluate identically. Mean vector (d rows)
+  // broadcasts back twice for the centering terms. At 100 TB the shuffle
+  // is d² rows per partition regardless of n — the classic distributed
+  // PCA first step (eigendecomposition of the 64×64 result is a driver
+  // triviality, out of engine scope).
+  def embeddingCovariance(s: SparkSession, dir: String): DataFrame = {
+    val upper = flatten(transform(sequence(lit(0), lit(Dim - 1)), i =>
+      transform(sequence(i, lit(Dim - 1)), j => struct(
+        i.as("i"), j.as("j"),
+        round(element_at(col("v"), i + 1) * element_at(col("v"), j + 1) *
+          lit(1000000.0)).cast("long").as("xy")))))
+    val sxy = emb(s, dir).select(explode(upper).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(sum(col("p.xy")).as("s_xy_micro"), count(lit(1)).cast("long").as("n"))
+    val means = emb(s, dir)
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sum(round(col("x") * lit(1000000.0)).cast("long")).as("s"))
+    sxy
+      .join(broadcast(means.select(col("pos").as("i"), col("s").as("si"))), "i")
+      .join(broadcast(means.select(col("pos").as("j"), col("s").as("sj"))), "j")
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        col("s_xy_micro"),
+        (col("s_xy_micro").cast("double") / lit(1000000.0) /
+          col("n").cast("double") -
+          (col("si").cast("double") / lit(1000000.0) / col("n").cast("double")) *
+          (col("sj").cast("double") / lit(1000000.0) / col("n").cast("double")))
+          .as("cov"))
+      .orderBy("i", "j")
+  }
+
+  val embeddingCovarianceSql: String =
+    s"""WITH $EmbCte,
+       |x AS (
+       |  SELECT id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS xv
+       |  FROM emb),
+       |sxy AS (
+       |  SELECT a.i AS i, b.i AS j,
+       |    sum(CAST(round(a.xv * b.xv * 1000000.0) AS BIGINT)) AS s_xy_micro,
+       |    count(*) AS n
+       |  FROM x a JOIN x b ON a.id = b.id AND a.i <= b.i
+       |  GROUP BY a.i, b.i),
+       |sx AS (
+       |  SELECT i, sum(CAST(round(xv * 1000000.0) AS BIGINT)) AS s
+       |  FROM x GROUP BY i)
+       |SELECT CAST(sxy.i AS INTEGER) AS i, CAST(sxy.j AS INTEGER) AS j,
+       |  CAST(sxy.s_xy_micro AS BIGINT) AS s_xy_micro,
+       |  CAST(sxy.s_xy_micro AS DOUBLE) / 1000000.0 / CAST(sxy.n AS DOUBLE)
+       |    - (CAST(si.s AS DOUBLE) / 1000000.0 / CAST(sxy.n AS DOUBLE))
+       |    * (CAST(sj.s AS DOUBLE) / 1000000.0 / CAST(sxy.n AS DOUBLE)) AS cov
+       |FROM sxy JOIN sx si ON sxy.i = si.i JOIN sx sj ON sxy.j = sj.i
+       |ORDER BY i, j""".stripMargin
+
   // ---- K-means cluster profiles ----------------------------------------------
   // The IVF centroid training exposed as a first-class clustering result:
   // every vector assigned to its Lloyd-refined centroid (ivfAssign — ONE
@@ -1203,9 +1265,11 @@ object SimilarityQueries {
     "ann_quantized" -> (annQuantized _),
     "ann_lsh_quantized" -> (annLshQuantized _),
     "embedding_norms" -> (embeddingNorms _),
-    "embedding_project" -> (embeddingProject _))
+    "embedding_project" -> (embeddingProject _),
+    "embedding_covariance" -> (embeddingCovariance _))
 
   val oracles: Map[String, String] = Map(
+    "embedding_covariance" -> embeddingCovarianceSql,
     "semantic_dedup" -> semanticDedupSql,
     "embedding_clusters" -> embeddingClustersSql,
     "ann_brute_force" -> annBruteForceSql,

@@ -1577,7 +1577,154 @@ object TextAnalysisQueries {
       |    AS middle_len
       |FROM cuts ORDER BY doc_id""".stripMargin
 
+  // ---- Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) ---------
+  // Robust local document fingerprinting: hash every K-token shingle, slide
+  // a W-hash window over the shingle sequence, and keep the minimum hash of
+  // each window. Guarantee: any shared run of at least W+K-1 tokens yields
+  // at least one shared fingerprint, while only ~2/(W+1) of the shingles
+  // are retained — the MOSS plagiarism-detection selection. Short documents
+  // (fewer than W shingles) contribute their single whole-sequence minimum,
+  // so every doc with >= K tokens has >= 1 fingerprint.
+  //
+  // Scale: selection is position-local (per-doc array ops, no shuffle at
+  // all for the per-doc view); the overlap report joins on the fingerprint
+  // hash — the exact key its distinct-agg just produced — with hot
+  // fingerprints (df > MaxDf, corpus boilerplate) dropped BEFORE the
+  // self-join, the same bucket-cap device the LSH dedups use, so no
+  // fingerprint bucket can go quadratic at 100 TB.
+  private val WinnowK = graft.operators.Winnow.DefaultK
+  private val WinnowW = graft.operators.Winnow.DefaultW
+  private val WinnowMaxDf = 16  // stop-fingerprint cap for the overlap join
+
+  /** (doc_id, fps: array<long>) — the distinct winnowed fingerprint set. */
+  private def winnowFps(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnow.fingerprints(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      WinnowK, WinnowW)
+
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    winnowFps(s, dir).select(col("doc_id"),
+      size(col("fps")).cast("long").as("n_fp"),
+      aggregate(col("fps"), lit(0L),
+        (a, x) => (a + x) % lit(TextHash.P)).as("fp_digest"))
+      .orderBy("doc_id")
+
+  /** Shared oracle CTE chain ending in sel(doc_id, fp) — the winnowed
+    * fingerprint set. The window-min frame truncates at the partition end
+    * exactly like Spark's slice(), so the short-doc single window agrees.
+    */
+  private val winnowSelCte: String = {
+    val P = TextHash.P
+    s"""${OracleSql.TokCte},
+       |th AS (SELECT doc_id, pos, ${OracleSql.hashMod("term")} AS h FROM toks),
+       |g4 AS (
+       |  SELECT t1.doc_id, t1.pos,
+       |    ((((t1.h * 1000003 + t2.h) % $P) * 1000003 + t3.h) % $P
+       |      * 1000003 + t4.h) % $P AS g
+       |  FROM th t1
+       |  JOIN th t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       |  JOIN th t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+       |  JOIN th t4 ON t1.doc_id = t4.doc_id AND t4.pos = t1.pos + 3),
+       |w AS (
+       |  SELECT doc_id, pos,
+       |    min(g) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp,
+       |    count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM g4),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, fp FROM w
+       |  WHERE pos <= greatest(ng - $WinnowW, 0))""".stripMargin
+  }
+
+  val winnowFingerprintsSql: String =
+    s"""WITH $winnowSelCte,
+       |agg AS (
+       |  SELECT doc_id, count(*) AS cnt,
+       |    CAST(sum(fp) % ${TextHash.P} AS BIGINT) AS dig
+       |  FROM sel GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(agg.cnt, 0) AS BIGINT) AS n_fp,
+       |  CAST(coalesce(agg.dig, 0) AS BIGINT) AS fp_digest
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // The MOSS overlap report: pairs of documents sharing >= 2 winnowed
+  // fingerprints, corpus-boilerplate fingerprints (df > MaxDf) excluded.
+  def winnowOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnow
+      .overlap(winnowFps(s, dir), WinnowMaxDf, minShared = 2)
+      .orderBy("doc_a", "doc_b")
+
+  val winnowOverlapSql: String =
+    s"""WITH $winnowSelCte,
+       |kept AS (
+       |  SELECT doc_id, fp FROM (
+       |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM sel)
+       |  WHERE df BETWEEN 2 AND $WinnowMaxDf)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING count(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- CCNet-style perplexity bucketing ---------------------------------------
+  // Per-language head/middle/tail terciles by LM surprisal (CCNet, Wenzek
+  // et al. 2020): docs whose unigram NLL falls below the language's 1/3
+  // quantile are "head" (cleanest), below 2/3 "middle", else "tail".
+  // Thresholds come from the exact-quantile operator (range-repartitioned
+  // parallel rank — NOT a per-language global window, which would collapse
+  // to one task per language at 100 TB) and broadcast back as a
+  // languages-sized table. The NLL itself is the integer-micro-nat grid
+  // from QualityLm, so thresholds and comparisons are cross-engine exact.
+  def qualityBuckets(s: SparkSession, dir: String): DataFrame = {
+    import graft.CacheRegistry.RegisteredCache
+    val docs = Tables.documents(s, dir)
+    val nll = graft.operators.QualityLm
+      .unigramNllOfDocs(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .registeredCache()
+    val cuts = graft.operators.Quantiles
+      .exactQuantiles(nll, "lang", "nll", Seq(1.0 / 3, 2.0 / 3))
+    nll.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"),
+        when(col("nll") <= col("q0"), "head")
+          .when(col("nll") <= col("q1"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val qualityBucketsSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |tfs AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |cnts AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cnt FROM tfs GROUP BY term),
+       |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tfs),
+       |a AS (
+       |  SELECT f.doc_id, f.tf,
+       |    CAST(round(f.tf * ln(tot.total / c.cnt) * 1000000.0) AS BIGINT) AS addend
+       |  FROM tfs f JOIN cnts c ON f.term = c.term CROSS JOIN tot),
+       |nl AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(sum(addend) AS BIGINT) AS DOUBLE) / 1000000.0
+       |      / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS nll
+       |  FROM a GROUP BY doc_id),
+       |j AS (
+       |  SELECT nl.doc_id, d.lang, nl.nll
+       |  FROM nl JOIN documents d ON nl.doc_id = d.doc_id),
+       |cuts AS (
+       |  SELECT lang, quantile_cont(nll, 1.0/3) AS q0,
+       |    quantile_cont(nll, 2.0/3) AS q1
+       |  FROM j GROUP BY lang)
+       |SELECT j.doc_id, j.lang,
+       |  CASE WHEN nll <= q0 THEN 'head'
+       |       WHEN nll <= q1 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM j JOIN cuts ON j.lang = cuts.lang
+       |ORDER BY j.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "winnow_fingerprints" -> (winnowFingerprints _),
+    "winnow_overlap" -> (winnowOverlap _),
+    "quality_buckets" -> (qualityBuckets _),
     "fim_transform" -> (fimTransform _),
     "curation_pipeline" -> (curationPipeline _),
     "source_quota" -> (sourceQuota _),
@@ -1616,6 +1763,9 @@ object TextAnalysisQueries {
     "token_histogram" -> (tokenHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "winnow_fingerprints" -> winnowFingerprintsSql,
+    "winnow_overlap" -> winnowOverlapSql,
+    "quality_buckets" -> qualityBucketsSql,
     "fim_transform" -> fimTransformSql,
     "curation_pipeline" -> curationPipelineSql,
     "source_quota" -> sourceQuotaSql,

@@ -497,8 +497,34 @@ object TpchShapeQueries {
       |ORDER BY numwait DESC, s_name ASC
       |LIMIT 20""".stripMargin
 
+  // ---- Q6 shape: scan-only predicate aggregation ---------------------------
+  // The forecasting-revenue-change query: no join at all — the whole plan
+  // is a parquet scan with three pushable predicates feeding one scalar
+  // aggregate. Its value as a shape is the SCAN: every predicate
+  // (timestamp range, double range, double upper bound) must reach the
+  // reader as PushedFilters so at 100 TB only matching row groups are
+  // decoded (min/max pruning); PlanAudit's pushdown sweep covers it.
+  // Revenue sums on the cent grid (order-free).
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(graft.Money.sumCents(col("l_extendedprice") * col("l_discount"))
+        .as("revenue"),
+        count(lit(1)).cast("long").as("n_items"))
+
+  val q6ForecastRevenueSql: String =
+    s"""SELECT ${graft.Money.sumCentsSql("l_extendedprice * l_discount")} AS revenue,
+       |  CAST(count(*) AS BIGINT) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q4_order_priority" -> (q4OrderPriority _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
     "q10_returned_items" -> (q10ReturnedItems _),
@@ -513,6 +539,7 @@ object TpchShapeQueries {
 
   val oracles: Map[String, String] = Map(
     "q4_order_priority" -> q4OrderPrioritySql,
+    "q6_forecast_revenue" -> q6ForecastRevenueSql,
     "q7_volume_shipping" -> q7VolumeShippingSql,
     "q8_market_share" -> q8MarketShareSql,
     "q10_returned_items" -> q10ReturnedItemsSql,

@@ -114,4 +114,23 @@ class SimilaritySpec extends SparkSpec {
     assert(autoBandGeometry(10L)._2 == 2, "small corpora clamp to 2 bits")
     assert(autoBandGeometry(Long.MaxValue)._2 == 16, "bits clamp at 16")
   }
+
+  test("embedding_covariance is a valid moment matrix (diag >= 0, Cauchy-Schwarz)") {
+    val rows = graft.queries.SimilarityQueries
+      .embeddingCovariance(spark, "/root/testdata/sf0.001")
+      .select("i", "j", "cov").as[(Int, Int, Double)].collect()
+    val cov = rows.map { case (i, j, c) => (i, j) -> c }.toMap
+    val d = rows.map(_._1).max + 1
+    assert(rows.length == d * (d + 1) / 2, "upper triangle complete")
+    // micro-grid quantization bounds the error of each moment entry by
+    // ~1e-6/n; allow that slack on the inequalities
+    val eps = 1e-5
+    (0 until d).foreach(i => assert(cov((i, i)) >= -eps, s"var($i) negative"))
+    for (i <- 0 until d; j <- i + 1 until d) {
+      val bound = math.sqrt(math.max(cov((i, i)), 0.0) *
+        math.max(cov((j, j)), 0.0))
+      assert(math.abs(cov((i, j))) <= bound + eps,
+        s"cov($i,$j)=${cov((i, j))} violates Cauchy-Schwarz bound $bound")
+    }
+  }
 }
