@@ -84,7 +84,16 @@ object PlanAudit {
     // computed expressions (graft_tokenize(text), hash gates) can never
     // push and are not findings
     def pushable(e: Expression): Boolean = e match {
-      case _: AttributeReference | _: Literal => true
+      // parquet filter pushdown reaches only atomic-typed leaf columns; a
+      // predicate over an array/map/struct attribute (e.g. the isnotnull a
+      // posexplode implies on an embedding column) can never push
+      case a: AttributeReference => a.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType => false
+        case _ => true
+      }
+      case _: Literal => true
       case c: Cast => pushable(c.child)
       case b @ (_: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
                 _: LessThan | _: LessThanOrEqual | _: StartsWith |

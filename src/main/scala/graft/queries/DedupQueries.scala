@@ -475,6 +475,94 @@ object DedupQueries {
        |ORDER BY doc_id_a, doc_id_b""".stripMargin
   }
 
+  // ---- MinHash estimator quality audit ----------------------------------------
+  // The tuning report behind the LSH dedup: over the SAME banded candidate
+  // set dedup_minhash_lsh prunes to, compare the signature-agreement
+  // estimate (matching minhashes / NumHashes — the estimator whose
+  // expectation IS the jaccard) against the exact set jaccard, and count
+  // the confusion at the 0.8 keep threshold. One row: candidate volume,
+  // true/false positives, and the mean |estimate − exact| (integer-micro
+  // error sum, so the aggregate is order-free). This is how band geometry
+  // (bands × rows) gets validated on real data before a 100 TB run —
+  // candidates only, so the cost is the LSH join's, never all-pairs.
+  def minhashEval(s: SparkSession, dir: String): DataFrame = {
+    val sets = hashedSets(s, dir)
+    val sigs = sets.select(
+      col("id") +: Dedup.minHashSignaturesHashed(col("toks"), NumHashes): _*)
+    val cands = Dedup.lshCandidates(sigs, NumHashes, RowsPerBand)
+    val agree = (0 until NumHashes).map(i =>
+      when(col(s"mh${i}_a") === col(s"mh${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val sigA = sigs.select(col("id").as("id_a") +:
+      (0 until NumHashes).map(i => col(s"mh$i").as(s"mh${i}_a")): _*)
+    val sigB = sigs.select(col("id").as("id_b") +:
+      (0 until NumHashes).map(i => col(s"mh$i").as(s"mh${i}_b")): _*)
+    cands
+      .join(sigA, "id_a").join(sigB, "id_b")
+      .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .select(
+        (agree.cast("double") / lit(NumHashes.toDouble)).as("est"),
+        graft.plans.ArrayJaccard.jaccardLong(col("toks_a"), col("toks_b"))
+          .as("exact"))
+      .select(col("est"), col("exact"),
+        abs(round(col("est") * 1000000.0).cast("long") -
+          round(col("exact") * 1000000.0).cast("long")).as("err_micro"))
+      .agg(count(lit(1)).cast("long").as("n_candidates"),
+        sum(when(col("exact") >= 0.8, 1L).otherwise(0L)).cast("long").as("n_tp"),
+        sum(when(col("exact") < 0.8, 1L).otherwise(0L)).cast("long").as("n_fp"),
+        (sum(col("err_micro")).cast("double") / 1000000.0 /
+          count(lit(1)).cast("double")).as("mean_abs_err"))
+  }
+
+  val minhashEvalSql: String = {
+    val mhExprs = (0 until NumHashes).map { i =>
+      val (a, b) = mhParams(i)
+      s"list_min(list_transform(toks, x -> (x * $a + $b) % $P)) AS mh$i"
+    }.mkString(",\n    ")
+    val bandArms = (0 until NumHashes / RowsPerBand).map { bnd =>
+      val h1 = s"mh${bnd * RowsPerBand}"
+      val h2 = s"mh${bnd * RowsPerBand + 1}"
+      s"SELECT id, $bnd AS band, $h1 AS h1, $h2 AS h2 FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    val agreeSql = (0 until NumHashes)
+      .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH sets AS (
+       |  SELECT doc_id AS id, list_distinct(list_transform(
+       |    list_filter(string_split_regex(
+       |      regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'),
+       |      x -> x <> ''),
+       |    x -> ${OracleSql.hashMod("x")})) AS toks
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |nonempty AS (SELECT * FROM sets WHERE len(toks) > 0),
+       |sigs AS (
+       |  SELECT id, toks,
+       |    $mhExprs
+       |  FROM nonempty),
+       |bands AS (
+       |  $bandArms),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.id < b.id),
+       |scored AS (
+       |  SELECT
+       |    CAST($agreeSql AS DOUBLE) / $NumHashes.0 AS est,
+       |    CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
+       |      len(list_distinct(sa.toks || sb.toks)) AS exact
+       |  FROM cands c
+       |  JOIN sigs sa ON c.id_a = sa.id
+       |  JOIN sigs sb ON c.id_b = sb.id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       |  CAST(sum(CASE WHEN exact >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+       |  CAST(sum(CASE WHEN exact < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+       |  CAST(sum(abs(CAST(round(est * 1000000.0) AS BIGINT)
+       |    - CAST(round(exact * 1000000.0) AS BIGINT))) AS DOUBLE) / 1000000.0
+       |    / CAST(count(*) AS DOUBLE) AS mean_abs_err
+       |FROM scored""".stripMargin
+  }
+
   // ---- SimHash near-dup -------------------------------------------------------
   // 32-bit simhash; candidate pairs share a 16-bit half (pigeonhole blocking);
   // verified hamming <= 6. Subset doc_id % 3 = 0.
@@ -1227,6 +1315,7 @@ object DedupQueries {
     "dedup_incremental_near" -> (dedupIncrementalNear _),
     "dedup_incremental_persisted" -> (dedupIncrementalPersisted _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "minhash_eval" -> (minhashEval _),
     "stream_dedup_near" -> (streamDedupNear _),
     "ingest_pipeline" -> (ingestPipeline _),
     "stream_ingest_pipeline" -> (streamIngestPipeline _),
@@ -1250,6 +1339,7 @@ object DedupQueries {
     "dedup_incremental_near" -> dedupIncrementalNearSql,
     "dedup_incremental_persisted" -> dedupIncrementalPersistedSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "minhash_eval" -> minhashEvalSql,
     "stream_dedup_near" -> dedupMinhashLshSql,
     "ingest_pipeline" -> ingestPipelineSql,
     "stream_ingest_pipeline" -> ingestPipelineSql,

@@ -164,6 +164,35 @@ object TextIndexQueries {
 
   val bm25SearchSql: String = bm25SqlOver(TokCte)
 
+  // ---- Facet panel over the full match set -----------------------------------
+  // The search-results sidebar: per-(source, lang) counts of EVERY document
+  // matching the query (>= 1 query term), not just the displayed top-k —
+  // the facet counts a result page shows next to the ranked list. Plan:
+  // the term-bounded postings slice (|query terms| keys) collapses to
+  // distinct matching doc_ids — a key-bounded semi-join input, never the
+  // corpus — then one shuffle join against documents for the facet
+  // attributes and a tiny (sources x langs) hash agg. Matching-doc count
+  // scales with df(query terms), not corpus size.
+  def searchFacets(s: SparkSession, dir: String): DataFrame = {
+    val matching = Indexer.postings(docs(s, dir))
+      .filter(col("term").isin(SearchTerms: _*))
+      .select(col("doc_id")).distinct()
+    Tables.documents(s, dir)
+      .join(matching, "doc_id", "left_semi")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .orderBy("source", "lang")
+  }
+
+  val searchFacetsSql: String =
+    s"""WITH $TokCte,
+       |matching AS (
+       |  SELECT DISTINCT doc_id FROM toks WHERE list_contains($termListSql, term))
+       |SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM documents d JOIN matching m ON d.doc_id = m.doc_id
+       |GROUP BY d.source, d.lang
+       |ORDER BY d.source, d.lang""".stripMargin
+
   // ---- Typo-tolerant search: edit-distance-1 vocabulary expansion ------------
   // The flagship query with every term misspelled by one edit; the fuzzy
   // expansion (Search.fuzzySearch) recovers the intended vocabulary terms
@@ -862,6 +891,141 @@ object TextIndexQueries {
        |  AND t3.term = '${Phrase3(2)}'
        |GROUP BY t1.doc_id ORDER BY t1.doc_id""".stripMargin
 
+  // ---- Fielded BM25: title-weighted ranking (BM25F-lite) ----------------------
+  // The standard multi-field ranking (Robertson/Zaragoza BM25F, collapsed
+  // to its weighted-tf core): a query-term hit in the TITLE (the
+  // synthesized 50-char prefix every search result displays) counts
+  // TitleWeight times a body hit — weighted tf' = tf_body + w·tf_title
+  // and weighted length dl' = len_body + w·len_title feed the SAME BM25
+  // formula as the flagship. With an integer weight both stay exact
+  // integers (no float accumulation before the scoring expression), and
+  // document frequency derives from weighted presence. Plan shape is the
+  // flagship's: term-keyed postings joins, one broadcast stats singleton,
+  // per-doc partial-agg sum, TakeOrdered top-10.
+  private val TitleWeight = 2L
+
+  def bm25Fielded(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tok = graft.functions.Tokenizer.tokenize(col("text"))
+    val titleTok = graft.functions.Tokenizer.tokenize(substring(col("text"), 1, 50))
+    val body = Indexer.tokenPositions(d)
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("btf"))
+    val title = d.select(col("doc_id"),
+        explode(titleTok).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("ttf"))
+    val combined = body.join(title, Seq("term", "doc_id"), "full_outer")
+      .select(col("term"), col("doc_id"),
+        (coalesce(col("btf"), lit(0L)) +
+          lit(TitleWeight) * coalesce(col("ttf"), lit(0L))).as("wtf"))
+      .filter(col("term").isin(SearchTerms: _*))
+    val dl = d.select(col("doc_id"),
+      (size(tok).cast("long") + lit(TitleWeight) * size(titleTok).cast("long"))
+        .as("wdl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("wdl")).as("avgdl"))
+    val dfT = combined.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = combined.join(dfT, "term")
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("sc", graft.operators.BM25.termScore(col("wtf"),
+        graft.operators.BM25.idf(col("n"), col("df")),
+        col("wdl"), col("avgdl")))
+      .groupBy("doc_id").agg(sum(col("sc")).as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(10)
+    top.join(d, "doc_id")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        substring(col("text"), 1, 50).as("title"),
+        graft.Money.micros(col("score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
+  val bm25FieldedSql: String =
+    s"""WITH $TokCte,
+       |title_l AS (
+       |  SELECT doc_id, list_filter(string_split_regex(
+       |    regexp_replace(lower(substring(text, 1, 50)), '[^\\w\\s]', ' ', 'g'),
+       |    '\\s+'), x -> x <> '') AS tl
+       |  FROM documents),
+       |ttoks AS (SELECT doc_id, unnest(tl) AS term FROM title_l),
+       |body_p AS (SELECT term, doc_id, count(*) AS btf FROM toks GROUP BY term, doc_id),
+       |title_p AS (SELECT term, doc_id, count(*) AS ttf FROM ttoks GROUP BY term, doc_id),
+       |combined AS (
+       |  SELECT coalesce(b.term, t.term) AS term,
+       |    coalesce(b.doc_id, t.doc_id) AS doc_id,
+       |    coalesce(b.btf, 0) + $TitleWeight * coalesce(t.ttf, 0) AS wtf
+       |  FROM body_p b FULL OUTER JOIN title_p t
+       |    ON b.term = t.term AND b.doc_id = t.doc_id),
+       |qcombined AS (
+       |  SELECT * FROM combined WHERE list_contains($termListSql, term)),
+       |dl AS (
+       |  SELECT d.doc_id, len(docs_l.l) + $TitleWeight * len(title_l.tl) AS wdl
+       |  FROM documents d
+       |  JOIN docs_l ON d.doc_id = docs_l.doc_id
+       |  JOIN title_l ON d.doc_id = title_l.doc_id),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(wdl) AS avgdl FROM dl),
+       |dfs AS (SELECT term, count(*) AS df FROM qcombined GROUP BY term),
+       |scored AS (
+       |  SELECT c.doc_id,
+       |    ln(greatest(1.0, s.n / greatest(1.0, CAST(f.df AS DOUBLE))))
+       |      * c.wtf * 2.0 /
+       |      (c.wtf + (0.25 + 0.75 * dl.wdl / s.avgdl)) AS sc
+       |  FROM qcombined c JOIN dfs f USING(term)
+       |       JOIN dl ON c.doc_id = dl.doc_id, stats s),
+       |top AS (
+       |  SELECT doc_id, CAST(sum(sc) AS DOUBLE) AS score
+       |  FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10)
+       |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       |  substring(d.text, 1, 50) AS title,
+       |  ${graft.Money.microsSql("t.score")} AS score
+       |FROM top t JOIN documents d ON d.doc_id = t.doc_id
+       |ORDER BY t.score DESC, t.doc_id""".stripMargin
+
+  // ---- Phrase search through a next-word (bigram) index -----------------------
+  // The same 3-term phrase as phrase_search3, answered by the OTHER classic
+  // plan: a next-word index (Williams/Zobel/Bahle, "Fast Phrase Querying
+  // with Combined Indexes") keyed on adjacent-token pairs. The phrase
+  // "t1 t2 t3" needs only the posting lists of bigrams "t1 t2" and
+  // "t2 t3"; occurrences are the in-row position intersection
+  // (pos("t1 t2") ∩ (pos("t2 t3") − 1)). Why it matters at 100 TB: the
+  // positional 3-way unigram join touches df(t1)+df(t2)+df(t3) postings —
+  // huge for common words — while df(bigram) is orders of magnitude
+  // smaller (the whole point of next-word indexes); the bigram filter
+  // sits directly above the token explosion, so the per-doc work is one
+  // narrow pass and the agg keys are the 2 query bigrams. Result is
+  // hash-identical to phrase_search3's positional plan (same oracle SQL).
+  def phraseBigramIndex(s: SparkSession, dir: String): DataFrame = {
+    val b1 = s"${Phrase3(0)} ${Phrase3(1)}"
+    val b2 = s"${Phrase3(1)} ${Phrase3(2)}"
+    val toksCol = graft.functions.Tokenizer.tokenize(col("text"))
+    // in-row bigram enumeration: zip tokens with their successors (zip_with
+    // pads the shorter slice with null; concat(_, null) nulls out the
+    // final partial pair, filtered below with the bigram IN-list)
+    val bigrams = docs(s, dir)
+      .select(col("doc_id"), posexplode(zip_with(toksCol,
+        slice(toksCol, lit(2), greatest(size(toksCol) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as(Seq("pos", "bigram")))
+      .filter(col("bigram").isin(b1, b2))
+    val posts = bigrams.groupBy("doc_id", "bigram")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    posts.filter(col("bigram") === b1).select(col("doc_id"), col("ps").as("p1"))
+      .join(posts.filter(col("bigram") === b2)
+        .select(col("doc_id"), col("ps").as("p2")), "doc_id")
+      .select(col("doc_id"), size(array_intersect(col("p1"),
+        transform(col("p2"), p => p - 1))).cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy("doc_id")
+  }
+
+  // identical semantics to the positional plan — same oracle
+  val phraseBigramIndexSql: String =
+    s"""WITH $TokCte
+       |SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+       |FROM toks t1
+       |JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       |JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+       |WHERE t1.term = '${Phrase3(0)}' AND t2.term = '${Phrase3(1)}'
+       |  AND t3.term = '${Phrase3(2)}'
+       |GROUP BY t1.doc_id ORDER BY t1.doc_id""".stripMargin
+
   // ---- TF-IDF keyword extraction over the index triple -----------------------
   // The search index doubles as a keyword extractor: top-3 characteristic
   // terms per document by (tf/|d|)·ln(N/df), scores pinned to the 1e-6
@@ -1102,6 +1266,9 @@ object TextIndexQueries {
     "index_doc_info" -> (indexDocInfo _),
     "corpus_stats" -> (corpusStats _),
     "bm25_search" -> (bm25Search _),
+    "search_facets" -> (searchFacets _),
+    "phrase_bigram_index" -> (phraseBigramIndex _),
+    "bm25_fielded" -> (bm25Fielded _),
     "bm25_fuzzy_search" -> (bm25FuzzySearch _),
     "bm25_fuzzy_prebuilt" -> (bm25FuzzyPrebuilt _),
     "spell_suggest" -> (spellSuggest _),
@@ -1142,6 +1309,9 @@ object TextIndexQueries {
     "index_doc_info" -> indexDocInfoSql,
     "corpus_stats" -> corpusStatsSql,
     "bm25_search" -> bm25SearchSql,
+    "search_facets" -> searchFacetsSql,
+    "phrase_bigram_index" -> phraseBigramIndexSql,
+    "bm25_fielded" -> bm25FieldedSql,
     "bm25_fuzzy_search" -> bm25FuzzySearchSql,
     "bm25_fuzzy_prebuilt" -> bm25FuzzySearchSql,
     "spell_suggest" -> spellSuggestSql,

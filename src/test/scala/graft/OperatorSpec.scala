@@ -629,4 +629,32 @@ class OperatorSpec extends SparkSpec {
     val far = Search.fuzzySearch(spark, "zzzzq", p, tdf, di, k = 5)
     assert(far.isEmpty)
   }
+
+  test("phrase_bigram_index: next-word-index plan equals the positional 3-way join plan") {
+    // two different physical strategies, one semantics — the bigram-index
+    // plan must reproduce the positional plan row-for-row
+    val dir = "/root/testdata/sf0.01" // sf0.001's corpus lacks the 3-gram
+    val viaIndex = graft.queries.TextIndexQueries
+      .phraseBigramIndex(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaPositions = graft.queries.TextIndexQueries
+      .phraseSearch3(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaIndex.nonEmpty, "phrase should occur in the fixture corpus")
+    assert(viaIndex.toSeq == viaPositions.toSeq)
+  }
+
+  test("bm25_fielded: title hits outrank body-only hits of equal body evidence") {
+    // same body tf everywhere; docs whose TITLE (50-char prefix) contains a
+    // query term must score strictly above those where the term appears
+    // only past the prefix
+    val out = graft.queries.TextIndexQueries
+      .bm25Fielded(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 10)
+    val scores = out.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the top hit's displayed title carries at least one flagship term
+    val topTitle = out.head.getString(1).toLowerCase
+    assert(graft.queries.TextIndexQueries.SearchTerms.exists(topTitle.contains),
+      s"top title '$topTitle' has no query term — title boost not engaged")
+  }
 }
