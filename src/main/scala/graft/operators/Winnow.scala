@@ -64,10 +64,14 @@ object Winnow {
     * @param fps output of [[fingerprints]]
     */
   def overlap(fps: DataFrame, maxDf: Int = 16, minShared: Int = 2): DataFrame = {
+    import graft.CacheRegistry.RegisteredCache
+    // both sides of the pair join read the same winnowed table — cached,
+    // or the whole tokenize→shingle→window-min pipeline runs twice
     val fp = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
     val kept = fp
       .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
       .filter(col("df").between(2, maxDf))
+      .registeredCache()
     kept.select(col("doc_id").as("doc_a"), col("fp"))
       .join(kept.select(col("doc_id").as("doc_b"), col("fp")), "fp")
       .filter(col("doc_a") < col("doc_b"))

@@ -486,21 +486,26 @@ object DedupQueries {
   // (bands × rows) gets validated on real data before a 100 TB run —
   // candidates only, so the cost is the LSH join's, never all-pairs.
   def minhashEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.CacheRegistry.RegisteredCache
     val sets = hashedSets(s, dir)
-    val sigs = sets.select(
-      col("id") +: Dedup.minHashSignaturesHashed(col("toks"), NumHashes): _*)
-    val cands = Dedup.lshCandidates(sigs, NumHashes, RowsPerBand)
+    // ONE (id, toks, mh0..mh7) table feeds signature derivation, banding
+    // and BOTH sides of the candidate join — cached, two id-keyed joins
+    // total (the first cut joined sigs and sets separately per side: four
+    // shuffles of wide rows, 4x the probe volume for the same answer)
+    val full = sets.select(
+      col("id") +: col("toks") +:
+        Dedup.minHashSignaturesHashed(col("toks"), NumHashes): _*)
+      .registeredCache()
+    val cands = Dedup.lshCandidates(full, NumHashes, RowsPerBand)
     val agree = (0 until NumHashes).map(i =>
       when(col(s"mh${i}_a") === col(s"mh${i}_b"), 1).otherwise(0))
       .reduce(_ + _)
-    val sigA = sigs.select(col("id").as("id_a") +:
+    val sideA = full.select(col("id").as("id_a") +: col("toks").as("toks_a") +:
       (0 until NumHashes).map(i => col(s"mh$i").as(s"mh${i}_a")): _*)
-    val sigB = sigs.select(col("id").as("id_b") +:
+    val sideB = full.select(col("id").as("id_b") +: col("toks").as("toks_b") +:
       (0 until NumHashes).map(i => col(s"mh$i").as(s"mh${i}_b")): _*)
     cands
-      .join(sigA, "id_a").join(sigB, "id_b")
-      .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .join(sideA, "id_a").join(sideB, "id_b")
       .select(
         (agree.cast("double") / lit(NumHashes.toDouble)).as("est"),
         graft.plans.ArrayJaccard.jaccardLong(col("toks_a"), col("toks_b"))

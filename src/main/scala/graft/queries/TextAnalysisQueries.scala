@@ -1577,6 +1577,101 @@ object TextAnalysisQueries {
       |    AS middle_len
       |FROM cuts ORDER BY doc_id""".stripMargin
 
+  // ---- Token entropy (lexical-diversity quality signal) ----------------------
+  // Per-document Shannon entropy of the doc's OWN token distribution:
+  // H = ln(n) − (Σ_t tf·ln(tf))/n. Low-entropy docs are repetitive spam
+  // (few types dominating); high entropy near ln(n_distinct) is diverse
+  // prose — the signal that catches keyword-stuffing the NLL gates miss
+  // (stuffed tokens can be corpus-common). Each tf·ln(tf) addend is ONE
+  // libm call quantized to integer micro-nats, so the per-doc sum is
+  // order-free; the final formation (one more ln, one subtraction) is
+  // pinned to the output micro grid. Map-side-combining (doc, term) agg →
+  // per-doc agg: the same two-level shape as unigram_nll, no joins at all.
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Indexer.tokenPositions(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(round(col("tf").cast("double") * log(col("tf").cast("double")) *
+          lit(1000000.0)).cast("long")).as("sa"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        graft.Money.micros(
+          log(col("n_tokens").cast("double")) -
+            col("sa").cast("double") / lit(1000000.0) /
+              col("n_tokens").cast("double")).as("entropy"))
+      .orderBy("doc_id")
+
+  val tokenEntropySql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |tfs AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_distinct,
+       |    CAST(sum(CAST(round(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))
+       |      * 1000000.0) AS BIGINT)) AS BIGINT) AS sa
+       |  FROM tfs GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |  ${graft.Money.microsSql(
+          "ln(CAST(n_tokens AS DOUBLE)) - CAST(sa AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE)")}
+       |    AS entropy
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ---- Packing efficiency report ----------------------------------------------
+  // The training-throughput audit over the pack_windows plan: per shard,
+  // how many fixed-size windows the corpus fills, how many document
+  // segments they contain, how many docs straddle a window boundary, and
+  // the padding the final partial window wastes — the numbers that decide
+  // window size and shard count before a real pretraining run. Pure
+  // integer arithmetic over the packing segments (no floats anywhere).
+  def packingEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val segs = packWindows(s, dir)
+    val perDoc = segs.groupBy("shard", "doc_id")
+      .agg(count(lit(1)).as("n_segs"))
+    val splits = perDoc.groupBy("shard")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("n_segs") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_split_docs"))
+    segs.groupBy("shard")
+      .agg(countDistinct(col("win")).cast("long").as("n_windows"),
+        count(lit(1)).cast("long").as("n_segments"),
+        sum(col("n_tokens_in_win")).cast("long").as("n_tokens"))
+      .join(splits, "shard")
+      .select(col("shard"), col("n_windows"), col("n_segments"),
+        col("n_docs"), col("n_split_docs"), col("n_tokens"),
+        (col("n_windows") * PackWindow - col("n_tokens")).cast("long")
+          .as("padding_tokens"))
+      .orderBy("shard")
+  }
+
+  val packingEfficiencySql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |pdocs AS (
+       |  SELECT CAST(doc_id % $PackShards AS BIGINT) AS shard, doc_id,
+       |    CAST(len(l) AS BIGINT) AS n_tokens
+       |  FROM docs_l WHERE len(l) > 0),
+       |$PackingSegCtes,
+       |per_doc AS (
+       |  SELECT shard, doc_id, count(*) AS n_segs FROM segs
+       |  GROUP BY shard, doc_id),
+       |splits AS (
+       |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN n_segs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_split_docs
+       |  FROM per_doc GROUP BY shard),
+       |per_shard AS (
+       |  SELECT shard, CAST(count(DISTINCT win) AS BIGINT) AS n_windows,
+       |    CAST(count(*) AS BIGINT) AS n_segments,
+       |    CAST(sum(n_tokens_in_win) AS BIGINT) AS n_tokens
+       |  FROM segs GROUP BY shard)
+       |SELECT p.shard, p.n_windows, p.n_segments, s.n_docs, s.n_split_docs,
+       |  p.n_tokens,
+       |  CAST(p.n_windows * $PackWindow - p.n_tokens AS BIGINT)
+       |    AS padding_tokens
+       |FROM per_shard p JOIN splits s ON p.shard = s.shard
+       |ORDER BY p.shard""".stripMargin
+
   // ---- Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) ---------
   // Robust local document fingerprinting: hash every K-token shingle, slide
   // a W-hash window over the shingle sequence, and keep the minimum hash of
@@ -1723,6 +1818,8 @@ object TextAnalysisQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "winnow_fingerprints" -> (winnowFingerprints _),
+    "token_entropy" -> (tokenEntropy _),
+    "packing_efficiency" -> (packingEfficiency _),
     "winnow_overlap" -> (winnowOverlap _),
     "quality_buckets" -> (qualityBuckets _),
     "fim_transform" -> (fimTransform _),
@@ -1764,6 +1861,8 @@ object TextAnalysisQueries {
 
   val oracles: Map[String, String] = Map(
     "winnow_fingerprints" -> winnowFingerprintsSql,
+    "token_entropy" -> tokenEntropySql,
+    "packing_efficiency" -> packingEfficiencySql,
     "winnow_overlap" -> winnowOverlapSql,
     "quality_buckets" -> qualityBucketsSql,
     "fim_transform" -> fimTransformSql,
