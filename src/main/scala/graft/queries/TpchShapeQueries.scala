@@ -522,6 +522,175 @@ object TpchShapeQueries {
        |  AND l_shipdate < TIMESTAMP '1997-01-01'
        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
 
+  // ---- Q9 shape: product-type profit rollup --------------------------------
+  // Profit by supplier nation and order year for one part family. The
+  // classic Q9 prices cost from partsupp; the trimmed schema has no
+  // partsupp, so cost is priced off the part's own retail price
+  // (0.6 * p_retailprice * l_quantity) — the JOIN TREE is the point:
+  // lineitem fans out to TWO role dims (part by partkey, supplier by
+  // suppkey) plus orders for the year, with a non-pushable substring
+  // filter on p_name trimming the part side before the fact join. Part
+  // and supplier are dims (orders of magnitude below the fact table), so
+  // both broadcast after the filter/projection; profit lands on the cent
+  // grid — one round per row, exact long sum in any order.
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val gearParts = broadcast(Tables.part(s, dir)
+      .filter(col("p_name").contains("gear"))
+      .select(col("p_partkey"), col("p_retailprice")))
+    val sup = broadcast(Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val nat = broadcast(Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name")))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(gearParts, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(graft.Money.sumCents(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          - col("p_retailprice") * col("l_quantity") * lit(0.6)).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9ProductProfitSql: String =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  ${graft.Money.sumCentsSql(
+            "l_extendedprice * (1.0 - l_discount) " +
+              "- p_retailprice * l_quantity * 0.6")} AS profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '%gear%'
+       |GROUP BY 1, 2
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  // ---- Q11 shape: group-sum gated by a global scalar aggregate -------------
+  // Parts whose revenue exceeds 1.5x the mean per-part revenue. Classic
+  // Q11 gates on a FRACTION of the global total; a fixed fraction goes
+  // degenerate as the part count scales (mean share ~ 1/|parts|), so the
+  // gate here is relative to the mean — same plan shape (grouped
+  // aggregate cross-joined against its own one-row rollup, HAVING
+  // decorrelated into a broadcast filter), but meaningful at every SF.
+  // The compare stays on the integer cent grid (2*cents*n > 3*total is
+  // exact long arithmetic), so row MEMBERSHIP can never hash-flake.
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val pv = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(graft.Money.sumCentsLong(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("cents"))
+    val tot = pv.agg(sum(col("cents")).as("t"), count(lit(1)).as("n"))
+    pv.join(broadcast(tot))
+      .filter(lit(2) * col("cents") * col("n") > lit(3) * col("t"))
+      .select(col("l_partkey").cast("long").as("partkey"),
+        (col("cents").cast("double") / 100.0).as("part_value"))
+      .orderBy(col("part_value").desc, col("partkey"))
+  }
+
+  val q11ImportantPartsSql: String =
+    s"""WITH pv AS (
+       |  SELECT l_partkey,
+       |    ${graft.Money.sumCentsLongSql(
+            "l_extendedprice * (1.0 - l_discount)")} AS cents
+       |  FROM lineitem GROUP BY 1),
+       |tot AS (SELECT sum(cents) AS t, count(*) AS n FROM pv)
+       |SELECT CAST(l_partkey AS BIGINT) AS partkey,
+       |  CAST(cents AS DOUBLE) / 100.0 AS part_value
+       |FROM pv, tot
+       |WHERE 2 * cents * n > 3 * t
+       |ORDER BY part_value DESC, partkey""".stripMargin
+
+  // ---- Q16 shape: NOT-IN exclusion + count distinct by attributes ----------
+  // Distinct supplier counts per (brand, type, size) for a filtered part
+  // family, excluding flagged suppliers (negative balance stands in for
+  // Q16's complaints filter). The NOT IN decorrelates to a broadcast
+  // LEFT ANTI against a tiny supplier set BEFORE the aggregation, and
+  // countDistinct expands to the standard two-phase (partial distinct,
+  // then count) hash aggregation — no row ever carries more than the
+  // four output columns through the shuffle.
+  def q16SupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+    val flagged = broadcast(Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey")))
+    Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(flagged, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).cast("long").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val q16SupplierCountsSql: String =
+    """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ---- Q20 shape: nested aggregate threshold + semi-join chain -------------
+  // Suppliers who dominate a part family: shipped more than 2x the part's
+  // mean per-supplier quantity, for parts named 'red*', limited to three
+  // regions. Q20's correlated "availqty > half of shipped" subquery
+  // becomes pair-aggregate vs part-rollup joined on partkey — the
+  // threshold compares exact long quantity sums scaled by integer counts
+  // (q*ns > 2*tq), and the supplier table attaches by LEFT SEMI so each
+  // winner appears once regardless of how many parts it dominates.
+  def q20DominantSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val redParts = broadcast(Tables.part(s, dir)
+      .filter(col("p_name").startsWith("red")).select(col("p_partkey")))
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("q"))
+    val perPart = pairs.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("q")).as("tq"), count(lit(1)).as("ns"))
+    val winners = pairs.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("q") * col("ns") > lit(2) * col("tq"))
+      .select(col("l_suppkey"))
+    val nat = broadcast(Tables.nation(s, dir)
+      .filter(col("n_regionkey") < 3)
+      .select(col("n_nationkey"), col("n_name")))
+    Tables.supplier(s, dir)
+      .join(winners, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").cast("long").as("suppkey"), col("s_name"),
+        col("n_name").as("nation"))
+      .orderBy("s_name")
+  }
+
+  val q20DominantSuppliersSql: String =
+    """WITH pairs AS (
+      |  SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS q
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'red%'
+      |  GROUP BY 1, 2),
+      |per_part AS (
+      |  SELECT l_partkey, sum(q) AS tq, count(*) AS ns FROM pairs GROUP BY 1)
+      |SELECT CAST(s_suppkey AS BIGINT) AS suppkey, s_name, n_name AS nation
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_regionkey < 3
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM pairs JOIN per_part USING (l_partkey)
+      |    WHERE q * ns > 2 * tq)
+      |ORDER BY s_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q4_order_priority" -> (q4OrderPriority _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
@@ -535,6 +704,10 @@ object TpchShapeQueries {
     "q19_disjunctive" -> (q19Disjunctive _),
     "q21_sole_returner" -> (q21SoleReturner _),
     "q22_inactive_customers" -> (q22InactiveCustomers _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q16_supplier_counts" -> (q16SupplierCounts _),
+    "q20_dominant_suppliers" -> (q20DominantSuppliers _),
     "lateral_top_orders" -> (lateralTopOrders _))
 
   val oracles: Map[String, String] = Map(
@@ -550,5 +723,9 @@ object TpchShapeQueries {
     "q19_disjunctive" -> q19DisjunctiveSql,
     "q21_sole_returner" -> q21SoleReturnerSql,
     "q22_inactive_customers" -> q22InactiveCustomersSql,
+    "q9_product_profit" -> q9ProductProfitSql,
+    "q11_important_parts" -> q11ImportantPartsSql,
+    "q16_supplier_counts" -> q16SupplierCountsSql,
+    "q20_dominant_suppliers" -> q20DominantSuppliersSql,
     "lateral_top_orders" -> lateralTopOrdersSql)
 }
