@@ -660,14 +660,19 @@ object TpchShapeQueries {
       .agg(sum(col("l_quantity")).cast("long").as("q"))
     val perPart = pairs.groupBy(col("l_partkey").as("pk"))
       .agg(sum(col("q")).as("tq"), count(lit(1)).as("ns"))
+    // distinct FIRST, then an inner join to supplier: a LEFT SEMI pins
+    // supplier as the streamed side (Spark cannot build the left), which
+    // forces a sort-merge even when the winner set is tiny; after the
+    // distinct both orientations are equivalent, and an inner join lets
+    // AQE build whichever side is actually small at runtime.
     val winners = pairs.join(perPart, col("l_partkey") === col("pk"))
       .filter(col("q") * col("ns") > lit(2) * col("tq"))
-      .select(col("l_suppkey"))
+      .select(col("l_suppkey")).distinct()
     val nat = broadcast(Tables.nation(s, dir)
       .filter(col("n_regionkey") < 3)
       .select(col("n_nationkey"), col("n_name")))
     Tables.supplier(s, dir)
-      .join(winners, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(winners, col("s_suppkey") === col("l_suppkey"))
       .join(nat, col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey").cast("long").as("suppkey"), col("s_name"),
         col("n_name").as("nation"))
