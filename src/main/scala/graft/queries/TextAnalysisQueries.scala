@@ -1816,7 +1816,53 @@ object TextAnalysisQueries {
        |FROM j JOIN cuts ON j.lang = cuts.lang
        |ORDER BY j.doc_id""".stripMargin
 
+  // ---- Negative-sampling table (word2vec-style noise distribution) -----------
+  // The unigram^0.75 sampling table a skip-gram trainer draws negatives
+  // from: per term, a smoothed weight and its exclusive/inclusive
+  // cumulative offsets — a sampler draws u in [0, total) and binary-
+  // searches cum_start. Two determinism choices make it oracle-exact:
+  // cnt^0.75 is computed as sqrt(sqrt(cnt^3)) — cnt^3 is exact integer
+  // arithmetic below 2^53 and sqrt is IEEE correctly-rounded in BOTH
+  // engines, so the weight is bit-identical (no libm pow involved) —
+  // and the cumulative sum is an exact long prefix over ORDER BY term.
+  // The global unpartitioned window is vocab-bounded (the BPE-trainer
+  // bound, ~1e6 rows after min-count), not corpus-bounded; beyond that,
+  // two-phase partial sums per partition + broadcast offsets.
+  def negativeSamplingTable(s: SparkSession, dir: String): DataFrame = {
+    val uni = graft.operators.Indexer.tokenPositions(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("cnt"))
+    val cum = Window.orderBy("term")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    uni
+      .withColumn("weight",
+        round(sqrt(sqrt((col("cnt") * col("cnt") * col("cnt")).cast("double")))
+          * 1000.0).cast("long"))
+      .withColumn("cum_end", sum(col("weight")).over(cum))
+      .select(col("term"), col("cnt"), col("weight"),
+        (col("cum_end") - col("weight")).as("cum_start"), col("cum_end"))
+      .orderBy("term")
+  }
+
+  val negativeSamplingTableSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |u AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+       |w AS (
+       |  SELECT term, cnt,
+       |    CAST(round(sqrt(sqrt(CAST(cnt * cnt * cnt AS DOUBLE))) * 1000.0)
+       |      AS BIGINT) AS weight
+       |  FROM u),
+       |c AS (
+       |  SELECT term, cnt, weight,
+       |    CAST(sum(weight) OVER (ORDER BY term
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_end
+       |  FROM w)
+       |SELECT term, cnt, weight, cum_end - weight AS cum_start, cum_end
+       |FROM c ORDER BY term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "negative_sampling_table" -> (negativeSamplingTable _),
     "winnow_fingerprints" -> (winnowFingerprints _),
     "token_entropy" -> (tokenEntropy _),
     "packing_efficiency" -> (packingEfficiency _),
@@ -1860,6 +1906,7 @@ object TextAnalysisQueries {
     "token_histogram" -> (tokenHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "negative_sampling_table" -> negativeSamplingTableSql,
     "winnow_fingerprints" -> winnowFingerprintsSql,
     "token_entropy" -> tokenEntropySql,
     "packing_efficiency" -> packingEfficiencySql,

@@ -1254,7 +1254,48 @@ object TextIndexQueries {
        |WHERE cum_tokens <= $RagBudget
        |ORDER BY rank""".stripMargin
 
+  // ---- Boolean retrieval: conjunctive AND + NOT over the inverted index ----
+  // Docs containing ALL must-terms and NONE of the not-terms — the classic
+  // unranked boolean query the ranked BM25 family doesn't exercise. The
+  // AND is a groupBy-count over the postings restricted to the must set
+  // (countDistinct(term) = |must| — intersection without a per-term
+  // self-join chain, so the plan is ONE shuffle regardless of how many
+  // must-terms the query carries); the NOT is a LEFT ANTI against the
+  // not-term's postings (tiny after the term filter — broadcastable at
+  // any scale since one term's postings are df-bounded, not corpus-
+  // bounded). match_tf (summed must-term tf) orders results for display.
+  private val BoolMust = Seq("vector", "window")
+  private val BoolNot = "merge"
+
+  def booleanSearch(s: SparkSession, dir: String): DataFrame = {
+    val p = Indexer.postings(docsStr(s, dir))
+    val excl = p.filter(col("term") === BoolNot)
+      .select(col("doc_id").as("x_doc"))
+    p.filter(col("term").isin(BoolMust: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_terms"),
+        sum(col("tf")).cast("long").as("match_tf"))
+      .filter(col("n_terms") === BoolMust.size)
+      .join(broadcast(excl), col("doc_id") === col("x_doc"), "left_anti")
+      .select(col("doc_id").cast("long").as("doc_id"), col("match_tf"))
+      .orderBy("doc_id")
+  }
+
+  val booleanSearchSql: String = {
+    val mustList = BoolMust.map(t => s"'$t'").mkString(", ")
+    s"""WITH $TokCte,
+       |must AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS match_tf
+       |  FROM toks WHERE term IN ($mustList)
+       |  GROUP BY doc_id HAVING count(DISTINCT term) = ${BoolMust.size})
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, match_tf
+       |FROM must
+       |WHERE doc_id NOT IN (SELECT doc_id FROM toks WHERE term = '$BoolNot')
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "boolean_search" -> (booleanSearch _),
     "search_eval" -> (searchEval _),
     "rag_context" -> (ragContext _),
     "phrase_search3" -> (phraseSearch3 _),
@@ -1298,6 +1339,7 @@ object TextIndexQueries {
     "prep_pipeline" -> (prepPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "boolean_search" -> booleanSearchSql,
     "search_eval" -> searchEvalSql,
     "rag_context" -> ragContextSql,
     "phrase_search3" -> phraseSearch3Sql,
