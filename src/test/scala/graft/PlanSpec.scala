@@ -99,6 +99,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"bigram counts not hash-aggregated:\n$p")
   }
 
+  test("boolean_search broadcasts the NOT postings and intersects in one aggregation") {
+    val p = plan("boolean_search")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"NOT-term exclusion should be a broadcast anti join:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"the AND intersection should be a hash aggregation, not a join chain:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"boolean search should never shuffle-join the postings:\n$p")
+  }
+
+  test("negative_sampling_table prefix-sums in one vocab-bounded window pass") {
+    val p = plan("negative_sampling_table")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"cumulative offsets should plan a running window:\n$p")
+    // the global ORDER BY window is the DOCUMENTED vocab-bounded single
+    // partition (the BPE-trainer bound); a second hash exchange would mean
+    // the unigram aggregation stopped combining map-side
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 1,
+      s"unigram counts should shuffle once:\n$p")
+  }
+
+  test("q16 excludes flagged suppliers via broadcast anti before the distinct count") {
+    val p = plan("q16_supplier_counts")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"NOT IN should decorrelate to a broadcast anti join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact-side joins regressed to sort-merge:\n$p")
+  }
+
   test("tfidf_keywords gets the rank<=k WindowGroupLimit pushdown") {
     // Spark inserts WindowGroupLimit (partial per-partition top-k pruning
     // BEFORE the doc_id exchange) for row_number()<=k filters — the
