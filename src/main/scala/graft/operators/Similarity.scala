@@ -211,6 +211,25 @@ object Similarity {
     (bands * bits, bits)
   }
 
+  /** Integer-exact twin of [[autoBandGeometry]]: ceil-log2 via bit length
+    * instead of libm log — bits = bitLength(ceil(n/occupancy) - 1). The
+    * DuckDB oracle mirrors it as `length(bin(cb - 1))`, so a query whose
+    * RESULT depends on the geometry (ann_lsh_auto) can derive it from a
+    * corpus count in both engines with zero float involvement.
+    * SimilaritySpec pins agreement with the float formula across the
+    * clamp range.
+    */
+  def autoBandGeometryExact(n: Long, targetOccupancy: Int = 64,
+                            bands: Int = 4): (Int, Int) = {
+    // overflow-safe ceil division (n + occ - 1 wraps at Long.MaxValue)
+    val cb = math.max(1L,
+      n / targetOccupancy + (if (n % targetOccupancy == 0L) 0L else 1L))
+    val raw =
+      if (cb <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(cb - 1)
+    val bits = math.min(16, math.max(2, raw))
+    (bands * bits, bits)
+  }
+
   def lshBands(spark: SparkSession, vectors: DataFrame, numPlanes: Int,
                dim: Int, bandBits: Int): DataFrame = {
     require(numPlanes % bandBits == 0, "bandBits must divide numPlanes")

@@ -106,6 +106,101 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
   }
 
+  // ---- ann_lsh_auto: band geometry sized FROM the corpus count ---------------
+  // The SCALE_r7 sizing rule as a query: bits-per-band derives from
+  // count(*) so expected bucket occupancy stays near 64 at every SF
+  // (sf0.01's 500 vectors get 3-bit bands, sf0.1's 2000 get 5-bit) —
+  // the knob that keeps the bucket self-join's per-bucket volume flat as
+  // the corpus grows. The count is ONE bounded driver scalar (the
+  // prep_pipeline idiom; geometry is plan STRUCTURE, so it must be known
+  // before the plan builds — a deployment sizes once, then serves). Both
+  // engines derive bits with pure integer arithmetic
+  // (autoBandGeometryExact / length(bin(cb-1))): no libm in anything
+  // that gates row membership.
+  private val GeoCte: String =
+    """geo AS (
+      |  SELECT CAST(least(16, greatest(2, length(bin(
+      |      greatest(CAST(1 AS BIGINT),
+      |        CAST(ceil(count(*) / 64.0) AS BIGINT)) - 1)))) AS INT) AS bits
+      |  FROM emb)""".stripMargin
+
+  /** PlanesCte/BandsCte with the plane count and band width read from geo
+    * (range() takes only constants, so planes enumerate to the 4x16-bit
+    * clamp ceiling and filter by the scalar).
+    */
+  private val AutoPlanesBandsCte: String = {
+    val planeHash = OracleSql.hash64(
+      "concat(CAST(j AS VARCHAR), '_', CAST(d AS VARCHAR))")
+    s"""planes AS (
+       |  SELECT j, list(p ORDER BY d) AS parr FROM (
+       |    SELECT j, d, ($planeHash % 2001 - 1000) / 1000.0 AS p
+       |    FROM range(64) t1(j), range($Dim) t2(d), geo
+       |    WHERE j < 4 * geo.bits) comps
+       |  GROUP BY j),
+       |buckets AS (
+       |  SELECT e.id,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.parr) > 0
+       |      THEN (CAST(1 AS BIGINT) << CAST(pl.j AS INT)) ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM emb e CROSS JOIN planes pl GROUP BY e.id),
+       |bands AS (
+       |  SELECT id, t.band,
+       |    (bucket >> CAST(t.band * geo.bits AS INT))
+       |      % (CAST(1 AS BIGINT) << geo.bits) AS sig
+       |  FROM buckets, geo, range(4) t(band))""".stripMargin
+  }
+
+  // Query-side multiprobe is mandatory here, not a nicety: auto-sizing
+  // holds OCCUPANCY flat by widening bands as N grows, and wider bands
+  // collide with p^bits — recall decays unless probes multiply. One
+  // weakest-bit flip per band (index untouched) bought sf0.1's 5-bit
+  // geometry back from 0.425 to the pinned floor; production stacks more
+  // flips/tables the same query-side way.
+  def annLshAuto(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val (planes, bits) = Similarity.autoBandGeometryExact(e.count())
+    Similarity.lshTopKMultiprobe(s, probes(s, dir), e, K, planes, Dim, bits)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val annLshAutoSql: String =
+    s"""WITH $EmbCte,
+       |$GeoCte,
+       |$AutoPlanesBandsCte,
+       |pd AS (
+       |  SELECT p.id, pl.j, list_dot_product(p.v, pl.parr) AS d
+       |  FROM probes p CROSS JOIN planes pl),
+       |rstar AS (
+       |  SELECT id, band, rbit FROM (
+       |    SELECT id, j // geo.bits AS band, j % geo.bits AS rbit,
+       |      row_number() OVER (PARTITION BY id, j // geo.bits
+       |        ORDER BY abs(d) ASC, j % geo.bits ASC) AS rn
+       |    FROM pd, geo) t
+       |  WHERE rn = 1),
+       |pbands0 AS (
+       |  SELECT b.id, b.band, b.sig FROM bands b JOIN probes p ON b.id = p.id),
+       |pbands AS (
+       |  SELECT id, band, sig FROM pbands0
+       |  UNION
+       |  SELECT p0.id, p0.band, xor(p0.sig, CAST(1 AS BIGINT) << r.rbit) AS sig
+       |  FROM pbands0 p0 JOIN rstar r ON p0.id = r.id AND p0.band = r.band),
+       |cands AS (
+       |  SELECT DISTINCT pb.id AS probe_id, cb.id AS cand_id
+       |  FROM pbands pb JOIN bands cb ON pb.band = cb.band AND pb.sig = cb.sig
+       |    AND cb.id <> pb.id),
+       |scored AS (
+       |  SELECT x.probe_id, x.cand_id, $CosineSql AS cosine
+       |  FROM cands x JOIN emb p ON p.id = x.probe_id
+       |       JOIN emb c ON c.id = x.cand_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine
+       |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
+
   // ---- kNN graph: every node's k nearest via LSH buckets ---------------------
   // The all-nodes neighbor-graph construction (clustering, agglomerative
   // dedup, label propagation all start here) — distinct from ann_lsh's
@@ -1058,18 +1153,65 @@ object SimilarityQueries {
   // PCA first step (eigendecomposition of the 64×64 result is a driver
   // triviality, out of engine scope).
   def embeddingCovariance(s: SparkSession, dir: String): DataFrame = {
-    val upper = flatten(transform(sequence(lit(0), lit(Dim - 1)), i =>
-      transform(sequence(i, lit(Dim - 1)), j => struct(
-        i.as("i"), j.as("j"),
-        round(element_at(col("v"), i + 1) * element_at(col("v"), j + 1) *
-          lit(1000000.0)).cast("long").as("xy")))))
-    val sxy = emb(s, dir).select(explode(upper).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(sum(col("p.xy")).as("s_xy_micro"), count(lit(1)).cast("long").as("n"))
-    val means = emb(s, dir)
-      .select(posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("pos")
-      .agg(sum(round(col("x") * lit(1000000.0)).cast("long")).as("s"))
+    // Map-side gram accumulation (the MLlib computeCovariance shape, and
+    // the sanctioned mapPartitions case: genuinely imperative per-partition
+    // state). The first cut exploded d(d+1)/2 = 2080 structs per row —
+    // 4.2M rows through a shuffle at sf0.1, 6 s of Generate/shuffle
+    // overhead for 4.2M multiplies of actual work. Here each partition
+    // folds its rows into ONE long[2080] upper-triangle accumulator (plus
+    // per-dimension sums and a count), so the shuffle carries
+    // numPartitions × d² longs — independent of corpus size. rnd()
+    // replicates Spark round's HALF_UP on our magnitudes (ties away from
+    // zero; see scaladoc) so the per-element sums stay bit-identical to
+    // the exploded formulation the DuckDB oracle mirrors.
+    import s.implicits._
+    val d = Dim
+    val tri = d * (d + 1) / 2
+    // HALF_UP at |x| <= ~4e6: (x+0.5) truncated toward zero for x>=0 and
+    // mirrored for x<0 equals BigDecimal HALF_UP everywhere except exact
+    // binary .5 ties (where both round away from zero) — and the add is
+    // exact at micro scale, far below 2^52.
+    def rnd(x: Double): Long =
+      if (x >= 0) (x + 0.5).toLong else (x - 0.5).toLong
+    val parts = emb(s, dir).select(col("v").cast("array<double>"))
+      .as[Seq[Double]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](tri)
+        val sums = new Array[Long](d)
+        var n = 0L
+        it.foreach { sv =>
+          val v = sv.toArray
+          var k = 0
+          var i = 0
+          while (i < d) {
+            sums(i) += rnd(v(i) * 1000000.0)
+            var j = i
+            while (j < d) {
+              acc(k) += rnd(v(i) * v(j) * 1000000.0)
+              k += 1
+              j += 1
+            }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0L) Iterator.empty
+        else Iterator((n, acc.toSeq, sums.toSeq))
+      }
+      .toDF("pn", "tri_acc", "dim_sums")
+      .registeredCache()
+    // merge the <= numPartitions partials distributively (no driver path)
+    val kmap = broadcast(s.createDataFrame(
+      for (i <- 0 until d; j <- i until d)
+        yield (i * (2 * d - i + 1) / 2 + (j - i), i, j)).toDF("k", "i", "j"))
+    val sxy = parts
+      .select(col("pn"), posexplode(col("tri_acc")).as(Seq("k", "xy")))
+      .groupBy("k")
+      .agg(sum(col("xy")).as("s_xy_micro"), sum(col("pn")).cast("long").as("n"))
+      .join(kmap, "k")
+    val means = parts
+      .select(posexplode(col("dim_sums")).as(Seq("pos", "ps")))
+      .groupBy("pos").agg(sum(col("ps")).as("s"))
     sxy
       .join(broadcast(means.select(col("pos").as("i"), col("s").as("si"))), "i")
       .join(broadcast(means.select(col("pos").as("j"), col("s").as("sj"))), "j")
@@ -1252,6 +1394,7 @@ object SimilarityQueries {
     "embedding_clusters" -> (embeddingClusters _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
+    "ann_lsh_auto" -> (annLshAuto _),
     "knn_graph" -> (knnGraph _),
     "label_propagation" -> (labelPropagation _),
     "ann_lsh_multiprobe" -> (annLshMultiprobe _),
@@ -1274,6 +1417,7 @@ object SimilarityQueries {
     "embedding_clusters" -> embeddingClustersSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,
+    "ann_lsh_auto" -> annLshAutoSql,
     "knn_graph" -> knnGraphSql,
     "label_propagation" -> labelPropagationSql,
     "ann_lsh_multiprobe" -> annLshMultiprobeSql,

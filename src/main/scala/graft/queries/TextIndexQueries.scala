@@ -1268,7 +1268,10 @@ object TextIndexQueries {
   private val BoolNot = "merge"
 
   def booleanSearch(s: SparkSession, dir: String): DataFrame = {
-    val p = Indexer.postings(docsStr(s, dir))
+    // long doc_ids (not the index's display-string form): the anti-join
+    // key stays the raw parquet column, so its IsNotNull pushes to the
+    // scan (PlanAudit's pushdown sweep flags the cast form)
+    val p = Indexer.postings(docs(s, dir))
     val excl = p.filter(col("term") === BoolNot)
       .select(col("doc_id").as("x_doc"))
     p.filter(col("term").isin(BoolMust: _*))

@@ -72,6 +72,35 @@ class RecallSpec extends SparkSpec {
     assert(quant >= 0.95, f"ann_quantized recall collapsed: $quant%.3f")
   }
 
+  test("auto-sized band geometry holds a recall floor at BOTH test SFs") {
+    // ann_lsh_auto derives bits-per-band from count(*): 500 vectors
+    // (sf0.01) -> 3-bit bands, 2000 (sf0.1) -> 5-bit. Auto-sizing holds
+    // OCCUPANCY (join volume) flat; per-band collision decays p^bits, and
+    // the query's one-flip multiprobe buys part of it back (0.425 -> 0.645
+    // measured at the 5-bit geometry). Floors are pinned per geometry a
+    // few points under measurement — the deterministic pipeline moves only
+    // when behavior does; production recall targets stack more query-side
+    // flips/tables on the same index.
+    for ((d, floor) <- Seq("/root/testdata/sf0.01" -> 0.85,
+        "/root/testdata/sf0.1" -> 0.60)) {
+      val exact = Queries.all("ann_brute_force")(spark, d)
+        .select("probe_id", "cand_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (p, rows) => p -> rows.map(_.getLong(1)).toSet }
+      val approx = Queries.all("ann_lsh_auto")(spark, d)
+        .select("probe_id", "cand_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (p, rows) => p -> rows.map(_.getLong(1)).toSet }
+      val per = exact.toSeq.map { case (p, ex) =>
+        approx.getOrElse(p, Set.empty[Long]).intersect(ex).size.toDouble / ex.size
+      }
+      val recall = per.sum / per.size
+      info(f"ann_lsh_auto recall@5 at $d: $recall%.3f")
+      assert(recall >= floor,
+        f"auto-geometry recall collapsed at $d: $recall%.3f (floor $floor)")
+    }
+  }
+
   test("banded embedding dedup recovers most exact-cosine pairs") {
     val banded = Queries.all("dedup_embedding_cosine")(spark, dir)
       .select("vec_id_a", "vec_id_b").collect()

@@ -115,6 +115,23 @@ class SimilaritySpec extends SparkSpec {
     assert(autoBandGeometry(Long.MaxValue)._2 == 16, "bits clamp at 16")
   }
 
+  test("autoBandGeometryExact agrees with the float formula everywhere") {
+    import graft.operators.Similarity.{autoBandGeometry, autoBandGeometryExact}
+    // exhaustive through the whole sub-clamp range (bits saturate at 16
+    // for n >= 64 * 2^16 = 4,194,304), then spot checks beyond
+    for (n <- (1L to 4200000L by 997L) ++ Seq(1L, 63L, 64L, 65L, 4096L,
+        4097L, 4194304L, 4194305L, 1000000000L, Long.MaxValue))
+      assert(autoBandGeometryExact(n) == autoBandGeometry(n),
+        s"exact/float geometry disagree at n=$n")
+    // and the power-of-two boundaries the float formula is most fragile at
+    for (b <- 0 to 40; d <- -1L to 1L) {
+      val n = (1L << b) + d
+      if (n >= 1)
+        assert(autoBandGeometryExact(n) == autoBandGeometry(n),
+          s"exact/float geometry disagree at n=$n")
+    }
+  }
+
   test("embedding_covariance is a valid moment matrix (diag >= 0, Cauchy-Schwarz)") {
     val rows = graft.queries.SimilarityQueries
       .embeddingCovariance(spark, "/root/testdata/sf0.001")
