@@ -202,11 +202,20 @@ object Similarity {
     * count (a driver-side scalar, the prep_pipeline idiom); the
     * knn_graph neighbor-side cap remains the safety bound for skewed
     * buckets this sizing can't see.
+    *
+    * The clamp tops at 15 bits, not 16: all bands pack into ONE long
+    * signature, and 4 bands x 16 bits would place plane 63 in the sign
+    * bit, where arithmetic shiftright and the two engines' negative-%
+    * conventions make band extraction fragile. 4x15 = 60 planes keeps
+    * the whole signature in the 62 value bits. Past the clamp
+    * (n >= 64*2^15 ~ 2.1M vectors) occupancy grows linearly again —
+    * that's the regime where BANDS must grow (more signature longs),
+    * not bits.
     */
   def autoBandGeometry(n: Long, targetOccupancy: Int = 64,
                        bands: Int = 4): (Int, Int) = {
     val buckets = math.max(1.0, n.toDouble / targetOccupancy)
-    val bits = math.min(16,
+    val bits = math.min(15,
       math.max(2, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
     (bands * bits, bits)
   }
@@ -226,7 +235,7 @@ object Similarity {
       n / targetOccupancy + (if (n % targetOccupancy == 0L) 0L else 1L))
     val raw =
       if (cb <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(cb - 1)
-    val bits = math.min(16, math.max(2, raw))
+    val bits = math.min(15, math.max(2, raw))
     (bands * bits, bits)
   }
 

@@ -119,7 +119,7 @@ object SimilarityQueries {
   // that gates row membership.
   private val GeoCte: String =
     """geo AS (
-      |  SELECT CAST(least(16, greatest(2, length(bin(
+      |  SELECT CAST(least(15, greatest(2, length(bin(
       |      greatest(CAST(1 AS BIGINT),
       |        CAST(ceil(count(*) / 64.0) AS BIGINT)) - 1)))) AS INT) AS bits
       |  FROM emb)""".stripMargin

@@ -107,12 +107,14 @@ class SimilaritySpec extends SparkSpec {
       assert(planes == 4 * bits)
       val expectedOcc = n.toDouble / (1L << bits)
       // ceil(log2) overshoots by at most 1 bit: occupancy in (target/2, target]
-      if (bits < 16)
+      if (bits < 15)
         assert(expectedOcc <= 64.0 && expectedOcc > 16.0,
           s"n=$n bits=$bits expected occupancy $expectedOcc off target")
     }
     assert(autoBandGeometry(10L)._2 == 2, "small corpora clamp to 2 bits")
-    assert(autoBandGeometry(Long.MaxValue)._2 == 16, "bits clamp at 16")
+    // 15, not 16: 4 bands x 16 bits would pack plane 63 into the long
+    // signature's SIGN bit (engine-fragile shift/% semantics there)
+    assert(autoBandGeometry(Long.MaxValue)._2 == 15, "bits clamp at 15")
   }
 
   test("autoBandGeometryExact agrees with the float formula everywhere") {
