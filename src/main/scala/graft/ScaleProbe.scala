@@ -28,14 +28,19 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
-    val sf1 = "/tmp/graft_scaleprobe_sf1"
+    // replication factor: 10 = the standard sf1 probe; 100 gives a second
+    // point on the scaling curve (SPARK_GRAFT_SCALE_FACTOR=100)
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val sf1 =
+      if (factor == 10) "/tmp/graft_scaleprobe_sf1"
+      else s"/tmp/graft_scaleprobe_x$factor"
 
     def ensureSf1(): Unit = {
       val done = new java.io.File(s"$sf1/_DONE")
       if (done.exists()) return
       val docs = Tables.documents(spark, src)
       val embs = spark.read.parquet(s"$src/embeddings.parquet")
-      val replicas = (0 until 10).map { r =>
+      val replicas = (0 until factor).map { r =>
         docs.select(
           (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
           // replicas keep ~all shingles in common (near-dups by design);
@@ -47,7 +52,7 @@ object ScaleProbe {
       replicas.reduce(_.unionByName(_))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$sf1/documents.parquet")
-      val embReplicas = (0 until 10).map { r =>
+      val embReplicas = (0 until factor).map { r =>
         embs.select(
           (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
           (if (r == 0) col("embedding")
@@ -65,23 +70,23 @@ object ScaleProbe {
       // orders as TPC-H scales them); part/supplier/nation/region stay
       // dims at this scale and copy through unchanged
       val li = Tables.lineitem(spark, src)
-      (0 until 10).map(r => li.withColumn("l_orderkey",
+      (0 until factor).map(r => li.withColumn("l_orderkey",
           col("l_orderkey") + lit(r * 100000000L)))
         .reduce(_.unionByName(_)).repartition(64)
         .write.mode("overwrite").parquet(s"$sf1/lineitem.parquet")
       val ord = Tables.orders(spark, src)
-      (0 until 10).map(r => ord
+      (0 until factor).map(r => ord
           .withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
           .withColumn("o_custkey", col("o_custkey") + lit(r * 10000000L)))
         .reduce(_.unionByName(_)).repartition(32)
         .write.mode("overwrite").parquet(s"$sf1/orders.parquet")
       val cust = Tables.customer(spark, src)
-      (0 until 10).map(r => cust.withColumn("c_custkey",
+      (0 until factor).map(r => cust.withColumn("c_custkey",
           col("c_custkey") + lit(r * 10000000L)))
         .reduce(_.unionByName(_)).repartition(8)
         .write.mode("overwrite").parquet(s"$sf1/customer.parquet")
       val ev = Tables.events(spark, src)
-      (0 until 10).map(r => ev
+      (0 until factor).map(r => ev
           .withColumn("event_id", col("event_id") + lit(r * 100000000L))
           .withColumn("user_id", col("user_id") + lit(r * 10000000L)))
         .reduce(_.unionByName(_)).repartition(32)

@@ -69,6 +69,17 @@ object Similarity {
     (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
   }
 
+  /** The j-th hyperplane as a plain constant vector (codegen embeds it
+    * as one referenced double[] via DoubleArrayDotConst — never dim
+    * inline literals).
+    */
+  def planeValues(j: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(d => planeValue(j, d))
+
+  /** Codegen-friendly dot of the vector column against plane j. */
+  def planeDot(v: Column, j: Int, dim: Int): Column =
+    graft.plans.VectorExprs.dotConst(v, planeValues(j, dim))
+
   /** The j-th hyperplane as a constant array<double> literal. */
   def planeArray(j: Int, dim: Int): Column =
     array((0 until dim).map(d => lit(planeValue(j, d))): _*)
@@ -85,7 +96,7 @@ object Similarity {
   def lshBuckets(spark: SparkSession, vectors: DataFrame, numPlanes: Int,
                  dim: Int): DataFrame = {
     val bucket = (0 until numPlanes).map { j =>
-      when(graft.plans.VectorExprs.dot(col("v"), planeArray(j, dim)) > 0,
+      when(planeDot(col("v"), j, dim) > 0,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     vectors.withColumn("bucket", bucket)
@@ -243,11 +254,21 @@ object Similarity {
                dim: Int, bandBits: Int): DataFrame = {
     require(numPlanes % bandBits == 0, "bandBits must divide numPlanes")
     val numBands = numPlanes / bandBits
-    lshBuckets(spark, vectors, numPlanes, dim)
-      .select(col("id"),
-        posexplode(array((0 until numBands).map(b =>
-          shiftright(col("bucket"), b * bandBits) % (1 << bandBits)): _*))
-          .as(Seq("band", "sig")))
+    // Per-band signatures computed DIRECTLY (sig_b = Σ_r [dot_{b*bits+r}
+    // > 0] << r), not extracted from the packed bucket column: a bucket
+    // reference in each of numBands expressions gets re-inlined by
+    // CollapseProject, so the wide-geometry form (48 planes at the x100
+    // probe) evaluated every plane dot numBands times AND blew past
+    // Janino's method limit into interpreted fallback. Bit-identical to
+    // (bucket >> b*bits) % 2^bits — the oracle keeps the packed form.
+    val sigs = (0 until numBands).map { b =>
+      (0 until bandBits).map { r =>
+        when(planeDot(col("v"), b * bandBits + r, dim) > 0,
+          lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    vectors.select(col("id"),
+      posexplode(array(sigs: _*)).as(Seq("band", "sig")))
   }
 
   /** Probe-side band rows with MULTI-PROBE extension (Lv et al. 2007):
@@ -266,8 +287,8 @@ object Similarity {
     val bandStructs = (0 until numBands).flatMap { b =>
       val sig = shiftright(col("bucket"), b * bandBits) % (1 << bandBits)
       val rstar = array_min(array((0 until bandBits).map { r =>
-        struct(abs(graft.plans.VectorExprs.dot(col("v"),
-          planeArray(b * bandBits + r, dim))).as("a"), lit(r).as("r"))
+        struct(abs(planeDot(col("v"), b * bandBits + r, dim)).as("a"),
+          lit(r).as("r"))
       }: _*)).getField("r")
       val flipMask = (0 until bandBits)
         .map(r => when(rstar === r, lit(1L << r)))

@@ -55,9 +55,65 @@ case class DoubleArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot of an array<double> column against a COMPILE-TIME-CONSTANT vector.
+  *
+  * The generic form with a `CreateArray` of literals codegens dim
+  * `update(i, const)` statements per plane per row — at wide LSH
+  * geometries (48 planes x 64 dims at the x100 probe) that's thousands
+  * of statements in one projection method: past Janino's 64KB limit into
+  * interpreted fallback, and a fresh array allocation per row even when
+  * it compiles. Here the constants ride along as ONE referenced double[]
+  * (ctx.addReferenceObj — a field of the generated class, materialized
+  * once), and the loop is the same tight primitive sweep. IEEE order
+  * identical to [[DoubleArrayDot]], so the DuckDB list_dot_product
+  * oracle is unaffected.
+  */
+case class DoubleArrayDotConst(child: Expression, consts: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "double_array_dot_const"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), consts.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * consts(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val arr = ctx.addReferenceObj("planeConsts", consts, "double[]")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $arr.length);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $arr[$i];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DoubleArrayDotConst =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column wrapper: dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       DoubleArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Dot of an array<double> column against a constant vector (one
+    * referenced double[] in codegen, not dim inline literals).
+    */
+  def dotConst(a: Column, consts: Array[Double]): Column =
+    ColumnBridge.column(
+      DoubleArrayDotConst(ColumnBridge.expression(a), consts))
 }

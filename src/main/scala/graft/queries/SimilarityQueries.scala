@@ -226,9 +226,27 @@ object SimilarityQueries {
     */
   private val BucketNbrCap = 512
 
-  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphWith(s, dir, NumPlanes, BandBits)
+
+  /** knn_graph with the band geometry derived from count(*) — the 100x
+    * survival path. The fixed 4x2-bit geometry has 16 buckets TOTAL, so
+    * occupancy grows linearly with the corpus and the capped self-join's
+    * candidate volume approaches BucketNbrCap x bands x N (the x100 probe
+    * measured the fixed form spilling ~80 GB at 200k vectors before
+    * dying); sizing bits from the count holds occupancy near 64, so
+    * candidates stay ~64 x bands x N with the cap disengaged at every SF.
+    */
+  def knnGraphAuto(s: SparkSession, dir: String): DataFrame = {
+    val (planes, bits) =
+      Similarity.autoBandGeometryExact(emb(s, dir).count())
+    knnGraphWith(s, dir, planes, bits)
+  }
+
+  private def knnGraphWith(s: SparkSession, dir: String, numPlanes: Int,
+                           bandBits: Int): DataFrame = {
     val e = emb(s, dir).select(col("id"), col("v"))
-    val bands = Similarity.lshBands(s, e, NumPlanes, Dim, BandBits)
+    val bands = Similarity.lshBands(s, e, numPlanes, Dim, bandBits)
     val wcap = Window.partitionBy(col("band"), col("sig"))
       .orderBy(graft.functions.TextHash.hash64(col("id").cast("string")),
         col("id"))
@@ -280,6 +298,31 @@ object SimilarityQueries {
 
   val knnGraphSql: String =
     s"""WITH $KnnCtes
+       |SELECT src_id, rank, nbr_id, CAST(cosine AS DOUBLE) AS cosine
+       |FROM ranked WHERE rank <= $K ORDER BY src_id, rank""".stripMargin
+
+  val knnGraphAutoSql: String =
+    s"""WITH $EmbCte,
+       |$GeoCte,
+       |$AutoPlanesBandsCte,
+       |nbr_side AS (
+       |  SELECT band, sig, id FROM (
+       |    SELECT band, sig, id, row_number() OVER (PARTITION BY band, sig
+       |      ORDER BY ${OracleSql.hash64("CAST(id AS VARCHAR)")}, id) AS bi
+       |    FROM bands) capped
+       |  WHERE bi <= $BucketNbrCap),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS src_id, b.id AS nbr_id
+       |  FROM bands a JOIN nbr_side b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.id <> b.id),
+       |scored AS (
+       |  SELECT x.src_id, x.nbr_id, $CosineSql AS cosine
+       |  FROM cands x JOIN emb p ON p.id = x.src_id
+       |       JOIN emb c ON c.id = x.nbr_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id
+       |    ORDER BY cosine DESC, nbr_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
        |SELECT src_id, rank, nbr_id, CAST(cosine AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $K ORDER BY src_id, rank""".stripMargin
 
@@ -1395,6 +1438,7 @@ object SimilarityQueries {
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
     "ann_lsh_auto" -> (annLshAuto _),
+    "knn_graph_auto" -> (knnGraphAuto _),
     "knn_graph" -> (knnGraph _),
     "label_propagation" -> (labelPropagation _),
     "ann_lsh_multiprobe" -> (annLshMultiprobe _),
@@ -1418,6 +1462,7 @@ object SimilarityQueries {
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,
     "ann_lsh_auto" -> annLshAutoSql,
+    "knn_graph_auto" -> knnGraphAutoSql,
     "knn_graph" -> knnGraphSql,
     "label_propagation" -> labelPropagationSql,
     "ann_lsh_multiprobe" -> annLshMultiprobeSql,
