@@ -68,24 +68,34 @@ case class DoubleArrayDot(left: Expression, right: Expression)
   * identical to [[DoubleArrayDot]], so the DuckDB list_dot_product
   * oracle is unaffected.
   */
-case class DoubleArrayDotConst(child: Expression, consts: Array[Double])
+case class DoubleArrayDotConst(child: Expression, consts: IndexedSeq[Double])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  /** `consts` rides as IndexedSeq, NOT Array: case-class equality over an
+    * Array parameter is reference equality, so two builds of the same
+    * logical plan would never canonicalize equal — breaking CacheManager's
+    * identical-plan dedup (a re-invoked query re-caches instead of
+    * reusing; the r7 bench measured label_propagation's edge cache missing
+    * on every run, 0.8 s -> 3.5 s, plus duplicate-cache memory pressure
+    * across the sweep).
+    */
+  private lazy val arr: Array[Double] = consts.toArray
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "double_array_dot_const"
 
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), consts.length)
+    val n = math.min(x.numElements(), arr.length)
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * consts(i); i += 1 }
+    while (i < n) { acc += x.getDouble(i) * arr(i); i += 1 }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val arr = ctx.addReferenceObj("planeConsts", consts, "double[]")
+      val arr = ctx.addReferenceObj("planeConsts", this.arr, "double[]")
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
@@ -111,9 +121,11 @@ object VectorExprs {
       DoubleArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Dot of an array<double> column against a constant vector (one
-    * referenced double[] in codegen, not dim inline literals).
+    * referenced double[] in codegen, not dim inline literals). The copy
+    * to an immutable IndexedSeq buys structural plan equality (see
+    * [[DoubleArrayDotConst]]).
     */
   def dotConst(a: Column, consts: Array[Double]): Column =
     ColumnBridge.column(
-      DoubleArrayDotConst(ColumnBridge.expression(a), consts))
+      DoubleArrayDotConst(ColumnBridge.expression(a), consts.toIndexedSeq))
 }

@@ -558,11 +558,20 @@ object SimilarityQueries {
   private val centroidCache =
     scala.collection.mutable.Map[String, Seq[(Long, Seq[Double])]]()
 
-  private def ivfCentroids(s: SparkSession, dir: String): DataFrame = {
+  private def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    ivfCentroidsN(s, dir, NList)
+
+  /** Same memoized training, parameterized list count (semantic_dedup_auto
+    * sizes nlist from the corpus; the collect stays bounded by the caller's
+    * clamp). Cache key carries nlist so fixed- and auto-geometry queries
+    * never serve each other's centroids.
+    */
+  private def ivfCentroidsN(s: SparkSession, dir: String,
+                            nlist: Int): DataFrame = {
     import s.implicits._
     val rows = synchronized {
-      centroidCache.getOrElseUpdate(dir,
-        Similarity.trainCentroids(emb(s, dir), NList, IvfIters, Dim))
+      centroidCache.getOrElseUpdate(s"$dir#$nlist",
+        Similarity.trainCentroids(emb(s, dir), nlist, IvfIters, Dim))
     }
     rows.toDF("id", "v")
   }
@@ -1432,8 +1441,160 @@ object SimilarityQueries {
        |  CAST(cosine AS DOUBLE) AS cosine
        |FROM sel WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // ---- Corpus-sized production variants of the embedding-dedup gates ----------
+  // dedup_embedding_cosine and semantic_dedup both bound their quadratic
+  // verify by a FIXED partition count (16 LSH buckets / 64 k-means lists),
+  // so per-partition occupancy — and candidate-pair volume, which grows
+  // with occupancy SQUARED — scales linearly with the corpus: the same
+  // failure mode the x100 probe measured killing fixed-geometry knn_graph
+  // (~80 GB of spilled shuffle at 200k vectors). These twins derive the
+  // partition count from count(*) so occupancy stays flat and pair volume
+  // stays ~linear in N. The fixed forms remain in the registry as the
+  // oracle-stable baselines; these are the shapes a deployment runs.
+  //
+  // Recall under auto-sizing is similarity-dependent: a pair at cosine c
+  // collides per band with (1-acos(c)/pi)^bits, so widening bands costs
+  // recall on MODERATE pairs while true near-dups (c -> 1) keep collision
+  // probability -> 1 at any width — exactly the selectivity a dedup gate
+  // wants (RecallSpec pins subset-of-truth and strong-pair recall).
+
+  def dedupEmbeddingAuto(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("id"), col("v"))
+    // ONE bounded driver scalar sizes the geometry (the knn_graph_auto /
+    // prep_pipeline idiom: plan STRUCTURE must be known before the plan
+    // builds; a deployment sizes once per corpus, then serves)
+    val (planes, bits) = Similarity.autoBandGeometryExact(e.count())
+    val bands = Similarity.lshBands(s, e, planes, Dim, bits)
+    val cands = bands.select(col("band"), col("sig"), col("id").as("id_a"))
+      .join(bands.select(col("band"), col("sig"), col("id").as("id_b")),
+        Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(e.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= SemThreshold)
+      .select(col("id_a").as("vec_id_a"), col("id_b").as("vec_id_b"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("vec_id_a", "vec_id_b")
+  }
+
+  val dedupEmbeddingAutoSql: String =
+    s"""WITH $EmbCte,
+       |$GeoCte,
+       |$AutoPlanesBandsCte,
+       |cands AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |pairs AS (
+       |  SELECT * FROM (
+       |    SELECT x.id_a, x.id_b,
+       |      list_dot_product(ea.v, eb.v) /
+       |        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+       |        AS cosine
+       |    FROM cands x JOIN emb ea ON x.id_a = ea.id
+       |         JOIN emb eb ON x.id_b = eb.id) t
+       |  WHERE cosine >= $SemThreshold)
+       |SELECT id_a AS vec_id_a, id_b AS vec_id_b, CAST(cosine AS DOUBLE) AS cosine
+       |FROM pairs ORDER BY vec_id_a, vec_id_b""".stripMargin
+
+  /** Cluster-count sizing for semantic_dedup_auto: nlist = ceil(N / 128)
+    * clamped to [16, 4096]. Each vector posts to SemNProbe lists, so
+    * expected list occupancy holds near 256 at any corpus size and the
+    * within-list pair volume stays ~linear in N (nlist x C(occ, 2)) —
+    * vs the fixed-64-list form whose occupancy, and quadratic pair term,
+    * grow with the corpus. 128 is a power of two, so DuckDB's
+    * ceil(count / 128.0) is float-exact at any count below 2^53 and both
+    * engines derive the identical nlist. The 4096 cap bounds the centroid
+    * broadcast (4096 x 64 doubles = 2 MB) and the trainCentroids driver
+    * collect; past it (N > 512k here) occupancy grows again — that's the
+    * regime where assignment becomes a shuffle join against a sharded
+    * centroid table instead of a broadcast (SemDeDup at 100 TB), a plan
+    * change, not a constant change.
+    */
+  private val SemAutoOcc = 128
+  private val SemAutoMin = 16
+  private val SemAutoMax = 4096
+
+  private def semAutoNList(n: Long): Int = {
+    val cb = n / SemAutoOcc + (if (n % SemAutoOcc == 0L) 0L else 1L)
+    math.min(SemAutoMax.toLong, math.max(SemAutoMin.toLong, cb)).toInt
+  }
+
+  def semanticDedupAuto(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val nlist = semAutoNList(e.count())
+    val asg = Similarity.ivfAssignN(e, ivfCentroidsN(s, dir, nlist), SemNProbe)
+      .select(col("id"), col("cent_id"))
+    val cands = asg.select(col("cent_id"), col("id").as("id_a"))
+      .join(asg.select(col("cent_id"), col("id").as("id_b")), Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val pairs = cands
+      .join(e.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= SemThreshold)
+    pairs.groupBy(col("id_b").as("vec_id"))
+      .agg(min(struct(col("id_a"), col("cosine"))).as("f"))
+      .select(col("vec_id"), col("f.id_a").as("dup_of"),
+        col("f.cosine").cast("double").as("cosine"))
+      .orderBy("vec_id")
+  }
+
+  /** lazy: sits above the IVF constant declarations (NList/IvfIters
+    * initialize later in the object body).
+    */
+  lazy val semanticDedupAutoSql: String =
+    s"""WITH $EmbCte,
+       |nl AS (
+       |  SELECT CAST(least($SemAutoMax, greatest($SemAutoMin,
+       |    CAST(ceil(count(*) / $SemAutoOcc.0) AS BIGINT))) AS BIGINT) AS nlist
+       |  FROM emb),
+       |cents0 AS (
+       |  SELECT id AS cent_id, v AS cv0 FROM (
+       |    SELECT id, v, row_number() OVER (
+       |      ORDER BY ${OracleSql.hash64("CAST(id AS VARCHAR)")}, id) AS rn
+       |    FROM emb) t, nl
+       |  WHERE t.rn <= nl.nlist),
+       |${ivfIterCtes(IvfIters)},
+       |cents AS (SELECT cent_id, cv0 FROM cents$IvfIters),
+       |assigned AS (
+       |  SELECT id, cent_id FROM (
+       |    SELECT e.id, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.id ORDER BY
+       |        list_dot_product(e.v, c.cv0) /
+       |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv0, c.cv0)))
+       |        DESC, c.cent_id ASC) AS cr
+       |    FROM emb e, cents c) t
+       |  WHERE cr <= $SemNProbe),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cent_id = b.cent_id AND a.id < b.id),
+       |pairs AS (
+       |  SELECT * FROM (
+       |    SELECT x.id_a, x.id_b,
+       |      list_dot_product(ea.v, eb.v) /
+       |        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+       |        AS cosine
+       |    FROM cands x JOIN emb ea ON x.id_a = ea.id
+       |         JOIN emb eb ON x.id_b = eb.id) t
+       |  WHERE cosine >= $SemThreshold),
+       |sel AS (
+       |  SELECT id_a, id_b, cosine,
+       |    row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+       |  FROM pairs)
+       |SELECT id_b AS vec_id, id_a AS dup_of,
+       |  CAST(cosine AS DOUBLE) AS cosine
+       |FROM sel WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "semantic_dedup" -> (semanticDedup _),
+    "semantic_dedup_auto" -> (semanticDedupAuto _),
+    "dedup_embedding_auto" -> (dedupEmbeddingAuto _),
     "embedding_clusters" -> (embeddingClusters _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
@@ -1458,6 +1619,8 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "embedding_covariance" -> embeddingCovarianceSql,
     "semantic_dedup" -> semanticDedupSql,
+    "semantic_dedup_auto" -> semanticDedupAutoSql,
+    "dedup_embedding_auto" -> dedupEmbeddingAutoSql,
     "embedding_clusters" -> embeddingClustersSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,

@@ -68,6 +68,25 @@ class SimilaritySpec extends SparkSpec {
       "search served a deleted vector")
   }
 
+  test("two independent builds of a plane-dot plan canonicalize equal") {
+    // CacheManager dedupes caches (and reuses cached subtrees across
+    // queries) by canonicalized-plan equality. DoubleArrayDotConst must
+    // therefore be STRUCTURALLY equal across builds — an Array constructor
+    // parameter (reference equality) broke this: every re-invocation of a
+    // cached-edge query (label_propagation) re-cached instead of reusing,
+    // 0.8 s -> 3.5 s in the r7 bench plus duplicate-cache memory pressure.
+    val df = Seq((1L, Seq(0.5, -0.25))).toDF("id", "v")
+    def plan(d: org.apache.spark.sql.DataFrame) =
+      d.select(graft.plans.VectorExprs.dotConst(col("v"),
+        Array(0.125, -0.375)).as("dot"))
+    val a = plan(df)
+    val b = plan(df)
+    assert(a.queryExecution.analyzed.sameResult(b.queryExecution.analyzed),
+      "independently-built plane-dot plans do not canonicalize equal — " +
+        "cache dedup and reuse are broken for every LSH query")
+    assert(a.collect().map(_.getDouble(0)).toSeq == Seq(0.5 * 0.125 + 0.25 * 0.375))
+  }
+
   test("lshBuckets: equal vectors collide, negated vectors flip every bit") {
     val v = (0 until 64).map(i => math.sin(i + 1.0))
     val df = Seq((1L, v), (2L, v), (3L, v.map(-_))).toDF("id", "v")
