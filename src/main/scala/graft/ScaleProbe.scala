@@ -115,7 +115,8 @@ object ScaleProbe {
     ensureSf1()
     val targets =
       if (args.nonEmpty) args.toSeq
-      else Seq("knn_graph", "ingest_pipeline", "q1_agg", "q3_shipping",
+      else Seq("knn_graph", "knn_graph_auto", "dedup_embedding_auto",
+        "semantic_dedup_auto", "ingest_pipeline", "q1_agg", "q3_shipping",
         "q5_star_join", "q7_volume_shipping", "events_sessionize",
         "events_session_window", "scd2_history", "dedup_minhash_lsh",
         "token_pmi", "graph_pagerank", "index_postings", "bm25_search")

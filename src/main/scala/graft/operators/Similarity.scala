@@ -118,16 +118,43 @@ object Similarity {
     * IVF build assignment; n>1 is multi-probe indexing (a vector posted to
     * its n closest lists), the standard recall knob when cluster boundaries
     * split near-neighbors. Ties break on cent_id, same as everywhere.
+    *
+    * Shape: `n` passes of a partial-aggregating argmax — each pass
+    * crossJoins the broadcast centroid table (map-side, codegen'd dots),
+    * excludes the previously-picked lists with a narrow array filter, and
+    * collapses to one row per vector BEFORE the exchange, so every pass
+    * shuffles N rows. The previous form ranked with a row_number window
+    * over the unaggregated N x nlist cross join with the vector column
+    * riding along — at the x100 probe's corpus-sized nlist (200k vectors
+    * x 1563 lists x ~600 B/row ≈ 180 GB into one window sort) it was the
+    * assignment itself, not the pair verify, that died. Iterative argmax
+    * picks the identical set: per pass the max of (sim, -cent_id) is
+    * exactly the next row_number under ORDER BY sim DESC, cent_id ASC —
+    * the DuckDB oracles keep the window form.
     */
   def ivfAssignN(vectors: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
-    val c = centroids.select(col("id").as("cent_id"), col("v").as("cv"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("sim").desc, col("cent_id").asc)
-    vectors.crossJoin(broadcast(c))
-      .withColumn("sim", cosine(col("v"), col("cv")))
-      .withColumn("cr", row_number().over(w))
-      .filter(col("cr") <= n)
-      .select(col("id"), col("v"), col("cent_id"))
+    val c = broadcast(centroids
+      .select(col("id").as("cent_id"), col("v").as("cv")))
+    // (id, v, picked) accumulator; picked = lists already assigned
+    var cur = vectors.select(col("id"), col("v"),
+      array().cast("array<long>").as("picked"))
+    val picks = (1 to n).map { _ =>
+      val best = cur.crossJoin(c)
+        .filter(!array_contains(col("picked"), col("cent_id")))
+        .withColumn("sim", cosine(col("v"), col("cv")))
+        .groupBy(col("id"))
+        // v and picked ride INSIDE the max struct (compared only on full
+        // (sim, nc) ties, impossible — nc is distinct per candidate), so
+        // the argmax needs no re-join to recover them
+        .agg(max(struct(col("sim").as("s"), (-col("cent_id")).as("nc"),
+          col("v").as("vv"), col("picked").as("pk"))).as("m"))
+        .select(col("id"), col("m.vv").as("v"), (-col("m.nc")).as("cent_id"),
+          col("m.pk").as("picked"))
+      cur = best.select(col("id"), col("v"),
+        array_union(col("picked"), array(col("cent_id"))).as("picked"))
+      best.select(col("id"), col("v"), col("cent_id"))
+    }
+    picks.reduce(_.unionByName(_))
   }
 
   /** The NList hash-smallest ids' vectors — the deterministic uniform seed
