@@ -179,6 +179,26 @@ class PlanSpec extends SparkSpec {
       s"embedding dedup regressed to an all-pairs join:\n$p")
   }
 
+  test("centroid assignment argmax partial-aggregates; no window over the cross join") {
+    // ivfAssignN's r7 scale fix: the per-vector centroid argmax must be a
+    // map-side-collapsing aggregate, NOT a row_number window over the
+    // N x nlist cross join (the window form sorted ~180 GB at the x100
+    // probe's corpus-sized nlist with the 64-dim vector riding every row)
+    for (q <- Seq("semantic_dedup_auto", "semantic_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q ranks centroids through a window over the cross join:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q assignment aggregate lost its partial (map-side) phase:\n$p")
+    }
+  }
+
+  test("auto-geometry dedup twin keeps hash-join candidates, never all-pairs") {
+    val p = plan("dedup_embedding_auto")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"auto-geometry embedding dedup regressed to an all-pairs join:\n$p")
+  }
+
   test("lsh bucket assignment is narrow (no shuffle to compute buckets)") {
     val p = plan("ann_lsh")
     // round-1 form shuffled twice on vector id (posexplode + groupBy);
