@@ -178,6 +178,98 @@ object DedupQueries {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir).orderBy("doc_id_a", "doc_id_b")
 
+  // ---- MinHash + LSH near-dup over SHINGLE sets (the production form) ---------
+  // The unigram form above is the oracle-stable baseline; its signature
+  // entropy is bounded by the corpus VOCABULARY, not the corpus size —
+  // the x100 probe measured the testdata's ~31-word base vocabulary
+  // putting ~60% of all docs into one modal band bucket (7.2e9 candidate
+  // pairs; widening bands to 8 rows still left 1.2e9, because with
+  // random-pair unigram jaccard ~0.63 the corpus genuinely contains
+  // billions of moderate pairs). Positional 3-shingles multiply the
+  // effective vocabulary combinatorially (130 -> 83k distinct values on
+  // the same corpus; max bucket 62766 -> 200; pair volume 7.2e9 -> 18e6,
+  // ~400x) — which is why the ingest_pipeline near gate was built on
+  // shingles from the start. This query is that gate's standalone twin:
+  // same 8x2 banding, exact SHINGLE-set jaccard >= 0.8, and — unlike the
+  // unigram baseline, which needs its %5 cost-subset — run over the FULL
+  // corpus: shingle selectivity is precisely what makes that affordable
+  // (sf0.01: 29 candidates corpus-wide, 25 verified pairs).
+  private def shingledSets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("id"),
+        array_distinct(TextHash.hashedShingles(
+          transform(Tokenizer.tokenize(col("text")),
+            t => TextHash.hashMod(t)), 3)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .registeredCache()
+
+  def dedupMinhashShingled(s: SparkSession, dir: String): DataFrame = {
+    val sets = shingledSets(s, dir)
+    val sigs = sets.select(
+      col("id") +: Dedup.minHashSignaturesHashed(col("toks"), NumHashes): _*)
+    val cands = Dedup.lshCandidates(sigs, NumHashes, RowsPerBand)
+    val sa = sets.select(col("id").as("id_a"), col("toks").as("toks_a"))
+    val sb = sets.select(col("id").as("id_b"), col("toks").as("toks_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        graft.plans.ArrayJaccard.jaccardLong(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
+        col("jaccard").cast("double").as("jaccard"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  val dedupMinhashShingledSql: String = {
+    val mhExprs = (0 until NumHashes).map { i =>
+      val (a, b) = mhParams(i)
+      s"list_min(list_transform(toks, x -> (x * $a + $b) % $P)) AS mh$i"
+    }.mkString(",\n    ")
+    val bandArms = (0 until NumHashes / RowsPerBand).map { bnd =>
+      val h1 = s"mh${bnd * RowsPerBand}"
+      val h2 = s"mh${bnd * RowsPerBand + 1}"
+      s"SELECT id, $bnd AS band, $h1 AS h1, $h2 AS h2 FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    val shingle3 =
+      s"(((t1.h * 1000003 + t2.h) % $P) * 1000003 + t3.h) % $P"
+    val hashedToks =
+      s"""SELECT doc_id, pos, ${OracleSql.hashMod("term")} AS h FROM (
+         |    SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+         |    FROM lx)""".stripMargin
+    s"""WITH lx AS (
+       |  SELECT doc_id, list_filter(string_split_regex(
+       |      regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'),
+       |      x -> x <> '') AS l
+       |  FROM documents),
+       |tok AS (
+       |  SELECT t1.doc_id AS id, list_distinct(list($shingle3)) AS toks
+       |  FROM ($hashedToks) t1
+       |  JOIN ($hashedToks) t2
+       |    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       |  JOIN ($hashedToks) t3
+       |    ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+       |  GROUP BY t1.doc_id),
+       |nonempty AS (SELECT * FROM tok WHERE len(toks) > 0),
+       |sigs AS (
+       |  SELECT id, toks,
+       |    $mhExprs
+       |  FROM nonempty),
+       |bands AS (
+       |  $bandArms),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.id < b.id)
+       |SELECT c.id_a AS doc_id_a, c.id_b AS doc_id_b,
+       |  CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
+       |    len(list_distinct(sa.toks || sb.toks)) AS jaccard
+       |FROM cands c
+       |JOIN nonempty sa ON c.id_a = sa.id
+       |JOIN nonempty sb ON c.id_b = sb.id
+       |WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
+       |    len(list_distinct(sa.toks || sb.toks)) >= 0.8
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+  }
+
   /** One label-propagation run per (JVM, sfDir), shared by the three views
     * of the same cluster structure (dedup_clusters, dedup_keeper_quality,
     * dedup_splits). The loop is imperative — it runs jobs — so plan-level
@@ -1320,6 +1412,7 @@ object DedupQueries {
     "dedup_incremental_near" -> (dedupIncrementalNear _),
     "dedup_incremental_persisted" -> (dedupIncrementalPersisted _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_minhash_shingled" -> (dedupMinhashShingled _),
     "minhash_eval" -> (minhashEval _),
     "stream_dedup_near" -> (streamDedupNear _),
     "ingest_pipeline" -> (ingestPipeline _),
@@ -1344,6 +1437,7 @@ object DedupQueries {
     "dedup_incremental_near" -> dedupIncrementalNearSql,
     "dedup_incremental_persisted" -> dedupIncrementalPersistedSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_minhash_shingled" -> dedupMinhashShingledSql,
     "minhash_eval" -> minhashEvalSql,
     "stream_dedup_near" -> dedupMinhashLshSql,
     "ingest_pipeline" -> ingestPipelineSql,
