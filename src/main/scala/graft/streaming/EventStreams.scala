@@ -231,12 +231,15 @@ object EventStreams {
     */
   def dedupExactAvailableNow(s: SparkSession, dir: String): DataFrame = {
     val srcDir = freshDir("dedup_src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      srcDir.resolve("events.parquet"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      srcDir.resolve("events.parquet2"))
+    // staged through the schema-adaptive reader + writeSingleFile like
+    // every other staged stream source — the previous raw Files.copy
+    // assumed events.parquet is a single FILE, which holds for the
+    // driver's testdata but not for directory-shaped parquet (what any
+    // Spark writer produces; the x100 ScaleProbe corpus surfaced it as
+    // an empty staged source)
+    val ev = graft.Tables.events(s, dir)
+    writeSingleFile(ev, srcDir, "events.parquet")
+    writeSingleFile(ev, srcDir, "events.parquet2")
     val deduped = eventsFileStream(s, srcDir.toString)
       .dropDuplicates("event_id")
     // total_value rounded to the 1e-6 grid in BOTH engines: the dedup
