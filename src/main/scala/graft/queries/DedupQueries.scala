@@ -743,13 +743,18 @@ object DedupQueries {
       .filter(size(col("sh")) > 0)
       .registeredCache()
     val inv = sets.select(col("id"), explode(col("sh")).as("shingle"))
-    // Stop-shingle cap: shingles present in > MaxShingleDf docs are
-    // discriminating nothing and would expand the pair join quadratically
-    // (the synthetic corpus's tiny vocabulary makes this extreme). Standard
-    // candidate-generation hygiene at scale; mirrored in the oracle.
+    // Stop-shingle cap: shingles present in more than max(MaxShingleDf,
+    // ceil(N/1000)) docs are discriminating nothing and would expand the
+    // pair join quadratically. The cap DERIVES from the subset count:
+    // boilerplate is a corpus FRACTION, not an absolute df — a fixed 20
+    // dropped every replica-shared shingle at the x100 probe (df ~ 100
+    // under dup-factor 100) and the query silently returned zero rows.
+    // Integer ceil-div in both engines; at the test SFs the derived cap
+    // equals the floor, so gate results are unchanged.
+    val maxDf = math.max(MaxShingleDf.toLong, (docs.count() + 999L) / 1000L)
     val rare = inv.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
+      .filter(col("df") <= maxDf)
       .select("shingle")
     val invRare = inv.join(rare, "shingle")
     val a = invRare.alias("a")
@@ -787,7 +792,9 @@ object DedupQueries {
        |  SELECT id, list_distinct(list(shingle)) AS sh FROM sh3 GROUP BY id),
        |inv AS (SELECT id, unnest(sh) AS shingle FROM sets),
        |rare AS (
-       |  SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= $MaxShingleDf),
+       |  SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= (
+       |    SELECT greatest($MaxShingleDf, (count(*) + 999) // 1000)
+       |    FROM documents WHERE doc_id % 2 = 0)),
        |inv_rare AS (SELECT inv.id, inv.shingle FROM inv JOIN rare USING (shingle)),
        |cands AS (
        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared

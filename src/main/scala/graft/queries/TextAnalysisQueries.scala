@@ -1689,7 +1689,18 @@ object TextAnalysisQueries {
   // fingerprint bucket can go quadratic at 100 TB.
   private val WinnowK = graft.operators.Winnow.DefaultK
   private val WinnowW = graft.operators.Winnow.DefaultW
-  private val WinnowMaxDf = 16  // stop-fingerprint cap for the overlap join
+  /** Stop-fingerprint cap FLOOR for the overlap join. The effective cap
+    * derives from the corpus: max(16, ceil(N/1000)) — boilerplate means
+    * "in a large FRACTION of docs", not "in more than 16 docs". A fixed
+    * absolute cap has the fixed-partition-count disease inverted: at the
+    * x100 probe (dup-factor 100) every replica-shared fingerprint has
+    * df ~ 100, a fixed 16 dropped ALL of them, and the overlap report
+    * silently returned zero rows — the bounding device destroyed the
+    * signal it bounds. ceil-div is integer in both engines; at the test
+    * SFs (N <= 10k) the derived cap equals the floor, so gate results
+    * are unchanged.
+    */
+  private val WinnowMaxDf = 16
 
   /** (doc_id, fps: array<long>) — the distinct winnowed fingerprint set. */
   private def winnowFps(s: SparkSession, dir: String): DataFrame =
@@ -1744,18 +1755,24 @@ object TextAnalysisQueries {
        |ORDER BY d.doc_id""".stripMargin
 
   // The MOSS overlap report: pairs of documents sharing >= 2 winnowed
-  // fingerprints, corpus-boilerplate fingerprints (df > MaxDf) excluded.
-  def winnowOverlap(s: SparkSession, dir: String): DataFrame =
+  // fingerprints, corpus-boilerplate fingerprints (df > the corpus-derived
+  // cap, see WinnowMaxDf) excluded.
+  def winnowOverlap(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(s, dir).count()
+    val maxDf = math.max(WinnowMaxDf.toLong, (n + 999L) / 1000L).toInt
     graft.operators.Winnow
-      .overlap(winnowFps(s, dir), WinnowMaxDf, minShared = 2)
+      .overlap(winnowFps(s, dir), maxDf, minShared = 2)
       .orderBy("doc_a", "doc_b")
+  }
 
   val winnowOverlapSql: String =
     s"""WITH $winnowSelCte,
        |kept AS (
        |  SELECT doc_id, fp FROM (
        |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM sel)
-       |  WHERE df BETWEEN 2 AND $WinnowMaxDf)
+       |  WHERE df BETWEEN 2 AND (
+       |    SELECT greatest($WinnowMaxDf, (count(*) + 999) // 1000)
+       |    FROM documents))
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(count(*) AS BIGINT) AS n_shared
        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
