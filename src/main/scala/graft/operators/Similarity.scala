@@ -132,6 +132,10 @@ object Similarity {
     * exactly the next row_number under ORDER BY sim DESC, cent_id ASC —
     * the DuckDB oracles keep the window form.
     */
+  // NOTE: pass k's plan stacks on the uncached chain of passes 1..k-1 and
+  // the final reduce(unionByName) re-executes every prefix, so total work
+  // is O(n^2) broadcast-argmax passes. Harmless at the registry's n=2;
+  // persist `cur` between passes before raising the multi-probe count.
   def ivfAssignN(vectors: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
     val c = broadcast(centroids
       .select(col("id").as("cent_id"), col("v").as("cv")))

@@ -22,6 +22,13 @@ object DedupQueries {
   private val P = TextHash.P
   private val NumHashes = 8
   private val RowsPerBand = 2
+  // The DuckDB band CTEs in this file (and the streaming keyed-state
+  // schema's h1/h2 columns) emit exactly TWO hash columns per band. If
+  // RowsPerBand ever changes, those oracles would silently compare only
+  // 2 of the rows per band and candidate sets would diverge — fail loudly
+  // instead of letting the hazard replicate.
+  require(RowsPerBand == 2,
+    "SQL band builders + streaming h1/h2 schema hardcode 2 rows/band")
   private val MaxShingleDf = 20
 
   /** (a_i, b_i) for the i-th minhash — must mirror TextHash.minHash. */

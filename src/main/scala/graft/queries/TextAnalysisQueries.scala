@@ -1838,9 +1838,12 @@ object TextAnalysisQueries {
   // from: per term, a smoothed weight and its exclusive/inclusive
   // cumulative offsets — a sampler draws u in [0, total) and binary-
   // searches cum_start. Two determinism choices make it oracle-exact:
-  // cnt^0.75 is computed as sqrt(sqrt(cnt^3)) — cnt^3 is exact integer
-  // arithmetic below 2^53 and sqrt is IEEE correctly-rounded in BOTH
-  // engines, so the weight is bit-identical (no libm pow involved) —
+  // cnt^0.75 is computed as sqrt(sqrt(d*d*d)) with d = CAST(cnt AS
+  // DOUBLE) — IEEE double multiply and sqrt are correctly-rounded in
+  // BOTH engines, so the weight is bit-identical (no libm pow involved)
+  // and, unlike cubing in long first, it cannot silently wrap at
+  // cnt >= 2^21 (Spark wraps the long, DuckDB raises — the engines would
+  // diverge instead of failing together) —
   // and the cumulative sum is an exact long prefix over ORDER BY term.
   // The global unpartitioned window is vocab-bounded (the BPE-trainer
   // bound, ~1e6 rows after min-count), not corpus-bounded; beyond that,
@@ -1852,9 +1855,11 @@ object TextAnalysisQueries {
     val cum = Window.orderBy("term")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     uni
+      .withColumn("d", col("cnt").cast("double"))
       .withColumn("weight",
-        round(sqrt(sqrt((col("cnt") * col("cnt") * col("cnt")).cast("double")))
-          * 1000.0).cast("long"))
+        round(sqrt(sqrt(col("d") * col("d") * col("d"))) * 1000.0)
+          .cast("long"))
+      .drop("d")
       .withColumn("cum_end", sum(col("weight")).over(cum))
       .select(col("term"), col("cnt"), col("weight"),
         (col("cum_end") - col("weight")).as("cum_start"), col("cum_end"))
@@ -1864,11 +1869,12 @@ object TextAnalysisQueries {
   val negativeSamplingTableSql: String =
     s"""WITH ${OracleSql.TokCte},
        |u AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+       |d AS (SELECT term, cnt, CAST(cnt AS DOUBLE) AS dc FROM u),
        |w AS (
        |  SELECT term, cnt,
-       |    CAST(round(sqrt(sqrt(CAST(cnt * cnt * cnt AS DOUBLE))) * 1000.0)
+       |    CAST(round(sqrt(sqrt(dc * dc * dc)) * 1000.0)
        |      AS BIGINT) AS weight
-       |  FROM u),
+       |  FROM d),
        |c AS (
        |  SELECT term, cnt, weight,
        |    CAST(sum(weight) OVER (ORDER BY term

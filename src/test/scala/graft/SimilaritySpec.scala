@@ -138,8 +138,8 @@ class SimilaritySpec extends SparkSpec {
 
   test("autoBandGeometryExact agrees with the float formula everywhere") {
     import graft.operators.Similarity.{autoBandGeometry, autoBandGeometryExact}
-    // exhaustive through the whole sub-clamp range (bits saturate at 16
-    // for n >= 64 * 2^16 = 4,194,304), then spot checks beyond
+    // exhaustive through the whole sub-clamp range (bits saturate at 15
+    // for n >= 64 * 2^15 = 2,097,152), then spot checks beyond
     for (n <- (1L to 4200000L by 997L) ++ Seq(1L, 63L, 64L, 65L, 4096L,
         4097L, 4194304L, 4194305L, 1000000000L, Long.MaxValue))
       assert(autoBandGeometryExact(n) == autoBandGeometry(n),
