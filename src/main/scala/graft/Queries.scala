@@ -57,6 +57,27 @@ object Queries {
       graft.queries.FunctionQueries.queries ++
       graft.queries.SketchQueries.queries
 
+  /** Fixed-geometry baseline → corpus-derived production twin.
+    *
+    * The keys are oracle-stability baselines whose candidate volume is
+    * bounded by a FIXED partition count (LSH buckets / bands / k-means
+    * lists) — occupancy grows linearly with the corpus and pair volume
+    * quadratically, so each one DNF'd the x100 probe (SCALE_r7.md). The
+    * values re-derive the same geometry from `count(*)` with
+    * integer-exact cross-engine arithmetic and complete at every probed
+    * scale. The CLI's `query` command resolves a key to its twin unless
+    * `--baseline` is passed, and every internal consumer
+    * (label_propagation's graph input, graph_pagerank's and the cluster
+    * family's pair source) reads the twin form directly — no caller
+    * reaches an x100-DNF plan without an explicit opt-in.
+    */
+  val productionTwin: Map[String, String] = Map(
+    "knn_graph"              -> "knn_graph_auto",
+    "dedup_embedding_cosine" -> "dedup_embedding_auto",
+    "dedup_minhash_lsh"      -> "dedup_minhash_shingled",
+    "semantic_dedup"         -> "semantic_dedup_auto",
+    "ann_lsh"                -> "ann_lsh_auto")
+
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++
       graft.queries.RelationalQueries.oracles ++

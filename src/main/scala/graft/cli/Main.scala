@@ -53,6 +53,10 @@ object Main {
       |  vsnapshot <prefix> <tag>                 point-in-time copy of the vector index
       |  vrollback <prefix> <tag>                 restore the vector index from a snapshot
       |  forget  <ids.parquet> <textPrefix> <vecPrefix>  purge ids from BOTH serving stores
+      |  query   <name> <sfDir> [--baseline]      run a registry query over a testdata dir;
+      |                                           fixed-geometry baselines resolve to their
+      |                                           corpus-derived production twin unless
+      |                                           --baseline explicitly opts into the fixed form
       |""".stripMargin
 
   /** docs parquet in the testdata shape: (doc_id, text[, ...]). */
@@ -167,6 +171,32 @@ object Main {
         graft.operators.VectorIndex.delete(spark,
           ids.select(col("doc_id").as("id")), vecPrefix)
         Right(None)
+      // Registry access with twin resolution: the fixed-geometry forms
+      // stay registered as oracle-stability baselines, but a user typing
+      // their name gets the corpus-derived production twin (the plan that
+      // survives x100 — SCALE_r7.md) unless --baseline opts out.
+      case Seq("query", rest @ _*) =>
+        val (flags, pos) = rest.partition(_.startsWith("--"))
+        pos match {
+          case Seq(name, sfDir) if graft.Queries.all.contains(name) =>
+            val resolved =
+              if (flags.contains("--baseline")) name
+              else graft.Queries.productionTwin.get(name) match {
+                case Some(twin) =>
+                  System.err.println(
+                    s"[graft] '$name' is a fixed-geometry baseline whose " +
+                      s"candidate volume grows quadratically with the corpus; " +
+                      s"running production twin '$twin' (pass --baseline to " +
+                      s"run '$name' anyway)")
+                  twin
+                case None => name
+              }
+            Right(Some(graft.Queries.all(resolved)(spark, sfDir)))
+          case Seq(name, _) =>
+            Left(s"unknown query '$name' — ${graft.Queries.all.size} " +
+              "registered; see QUERIES.md")
+          case _ => Left(Usage)
+        }
       case _ => Left(Usage)
     }
 

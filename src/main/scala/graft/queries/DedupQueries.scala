@@ -210,7 +210,13 @@ object DedupQueries {
       .filter(size(col("toks")) > 0)
       .registeredCache()
 
-  def dedupMinhashShingled(s: SparkSession, dir: String): DataFrame = {
+  /** Verified SHINGLED near-dup pairs, unordered + cached — the production
+    * pair source (SCALE_r7: completes at x100 where the unigram form DNFs),
+    * shared by the user-facing query and every cluster/centrality consumer
+    * (componentLabels, graph_pagerank) so no internal plan stacks on an
+    * x100-fatal candidate generator.
+    */
+  private def shingledPairs(s: SparkSession, dir: String): DataFrame = {
     val sets = shingledSets(s, dir)
     val sigs = sets.select(
       col("id") +: Dedup.minHashSignaturesHashed(col("toks"), NumHashes): _*)
@@ -223,8 +229,11 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.8)
       .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
         col("jaccard").cast("double").as("jaccard"))
-      .orderBy("doc_id_a", "doc_id_b")
+      .registeredCache()
   }
+
+  def dedupMinhashShingled(s: SparkSession, dir: String): DataFrame =
+    shingledPairs(s, dir).orderBy("doc_id_a", "doc_id_b")
 
   val dedupMinhashShingledSql: String = {
     val mhExprs = (0 until NumHashes).map { i =>
@@ -294,7 +303,11 @@ object DedupQueries {
     synchronized {
       import graft.CacheRegistry.RegisteredCache
       componentLabelCache.getOrElseUpdate(dir, {
-        val pairs = minhashPairs(s, dir)
+        // shingled pairs, not unigram: the cluster family is a PRODUCTION
+        // consumer, so its edge input must be the form that survives x100
+        // (full-corpus coverage is a bonus — splits leak-proofing now sees
+        // every near-dup edge, not just the %5 cost-subset's)
+        val pairs = shingledPairs(s, dir)
           .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
         graft.operators.Components
           .connectedComponents(pairs, checkEvery = 4, pointerJump = false)
@@ -849,7 +862,7 @@ object DedupQueries {
   private val dedupClusterCtes: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_id_a AS a, doc_id_b AS b FROM (
-       |$dedupMinhashLshSql
+       |$dedupMinhashShingledSql
        |  ) mh),
        |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
        |reach AS (
@@ -924,7 +937,9 @@ object DedupQueries {
   // deterministic md5 gate of its cluster's component id (singletons: the
   // doc's own id). 80/10/10 on the hash bucket; no RNG, reproducible across
   // engines and re-runs, stable under corpus growth that doesn't touch the
-  // cluster. Same doc subset as the MinHash pipeline (doc_id % 5 = 0).
+  // cluster. Doc subset doc_id % 5 = 0 (fixture cost bound); the clusters
+  // protecting it come from the FULL-corpus shingled graph, so an edge to
+  // an out-of-subset near-dup still pins both ends to one split bucket.
   def dedupSplits(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
@@ -947,7 +962,7 @@ object DedupQueries {
   val dedupSplitsSql: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_id_a AS a, doc_id_b AS b FROM (
-       |$dedupMinhashLshSql
+       |$dedupMinhashShingledSql
        |  ) mh),
        |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
        |reach AS (
@@ -1166,7 +1181,10 @@ object DedupQueries {
   private val PrIterations = 10
 
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val edges = minhashPairs(s, dir)
+    // production pair source (shingled) — the unigram graph this used to
+    // read is an x100-DNF plan AND a K-clique data shape that makes the
+    // all-pairs list itself quadratic (SCALE_r7's adjudication)
+    val edges = shingledPairs(s, dir)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
     // iteration shuffle width pinned to the graph volume (120k pairs at
     // sf0.1), decoupled from the session's batch-analytics width — the
@@ -1272,7 +1290,7 @@ object DedupQueries {
     }.mkString(",\n")
     s"""WITH pairs AS (
        |  SELECT doc_id_a AS a, doc_id_b AS b FROM (
-       |$dedupMinhashLshSql
+       |$dedupMinhashShingledSql
        |  ) mh),
        |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
        |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY a),

@@ -301,8 +301,13 @@ object SimilarityQueries {
        |SELECT src_id, rank, nbr_id, CAST(cosine AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $K ORDER BY src_id, rank""".stripMargin
 
-  val knnGraphAutoSql: String =
-    s"""WITH $EmbCte,
+  /** The auto-geometry kNN-graph CTE chain up to `ranked` — shared by
+    * knnGraphAutoSql and labelPropagationSql (whose graph input is the
+    * auto form: an internal consumer must never stack on the fixed
+    * 16-bucket plan that DNFs at x100).
+    */
+  private val KnnAutoCtes: String =
+    s"""$EmbCte,
        |$GeoCte,
        |$AutoPlanesBandsCte,
        |nbr_side AS (
@@ -322,7 +327,10 @@ object SimilarityQueries {
        |ranked AS (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id
        |    ORDER BY cosine DESC, nbr_id ASC) AS BIGINT) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  val knnGraphAutoSql: String =
+    s"""WITH $KnnAutoCtes
        |SELECT src_id, rank, nbr_id, CAST(cosine AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $K ORDER BY src_id, rank""".stripMargin
 
@@ -343,8 +351,9 @@ object SimilarityQueries {
   def labelPropagation(s: SparkSession, dir: String): DataFrame = {
     // every round (and the final 3-way join) re-consumes the edge table;
     // without the cache the whole LSH+re-rank subtree executes per round
-    // (measured 4.4 s uncached vs 1.3 s steady-state at sf0.1)
-    val edges = knnGraph(s, dir).select(col("src_id"), col("nbr_id"))
+    // (measured 4.4 s uncached vs 1.3 s steady-state at sf0.1). Graph
+    // input is the AUTO-geometry form — the production path at every SF.
+    val edges = knnGraphAuto(s, dir).select(col("src_id"), col("nbr_id"))
       .registeredCache()
     val l0 = emb(s, dir).select(col("id"),
       when(col("id") % LpSeedMod === 0, col("label")).as("lab"))
@@ -377,7 +386,7 @@ object SimilarityQueries {
   }
 
   val labelPropagationSql: String =
-    s"""WITH $KnnCtes,
+    s"""WITH $KnnAutoCtes,
        |knn AS (SELECT src_id, nbr_id FROM ranked WHERE rank <= $K),
        |l0 AS (
        |  SELECT id, CASE WHEN id % $LpSeedMod = 0 THEN label END AS lab

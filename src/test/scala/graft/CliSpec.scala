@@ -233,4 +233,32 @@ class CliSpec extends SparkSpec {
       sugg.get("filtr").contains("filter") && sugg.get("datq").contains("data"),
       sugg.toString)
   }
+
+  test("query resolves fixed-geometry baselines to their production twin") {
+    // every twin pairing must point at a registered query, and no twin
+    // may itself be a key (a chain would re-route the production form)
+    graft.Queries.productionTwin.foreach { case (fixed, twin) =>
+      assert(Queries.all.contains(fixed), s"twin key $fixed not registered")
+      assert(Queries.all.contains(twin), s"twin value $twin not registered")
+      assert(!Queries.productionTwin.contains(twin),
+        s"$twin is both a production twin and a fixed-form key")
+    }
+    // resolution: `query dedup_minhash_lsh` serves the SHINGLED pair set
+    val resolved = cli.Main.run(spark,
+        Seq("query", "dedup_minhash_lsh", dir)).toOption.flatten.get
+    val twin = Queries.all("dedup_minhash_shingled")(spark, dir)
+    assert(resolved.collect().toSeq == twin.collect().toSeq,
+      "twin resolution must serve the production form's rows")
+    // --baseline opts into the fixed form
+    val baseline = cli.Main.run(spark,
+        Seq("query", "dedup_minhash_lsh", dir, "--baseline"))
+      .toOption.flatten.get
+    val fixed = Queries.all("dedup_minhash_lsh")(spark, dir)
+    assert(baseline.collect().toSeq == fixed.collect().toSeq,
+      "--baseline must serve the fixed form's rows")
+    // non-twin names pass through; unknown names error with a message
+    assert(cli.Main.run(spark, Seq("query", "corpus_stats", dir))
+      .toOption.flatten.get.collect().nonEmpty)
+    assert(cli.Main.run(spark, Seq("query", "no_such_query", dir)).isLeft)
+  }
 }
