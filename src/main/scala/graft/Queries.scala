@@ -76,7 +76,11 @@ object Queries {
     "dedup_embedding_cosine" -> "dedup_embedding_auto",
     "dedup_minhash_lsh"      -> "dedup_minhash_shingled",
     "semantic_dedup"         -> "semantic_dedup_auto",
-    "ann_lsh"                -> "ann_lsh_auto")
+    "ann_lsh"                -> "ann_lsh_auto",
+    // pair-level match list is quadratic in the DUPLICATION factor (every
+    // replica pair x every shared run — x100 probe OOM); span removal
+    // consumes the per-document linear form
+    "dedup_substrings"       -> "dedup_substring_spans")
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++

@@ -119,8 +119,8 @@ object ScaleProbe {
         "semantic_dedup_auto", "ingest_pipeline", "q1_agg", "q3_shipping",
         "q5_star_join", "q7_volume_shipping", "events_sessionize",
         "events_session_window", "scd2_history", "dedup_minhash_lsh",
-        "dedup_minhash_shingled", "token_pmi", "graph_pagerank",
-        "index_postings", "bm25_search")
+        "dedup_minhash_shingled", "dedup_substring_spans", "token_pmi",
+        "graph_pagerank", "index_postings", "bm25_search")
     println(f"${"query"}%-22s ${"sf0.1 s"}%9s ${"sf1 s"}%9s ${"ratio"}%7s rows0.1 rows1")
     targets.foreach { q =>
       val (t01, r01) = time(q, src)

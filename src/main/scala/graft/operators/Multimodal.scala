@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` stage: one iterator per partition, library handles loaded
   * once per partition, vectorized work inside).
   *
-  * The actual codec is a STUB — this container has no image/audio
-  * libraries — but everything Spark-side is real and tested: the schema,
-  * the binary encoding, the partition-iterator batch shape, and the
-  * deterministic feature definition (byte histogram), which is simple
-  * enough to mirror into the DuckDB oracle.
+  * Decode is REAL for every image kind (BMP via a pure-JVM parser,
+  * PNG/JPEG via the JDK's javax.imageio — no external codec dependency)
+  * and for 16-bit PCM WAV; only compressed audio/video (MP3/H.264)
+  * routes to a deterministic byte-histogram stand-in, this container
+  * having no such codecs. Everything Spark-side is real and tested: the
+  * schema, the binary encoding, the partition-iterator batch shape, and
+  * the feature definitions (pixel-luminance / PCM-amplitude / byte
+  * histograms), the last simple enough to mirror into the DuckDB oracle.
   *
   * Scale: feature extraction is embarrassingly parallel (mapPartitions, no
   * shuffle); downstream similarity joins reuse the Similarity operators.
@@ -29,13 +32,13 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            features: Array[Double])
 
-  /** STUB decoder (compressed formats only) ================================
-    * JPEG/PNG/MP3/H.264 need codec libraries this container doesn't have;
-    * for those kinds this deterministic stand-in computes a normalized
-    * byte histogram folded to `FeatureDim` buckets — real plumbing, fake
-    * decode. UNCOMPRESSED formats (BMP pixel rows, WAV PCM samples) are
-    * parseable in pure JVM and get REAL decoders below; [[decodeFeatures]]
-    * dispatches on the payload's magic bytes.
+  /** STUB decoder (compressed AUDIO/VIDEO only) =============================
+    * MP3/H.264 need codec libraries this container doesn't have; for
+    * those kinds this deterministic stand-in computes a normalized byte
+    * histogram folded to `FeatureDim` buckets — real plumbing, fake
+    * decode. Everything image-shaped is REAL: BMP (pure-JVM parser),
+    * PNG/JPEG (JDK `javax.imageio`), WAV PCM (pure-JVM parser);
+    * [[decodeFeatures]] dispatches on the payload's magic bytes.
     */
   def decodeFeaturesStub(payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](FeatureDim)
@@ -141,6 +144,46 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder: PNG / JPEG via the JDK's built-in `javax.imageio`
+    * readers — zero new dependencies. Dispatches on magic bytes only
+    * (PNG `\x89PNG`, JPEG `\xFF\xD8\xFF`) so arbitrary binary never
+    * reaches ImageIO, and disables ImageIO's disk cache (the default
+    * spills every stream to a temp file — per-row file churn at scale).
+    * The decoded image converts to the same top-down row-major RGB
+    * triples decodeBmp emits, so every consumer is format-blind.
+    *
+    * Determinism: PNG is lossless — bit-exact pixels everywhere. JPEG
+    * inverse-DCT rounding is implementation-defined, so JPEG features
+    * are deterministic per JDK but not a cross-engine gate — which is
+    * why pixel pins live in the spec fixtures, not the DuckDB oracle
+    * (the registry's media column synthesizes from text payloads).
+    */
+  def decodeImageIO(payload: Array[Byte]): Option[ImageDecoded] = {
+    val isPng = payload.length > 8 && (payload(0) & 0xff) == 0x89 &&
+      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
+    val isJpeg = payload.length > 3 && (payload(0) & 0xff) == 0xff &&
+      (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff
+    if (!isPng && !isJpeg) None
+    else try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { bi =>
+        val w = bi.getWidth
+        val h = bi.getHeight
+        val argb = bi.getRGB(0, 0, w, h, null, 0, w) // packed ARGB, any model
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < argb.length) {
+          rgb(3 * i) = ((argb(i) >> 16) & 0xff).toByte
+          rgb(3 * i + 1) = ((argb(i) >> 8) & 0xff).toByte
+          rgb(3 * i + 2) = (argb(i) & 0xff).toByte
+          i += 1
+        }
+        ImageDecoded(w, h, rgb)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Feature vector from REAL decoded content, same 16-dim normalized
     * histogram shape as the stub so the schema and every consumer are
     * unchanged: BMP -> luminance histogram over decoded pixels (integer
@@ -149,20 +192,23 @@ object Multimodal {
     * else (compressed kinds, text payloads) falls back to the byte
     * histogram stub.
     */
+  private def lumaHistogram(img: ImageDecoded): Array[Double] = {
+    val hist = new Array[Double](FeatureDim)
+    val n = img.rgb.length / 3
+    var i = 0
+    while (i < n) {
+      val luma = ((img.rgb(3 * i) & 0xff) + (img.rgb(3 * i + 1) & 0xff) +
+        (img.rgb(3 * i + 2) & 0xff)) / 3
+      hist(luma / FeatureDim) += 1.0
+      i += 1
+    }
+    if (n > 0) { var j = 0; while (j < FeatureDim) { hist(j) /= n; j += 1 } }
+    hist
+  }
+
   def decodeFeatures(payload: Array[Byte]): Array[Double] =
-    decodeBmp(payload).map { img =>
-      val hist = new Array[Double](FeatureDim)
-      val n = img.rgb.length / 3
-      var i = 0
-      while (i < n) {
-        val luma = ((img.rgb(3 * i) & 0xff) + (img.rgb(3 * i + 1) & 0xff) +
-          (img.rgb(3 * i + 2) & 0xff)) / 3
-        hist(luma / FeatureDim) += 1.0
-        i += 1
-      }
-      if (n > 0) { var j = 0; while (j < FeatureDim) { hist(j) /= n; j += 1 } }
-      hist
-    }.orElse(decodeWav(payload).map { au =>
+    decodeBmp(payload).orElse(decodeImageIO(payload)).map(lumaHistogram)
+      .orElse(decodeWav(payload).map { au =>
       val hist = new Array[Double](FeatureDim)
       var i = 0
       while (i < au.samples.length) {

@@ -1171,6 +1171,106 @@ object DedupQueries {
        |    AS clean_md5
        |FROM k GROUP BY doc_id, n_chunks ORDER BY doc_id""".stripMargin
 
+  // ---- Exact-substring dedup (Lee et al. 2022) --------------------------------
+  // The suffix-array method at gram granularity: every MAXIMAL cross-doc
+  // exact token repeat >= SubMinLen tokens (ExactSubstrings scaladoc has
+  // the run/island equivalence argument and the 100 TB shape). Fully
+  // deterministic — integer hashes and positions, no floats anywhere, so
+  // the DuckDB oracle reproduces the output bit-for-bit: same rolling
+  // polynomial grams (list_reduce over the hashMod slice = hashedShingles'
+  // fold), same corpus-derived occurrence cap, same diagonal islands.
+  private val SubMinLen = graft.operators.ExactSubstrings.DefaultMinLen
+
+  def dedupSubstrings(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ExactSubstrings
+      .matches(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        SubMinLen)
+      .orderBy("doc_id_a", "doc_id_b", "start_a", "start_b")
+
+  val dedupSubstringsSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |hl AS (
+       |  SELECT doc_id,
+       |    list_transform(l, x -> ${OracleSql.hashMod("x")}) AS hl,
+       |    len(l) AS n
+       |  FROM docs_l),
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT), hl[i : i + ${SubMinLen - 1}]),
+       |      (a, b) -> (a * 1000003 + b) % 1000000007) AS g
+       |  FROM (
+       |    SELECT doc_id, hl,
+       |      unnest(generate_series(1, n - ${SubMinLen - 1})) AS i
+       |    FROM hl WHERE n >= $SubMinLen)),
+       |shared AS (
+       |  SELECT g FROM grams GROUP BY g
+       |  HAVING count(*) <= (
+       |      SELECT greatest(${graft.operators.ExactSubstrings.DfFloor},
+       |        (count(*) + 999) // 1000) FROM documents)
+       |    AND min(doc_id) <> max(doc_id)),
+       |occ AS (SELECT grams.* FROM grams JOIN shared USING (g)),
+       |prs AS (
+       |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |    a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+       |  FROM occ a JOIN occ b USING (g) WHERE a.doc_id < b.doc_id),
+       |runs AS (
+       |  SELECT doc_id_a, doc_id_b, diag, pa, pb,
+       |    pa - row_number() OVER (PARTITION BY doc_id_a, doc_id_b, diag
+       |      ORDER BY pa) AS run
+       |  FROM prs)
+       |SELECT doc_id_a, doc_id_b,
+       |  CAST(min(pa) AS BIGINT) AS start_a,
+       |  CAST(min(pb) AS BIGINT) AS start_b,
+       |  CAST(count(*) + ${SubMinLen - 1} AS BIGINT) AS match_len
+       |FROM runs GROUP BY doc_id_a, doc_id_b, diag, run
+       |ORDER BY doc_id_a, doc_id_b, start_a, start_b""".stripMargin
+
+  // The production twin: per-document maximal duplicated spans (the
+  // object a span-remover deletes) — no pair join, so work and output
+  // stay LINEAR at any duplication factor where the pair list above is
+  // quadratic by definition (ExactSubstrings.duplicatedSpans scaladoc).
+  def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ExactSubstrings
+      .duplicatedSpans(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")), SubMinLen)
+      .orderBy("doc_id", "span_start")
+
+  val dedupSubstringSpansSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |hl AS (
+       |  SELECT doc_id,
+       |    list_transform(l, x -> ${OracleSql.hashMod("x")}) AS hl,
+       |    len(l) AS n
+       |  FROM docs_l),
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT), hl[i : i + ${SubMinLen - 1}]),
+       |      (a, b) -> (a * 1000003 + b) % 1000000007) AS g
+       |  FROM (
+       |    SELECT doc_id, hl,
+       |      unnest(generate_series(1, n - ${SubMinLen - 1})) AS i
+       |    FROM hl WHERE n >= $SubMinLen)),
+       |shared AS (
+       |  SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+       |marked AS (SELECT doc_id, pos FROM grams JOIN shared USING (g)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |      > $SubMinLen THEN 1 ELSE 0 END AS brk
+       |  FROM marked),
+       |runs AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl)
+       |SELECT doc_id,
+       |  CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + $SubMinLen - min(pos) AS BIGINT) AS span_len
+       |FROM runs GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
   // ---- PageRank over the near-dup graph ---------------------------------------
   // Components answers "which docs are one duplicate group"; PageRank ranks
   // how CENTRAL each doc is in that graph — template/boilerplate hubs that
@@ -1457,6 +1557,8 @@ object DedupQueries {
     "dedup_splits" -> (dedupSplits _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_passages" -> (dedupPassages _),
+    "dedup_substrings" -> (dedupSubstrings _),
+    "dedup_substring_spans" -> (dedupSubstringSpans _),
     "contrastive_triplets" -> (contrastiveTriplets _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
@@ -1482,6 +1584,8 @@ object DedupQueries {
     "dedup_splits" -> dedupSplitsSql,
     "dedup_spans" -> dedupSpansSql,
     "dedup_passages" -> dedupPassagesSql,
+    "dedup_substrings" -> dedupSubstringsSql,
+    "dedup_substring_spans" -> dedupSubstringSpansSql,
     "contrastive_triplets" -> contrastiveTripletsSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,

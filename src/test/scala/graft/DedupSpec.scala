@@ -306,6 +306,88 @@ class DedupSpec extends SparkSpec {
       s"expected Set(12, 18, 22), got $out")
   }
 
+  // dedup_substrings claims exact equivalence to the suffix-array method's
+  // output at token granularity: every maximal cross-doc run >= L. Pin it
+  // against a quadratic per-pair diagonal scan (the obviously-correct
+  // in-memory reference) with the stop-gram cap disabled, over a real
+  // corpus slice large enough to contain overlapping + multiple runs.
+  test("exact-substring matches equal the brute-force maximal-run reference") {
+    val L = 8
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 80).select("doc_id", "text")
+    val got = operators.ExactSubstrings.matches(docs, L, Some(Long.MaxValue))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // in-memory reference: tokenize exactly as Tokenizer does, then walk
+    // every alignment diagonal of every doc pair collecting maximal runs
+    val toks = docs.collect().map { r =>
+      r.getLong(0) -> r.getString(1).toLowerCase
+        .replaceAll("(?U)[^\\w\\s]", " ").split("\\s+").filter(_.nonEmpty)
+    }.sortBy(_._1)
+    val expected = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+    for {
+      ai <- toks.indices; bi <- (ai + 1) until toks.length
+      (da, x) = toks(ai); (db, y) = toks(bi)
+      d <- -(y.length - 1) to (x.length - 1)
+    } {
+      var i = math.max(0, d); var j = i - d
+      var runLen = 0; var si = 0; var sj = 0
+      while (i < x.length && j < y.length) {
+        if (x(i) == y(j)) { if (runLen == 0) { si = i; sj = j }; runLen += 1 }
+        else { if (runLen >= L) expected += ((da, db, si.toLong, sj.toLong,
+          runLen.toLong)); runLen = 0 }
+        i += 1; j += 1
+      }
+      if (runLen >= L) expected += ((da, db, si.toLong, sj.toLong, runLen.toLong))
+    }
+    assert(expected.nonEmpty, "reference found no runs — test is vacuous")
+    assert(got == expected.toSet,
+      s"missing=${(expected.toSet -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("duplicated spans equal the merged union of uncapped match intervals") {
+    val L = 8
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 80).select("doc_id", "text")
+    val matches = operators.ExactSubstrings.matches(docs, L, Some(Long.MaxValue))
+      .collect()
+    // union the [start, start+len) intervals each doc participates in
+    // (either side of a pair), merging overlap/adjacency
+    val byDoc = scala.collection.mutable.Map[Long, Vector[(Long, Long)]]()
+      .withDefaultValue(Vector())
+    matches.foreach { r =>
+      byDoc(r.getLong(0)) :+= (r.getLong(2), r.getLong(2) + r.getLong(4))
+      byDoc(r.getLong(1)) :+= (r.getLong(3), r.getLong(3) + r.getLong(4))
+    }
+    val expected = byDoc.flatMap { case (d, iv) =>
+      iv.sorted.foldLeft(Vector[(Long, Long)]()) { case (acc, (s, e)) =>
+        acc.lastOption match {
+          case Some((ps, pe)) if s <= pe => acc.init :+ (ps, math.max(pe, e))
+          case _ => acc :+ (s, e)
+        }
+      }.map { case (s, e) => (d, s, e - s) }
+    }.toSet
+    val got = operators.ExactSubstrings.duplicatedSpans(docs, L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty && got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("exact-substring stop-gram cap drops corpus boilerplate runs") {
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog"
+    val unique = "zeta eta theta iota kappa lambda mu nu xi"
+    val docs = ((0L until 25L).map(i => (i, s"$boiler filler$i")) ++
+      Seq((100L, s"alpha $unique"), (101L, s"beta $unique")))
+      .toDF("doc_id", "text")
+    val out = operators.ExactSubstrings.matches(docs, 8, Some(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    // the 25-doc boilerplate (occurrence 25 > cap 10) must not report;
+    // the unique 9-token repeat reports once, maximal (9, not two 8s)
+    assert(out.toSeq == Seq((100L, 101L, 9L)), out.mkString(","))
+  }
+
   // graph_link_prediction's AA micro-weight round(1e6/ln deg) claims to be
   // cross-libm stable. ln is libm-dependent (±1 ulp), so the claim only
   // holds if no weight lands NEAR a .5 rounding boundary. deg is bounded

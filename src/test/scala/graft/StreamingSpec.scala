@@ -323,18 +323,68 @@ class StreamingSpec extends SparkSpec {
     assert(f(8) == 0.5 && f(0) == 0.25 && f(15) == 0.25)
   }
 
+  /** The bmpFixture's pixel pattern as an ImageIO-encoded payload. */
+  private def imageIoFixture(format: String): Array[Byte] = {
+    val px = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255),
+      (0, 0, 0), (255, 255, 255), (120, 120, 120))
+    val bi = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    px.zipWithIndex.foreach { case ((r, g, b), i) =>
+      bi.setRGB(i % 3, i / 3, (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, format, out), s"no $format writer")
+    out.toByteArray
+  }
+
+  test("PNG decode via javax.imageio: lossless pixels match the BMP fixture's") {
+    val png = imageIoFixture("png")
+    val img = graft.operators.Multimodal.decodeImageIO(png).get
+    assert(img.width == 3 && img.height == 2)
+    // PNG is lossless: decoded RGB must equal the source pattern EXACTLY,
+    // i.e. the same bytes the BMP decoder emits for the same image
+    assert(img.rgb.toSeq ==
+      graft.operators.Multimodal.decodeBmp(bmpFixture()).get.rgb.toSeq)
+    // and therefore the same luminance histogram end to end
+    val f = graft.operators.Multimodal.decodeFeatures(png)
+    assert(f(5) == 3.0 / 6 && f(0) == 1.0 / 6 && f(15) == 1.0 / 6 && f(7) == 1.0 / 6)
+  }
+
+  test("JPEG decode via javax.imageio: solid color lands in its luma bucket") {
+    // lossy codec — pin what survives quantization: a solid mid-gray
+    // decodes within a few counts of (120,120,120), so every luma stays
+    // inside bucket 7 (112..127) and the histogram is a point mass
+    val bi = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 64).foreach(i => bi.setRGB(i % 8, i / 8, (120 << 16) | (120 << 8) | 120))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpg", out))
+    val jpeg = out.toByteArray
+    val img = graft.operators.Multimodal.decodeImageIO(jpeg).get
+    assert(img.width == 8 && img.height == 8)
+    assert(img.rgb.forall(b => math.abs((b & 0xff) - 120) <= 4),
+      "solid-gray JPEG should decode within +-4 of the source value")
+    val f = graft.operators.Multimodal.decodeFeatures(jpeg)
+    assert(f(7) == 1.0, f.toSeq.toString)
+    // decode is deterministic within this JVM: two runs, identical bytes
+    assert(graft.operators.Multimodal.decodeImageIO(jpeg).get.rgb.toSeq ==
+      img.rgb.toSeq)
+  }
+
   test("extractFeatures dispatches: BMP/WAV payloads get real decode, text the stub") {
     import org.apache.spark.sql.functions.{col, lit, typedLit}
     val rows = Seq(
       (1L, "image/bmp", bmpFixture()),
       (2L, "audio/wav", wavFixture()),
-      (3L, "text/en", "aaab".getBytes("UTF-8")))
+      (3L, "text/en", "aaab".getBytes("UTF-8")),
+      (4L, "image/png", imageIoFixture("png")))
       .toDF("media_id", "kind", "payload")
     val feats = graft.operators.Multimodal.extractFeatures(spark, rows)
       .collect().map(f => f.media_id -> f.features).toMap
     assert(feats(1L)(5) == 0.5) // luminance histogram, not byte histogram
     assert(feats(2L)(8) == 0.5) // amplitude histogram
     assert(feats(3L)(97 % 16) == 0.75) // stub byte histogram unchanged
+    assert(feats(4L).toSeq == feats(1L).toSeq) // PNG == BMP of the same image
     // truncated/garbage payloads that START like BMP/WAV fall back safely
     assert(graft.operators.Multimodal.decodeBmp("BMgarbage".getBytes).isEmpty)
     assert(graft.operators.Multimodal.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty)
