@@ -222,6 +222,62 @@ object Multimodal {
       hist
     }).getOrElse(decodeFeaturesStub(payload))
 
+  /** REAL encoder: grayscale lumas → top-down 24-bpp BMP (r=g=b=luma,
+    * negative height = top-down, rows 4-byte padded). The inverse of
+    * [[decodeBmp]] for gray images — lets a pipeline synthesize genuine
+    * binary image payloads and round-trip them through the real decoder
+    * (dedup_phash does exactly that; the round-trip is spec-pinned).
+    */
+  def bmpFromLumas(lumas: Array[Int], width: Int): Array[Byte] = {
+    require(width > 0 && lumas.length % width == 0, "lumas must fill rows")
+    val height = lumas.length / width
+    val rowBytes = (width * 3 + 3) & ~3
+    val pixelOff = 54
+    val buf = java.nio.ByteBuffer.allocate(pixelOff + rowBytes * height)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(pixelOff + rowBytes * height)
+      .putInt(0).putInt(pixelOff)
+    buf.putInt(40).putInt(width).putInt(-height) // negative = top-down
+    buf.putShort(1).putShort(24).putInt(0).putInt(rowBytes * height)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = (lumas(y * width + x) & 0xff).toByte
+        buf.put(v).put(v).put(v) // BGR, all equal for gray
+        x += 1
+      }
+      var p = width * 3
+      while (p < rowBytes) { buf.put(0.toByte); p += 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  /** 32-bit average hash (aHash) of a decoded image's first 32 pixels'
+    * lumas: bit j set iff luma_j exceeds the integer mean. 32 bits — not
+    * 64 — so the signature reuses the SimHash machinery unchanged
+    * (16-bit half banding, bit_count hamming) and never touches the
+    * long's sign bit (the engine-fragile shift/% zone the band-geometry
+    * clamp also avoids). Images with fewer than 32 pixels pad with 0
+    * (0 > mean is false, so pads contribute no bits but do shape the
+    * mean, same as materializing them).
+    */
+  def averageHash32(img: ImageDecoded): Long = {
+    val n = math.min(32, img.rgb.length / 3)
+    val lumas = Array.tabulate(32) { i =>
+      if (i < n) ((img.rgb(3 * i) & 0xff) + (img.rgb(3 * i + 1) & 0xff) +
+        (img.rgb(3 * i + 2) & 0xff)) / 3
+      else 0
+    }
+    val mean = lumas.sum / 32
+    var h = 0L
+    var j = 0
+    while (j < 32) { if (lumas(j) > mean) h |= (1L << j); j += 1 }
+    h
+  }
+
   /** Synthesize a media table from `documents` (UTF-8 text bytes as the
     * opaque payload) — the testdata carries no real binary column.
     */

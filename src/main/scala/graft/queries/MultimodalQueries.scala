@@ -104,13 +104,92 @@ object MultimodalQueries {
       |  greatest(CAST(1 AS BIGINT), CAST(floor(height * scale) AS BIGINT)) AS out_h
       |FROM r ORDER BY media_id""".stripMargin
 
+  // ---- Perceptual-hash image dedup -------------------------------------------
+  // The multimodal x dedup intersection: per-document images ENCODED as
+  // genuine 8x4 24-bpp BMP payloads (bmpFromLumas — luma_i = 60-bit md5
+  // hash of token i mod 256, a deterministic render both engines
+  // reproduce), DECODED back through the real BMP parser, 32-bit
+  // average-hashed (bit j = luma_j > integer mean), then paired by the
+  // SimHash banding machinery: 16-bit half-signature hash joins (a union
+  // of two equi-joins, never an OR nested loop) with exact
+  // bit_count-hamming verify <= 6. The encode->decode round trip runs
+  // for real in the partition iterator; the oracle computes the same
+  // lumas arithmetically — BMP bytes are transport, not information.
+  // Scale: banding bounds candidates by 16-bit-bucket occupancy, the
+  // same collision-bound as dedup_simhash; hash distribution over 2^16
+  // buckets keeps occupancy ~N/65536 per band.
+  def dedupPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheRegistry.RegisteredCache
+    import graft.functions.{TextHash, Tokenizer}
+    val px = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        transform(Tokenizer.tokenize(col("text")),
+          t => TextHash.hash64(t) % 256).as("px"))
+      .filter(size(col("px")) > 0)
+    val sigs = px.as[(Long, Seq[Long])].mapPartitions { rows =>
+      rows.map { case (id, p) =>
+        val lumas = Array.tabulate(32)(i =>
+          if (i < p.length) p(i).toInt else 0)
+        val bmp = Multimodal.bmpFromLumas(lumas, 8)
+        val img = Multimodal.decodeBmp(bmp).getOrElse(
+          sys.error(s"self-encoded BMP failed to decode for doc $id"))
+        (id, Multimodal.averageHash32(img))
+      }
+    }.toDF("id", "phash")
+      .withColumn("lo", col("phash") % 65536)
+      .withColumn("hi", (col("phash") / 65536).cast("long"))
+      .registeredCache()
+    val a = sigs.select(col("id").as("id_a"), col("phash").as("ph_a"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = sigs.select(col("id").as("id_b"), col("phash").as("ph_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    val byLo = a.join(b, col("lo_a") === col("lo_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b"))
+    val byHi = a.join(b, col("hi_a") === col("hi_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b"))
+    byLo.union(byHi).distinct()
+      .withColumn("hamming",
+        graft.operators.Dedup.hamming(col("ph_a"), col("ph_b")))
+      .filter(col("hamming") <= 6)
+      .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
+        col("ph_a").as("phash_a"), col("ph_b").as("phash_b"), col("hamming"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  val dedupPhashSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |px AS (
+       |  SELECT doc_id AS id, pos, ${OracleSql.hash64("term")} % 256 AS v
+       |  FROM toks WHERE pos < 32),
+       |m AS (SELECT id, CAST(sum(v) // 32 AS BIGINT) AS mean FROM px GROUP BY id),
+       |sigs AS (
+       |  SELECT px.id,
+       |    CAST(sum(CASE WHEN v > mean
+       |      THEN (CAST(1 AS BIGINT) << CAST(pos AS INT)) ELSE 0 END)
+       |      AS BIGINT) AS phash
+       |  FROM px JOIN m ON px.id = m.id GROUP BY px.id),
+       |halved AS (
+       |  SELECT id, phash, phash % 65536 AS lo,
+       |    CAST(phash // 65536 AS BIGINT) AS hi
+       |  FROM sigs)
+       |SELECT a.id AS doc_id_a, b.id AS doc_id_b,
+       |  a.phash AS phash_a, b.phash AS phash_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM halved a JOIN halved b
+       |  ON a.id < b.id AND (a.lo = b.lo OR a.hi = b.hi)
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 6
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
-    "multimodal_resize" -> (multimodalResize _))
+    "multimodal_resize" -> (multimodalResize _),
+    "dedup_phash" -> (dedupPhash _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
-    "multimodal_resize" -> multimodalResizeSql)
+    "multimodal_resize" -> multimodalResizeSql,
+    "dedup_phash" -> dedupPhashSql)
 }

@@ -371,6 +371,36 @@ class StreamingSpec extends SparkSpec {
       img.rgb.toSeq)
   }
 
+  test("bmpFromLumas round-trips through the real decoder; aHash is exact") {
+    // encoder -> decoder round trip: gray pixels come back bit-exact,
+    // top-down order preserved (negative-height BMP)
+    val lumas = Array(0, 255, 7, 120, 64, 200, 33, 1,
+      16, 48, 80, 112, 144, 176, 208, 240,
+      9, 18, 27, 36, 45, 54, 63, 72,
+      81, 90, 99, 108, 117, 126, 135, 250)
+    val bmp = graft.operators.Multimodal.bmpFromLumas(lumas, 8)
+    val img = graft.operators.Multimodal.decodeBmp(bmp).get
+    assert(img.width == 8 && img.height == 4)
+    val back = (0 until 32).map(i => img.rgb(3 * i) & 0xff)
+    assert(back == lumas.toSeq, back.toString)
+    // aHash: integer mean of the 32 lumas; bit j iff luma_j > mean
+    val mean = lumas.sum / 32
+    val expected = (0 until 32).filter(lumas(_) > mean)
+      .foldLeft(0L)((h, j) => h | (1L << j))
+    assert(graft.operators.Multimodal.averageHash32(img) == expected)
+    // identical images pair at hamming 0; a 1-pixel flip across the mean
+    // moves exactly one bit
+    val flipped = lumas.clone(); flipped(5) = 0 // 200 -> 0 crosses the mean
+    val img2 = graft.operators.Multimodal
+      .decodeBmp(graft.operators.Multimodal.bmpFromLumas(flipped, 8)).get
+    val d = java.lang.Long.bitCount(
+      graft.operators.Multimodal.averageHash32(img) ^
+        graft.operators.Multimodal.averageHash32(img2))
+    // flipping one pixel can also shift the mean by at most 200/32 -> a
+    // handful of near-mean bits; assert small, nonzero
+    assert(d >= 1 && d <= 4, s"hamming $d")
+  }
+
   test("extractFeatures dispatches: BMP/WAV payloads get real decode, text the stub") {
     import org.apache.spark.sql.functions.{col, lit, typedLit}
     val rows = Seq(
