@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: dump formatted physical plans for plan-quality review. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val dir = "/root/testdata/sf0.01"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
