@@ -132,17 +132,14 @@ object Similarity {
     * exactly the next row_number under ORDER BY sim DESC, cent_id ASC —
     * the DuckDB oracles keep the window form.
     */
-  // NOTE: pass k's plan stacks on the uncached chain of passes 1..k-1 and
-  // the final reduce(unionByName) re-executes every prefix, so total work
-  // is O(n^2) broadcast-argmax passes. Harmless at the registry's n=2;
-  // persist `cur` between passes before raising the multi-probe count.
   def ivfAssignN(vectors: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
+    import graft.CacheRegistry.RegisteredCache
     val c = broadcast(centroids
       .select(col("id").as("cent_id"), col("v").as("cv")))
     // (id, v, picked) accumulator; picked = lists already assigned
     var cur = vectors.select(col("id"), col("v"),
       array().cast("array<long>").as("picked"))
-    val picks = (1 to n).map { _ =>
+    val picks = (1 to n).map { k =>
       val best = cur.crossJoin(c)
         .filter(!array_contains(col("picked"), col("cent_id")))
         .withColumn("sim", cosine(col("v"), col("cv")))
@@ -154,8 +151,17 @@ object Similarity {
           col("v").as("vv"), col("picked").as("pk"))).as("m"))
         .select(col("id"), col("m.vv").as("v"), (-col("m.nc")).as("cent_id"),
           col("m.pk").as("picked"))
-      cur = best.select(col("id"), col("v"),
-        array_union(col("picked"), array(col("cent_id"))).as("picked"))
+      // each pass's accumulator is CACHED before the next pass stacks on
+      // it (release via CacheRegistry with the sweep's other caches):
+      // uncached, pass k re-executes the whole 1..k-1 chain and the final
+      // union re-executes every prefix — O(n^2) broadcast-argmax passes,
+      // quadratically wasteful the moment a caller raises the probe
+      // count. The last pass's accumulator is never consumed — skip it.
+      cur =
+        if (k < n) best.select(col("id"), col("v"),
+          array_union(col("picked"), array(col("cent_id"))).as("picked"))
+          .registeredCache()
+        else cur
       best.select(col("id"), col("v"), col("cent_id"))
     }
     picks.reduce(_.unionByName(_))

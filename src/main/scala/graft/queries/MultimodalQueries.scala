@@ -181,15 +181,72 @@ object MultimodalQueries {
        |WHERE bit_count(xor(a.phash, b.phash)) <= 6
        |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
+  // ---- Real-decode feature extraction, oracle-gated --------------------------
+  // multimodal_features gates the STUB path (text payloads); this row
+  // gates the REAL one end-to-end: genuine BMP payloads (bmpFromLumas,
+  // lumas = token hashes mod 256, zero-padded to 8x4) flow through
+  // extractFeatures' magic-byte dispatch into the real BMP parser and
+  // out as luminance histograms. Every value is count/32 — an exact
+  // dyadic double — so the DuckDB oracle (which recomputes the lumas
+  // arithmetically and never sees a BMP byte) matches under the strict
+  // hash gate. n_bytes pins the payload length the encoder must emit
+  // (54-byte headers + 4 padded 24-byte rows = 150).
+  def multimodalImageStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextHash, Tokenizer}
+    val px = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        transform(Tokenizer.tokenize(col("text")),
+          t => TextHash.hash64(t) % 256).as("px"))
+      .filter(size(col("px")) > 0)
+    val media = px.as[(Long, Seq[Long])].mapPartitions { rows =>
+      rows.map { case (id, p) =>
+        val lumas = Array.tabulate(32)(i => if (i < p.length) p(i).toInt else 0)
+        Multimodal.MediaRow(id, "image/bmp", Multimodal.bmpFromLumas(lumas, 8))
+      }
+    }.toDF()
+    Multimodal.extractFeatures(s, media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        posexplode(col("features")).as(Seq("feature_idx", "value")))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("feature_idx").cast("long").as("feature_idx"),
+        col("value").cast("double").as("value"))
+      .orderBy("media_id", "feature_idx")
+  }
+
+  val multimodalImageStatsSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |px AS (
+       |  SELECT doc_id, pos, ${OracleSql.hash64("term")} % 256 AS v
+       |  FROM toks WHERE pos < 32),
+       |n AS (SELECT doc_id, count(*) AS npx FROM px GROUP BY doc_id),
+       |counts AS (
+       |  SELECT doc_id, v // 16 AS bucket, count(*) AS c
+       |  FROM px GROUP BY doc_id, v // 16),
+       |grid AS (
+       |  SELECT n.doc_id, n.npx, f.feature_idx
+       |  FROM n, (SELECT unnest(range(${Multimodal.FeatureDim})) AS feature_idx) f)
+       |SELECT g.doc_id AS media_id, 'image/bmp' AS kind,
+       |  CAST(150 AS BIGINT) AS n_bytes,
+       |  CAST(g.feature_idx AS BIGINT) AS feature_idx,
+       |  CAST((COALESCE(c.c, 0) +
+       |    CASE WHEN g.feature_idx = 0 THEN 32 - g.npx ELSE 0 END) / 32.0
+       |    AS DOUBLE) AS value
+       |FROM grid g LEFT JOIN counts c
+       |  ON g.doc_id = c.doc_id AND g.feature_idx = c.bucket
+       |ORDER BY media_id, feature_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_resize" -> (multimodalResize _),
+    "multimodal_image_stats" -> (multimodalImageStats _),
     "dedup_phash" -> (dedupPhash _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_resize" -> multimodalResizeSql,
+    "multimodal_image_stats" -> multimodalImageStatsSql,
     "dedup_phash" -> dedupPhashSql)
 }
