@@ -85,16 +85,24 @@ object ExactSubstrings {
     val gr = grams(docs, minLen)
     val cap = capOverride.getOrElse(
       math.max(DfFloor.toLong, (docs.count() + 999L) / 1000L))
-    // min<>max doc_id is the cheap cross-doc test (no count-distinct):
-    // the overwhelming singleton majority dies before the pair join
-    val shared = gr.groupBy("g")
-      .agg(count(lit(1)).as("occ"),
-        min("doc_id").as("d0"), max("doc_id").as("d1"))
+    // min<>max doc_id is the cheap cross-doc test (no count-distinct),
+    // computed as WINDOW aggregates over the gram key: one shuffle of
+    // the gram table and one scan of its build, where the
+    // aggregate-then-rejoin shape scans the tokenize+gram subtree twice
+    // (the partial-agg exchange and the probe exchange carry different
+    // payloads, so ReuseExchange cannot collapse them). Same idiom as
+    // Winnow.overlap's df cap. The singleton majority dies here, before
+    // the pair join.
+    val wg = Window.partitionBy("g")
+    val occ = gr
+      .withColumn("occ", count(lit(1)).over(wg))
+      .withColumn("d0", min("doc_id").over(wg))
+      .withColumn("d1", max("doc_id").over(wg))
       .filter(col("occ") <= cap && col("d0") =!= col("d1"))
-      .select("g")
-    // both pair sides read the filtered occurrence table — cache it, or
-    // the tokenize+gram+cap subtree executes twice
-    val occ = gr.join(shared, "g").registeredCache()
+      .select("doc_id", "pos", "g")
+      // both pair sides read the filtered occurrence table — cache it,
+      // or the whole chain above executes twice
+      .registeredCache()
     val pairs = occ
       .select(col("g"), col("doc_id").as("doc_id_a"), col("pos").as("pa"))
       .join(occ.select(col("g"), col("doc_id").as("doc_id_b"),
@@ -134,11 +142,15 @@ object ExactSubstrings {
   def duplicatedSpans(docs: DataFrame,
                       minLen: Int = DefaultMinLen): DataFrame = {
     val gr = grams(docs, minLen)
-    val shared = gr.groupBy("g")
-      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+    // cross-doc mark as window aggregates over the gram key — one
+    // shuffle, one scan of the gram build (see matches() for why the
+    // aggregate-then-rejoin shape pays a second scan)
+    val wg = Window.partitionBy("g")
+    val marked = gr
+      .withColumn("d0", min("doc_id").over(wg))
+      .withColumn("d1", max("doc_id").over(wg))
       .filter(col("d0") =!= col("d1"))
-      .select("g")
-    val marked = gr.join(shared, "g").select("doc_id", "pos")
+      .select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     marked
       // intervals [pos, pos+minLen) merge while the gap between starts

@@ -255,6 +255,56 @@ object Multimodal {
     buf.array()
   }
 
+  /** REAL encoder: grayscale lumas → PNG via JDK ImageIO. PNG is
+    * lossless, so pixels round-trip bit-exact through [[decodeImageIO]]
+    * (byte-level encoding may differ across JDKs; PIXELS cannot) —
+    * which is what lets PNG payloads flow through the oracle-gated
+    * dedup_phash unchanged: the hash reads pixels, not bytes.
+    */
+  def pngFromLumas(lumas: Array[Int], width: Int): Array[Byte] = {
+    require(width > 0 && lumas.length % width == 0, "lumas must fill rows")
+    val height = lumas.length / width
+    val bi = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < lumas.length) {
+      val v = lumas(i) & 0xff
+      bi.setRGB(i % width, i / width, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    javax.imageio.ImageIO.setUseCache(false)
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(bi, "png", out))
+      sys.error("JDK PNG writer unavailable")
+    out.toByteArray
+  }
+
+  /** Decode any supported image payload to RGB: the pure-JVM BMP parser
+    * first (cheap magic check), then the ImageIO formats (PNG/JPEG).
+    */
+  def decodeImage(payload: Array[Byte]): Option[ImageDecoded] =
+    decodeBmp(payload).orElse(decodeImageIO(payload))
+
+  /** REAL encoder: 16-bit mono PCM → minimal RIFF/WAVE, the inverse of
+    * [[decodeWav]] (which also tolerates richer chunk lists). Lets a
+    * pipeline synthesize genuine audio payloads and round-trip them
+    * through the real parser (multimodal_audio_stats does exactly that).
+    */
+  def wavFromSamples(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val size = 12 + (8 + 16) + (8 + dataSize)
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(size - 8)
+      .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    b.put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dataSize)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
   /** 32-bit average hash (aHash) of a decoded image's first 32 pixels'
     * lumas: bit j set iff luma_j exceeds the integer mean. 32 bits — not
     * 64 — so the signature reuses the SimHash machinery unchanged

@@ -131,9 +131,15 @@ object MultimodalQueries {
       rows.map { case (id, p) =>
         val lumas = Array.tabulate(32)(i =>
           if (i < p.length) p(i).toInt else 0)
-        val bmp = Multimodal.bmpFromLumas(lumas, 8)
-        val img = Multimodal.decodeBmp(bmp).getOrElse(
-          sys.error(s"self-encoded BMP failed to decode for doc $id"))
+        // FORMAT-BLIND by construction: even ids encode as BMP, odd ids
+        // as PNG (both REAL codecs), and the hash reads decoded PIXELS —
+        // identical either way, so the arithmetic oracle needs no format
+        // column. A near-dup pair split across formats still pairs.
+        val payload =
+          if (id % 2 == 0) Multimodal.bmpFromLumas(lumas, 8)
+          else Multimodal.pngFromLumas(lumas, 8)
+        val img = Multimodal.decodeImage(payload).getOrElse(
+          sys.error(s"self-encoded image failed to decode for doc $id"))
         (id, Multimodal.averageHash32(img))
       }
     }.toDF("id", "phash")
@@ -236,11 +242,66 @@ object MultimodalQueries {
        |  ON g.doc_id = c.doc_id AND g.feature_idx = c.bucket
        |ORDER BY media_id, feature_idx""".stripMargin
 
+  // The audio sibling of multimodal_image_stats: 16-bit PCM samples
+  // (token hashes mod 2^16, centered) encoded as genuine RIFF/WAVE
+  // payloads, through extractFeatures' magic-byte dispatch into the
+  // real WAV parser, out as amplitude histograms (16 buckets of 4096
+  // across the int16 range). Zero-padding lands in bucket 8 — the
+  // center bucket — which the oracle accounts for arithmetically.
+  // Values are count/32, exact dyadic doubles: strict-gate safe.
+  def multimodalAudioStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextHash, Tokenizer}
+    val sv = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        transform(Tokenizer.tokenize(col("text")),
+          t => TextHash.hash64(t) % 65536).as("sv"))
+      .filter(size(col("sv")) > 0)
+    val media = sv.as[(Long, Seq[Long])].mapPartitions { rows =>
+      rows.map { case (id, p) =>
+        val samples = Array.tabulate(32)(i =>
+          if (i < p.length) (p(i) - 32768L).toShort else 0.toShort)
+        Multimodal.MediaRow(id, "audio/wav",
+          Multimodal.wavFromSamples(samples, 8000))
+      }
+    }.toDF()
+    Multimodal.extractFeatures(s, media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        posexplode(col("features")).as(Seq("feature_idx", "value")))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("feature_idx").cast("long").as("feature_idx"),
+        col("value").cast("double").as("value"))
+      .orderBy("media_id", "feature_idx")
+  }
+
+  val multimodalAudioStatsSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |px AS (
+       |  SELECT doc_id, pos, ${OracleSql.hash64("term")} % 65536 AS v
+       |  FROM toks WHERE pos < 32),
+       |n AS (SELECT doc_id, count(*) AS npx FROM px GROUP BY doc_id),
+       |counts AS (
+       |  SELECT doc_id, v // 4096 AS bucket, count(*) AS c
+       |  FROM px GROUP BY doc_id, v // 4096),
+       |grid AS (
+       |  SELECT n.doc_id, n.npx, f.feature_idx
+       |  FROM n, (SELECT unnest(range(${Multimodal.FeatureDim})) AS feature_idx) f)
+       |SELECT g.doc_id AS media_id, 'audio/wav' AS kind,
+       |  CAST(108 AS BIGINT) AS n_bytes,
+       |  CAST(g.feature_idx AS BIGINT) AS feature_idx,
+       |  CAST((COALESCE(c.c, 0) +
+       |    CASE WHEN g.feature_idx = 8 THEN 32 - g.npx ELSE 0 END) / 32.0
+       |    AS DOUBLE) AS value
+       |FROM grid g LEFT JOIN counts c
+       |  ON g.doc_id = c.doc_id AND g.feature_idx = c.bucket
+       |ORDER BY media_id, feature_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_image_stats" -> (multimodalImageStats _),
+    "multimodal_audio_stats" -> (multimodalAudioStats _),
     "dedup_phash" -> (dedupPhash _))
 
   val oracles: Map[String, String] = Map(
@@ -248,5 +309,6 @@ object MultimodalQueries {
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_resize" -> multimodalResizeSql,
     "multimodal_image_stats" -> multimodalImageStatsSql,
+    "multimodal_audio_stats" -> multimodalAudioStatsSql,
     "dedup_phash" -> dedupPhashSql)
 }

@@ -350,6 +350,19 @@ class StreamingSpec extends SparkSpec {
     assert(f(5) == 3.0 / 6 && f(0) == 1.0 / 6 && f(15) == 1.0 / 6 && f(7) == 1.0 / 6)
   }
 
+  test("pngFromLumas round-trips pixel-exact; BMP and PNG hash identically") {
+    val lumas = Array.tabulate(32)(i => (i * 37 + 11) % 256)
+    val png = graft.operators.Multimodal.pngFromLumas(lumas, 8)
+    val img = graft.operators.Multimodal.decodeImage(png).get
+    assert(img.width == 8 && img.height == 4)
+    assert((0 until 32).map(i => img.rgb(3 * i) & 0xff) == lumas.toSeq)
+    // the format is transport: same pixels -> same perceptual hash
+    val viaBmp = graft.operators.Multimodal.decodeImage(
+      graft.operators.Multimodal.bmpFromLumas(lumas, 8)).get
+    assert(graft.operators.Multimodal.averageHash32(img) ==
+      graft.operators.Multimodal.averageHash32(viaBmp))
+  }
+
   test("JPEG decode via javax.imageio: solid color lands in its luma bucket") {
     // lossy codec — pin what survives quantization: a solid mid-gray
     // decodes within a few counts of (120,120,120), so every luma stays
