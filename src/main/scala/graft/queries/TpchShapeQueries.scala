@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.CacheRegistry.RegisteredCache
 
 /** Additional TPC-H query shapes over the trimmed test tables — each one a
   * distinct plan pattern the engine must get right at scale:
@@ -696,7 +697,113 @@ object TpchShapeQueries {
       |    WHERE q * ns > 2 * tq)
       |ORDER BY s_name""".stripMargin
 
+  // ---- Q2 shape: per-part min-cost argmin join-back, double-scoped ---------
+  // The classic Q2 correlated subquery — "the supplier whose cost IS the
+  // minimum cost for that part, among suppliers of one region" — with the
+  // region scope applied BOTH inside the min and outside (the decorrelated
+  // plan must use the same scoped offer set twice or it answers a different
+  // question). The trimmed schema has no partsupp, so an offer is priced
+  // from lineitem history: a supplier's cost for a part = its minimum
+  // observed unit price, on the integer cent grid (one IEEE multiply+divide
+  // per row, identical in both engines; min over longs is order-free), so
+  // the argmin equality join-back can never hash-flake. Offers aggregate
+  // the fact table once; the per-part min is an aggregate OVER that
+  // aggregate (bounded by |part|×|supplier|), broadcast back.
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val euroSupp = broadcast(Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir).filter(col("n_regionkey") === 3),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name")))
+    val sizedParts = broadcast(Tables.part(s, dir)
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_brand")))
+    val offers = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(lit(100.0) * col("l_extendedprice") / col("l_quantity"))
+          .cast("long").as("unit_cents"))
+      .join(sizedParts, col("l_partkey") === col("p_partkey"))
+      .join(euroSupp.select(col("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"), col("p_brand"))
+      .agg(min(col("unit_cents")).as("cost_cents"))
+      // referenced twice (per-part min build + argmin probe) — cache the
+      // aggregate or the fact scan underneath it executes twice
+      .registeredCache()
+    val perPart = offers.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("cost_cents")).as("min_cents"))
+    offers.join(broadcast(perPart),
+        col("l_partkey") === col("mk") && col("cost_cents") === col("min_cents"))
+      .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name").as("nation"),
+        col("l_partkey").cast("long").as("partkey"), col("p_brand"),
+        (col("cost_cents").cast("double") / 100.0).as("min_unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("nation"), col("s_name"),
+        col("partkey"))
+      .limit(100)
+  }
+
+  val q2MinCostSupplierSql: String =
+    """WITH offers AS (
+      |  SELECT l_partkey, l_suppkey, p_brand,
+      |    min(CAST(round(100.0 * l_extendedprice / l_quantity) AS BIGINT))
+      |      AS cost_cents
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_type = 'STANDARD' AND p_size <= 10 AND n_regionkey = 3
+      |  GROUP BY 1, 2, 3),
+      |per_part AS (
+      |  SELECT l_partkey AS mk, min(cost_cents) AS min_cents
+      |  FROM offers GROUP BY 1)
+      |SELECT s_acctbal, s_name, n_name AS nation,
+      |  CAST(l_partkey AS BIGINT) AS partkey, p_brand,
+      |  CAST(cost_cents AS DOUBLE) / 100.0 AS min_unit_cost
+      |FROM offers
+      |JOIN per_part ON l_partkey = mk AND cost_cents = min_cents
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY s_acctbal DESC, nation, s_name, partkey
+      |LIMIT 100""".stripMargin
+
+  // ---- Q12 shape: fact-fact join + two-way conditional count ---------------
+  // Late-shipping priority split: line items of one ship year joined to
+  // their orders, counted into high/low priority per category in ONE pass
+  // (sum-of-CASE — no second scan, no pivot). The trimmed schema has no
+  // l_shipmode/l_receiptdate, so l_returnflag plays the mode column and
+  // the ship-year window stands in for the receipt window; the PLAN is the
+  // point: both join sides are facts (orders cannot broadcast at scale),
+  // so this is the canonical shuffled equi-join the engine must get right,
+  // with the date filter pushed to the lineitem scan trimming the probe
+  // side before the exchange.
+  def q12ShipmodePriority(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag").as("ship_mode"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("ship_mode")
+  }
+
+  val q12ShipmodePrioritySql: String =
+    """SELECT l_returnflag AS ship_mode,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q12_shipmode_priority" -> (q12ShipmodePriority _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
@@ -716,6 +823,8 @@ object TpchShapeQueries {
     "lateral_top_orders" -> (lateralTopOrders _))
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> q2MinCostSupplierSql,
+    "q12_shipmode_priority" -> q12ShipmodePrioritySql,
     "q4_order_priority" -> q4OrderPrioritySql,
     "q6_forecast_revenue" -> q6ForecastRevenueSql,
     "q7_volume_shipping" -> q7VolumeShippingSql,

@@ -355,6 +355,21 @@ class PlanSpec extends SparkSpec {
       s"q21 order-level stats should partial-aggregate:\n$p21")
   }
 
+  test("q2 argmin join-back reuses the cached offer aggregate; q12 pushes the ship window") {
+    val p2 = plan("q2_min_cost_supplier")
+    assert(p2.contains("InMemoryTableScan"),
+      s"q2 offers referenced twice must come from the registered cache, not two fact scans:\n$p2")
+    assert(p2.contains("BroadcastHashJoin"), s"q2 dims/per-part min should broadcast:\n$p2")
+    assert(!p2.contains("CartesianProduct"), s"q2 planned a cartesian:\n$p2")
+    assert(p2.contains("TakeOrderedAndProject"), s"q2 top-100 not TakeOrdered:\n$p2")
+    val p12 = plan("q12_shipmode_priority")
+    assert(p12.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"q12 ship window did not reach the lineitem scan:\n$p12")
+    assert(!p12.contains("CartesianProduct"), s"q12 planned a cartesian:\n$p12")
+    assert(p12.contains("partial_sum"),
+      s"q12 conditional counts should partial-aggregate before the exchange:\n$p12")
+  }
+
   test("fuzzy_match blocks on the token equi-join — no cartesian over the dictionary") {
     val p = plan("fuzzy_match")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
