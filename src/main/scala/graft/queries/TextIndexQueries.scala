@@ -193,6 +193,74 @@ object TextIndexQueries {
        |GROUP BY d.source, d.lang
        |ORDER BY d.source, d.lang""".stripMargin
 
+  // ---- Hybrid retrieval: BM25 + embedding cosine, reciprocal rank fusion -----
+  // The modern two-tower serving stack as one plan: a lexical arm (flagship
+  // BM25 top-10) and a semantic arm (cosine top-10 around a probe document's
+  // embedding, doc_id = vec_id by construction) fused with RRF
+  // (Cormack et al. SIGIR'09): score = Σ_arms 1/(60 + rank). Fusion reads
+  // ONLY the two top-N lists — a full-outer join of two ≤N-row relations —
+  // so its cost is arm-bounded no matter the corpus; each arm has its own
+  // proven scale path (the bucketed prebuilt index for BM25, ann_lsh_auto /
+  // IVF for the vector side; the brute-force arm here is the
+  // oracle-stable baseline, one linear scan against a 1-row broadcast).
+  // Ranks are taken on the 1e-6 display grid (Money.micros) with doc_id
+  // tiebreak in BOTH engines, so rank — and hence the fused score, a sum
+  // of exact small-integer reciprocals — is cross-engine deterministic.
+  def hybridRrfSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (p, tdf, di) = indexTriple(s, dir)
+    // bounded: the window orders the 10 surviving rows of the top-k cut
+    val textRank = Search.search(s, SearchQuery, p, tdf, di, k = 10)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("text_rank"))
+    val emb = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val vecRank = graft.operators.Similarity
+      .bruteForceTopK(emb.filter(col("id") === 0), emb, 10)
+      .select(col("cand_id").as("doc_id"), col("rank").as("vec_rank"))
+    val fused = textRank.join(vecRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("text_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 50).as("title"))
+      .join(broadcast(fused), "doc_id")
+      .select(col("doc_id"), col("title"), col("text_rank"), col("vec_rank"),
+        col("rrf").cast("double").as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  val hybridRrfSearchSql: String =
+    s"""${bm25TopCtes(TokCte)},
+       |t_rank AS (
+       |  SELECT doc_id, CAST(row_number() OVER (
+       |    ORDER BY round(score * 1000000.0) DESC, doc_id) AS BIGINT) AS text_rank
+       |  FROM top),
+       |emb AS (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |vscored AS (
+       |  SELECT c.id AS doc_id,
+       |    list_dot_product(p.v, c.v) /
+       |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+       |  FROM (SELECT * FROM emb WHERE id = 0) p JOIN emb c ON c.id <> p.id),
+       |v_rank AS (
+       |  SELECT doc_id, CAST(row_number() OVER (
+       |    ORDER BY cosine DESC, doc_id) AS BIGINT) AS vec_rank
+       |  FROM vscored QUALIFY vec_rank <= 10),
+       |fused AS (
+       |  SELECT coalesce(t.doc_id, v.doc_id) AS doc_id, t.text_rank, v.vec_rank,
+       |    coalesce(1.0 / (60.0 + t.text_rank), 0.0) +
+       |      coalesce(1.0 / (60.0 + v.vec_rank), 0.0) AS rrf
+       |  FROM t_rank t FULL OUTER JOIN v_rank v ON t.doc_id = v.doc_id
+       |  ORDER BY rrf DESC, doc_id LIMIT 10)
+       |SELECT f.doc_id, substring(d.text, 1, 50) AS title, f.text_rank,
+       |  f.vec_rank, CAST(f.rrf AS DOUBLE) AS rrf
+       |FROM fused f JOIN documents d ON d.doc_id = f.doc_id
+       |ORDER BY f.rrf DESC, f.doc_id""".stripMargin
+
   // ---- Typo-tolerant search: edit-distance-1 vocabulary expansion ------------
   // The flagship query with every term misspelled by one edit; the fuzzy
   // expansion (Search.fuzzySearch) recovers the intended vocabulary terms
@@ -1310,6 +1378,7 @@ object TextIndexQueries {
     "index_doc_info" -> (indexDocInfo _),
     "corpus_stats" -> (corpusStats _),
     "bm25_search" -> (bm25Search _),
+    "hybrid_rrf_search" -> (hybridRrfSearch _),
     "search_facets" -> (searchFacets _),
     "phrase_bigram_index" -> (phraseBigramIndex _),
     "bm25_fielded" -> (bm25Fielded _),
@@ -1354,6 +1423,7 @@ object TextIndexQueries {
     "index_doc_info" -> indexDocInfoSql,
     "corpus_stats" -> corpusStatsSql,
     "bm25_search" -> bm25SearchSql,
+    "hybrid_rrf_search" -> hybridRrfSearchSql,
     "search_facets" -> searchFacetsSql,
     "phrase_bigram_index" -> phraseBigramIndexSql,
     "bm25_fielded" -> bm25FieldedSql,

@@ -355,6 +355,16 @@ class PlanSpec extends SparkSpec {
       s"q21 order-level stats should partial-aggregate:\n$p21")
   }
 
+  test("hybrid RRF fusion stays arm-bounded: top-k arms, broadcast fusion, no cartesian") {
+    val p = plan("hybrid_rrf_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the BM25 arm's top-k must stay TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the fused ≤10-row list should broadcast into documents:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"fusion planned a cartesian:\n$p")
+  }
+
   test("q2 argmin join-back reuses the cached offer aggregate; q12 pushes the ship window") {
     val p2 = plan("q2_min_cost_supplier")
     assert(p2.contains("InMemoryTableScan"),
