@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * once per partition, vectorized work inside).
   *
   * Decode is REAL for every image kind (BMP via a pure-JVM parser,
-  * PNG/JPEG via the JDK's javax.imageio — no external codec dependency)
-  * and for 16-bit PCM WAV; only compressed audio/video (MP3/H.264)
-  * routes to a deterministic byte-histogram stand-in, this container
-  * having no such codecs. Everything Spark-side is real and tested: the
+  * PNG/JPEG via the JDK's javax.imageio — no external codec dependency),
+  * for 16-bit PCM WAV, and for AVI video with uncompressed-DIB or MJPG
+  * frames (pure-JVM RIFF walker; MJPG frames through the JDK JPEG
+  * codec); only genuinely compressed codecs (MP3/H.264) route to a
+  * deterministic byte-histogram stand-in, this container having no such
+  * libraries. Everything Spark-side is real and tested: the
   * schema, the binary encoding, the partition-iterator batch shape, and
   * the feature definitions (pixel-luminance / PCM-amplitude / byte
   * histograms), the last simple enough to mirror into the DuckDB oracle.
@@ -32,12 +34,13 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            features: Array[Double])
 
-  /** STUB decoder (compressed AUDIO/VIDEO only) =============================
+  /** STUB decoder (compressed-codec AUDIO/VIDEO only) =======================
     * MP3/H.264 need codec libraries this container doesn't have; for
     * those kinds this deterministic stand-in computes a normalized byte
     * histogram folded to `FeatureDim` buckets — real plumbing, fake
-    * decode. Everything image-shaped is REAL: BMP (pure-JVM parser),
-    * PNG/JPEG (JDK `javax.imageio`), WAV PCM (pure-JVM parser);
+    * decode. Everything else is REAL: BMP (pure-JVM parser), PNG/JPEG
+    * (JDK `javax.imageio`), WAV PCM (pure-JVM parser), AVI video with
+    * DIB or MJPG frames (pure-JVM container walker, [[decodeAvi]]);
     * [[decodeFeatures]] dispatches on the payload's magic bytes.
     */
   def decodeFeaturesStub(payload: Array[Byte]): Array[Double] = {
@@ -208,6 +211,11 @@ object Multimodal {
 
   def decodeFeatures(payload: Array[Byte]): Array[Double] =
     decodeBmp(payload).orElse(decodeImageIO(payload)).map(lumaHistogram)
+      .orElse(decodeAvi(payload).map { v =>
+        // video: luminance histogram pooled over every decoded frame
+        lumaHistogram(ImageDecoded(v.width, v.height * v.frames.length,
+          v.frames.flatten))
+      })
       .orElse(decodeWav(payload).map { au =>
       val hist = new Array[Double](FeatureDim)
       var i = 0
@@ -284,6 +292,190 @@ object Multimodal {
     */
   def decodeImage(payload: Array[Byte]): Option[ImageDecoded] =
     decodeBmp(payload).orElse(decodeImageIO(payload))
+
+  /** Decoded video: per-frame top-down row-major RGB triples, same pixel
+    * layout as [[ImageDecoded]] so every image consumer is frame-blind.
+    */
+  case class VideoDecoded(width: Int, height: Int, frames: Array[Array[Byte]])
+
+  /** Depth-first walk over a RIFF chunk range: LIST chunks recurse into
+    * their children, leaf chunks invoke `onChunk(id, dataOff, dataSize)`.
+    * Chunks pad to even sizes; any size running past `end` stops the walk
+    * (truncated file) rather than throwing.
+    */
+  private def riffWalk(payload: Array[Byte], start: Int, end: Int,
+                       onChunk: (String, Int, Int) => Unit): Unit = {
+    var off = start
+    var ok = true
+    while (ok && off + 8 <= end) {
+      val id = new String(payload, off, 4, StandardCharsets.US_ASCII)
+      val size = le32(payload, off + 4)
+      if (size < 0 || off + 8 + size > end) ok = false
+      else {
+        if (id == "LIST" && size >= 4) riffWalk(payload, off + 12, off + 8 + size, onChunk)
+        else onChunk(id, off + 8, size)
+        off += 8 + size + (size & 1)
+      }
+    }
+  }
+
+  /** REAL decoder: RIFF/AVI container. Pure-JVM chunk walking (hdrl →
+    * strf BITMAPINFOHEADER for the frame geometry, movi → `##db`/`##dc`
+    * frame chunks); frame payloads decode per stream format:
+    *
+    *  - `##db` (uncompressed DIB): 24-bpp BGR rows, 4-byte padded,
+    *    bottom-up when the strf height is positive — decoded by the same
+    *    pure-JVM row loop as [[decodeBmp]]. Lossless, bit-exact.
+    *  - `##dc` with a JPEG payload (the MJPG handler): each frame is a
+    *    complete JPEG stream, decoded via [[decodeImageIO]] — the JDK
+    *    codec, no new dependencies.
+    *
+    * Anything else (H.264 etc. need codec libraries this container
+    * doesn't have) returns None and the caller falls back to the stub —
+    * which after this decoder covers ONLY genuinely compressed non-MJPG
+    * video and compressed audio.
+    */
+  def decodeAvi(payload: Array[Byte]): Option[VideoDecoded] = {
+    if (payload.length < 16 ||
+      payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' || payload(3) != 'F' ||
+      payload(8) != 'A' || payload(9) != 'V' || payload(10) != 'I' || payload(11) != ' ')
+      return None
+    var fmt: Option[(Int, Int, Int, Int)] = None // (width, signedHeight, bpp, compression)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var dims: Option[(Int, Int)] = None
+    riffWalk(payload, 12, payload.length, (id, off, size) => {
+      if (id == "strf" && size >= 40 && fmt.isEmpty) {
+        fmt = Some((le32(payload, off + 4), le32(payload, off + 8),
+          le16(payload, off + 14), le32(payload, off + 16)))
+      } else if (id.length == 4 && id(0).isDigit && id(1).isDigit) {
+        val isDib = id.endsWith("db")
+        val isCompressed = id.endsWith("dc")
+        if (isDib) fmt match {
+          case Some((w, rawH, 24, 0)) if w > 0 && rawH != 0 =>
+            val bottomUp = rawH > 0
+            val h = math.abs(rawH)
+            val rowBytes = (w * 3 + 3) & ~3
+            if (rowBytes.toLong * h <= size) {
+              val rgb = new Array[Byte](w * h * 3)
+              var y = 0
+              while (y < h) {
+                val srcRow = off + (if (bottomUp) h - 1 - y else y) * rowBytes
+                var x = 0
+                while (x < w) {
+                  val sp = srcRow + x * 3 // stored BGR
+                  val d = (y * w + x) * 3
+                  rgb(d) = payload(sp + 2)
+                  rgb(d + 1) = payload(sp + 1)
+                  rgb(d + 2) = payload(sp)
+                  x += 1
+                }
+                y += 1
+              }
+              if (dims.isEmpty) dims = Some((w, h))
+              if (dims.contains((w, h))) frames += rgb
+            }
+          case _ =>
+        }
+        else if (isCompressed && size > 0) {
+          val frame = java.util.Arrays.copyOfRange(payload, off, off + size)
+          decodeImageIO(frame).foreach { img =>
+            if (dims.isEmpty) dims = Some((img.width, img.height))
+            if (dims.contains((img.width, img.height))) frames += img.rgb
+          }
+        }
+      }
+    })
+    dims.filter(_ => frames.nonEmpty)
+      .map { case (w, h) => VideoDecoded(w, h, frames.toArray) }
+  }
+
+  /** Assemble a minimal valid AVI container around pre-built frame
+    * chunks: RIFF("AVI ") → LIST(hdrl){avih, LIST(strl){strh, strf}} →
+    * LIST(movi){frame chunks}. `handler`/`compression` distinguish the
+    * uncompressed ("DIB ", 0) and MJPG (fourcc) stream types.
+    */
+  private def aviAssemble(frameChunks: Seq[Array[Byte]], chunkId: String,
+                          width: Int, height: Int, fps: Int,
+                          handler: String, compression: Int,
+                          frameBufSize: Int): Array[Byte] = {
+    val n = frameChunks.length
+    val moviChildren = frameChunks.map(f => 8 + f.length + (f.length & 1)).sum
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val moviSize = 4 + moviChildren
+    val total = 12 + (8 + hdrlSize) + (8 + moviSize)
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = b.put(s.getBytes(StandardCharsets.US_ASCII))
+    fourcc("RIFF"); b.putInt(total - 8); fourcc("AVI ")
+    fourcc("LIST"); b.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); b.putInt(56)
+    b.putInt(1000000 / math.max(1, fps)) // microseconds per frame
+      .putInt(frameBufSize * fps).putInt(0).putInt(0)
+      .putInt(n).putInt(0).putInt(1).putInt(frameBufSize)
+      .putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); b.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); b.putInt(56)
+    fourcc("vids"); fourcc(handler)
+    b.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(math.max(1, fps)) // scale / rate
+      .putInt(0).putInt(n).putInt(frameBufSize).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    fourcc("strf"); b.putInt(40)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(compression).putInt(frameBufSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    fourcc("LIST"); b.putInt(moviSize); fourcc("movi")
+    frameChunks.foreach { f =>
+      fourcc(chunkId); b.putInt(f.length); b.put(f)
+      if ((f.length & 1) == 1) b.put(0.toByte)
+    }
+    b.array()
+  }
+
+  /** REAL encoder: grayscale luma frames → AVI with uncompressed 24-bpp
+    * DIB frames (bottom-up, 4-byte-padded BGR rows — the container
+    * default, exercising the opposite orientation from [[bmpFromLumas]]'s
+    * top-down). Lossless: pixels round-trip bit-exact through
+    * [[decodeAvi]], which is what lets multimodal_video_stats gate the
+    * real container parse + frame decode against an arithmetic oracle.
+    */
+  def aviFromLumaFrames(frames: Seq[Array[Int]], width: Int, fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty && width > 0, "at least one frame")
+    val len = frames.head.length
+    require(len % width == 0 && frames.forall(_.length == len),
+      "equal-sized frames filling rows")
+    val height = len / width
+    val rowBytes = (width * 3 + 3) & ~3
+    val dibs = frames.map { lumas =>
+      val bits = new Array[Byte](rowBytes * height)
+      var y = 0
+      while (y < height) {
+        val dstRow = (height - 1 - y) * rowBytes // bottom-up
+        var x = 0
+        while (x < width) {
+          val v = (lumas(y * width + x) & 0xff).toByte
+          val d = dstRow + x * 3
+          bits(d) = v; bits(d + 1) = v; bits(d + 2) = v // BGR, gray
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+    aviAssemble(dibs, "00db", width, height, fps, "DIB ", 0, rowBytes * height)
+  }
+
+  /** REAL encoder: pre-encoded JPEG frames → MJPG AVI (`##dc` chunks,
+    * 'MJPG' handler/compression fourcc). Each frame is a complete JPEG
+    * stream the JDK codec can decode back out of the container.
+    */
+  def aviFromJpegFrames(jpegs: Seq[Array[Byte]], width: Int, height: Int,
+                        fps: Int = 10): Array[Byte] = {
+    require(jpegs.nonEmpty, "at least one frame")
+    val mjpg = ('M'.toInt) | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
+    aviAssemble(jpegs, "00dc", width, height, fps, "MJPG", mjpg,
+      jpegs.map(_.length).max)
+  }
 
   /** REAL encoder: 16-bit mono PCM → minimal RIFF/WAVE, the inverse of
     * [[decodeWav]] (which also tolerates richer chunk lists). Lets a

@@ -296,12 +296,78 @@ object MultimodalQueries {
        |  ON g.doc_id = c.doc_id AND g.feature_idx = c.bucket
        |ORDER BY media_id, feature_idx""".stripMargin
 
+  // The video sibling: 96 token-hash lumas per document become THREE
+  // genuine 8x4 grayscale frames inside a real AVI container
+  // (aviFromLumaFrames — RIFF/hdrl/strf/movi with uncompressed
+  // bottom-up DIB frame chunks), which decodeAvi parses back for real:
+  // container walk, strf geometry, per-frame DIB row decode. Per-frame
+  // stats come off the DECODED pixels — mean luma (sum/32, exact dyadic
+  // double) and dark-pixel share (count/32) — while the oracle
+  // recomputes both arithmetically from the token hashes (pads are
+  // luma 0: dark, mean-neutral). n_bytes pins the exact container
+  // length the encoder must emit (12 RIFF + 200 hdrl + 324 movi = 536),
+  // so a header-size regression fails the gate, not just a spec.
+  // Scale: encode+decode+stats is one mapPartitions pass — no shuffle;
+  // the orderBy is presentation-only.
+  private val VideoFrames = 3
+  private val VideoFramePx = 32
+
+  def multimodalVideoStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextHash, Tokenizer}
+    val px = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        transform(Tokenizer.tokenize(col("text")),
+          t => TextHash.hash64(t) % 256).as("px"))
+      .filter(size(col("px")) > 0)
+    px.as[(Long, Seq[Long])].mapPartitions { rows =>
+      rows.flatMap { case (id, p) =>
+        val lumas = Array.tabulate(VideoFrames * VideoFramePx)(i =>
+          if (i < p.length) p(i).toInt else 0)
+        val avi = Multimodal.aviFromLumaFrames(
+          lumas.grouped(VideoFramePx).toSeq, 8)
+        val video = Multimodal.decodeAvi(avi).getOrElse(
+          sys.error(s"self-encoded AVI failed to decode for doc $id"))
+        video.frames.iterator.zipWithIndex.map { case (rgb, f) =>
+          val frameLumas = Array.tabulate(VideoFramePx)(i => rgb(3 * i) & 0xff)
+          (id, "video/avi", avi.length.toLong, f.toLong,
+            frameLumas.sum / 32.0, frameLumas.count(_ < 128) / 32.0)
+        }
+      }
+    }.toDF("media_id", "kind", "n_bytes", "frame_idx", "mean_luma", "p_dark")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val multimodalVideoStatsSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |px AS (
+       |  SELECT doc_id, pos, ${OracleSql.hash64("term")} % 256 AS v
+       |  FROM toks WHERE pos < ${VideoFrames * VideoFramePx}),
+       |f AS (
+       |  SELECT doc_id, pos // $VideoFramePx AS frame_idx, count(*) AS c,
+       |    sum(v) AS sv, sum(CASE WHEN v < 128 THEN 1 ELSE 0 END) AS dk
+       |  FROM px GROUP BY doc_id, pos // $VideoFramePx),
+       |grid AS (
+       |  SELECT d.doc_id, g.frame_idx
+       |  FROM (SELECT DISTINCT doc_id FROM px) d,
+       |    (SELECT unnest(range($VideoFrames)) AS frame_idx) g)
+       |SELECT g.doc_id AS media_id, 'video/avi' AS kind,
+       |  CAST(536 AS BIGINT) AS n_bytes,
+       |  CAST(g.frame_idx AS BIGINT) AS frame_idx,
+       |  CAST(COALESCE(f.sv, 0) / 32.0 AS DOUBLE) AS mean_luma,
+       |  CAST((COALESCE(f.dk, 0) + $VideoFramePx - COALESCE(f.c, 0)) / 32.0
+       |    AS DOUBLE) AS p_dark
+       |FROM grid g LEFT JOIN f
+       |  ON g.doc_id = f.doc_id AND g.frame_idx = f.frame_idx
+       |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_image_stats" -> (multimodalImageStats _),
     "multimodal_audio_stats" -> (multimodalAudioStats _),
+    "multimodal_video_stats" -> (multimodalVideoStats _),
     "dedup_phash" -> (dedupPhash _))
 
   val oracles: Map[String, String] = Map(
@@ -310,5 +376,6 @@ object MultimodalQueries {
     "multimodal_resize" -> multimodalResizeSql,
     "multimodal_image_stats" -> multimodalImageStatsSql,
     "multimodal_audio_stats" -> multimodalAudioStatsSql,
+    "multimodal_video_stats" -> multimodalVideoStatsSql,
     "dedup_phash" -> dedupPhashSql)
 }

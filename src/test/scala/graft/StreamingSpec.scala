@@ -432,6 +432,57 @@ class StreamingSpec extends SparkSpec {
     assert(graft.operators.Multimodal.decodeBmp("BMgarbage".getBytes).isEmpty)
     assert(graft.operators.Multimodal.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty)
   }
+
+  test("AVI DIB round-trip: frames decode bit-exact; container length pinned") {
+    val m = graft.operators.Multimodal
+    val frames = Seq(
+      Array.tabulate(32)(i => (i * 37 + 11) % 256),
+      Array.tabulate(32)(i => (255 - i * 7 + 512) % 256),
+      Array.fill(32)(0))
+    val avi = m.aviFromLumaFrames(frames, 8)
+    // 12 RIFF + 200 hdrl (avih 64 + strl 124 + 12) + 324 movi (12 + 3*104)
+    assert(avi.length == 536, s"container length ${avi.length}")
+    val v = m.decodeAvi(avi).get
+    assert(v.width == 8 && v.height == 4 && v.frames.length == 3)
+    frames.zip(v.frames).foreach { case (lumas, rgb) =>
+      val back = (0 until 32).map(i => rgb(3 * i) & 0xff)
+      assert(back == lumas.toSeq, back.toString)
+      // gray: all three channels equal
+      assert((0 until 96).forall(i => rgb(i) == rgb(3 * (i / 3))))
+    }
+    // dispatch: decodeFeatures pools a luma histogram over ALL frames
+    val f = m.decodeFeatures(avi)
+    val expected = new Array[Double](16)
+    frames.flatten.foreach(l => expected(l / 16) += 1.0 / 96)
+    assert((0 until 16).forall(j => math.abs(f(j) - expected(j)) < 1e-12),
+      f.toSeq.toString)
+    // RIFF cousins and garbage don't decode as video
+    assert(m.decodeAvi(wavFixture()).isEmpty)
+    assert(m.decodeAvi("RIFFxxxxAVI garbage".getBytes).isEmpty)
+    assert(m.decodeWav(avi).isEmpty)
+  }
+
+  test("MJPG AVI: JPEG frames decode through the JDK codec inside the container") {
+    val m = graft.operators.Multimodal
+    def solidJpeg(gray: Int): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach(i =>
+        bi.setRGB(i % 8, i / 8, (gray << 16) | (gray << 8) | gray))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "jpg", out))
+      out.toByteArray
+    }
+    val avi = m.aviFromJpegFrames(Seq(solidJpeg(120), solidJpeg(200)), 8, 8)
+    val v = m.decodeAvi(avi).get
+    assert(v.width == 8 && v.height == 8 && v.frames.length == 2)
+    // lossy codec: pin what survives quantization — solid frames stay
+    // within a few counts of their source gray, each in its own bucket
+    assert(v.frames(0).forall(b => math.abs((b & 0xff) - 120) <= 4))
+    assert(v.frames(1).forall(b => math.abs((b & 0xff) - 200) <= 4))
+    val f = m.decodeFeatures(avi)
+    assert(f(7) == 0.5 && f(12) == 0.5, f.toSeq.toString) // 112..127, 192..207
+  }
   test("checkpoint resume: second AvailableNow run processes only new files, totals stay exact") {
     import java.nio.file.Files
     val srcDir = Files.createTempDirectory("graft_ckpt_src").toString
