@@ -361,6 +361,80 @@ object MultimodalQueries {
        |  ON g.doc_id = f.doc_id AND g.frame_idx = f.frame_idx
        |ORDER BY media_id, frame_idx""".stripMargin
 
+  // Scene-cut detection over the SAME real AVI payloads: per-frame
+  // 16-bucket luma histograms (raw counts) off the decoded pixels,
+  // consecutive frames compared by L1 distance — a cut is a frame whose
+  // histogram moved more than half the pixel mass (> 32 of 64 possible;
+  // each changed pixel moves 2 counts). The canonical video-preprocess
+  // op for multimodal training (scene segmentation before frame
+  // sampling), all-integer so strict-exact. One mapPartitions pass, no
+  // shuffle — the per-video frame sequence lives inside one row's
+  // payload, so "window over frames" is a local zip, not a Window.
+  private val CutThreshold = 32
+
+  def videoSceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextHash, Tokenizer}
+    val px = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        transform(Tokenizer.tokenize(col("text")),
+          t => TextHash.hash64(t) % 256).as("px"))
+      .filter(size(col("px")) > 0)
+    px.as[(Long, Seq[Long])].mapPartitions { rows =>
+      rows.flatMap { case (id, p) =>
+        val lumas = Array.tabulate(VideoFrames * VideoFramePx)(i =>
+          if (i < p.length) p(i).toInt else 0)
+        val avi = Multimodal.aviFromLumaFrames(
+          lumas.grouped(VideoFramePx).toSeq, 8)
+        val video = Multimodal.decodeAvi(avi).getOrElse(
+          sys.error(s"self-encoded AVI failed to decode for doc $id"))
+        val hists = video.frames.map { rgb =>
+          val h = new Array[Long](Multimodal.FeatureDim)
+          (0 until VideoFramePx).foreach(i => h((rgb(3 * i) & 0xff) / 16) += 1)
+          h
+        }
+        (1 until hists.length).iterator.map { f =>
+          val l1 = (0 until Multimodal.FeatureDim)
+            .map(b => math.abs(hists(f)(b) - hists(f - 1)(b))).sum
+          (id, f.toLong, l1, l1 > CutThreshold)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "l1_dist", "is_cut")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val videoSceneCutsSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |px AS (
+       |  SELECT doc_id, pos, ${OracleSql.hash64("term")} % 256 AS v
+       |  FROM toks WHERE pos < ${VideoFrames * VideoFramePx}),
+       |c AS (
+       |  SELECT doc_id, pos // $VideoFramePx AS fi, v // 16 AS b, count(*) AS c
+       |  FROM px GROUP BY doc_id, pos // $VideoFramePx, v // 16),
+       |tokc AS (
+       |  SELECT doc_id, pos // $VideoFramePx AS fi, count(*) AS n
+       |  FROM px GROUP BY doc_id, pos // $VideoFramePx),
+       |grid AS (
+       |  SELECT d.doc_id, f.fi, bk.b
+       |  FROM (SELECT DISTINCT doc_id FROM px) d,
+       |    (SELECT unnest(range($VideoFrames)) AS fi) f,
+       |    (SELECT unnest(range(${Multimodal.FeatureDim})) AS b) bk),
+       |cnt AS (
+       |  SELECT g.doc_id, g.fi, g.b,
+       |    COALESCE(c.c, 0) + CASE WHEN g.b = 0
+       |      THEN $VideoFramePx - COALESCE(t.n, 0) ELSE 0 END AS c
+       |  FROM grid g
+       |  LEFT JOIN c ON g.doc_id = c.doc_id AND g.fi = c.fi AND g.b = c.b
+       |  LEFT JOIN tokc t ON g.doc_id = t.doc_id AND g.fi = t.fi),
+       |dist AS (
+       |  SELECT a.doc_id, a.fi, sum(abs(a.c - p.c)) AS l1
+       |  FROM cnt a JOIN cnt p
+       |    ON a.doc_id = p.doc_id AND a.b = p.b AND p.fi = a.fi - 1
+       |  WHERE a.fi >= 1 GROUP BY a.doc_id, a.fi)
+       |SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+       |  CAST(l1 AS BIGINT) AS l1_dist, l1 > $CutThreshold AS is_cut
+       |FROM dist ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -368,6 +442,7 @@ object MultimodalQueries {
     "multimodal_image_stats" -> (multimodalImageStats _),
     "multimodal_audio_stats" -> (multimodalAudioStats _),
     "multimodal_video_stats" -> (multimodalVideoStats _),
+    "video_scene_cuts" -> (videoSceneCuts _),
     "dedup_phash" -> (dedupPhash _))
 
   val oracles: Map[String, String] = Map(
@@ -377,5 +452,6 @@ object MultimodalQueries {
     "multimodal_image_stats" -> multimodalImageStatsSql,
     "multimodal_audio_stats" -> multimodalAudioStatsSql,
     "multimodal_video_stats" -> multimodalVideoStatsSql,
+    "video_scene_cuts" -> videoSceneCutsSql,
     "dedup_phash" -> dedupPhashSql)
 }
