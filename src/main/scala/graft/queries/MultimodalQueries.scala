@@ -435,6 +435,64 @@ object MultimodalQueries {
        |  CAST(l1 AS BIGINT) AS l1_dist, l1 > $CutThreshold AS is_cut
        |FROM dist ORDER BY media_id, frame_idx""".stripMargin
 
+  // VAD-style silence segmentation, the audio sibling of the scene-cut
+  // query: genuine RIFF/WAVE payloads (token-hash PCM, same synthesis as
+  // multimodal_audio_stats) decoded by the real parser, then fixed
+  // 8-sample windows scored by mean |amplitude| — a window is silent
+  // when its integer mean-abs falls under 1/8 of full scale (4096).
+  // The canonical speech-corpus preprocess (silence trimming before
+  // transcription/training). sum(|s|) <= 8*32768 stays integer-exact,
+  // mean_abs = sum/8.0 is dyadic: strict-safe. One mapPartitions pass;
+  // the window walk is a local grouped() over one payload's samples.
+  private val AudioWin = 8
+  private val SilenceThreshold = 4096L
+
+  def audioSilence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextHash, Tokenizer}
+    val sv = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        transform(Tokenizer.tokenize(col("text")),
+          t => TextHash.hash64(t) % 65536).as("sv"))
+      .filter(size(col("sv")) > 0)
+    sv.as[(Long, Seq[Long])].mapPartitions { rows =>
+      rows.flatMap { case (id, p) =>
+        val samples = Array.tabulate(32)(i =>
+          if (i < p.length) (p(i) - 32768L).toShort else 0.toShort)
+        val wav = Multimodal.wavFromSamples(samples, 8000)
+        val au = Multimodal.decodeWav(wav).getOrElse(
+          sys.error(s"self-encoded WAV failed to decode for doc $id"))
+        au.samples.grouped(AudioWin).zipWithIndex.map { case (w, wi) =>
+          val sumAbs = w.map(x => math.abs(x.toLong)).sum
+          (id, wi.toLong, sumAbs, sumAbs / (1.0 * AudioWin),
+            sumAbs < SilenceThreshold * AudioWin)
+        }
+      }
+    }.toDF("media_id", "window_idx", "sum_abs", "mean_abs", "is_silent")
+      .orderBy("media_id", "window_idx")
+  }
+
+  val audioSilenceSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |px AS (
+       |  SELECT doc_id, pos, ${OracleSql.hash64("term")} % 65536 - 32768 AS v
+       |  FROM toks WHERE pos < 32),
+       |pad AS (
+       |  SELECT doc_id, i AS pos, CAST(0 AS BIGINT) AS v
+       |  FROM (SELECT doc_id, max(pos) AS mx FROM px GROUP BY doc_id) m,
+       |    unnest(generate_series(0, 31)) t(i)
+       |  WHERE i > m.mx),
+       |allv AS (SELECT * FROM px UNION ALL SELECT * FROM pad),
+       |w AS (
+       |  SELECT doc_id, pos // $AudioWin AS window_idx,
+       |    sum(abs(v)) AS sum_abs
+       |  FROM allv GROUP BY doc_id, pos // $AudioWin)
+       |SELECT doc_id AS media_id, CAST(window_idx AS BIGINT) AS window_idx,
+       |  CAST(sum_abs AS BIGINT) AS sum_abs,
+       |  CAST(sum_abs / $AudioWin.0 AS DOUBLE) AS mean_abs,
+       |  sum_abs < ${SilenceThreshold * AudioWin} AS is_silent
+       |FROM w ORDER BY media_id, window_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -443,6 +501,7 @@ object MultimodalQueries {
     "multimodal_audio_stats" -> (multimodalAudioStats _),
     "multimodal_video_stats" -> (multimodalVideoStats _),
     "video_scene_cuts" -> (videoSceneCuts _),
+    "audio_silence" -> (audioSilence _),
     "dedup_phash" -> (dedupPhash _))
 
   val oracles: Map[String, String] = Map(
@@ -453,5 +512,6 @@ object MultimodalQueries {
     "multimodal_audio_stats" -> multimodalAudioStatsSql,
     "multimodal_video_stats" -> multimodalVideoStatsSql,
     "video_scene_cuts" -> videoSceneCutsSql,
+    "audio_silence" -> audioSilenceSql,
     "dedup_phash" -> dedupPhashSql)
 }

@@ -208,6 +208,21 @@ class PlanSpec extends SparkSpec {
       s"bucket computation shuffles on vector id:\n$p")
   }
 
+  test("media encode->decode->stats queries are narrow: one presentation sort only") {
+    // the frame/window sequence lives inside each row's payload, so the
+    // whole family must plan as scan -> mapPartitions -> sort with no
+    // hash exchange anywhere (a Window or groupBy sneaking in would
+    // shuffle per-media state that is local by construction)
+    Seq("multimodal_video_stats", "video_scene_cuts", "audio_silence")
+      .foreach { q =>
+        val p = plan(q)
+        val exchanges = "Exchange".r.findAllIn(p).size
+        assert(exchanges == 1 && p.contains("Exchange rangepartitioning"),
+          s"$q should shuffle only for the output ORDER BY:\n$p")
+        assert(!p.contains("Window"), s"$q: no window expected:\n$p")
+      }
+  }
+
   test("grouped aggregations use partial (map-side) aggregation") {
     val p = plan("q1_agg")
     // partial + final pairs appear as two HashAggregate nodes
