@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.CacheRegistry.RegisteredCache
-import graft.Tables
+import graft.{Money, Tables}
 
 /** Event-time operators over the `events` table (SURVEY.md §7.5 extension
   * scope): tumbling/sliding windows, JSON extraction, sessionization,
@@ -150,6 +150,155 @@ object EventQueries {
       |  CAST(sum(session_events) AS BIGINT) AS n_events,
       |  CAST(max(session_events) AS BIGINT) AS max_session_events
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- Range join via binning -------------------------------------------------
+  // Point-in-interval join with NO equi key — the plan class Spark can only
+  // express natively as a broadcast-nested-loop (fine while one side is
+  // small, fatal when both sides scale). The scale form: quantize intervals
+  // and points onto a fixed-width bin grid, equi-join on the bin, re-check
+  // the exact predicate. Each interval here spans <= 2 bins (window width ==
+  // bin width), so the exploded interval side stays O(W); the join becomes a
+  // plain shuffled hash join on `bin` that AQE can skew-split if one hour of
+  // the corpus is hot. Intervals: the per-(event_type, day) peak-value event
+  // +/- 30 min; points: every event. All time arithmetic on epoch
+  // MICROSECOND longs — integer-exact in both engines, no timezone anywhere.
+  private val RjBinUs  = 3600L * 1000000L  // 1 h bins == window width
+  private val RjHalfUs = 1800L * 1000000L  // +/- 30 min around the anchor
+
+  def rangeJoinBins(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("es"),
+        col("user_id"), col("event_type"), col("value"))
+    val byTypeDay = Window
+      .partitionBy(col("event_type"), col("day"))
+      .orderBy(col("value").desc, col("es").asc, col("event_id").asc)
+    val anchors = ev
+      .withColumn("day", expr("es div 86400000000"))
+      .withColumn("rn", row_number().over(byTypeDay))
+      .where(col("rn") === 1)
+      .select(col("event_id").as("win_id"), col("event_type").as("win_type"),
+        (col("es") - RjHalfUs).as("lo"), (col("es") + RjHalfUs).as("hi"))
+    val winBins = anchors.withColumn("bin",
+      explode(sequence(expr(s"lo div ${RjBinUs}L"), expr(s"hi div ${RjBinUs}L"))))
+    val pts = ev.withColumn("bin", expr(s"es div ${RjBinUs}L"))
+    winBins.join(pts, Seq("bin"))
+      .where(col("es").between(col("lo"), col("hi")))
+      .groupBy(col("win_id"), col("win_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        countDistinct(col("user_id")).cast("long").as("n_users"),
+        Money.sumCents(col("value")).as("total_value"))
+      .orderBy("win_id")
+  }
+
+  // The oracle states the SEMANTICS (a plain BETWEEN theta join); the engine
+  // plan above is the scale rewrite of exactly this query.
+  val rangeJoinBinsSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, epoch_us(ts) AS es, user_id, event_type, value
+       |  FROM events),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY event_type, es // 86400000000
+       |      ORDER BY value DESC, es ASC, event_id ASC) AS rn
+       |  FROM ev),
+       |anchors AS (
+       |  SELECT event_id AS win_id, event_type AS win_type,
+       |         es - 1800000000 AS lo, es + 1800000000 AS hi
+       |  FROM ranked WHERE rn = 1)
+       |SELECT a.win_id, a.win_type,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       |  ${Money.sumCentsSql("e.value")} AS total_value
+       |FROM anchors a JOIN ev e ON e.es BETWEEN a.lo AND a.hi
+       |GROUP BY a.win_id, a.win_type
+       |ORDER BY a.win_id""".stripMargin
+
+  // ---- Session concurrency: distributed prefix sum ----------------------------
+  // "How many sessions were open at once?" — the interval-sweep problem. The
+  // textbook form sorts ALL boundaries and runs ONE global running sum: a
+  // single-partition window, the classic scale killer. The distributed form
+  // runs the sweep as a two-level prefix sum over minute bins:
+  //   1. sessions (sessionize's lag+cumsum) -> +1 delta at the start minute,
+  //      -1 just after the end minute;
+  //   2. per-bin delta totals (partial-agg groupBy — parallel);
+  //   3. per-DAY block sums, prefix-summed over the day table (a window over
+  //      O(corpus time span) rows, not O(corpus) rows);
+  //   4. within-day running sum (window PARTITIONED by day — parallel) plus
+  //      the broadcast day-prefix = the exact global running concurrency.
+  // Concurrency only changes at delta bins, so max-per-day over delta bins
+  // is the true per-day maximum.
+  def sessionConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("es").asc, col("event_id").asc)
+    val MinUs = 60L * 1000000L
+    val sessions = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("es"))
+      .withColumn("prev_es", lag(col("es"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_es").isNull || col("es") - col("prev_es") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(expr(s"min(es) div ${MinUs}L").as("sb"),
+        expr(s"max(es) div ${MinUs}L").as("eb"))
+    val deltas = sessions.select(col("sb").as("bin"), lit(1L).as("d"))
+      .unionByName(sessions.select((col("eb") + 1L).as("bin"), lit(-1L).as("d")))
+      .groupBy(col("bin")).agg(sum(col("d")).as("delta"))
+      .withColumn("day_idx", expr("bin div 1440"))
+    val dayPrefix = deltas
+      .groupBy(col("day_idx")).agg(sum(col("delta")).as("day_delta"))
+      .withColumn("prev_days",
+        coalesce(sum(col("day_delta")).over(
+          Window.orderBy(col("day_idx").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day_idx"), col("prev_days"))
+    val withinDay = Window.partitionBy(col("day_idx"))
+      .orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .join(broadcast(dayPrefix), Seq("day_idx"))
+      .withColumn("concurrent", col("prev_days") + sum(col("delta")).over(withinDay))
+      .groupBy(col("day_idx"))
+      .agg(max(col("concurrent")).cast("long").as("max_concurrent"))
+      .orderBy("day_idx")
+  }
+
+  // Oracle: the single global running sum — semantically identical to the
+  // two-level engine plan (bins partition into days in bin order).
+  val sessionConcurrencySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS es FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, es,
+      |    CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY es ASC, event_id ASC)),
+      |sess AS (
+      |  SELECT user_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY es ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+      |    es
+      |  FROM flagged),
+      |bounds AS (
+      |  SELECT user_id, session_id,
+      |    min(es) // 60000000 AS sb, max(es) // 60000000 AS eb
+      |  FROM sess GROUP BY user_id, session_id),
+      |deltas AS (
+      |  SELECT bin, sum(d) AS delta FROM (
+      |    SELECT sb AS bin, 1 AS d FROM bounds
+      |    UNION ALL
+      |    SELECT eb + 1 AS bin, -1 AS d FROM bounds)
+      |  GROUP BY bin),
+      |running AS (
+      |  SELECT bin // 1440 AS day_idx,
+      |    sum(delta) OVER (ORDER BY bin ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrent
+      |  FROM deltas)
+      |SELECT day_idx, CAST(max(concurrent) AS BIGINT) AS max_concurrent
+      |FROM running GROUP BY day_idx ORDER BY day_idx""".stripMargin
 
   // ---- Pivot: per-day counts by event type ------------------------------------
   val EventTypes = Seq("click", "error", "purchase", "signup", "view")
@@ -1058,7 +1207,9 @@ object EventQueries {
     "events_variant" -> (eventsVariant _),
     "events_sessionize" -> (eventsSessionize _),
     "events_pivot_daily" -> (eventsPivotDaily _),
-    "events_latest_per_user" -> (eventsLatestPerUser _))
+    "events_latest_per_user" -> (eventsLatestPerUser _),
+    "range_join_bins" -> (rangeJoinBins _),
+    "session_concurrency" -> (sessionConcurrency _))
 
   val oracles: Map[String, String] = Map(
     "skew_report" -> skewReportSql,
@@ -1101,5 +1252,7 @@ object EventQueries {
     "events_variant" -> eventsJsonSql,
     "events_sessionize" -> eventsSessionizeSql,
     "events_pivot_daily" -> eventsPivotDailySql,
-    "events_latest_per_user" -> eventsLatestPerUserSql)
+    "events_latest_per_user" -> eventsLatestPerUserSql,
+    "range_join_bins" -> rangeJoinBinsSql,
+    "session_concurrency" -> sessionConcurrencySql)
 }

@@ -657,4 +657,70 @@ class OperatorSpec extends SparkSpec {
     assert(graft.queries.TextIndexQueries.SearchTerms.exists(topTitle.contains),
       s"top title '$topTitle' has no query term — title boost not engaged")
   }
+
+  test("rangeJoinBins: binned equi-join rewrite == naive BETWEEN theta join") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.EventQueries.rangeJoinBins(spark, dir).collect()
+    assert(got.nonEmpty, "range join produced no windows")
+    // naive form: same anchors, plain theta join (BNL) — the semantics the
+    // oracle states; must agree row-for-row with the scale rewrite
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("es"),
+        col("user_id"), col("event_type"), col("value"))
+    val byTypeDay = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("value").desc, col("es").asc, col("event_id").asc)
+    val anchors = ev
+      .withColumn("day", expr("es div 86400000000"))
+      .withColumn("rn", row_number().over(byTypeDay))
+      .where(col("rn") === 1)
+      .select(col("event_id").as("win_id"), col("event_type").as("win_type"),
+        (col("es") - 1800000000L).as("lo"), (col("es") + 1800000000L).as("hi"))
+    val naive = anchors.join(ev, col("es").between(col("lo"), col("hi")))
+      .groupBy(col("win_id"), col("win_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        countDistinct(col("user_id")).cast("long").as("n_users"),
+        graft.Money.sumCents(col("value")).as("total_value"))
+      .orderBy("win_id")
+      .collect()
+    assert(got.toSeq == naive.toSeq)
+  }
+
+  test("sessionConcurrency: two-level prefix sum == brute-force sweep") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.EventQueries.sessionConcurrency(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // brute force: sessions in memory, one global sweep
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("es"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bounds = rows.groupBy(_._1).values.flatMap { evs =>
+      val sorted = evs.sortBy(e => (e._3, e._2)).toList
+      // split on >30 min gaps
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+        case (acc @ cur :: rest, e) =>
+          if (e._3 - cur.head._3 > 1800000000L) List(e) :: acc
+          else (e :: cur) :: rest
+        case (Nil, e) => List(List(e))
+      }
+      sessions.map { ses =>
+        val ts = ses.map(_._3)
+        (ts.min / 60000000L, ts.max / 60000000L)
+      }
+    }.toList
+    val deltas = scala.collection.mutable.SortedMap[Long, Long]()
+    bounds.foreach { case (sb, eb) =>
+      deltas(sb) = deltas.getOrElse(sb, 0L) + 1L
+      deltas(eb + 1) = deltas.getOrElse(eb + 1, 0L) - 1L
+    }
+    var run = 0L
+    val maxPerDay = scala.collection.mutable.Map[Long, Long]()
+    deltas.foreach { case (bin, d) =>
+      run += d
+      val day = bin / 1440L
+      maxPerDay(day) = math.max(maxPerDay.getOrElse(day, Long.MinValue), run)
+    }
+    assert(got == maxPerDay.toMap)
+  }
 }
