@@ -19,6 +19,20 @@ import graft.{Money, Tables}
   */
 object EventQueries {
 
+  import org.apache.spark.sql.Column
+
+  /** Floor division on epoch-microsecond longs (b > 0). Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors — they diverge on
+    * negative dividends (pre-1970 timestamps, or a window lower bound
+    * within 30 min of the epoch), silently shifting a bin. Subtracting
+    * `pmod` first makes the dividend an exact multiple of b; epoch micros
+    * stay below 2^53 until year ~2255, so the correctly-rounded IEEE
+    * division of two exactly-representable longs whose true quotient is a
+    * representable integer is exact.
+    */
+  private def floorDiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+
   // ---- Tumbling window aggregation -------------------------------------------
   def eventsTumbling(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -173,14 +187,14 @@ object EventQueries {
       .partitionBy(col("event_type"), col("day"))
       .orderBy(col("value").desc, col("es").asc, col("event_id").asc)
     val anchors = ev
-      .withColumn("day", expr("es div 86400000000"))
+      .withColumn("day", floorDiv(col("es"), 86400000000L))
       .withColumn("rn", row_number().over(byTypeDay))
       .where(col("rn") === 1)
       .select(col("event_id").as("win_id"), col("event_type").as("win_type"),
         (col("es") - RjHalfUs).as("lo"), (col("es") + RjHalfUs).as("hi"))
     val winBins = anchors.withColumn("bin",
-      explode(sequence(expr(s"lo div ${RjBinUs}L"), expr(s"hi div ${RjBinUs}L"))))
-    val pts = ev.withColumn("bin", expr(s"es div ${RjBinUs}L"))
+      explode(sequence(floorDiv(col("lo"), RjBinUs), floorDiv(col("hi"), RjBinUs))))
+    val pts = ev.withColumn("bin", floorDiv(col("es"), RjBinUs))
     winBins.join(pts, Seq("bin"))
       .where(col("es").between(col("lo"), col("hi")))
       .groupBy(col("win_id"), col("win_type"))
@@ -225,8 +239,13 @@ object EventQueries {
   //      O(corpus time span) rows, not O(corpus) rows);
   //   4. within-day running sum (window PARTITIONED by day — parallel) plus
   //      the broadcast day-prefix = the exact global running concurrency.
-  // Concurrency only changes at delta bins, so max-per-day over delta bins
-  // is the true per-day maximum.
+  // Concurrency is piecewise constant between delta bins, so a day's true
+  // maximum is max(carried-in concurrency at day start, running sum at each
+  // in-day delta bin) — the carry term matters when the day's first delta is
+  // a session END (the post-decrement value alone would under-report), and
+  // days with open sessions but NO deltas at all report the carry. The
+  // output therefore covers EVERY day between the first and last boundary
+  // bin, not just days that happen to contain a delta.
   def sessionConcurrency(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("es").asc, col("event_id").asc)
@@ -241,32 +260,45 @@ object EventQueries {
         sum(col("new_session")).over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
-      .agg(expr(s"min(es) div ${MinUs}L").as("sb"),
-        expr(s"max(es) div ${MinUs}L").as("eb"))
+      .agg(floorDiv(min(col("es")), MinUs).as("sb"),
+        floorDiv(max(col("es")), MinUs).as("eb"))
     val deltas = sessions.select(col("sb").as("bin"), lit(1L).as("d"))
       .unionByName(sessions.select((col("eb") + 1L).as("bin"), lit(-1L).as("d")))
       .groupBy(col("bin")).agg(sum(col("d")).as("delta"))
-      .withColumn("day_idx", expr("bin div 1440"))
-    val dayPrefix = deltas
+      .withColumn("day_idx", floorDiv(col("bin"), 1440L))
+    // the full day span (one bounded scalar agg + explode — O(corpus time
+    // span) rows), each with its carried-in concurrency at day start: the
+    // prefix sum of whole-day delta totals over all PRIOR days. The global
+    // window runs over the day table, not the corpus.
+    val dayAgg = deltas
       .groupBy(col("day_idx")).agg(sum(col("delta")).as("day_delta"))
-      .withColumn("prev_days",
+    val dayCarry = dayAgg
+      .agg(min(col("day_idx")).as("d0"), max(col("day_idx")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day_idx"))
+      .join(dayAgg, Seq("day_idx"), "left_outer")
+      .withColumn("carry",
         coalesce(sum(col("day_delta")).over(
           Window.orderBy(col("day_idx").asc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("day_idx"), col("prev_days"))
+      .select(col("day_idx"), col("carry"))
     val withinDay = Window.partitionBy(col("day_idx"))
       .orderBy(col("bin").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas
-      .join(broadcast(dayPrefix), Seq("day_idx"))
-      .withColumn("concurrent", col("prev_days") + sum(col("delta")).over(withinDay))
+    val deltaDayMax = deltas
+      .join(broadcast(dayCarry), Seq("day_idx"))
+      .withColumn("concurrent", col("carry") + sum(col("delta")).over(withinDay))
       .groupBy(col("day_idx"))
-      .agg(max(col("concurrent")).cast("long").as("max_concurrent"))
+      .agg(max(col("concurrent")).as("m"))
+    dayCarry.join(deltaDayMax, Seq("day_idx"), "left_outer")
+      .select(col("day_idx"),
+        greatest(col("carry"), coalesce(col("m"), col("carry")))
+          .cast("long").as("max_concurrent"))
       .orderBy("day_idx")
   }
 
-  // Oracle: the single global running sum — semantically identical to the
-  // two-level engine plan (bins partition into days in bin order).
+  // Oracle: the single global running sum, sampled at day starts AND at
+  // every delta bin — semantically the minute-by-minute sweep, collapsed
+  // to the points where concurrency can change or a day boundary crosses.
   val sessionConcurrencySql: String =
     """WITH ev AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS es FROM events),
@@ -292,13 +324,28 @@ object EventQueries {
       |    UNION ALL
       |    SELECT eb + 1 AS bin, -1 AS d FROM bounds)
       |  GROUP BY bin),
+      |daydelta AS (
+      |  SELECT bin // 1440 AS day_idx, sum(delta) AS day_delta
+      |  FROM deltas GROUP BY 1),
+      |days AS (
+      |  SELECT unnest(range((SELECT min(day_idx) FROM daydelta),
+      |                      (SELECT max(day_idx) FROM daydelta) + 1)) AS day_idx),
+      |carry AS (
+      |  SELECT d.day_idx,
+      |    coalesce(sum(dd.day_delta) OVER (ORDER BY d.day_idx ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+      |  FROM days d LEFT JOIN daydelta dd ON d.day_idx = dd.day_idx),
       |running AS (
       |  SELECT bin // 1440 AS day_idx,
       |    sum(delta) OVER (ORDER BY bin ASC
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrent
-      |  FROM deltas)
-      |SELECT day_idx, CAST(max(concurrent) AS BIGINT) AS max_concurrent
-      |FROM running GROUP BY day_idx ORDER BY day_idx""".stripMargin
+      |  FROM deltas),
+      |perday AS (
+      |  SELECT day_idx, max(concurrent) AS m FROM running GROUP BY day_idx)
+      |SELECT c.day_idx,
+      |  CAST(greatest(c.carry, coalesce(p.m, c.carry)) AS BIGINT) AS max_concurrent
+      |FROM carry c LEFT JOIN perday p ON c.day_idx = p.day_idx
+      |ORDER BY c.day_idx""".stripMargin
 
   // ---- Pivot: per-day counts by event type ------------------------------------
   val EventTypes = Seq("click", "error", "purchase", "signup", "view")

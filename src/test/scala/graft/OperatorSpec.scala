@@ -686,12 +686,17 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq == naive.toSeq)
   }
 
-  test("sessionConcurrency: two-level prefix sum == brute-force sweep") {
+  test("sessionConcurrency: two-level prefix sum == independent minute sweep") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.queries.EventQueries.sessionConcurrency(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.nonEmpty)
-    // brute force: sessions in memory, one global sweep
+    // independent oracle: sessions in memory, then concurrency counted at
+    // EVERY minute between the first and last boundary bin (not only at
+    // delta bins) — this samples the carried-in value at each day start and
+    // covers days with open sessions but no deltas, so it would catch the
+    // day-boundary underreporting a delta-bin-only sweep shares with the
+    // implementation
     val rows = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("es"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -709,17 +714,22 @@ class OperatorSpec extends SparkSpec {
         (ts.min / 60000000L, ts.max / 60000000L)
       }
     }.toList
-    val deltas = scala.collection.mutable.SortedMap[Long, Long]()
+    val minBin = bounds.map(_._1).min
+    val maxBin = bounds.map(_._2 + 1).max
+    val n = (maxBin - minBin + 1).toInt
+    val diff = new Array[Long](n + 1)
     bounds.foreach { case (sb, eb) =>
-      deltas(sb) = deltas.getOrElse(sb, 0L) + 1L
-      deltas(eb + 1) = deltas.getOrElse(eb + 1, 0L) - 1L
+      diff((sb - minBin).toInt) += 1L
+      diff((eb + 1 - minBin).toInt) -= 1L
     }
     var run = 0L
     val maxPerDay = scala.collection.mutable.Map[Long, Long]()
-    deltas.foreach { case (bin, d) =>
-      run += d
-      val day = bin / 1440L
+    var m = 0
+    while (m < n) {
+      run += diff(m)
+      val day = Math.floorDiv(minBin + m, 1440L)
       maxPerDay(day) = math.max(maxPerDay.getOrElse(day, Long.MinValue), run)
+      m += 1
     }
     assert(got == maxPerDay.toMap)
   }
