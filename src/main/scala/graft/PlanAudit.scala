@@ -119,6 +119,10 @@ object PlanAudit {
     // acquiring a nested-loop join still gets flagged.
     val allowedJoins: Map[String, String] = Map(
       "ann_brute_force" -> "labeled all-pairs baseline: 10-probe set x corpus",
+      "hybrid_rrf_search" -> ("baseline vector arm: 1-probe set (id=0 " +
+        "filter) x corpus, the bruteForceTopK non-equi self-exclusion; " +
+        "serving twin hybrid_rrf_prebuilt retires this scan"),
+      "hybrid_rrf_prebuilt" -> "1-probe x 64-row stored centroid table (ADC prep)",
       "ann_quantized" -> "10-probe set x corpus, int8 exact re-rank baseline",
       "ann_ivf_pq_prebuilt" -> "probes x 64-row stored centroid table (ADC prep)",
       "ann_ivf_pq_appended" -> "probes x 64-row stored centroid table (ADC prep)",

@@ -80,7 +80,11 @@ object Queries {
     // pair-level match list is quadratic in the DUPLICATION factor (every
     // replica pair x every shared run — x100 probe OOM); span removal
     // consumes the per-document linear form
-    "dedup_substrings"       -> "dedup_substring_spans")
+    "dedup_substrings"       -> "dedup_substring_spans",
+    // same adjudication on the image column: the verified pair list grows
+    // quadratically with the duplication factor (44k -> 3.6M pairs at x10,
+    // SCALE_r8.md); the cluster form is one row per matched image
+    "dedup_phash"            -> "dedup_phash_clusters")
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++

@@ -49,6 +49,9 @@ object Main {
       |  vindex  <embeddings.parquet> <prefix>    build the persisted IVF-PQ vector index
       |  vappend <embeddings.parquet> <prefix>    encode a batch with the frozen quantizers and append
       |  vsearch <prefix> <vec_id> [k=5]          ANN top-k over the persisted vector index
+      |  hsearch <textPrefix> <vecPrefix> <vec_id> "<query>" [k=10]
+      |                                           hybrid BM25+vector RRF, both arms served
+      |                                           from the persisted indexes
       |  vdelete <ids.parquet> <prefix>           forget vectors (id column) from the vector index
       |  vsnapshot <prefix> <tag>                 point-in-time copy of the vector index
       |  vrollback <prefix> <tag>                 restore the vector index from a snapshot
@@ -152,6 +155,15 @@ object Main {
         Right(Some(graft.operators.VectorIndex.searchPrebuilt(spark, prefix,
           probe, k, nprobe = 8, shortlist = 40)
           .orderBy("rank")))
+      // hybrid serving: BM25 arm from the text index, vector arm from the
+      // IVF-PQ index (probe = a stored vector by id), RRF fusion — the
+      // whole command reads persisted index tables only, never the corpus
+      case Seq("hsearch", textPrefix, vecPrefix, vecId, query, rest @ _*) =>
+        val k = rest.headOption.map(_.toInt).getOrElse(10)
+        val probe = spark.table(s"${vecPrefix}_vectors")
+          .filter(col("id") === vecId.toLong).select(col("id"), col("v"))
+        Right(Some(Search.hybridSearchPrebuilt(spark, query, textPrefix,
+          vecPrefix, probe, k)))
       case Seq("vsnapshot", prefix, tag) =>
         graft.operators.VectorIndex.snapshot(spark, prefix, tag)
         Right(None)

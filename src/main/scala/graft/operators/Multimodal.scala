@@ -209,6 +209,21 @@ object Multimodal {
     hist
   }
 
+  /** The codec boundary as a FUNCTION (not prose): which decoder accepts
+    * this payload, in [[decodeFeatures]]'s exact dispatch order. "stub"
+    * means the payload reaches the byte-histogram stand-in — either a
+    * genuinely compressed codec this container has no library for
+    * (MP3/AAC/H.264) or an undecodable/corrupt blob. MultimodalSpec pins
+    * a magic→value table over this, so a decoder addition or regression
+    * fails a named test instead of silently rerouting to the stub.
+    */
+  def decoderOf(payload: Array[Byte]): String =
+    if (decodeBmp(payload).isDefined) "bmp"
+    else if (decodeImageIO(payload).isDefined) "imageio"
+    else if (decodeAvi(payload).isDefined) "avi"
+    else if (decodeWav(payload).isDefined) "wav"
+    else "stub"
+
   def decodeFeatures(payload: Array[Byte]): Array[Double] =
     decodeBmp(payload).orElse(decodeImageIO(payload)).map(lumaHistogram)
       .orElse(decodeAvi(payload).map { v =>

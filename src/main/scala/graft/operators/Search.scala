@@ -149,6 +149,44 @@ object Search {
     search(spark, query, postings, termDf, docInfo, k)
   }
 
+  /** Hybrid retrieval served ENTIRELY from persisted stores: the lexical
+    * arm from the term-bucketed BM25 index (searchPrebuilt — IN-list
+    * bucket + row-group pruning), the semantic arm from the persisted
+    * IVF-PQ index (VectorIndex.searchPrebuilt — DPP-pruned `_vectors`
+    * scan), fused with reciprocal rank fusion (Cormack et al. SIGIR'09:
+    * score = Σ_arms 1/(60 + rank)). Fusion reads only the two ≤k-row arm
+    * outputs, and display titles come from the index's own doc_info table
+    * — the whole query touches index tables only, never the corpus
+    * (the reference's serving pattern, app/query.py:97-122). Ranks are
+    * deterministic in both arms (Money-grid score / exact-cosine re-rank,
+    * doc_id tiebreak).
+    * @param probe (id, v) — the query vector, ≤1 row by contract.
+    */
+  def hybridSearchPrebuilt(spark: SparkSession, query: String,
+                           textPrefix: String, vecPrefix: String,
+                           probe: DataFrame, k: Int = 10, nprobe: Int = 8,
+                           shortlist: Int = 40): DataFrame = {
+    // bounded: the window orders the k surviving rows of the arm's top cut
+    val textRank = searchPrebuilt(spark, query, textPrefix, k)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("text_rank"))
+    val vecRank = VectorIndex
+      .searchPrebuilt(spark, vecPrefix, probe, k, nprobe, shortlist)
+      .select(col("cand_id").as("doc_id"), col("rank").as("vec_rank"))
+    val fused = textRank.join(vecRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("text_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+    spark.table(s"${textPrefix}_doc_info")
+      .select(col("doc_id").cast("long").as("doc_id"), col("title"))
+      .join(broadcast(fused), "doc_id")
+      .select(col("doc_id"), col("title"), col("text_rank"), col("vec_rank"),
+        col("rrf").cast("double").as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
   /** "Did you mean": for each query token, the best correction among
     * vocabulary terms within `maxDist` edits — closest distance first,
     * then highest document frequency (the commoner word is the likelier

@@ -118,7 +118,11 @@ object MultimodalQueries {
   // Scale: banding bounds candidates by 16-bit-bucket occupancy, the
   // same collision-bound as dedup_simhash; hash distribution over 2^16
   // buckets keeps occupancy ~N/65536 per band.
-  def dedupPhash(s: SparkSession, dir: String): DataFrame = {
+  /** The banded self-join + hamming verify, shared by the pair-list
+    * baseline (dedup_phash) and its cluster twin (dedup_phash_clusters).
+    * Columns: (id_a, id_b, ph_a, ph_b, hamming).
+    */
+  private def phashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.CacheRegistry.RegisteredCache
     import graft.functions.{TextHash, Tokenizer}
@@ -128,7 +132,7 @@ object MultimodalQueries {
           t => TextHash.hash64(t) % 256).as("px"))
       .filter(size(col("px")) > 0)
     val sigs = px.as[(Long, Seq[Long])].mapPartitions { rows =>
-      rows.map { case (id, p) =>
+      rows.flatMap { case (id, p) =>
         val lumas = Array.tabulate(32)(i =>
           if (i < p.length) p(i).toInt else 0)
         // FORMAT-BLIND by construction: even ids encode as BMP, odd ids
@@ -138,9 +142,11 @@ object MultimodalQueries {
         val payload =
           if (id % 2 == 0) Multimodal.bmpFromLumas(lumas, 8)
           else Multimodal.pngFromLumas(lumas, 8)
-        val img = Multimodal.decodeImage(payload).getOrElse(
-          sys.error(s"self-encoded image failed to decode for doc $id"))
-        (id, Multimodal.averageHash32(img))
+        // P5 tolerance: an undecodable payload drops its ROW, never the
+        // stage (self-encoded payloads always decode; the round trip is
+        // spec-pinned, and media_decode_audit counts real-world skips)
+        Multimodal.decodeImage(payload)
+          .map(img => (id, Multimodal.averageHash32(img)))
       }
     }.toDF("id", "phash")
       .withColumn("lo", col("phash") % 65536)
@@ -158,9 +164,36 @@ object MultimodalQueries {
       .withColumn("hamming",
         graft.operators.Dedup.hamming(col("ph_a"), col("ph_b")))
       .filter(col("hamming") <= 6)
+  }
+
+  def dedupPhash(s: SparkSession, dir: String): DataFrame =
+    phashVerifiedPairs(s, dir)
       .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
         col("ph_a").as("phash_a"), col("ph_b").as("phash_b"), col("hamming"))
       .orderBy("doc_id_a", "doc_id_b")
+
+  // ---- Production twin: phash pairs -> transitive clusters -------------------
+  // The pair LIST above is the oracle-stability baseline, but its output
+  // is quadratic in the duplication factor (every replica pair surfaces —
+  // 44k -> 3.6M rows at x10, SCALE_r8.md), so no production consumer
+  // should read it. This form collapses the same verified pair graph to
+  // min-label connected components — one row per MATCHED IMAGE (linear in
+  // the corpus no matter how duplicated), keeper = min doc_id — the
+  // dedup_clusters contract on the image column.
+  def dedupPhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = phashVerifiedPairs(s, dir)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val labels = graft.operators.Components
+      .connectedComponents(pairs, checkEvery = 4, pointerJump = false)
+    val byComponent = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(byComponent).cast("long"))
+      .select(col("id").cast("long").as("doc_id"),
+        col("component").cast("long").as("component"),
+        col("cluster_size"),
+        (col("id") === col("component")).as("is_keeper"))
+      .orderBy("doc_id")
   }
 
   val dedupPhashSql: String =
@@ -186,6 +219,29 @@ object MultimodalQueries {
        |  ON a.id < b.id AND (a.lo = b.lo OR a.hi = b.hi)
        |WHERE bit_count(xor(a.phash, b.phash)) <= 6
        |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
+  // Recursive transitive closure over the SAME pair SQL — the
+  // dedup_clusters oracle shape on the phash graph.
+  val dedupPhashClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_id_a AS a, doc_id_b AS b FROM (
+       |$dedupPhashSql
+       |  ) ph),
+       |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |comp AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS component
+       |  FROM reach GROUP BY a),
+       |sizes AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY component)
+       |SELECT c.doc_id, c.component, s.cluster_size,
+       |  c.doc_id = c.component AS is_keeper
+       |FROM comp c JOIN sizes s USING (component)
+       |ORDER BY doc_id""".stripMargin
 
   // ---- Real-decode feature extraction, oracle-gated --------------------------
   // multimodal_features gates the STUB path (text payloads); this row
@@ -326,12 +382,15 @@ object MultimodalQueries {
           if (i < p.length) p(i).toInt else 0)
         val avi = Multimodal.aviFromLumaFrames(
           lumas.grouped(VideoFramePx).toSeq, 8)
-        val video = Multimodal.decodeAvi(avi).getOrElse(
-          sys.error(s"self-encoded AVI failed to decode for doc $id"))
-        video.frames.iterator.zipWithIndex.map { case (rgb, f) =>
-          val frameLumas = Array.tabulate(VideoFramePx)(i => rgb(3 * i) & 0xff)
-          (id, "video/avi", avi.length.toLong, f.toLong,
-            frameLumas.sum / 32.0, frameLumas.count(_ < 128) / 32.0)
+        // P5 tolerance: skip-and-continue on a corrupt container (the
+        // self-encoded round trip is spec-pinned; media_decode_audit
+        // carries the skip count for real-world payloads)
+        Multimodal.decodeAvi(avi).iterator.flatMap { video =>
+          video.frames.iterator.zipWithIndex.map { case (rgb, f) =>
+            val frameLumas = Array.tabulate(VideoFramePx)(i => rgb(3 * i) & 0xff)
+            (id, "video/avi", avi.length.toLong, f.toLong,
+              frameLumas.sum / 32.0, frameLumas.count(_ < 128) / 32.0)
+          }
         }
       }
     }.toDF("media_id", "kind", "n_bytes", "frame_idx", "mean_luma", "p_dark")
@@ -386,17 +445,18 @@ object MultimodalQueries {
           if (i < p.length) p(i).toInt else 0)
         val avi = Multimodal.aviFromLumaFrames(
           lumas.grouped(VideoFramePx).toSeq, 8)
-        val video = Multimodal.decodeAvi(avi).getOrElse(
-          sys.error(s"self-encoded AVI failed to decode for doc $id"))
-        val hists = video.frames.map { rgb =>
-          val h = new Array[Long](Multimodal.FeatureDim)
-          (0 until VideoFramePx).foreach(i => h((rgb(3 * i) & 0xff) / 16) += 1)
-          h
-        }
-        (1 until hists.length).iterator.map { f =>
-          val l1 = (0 until Multimodal.FeatureDim)
-            .map(b => math.abs(hists(f)(b) - hists(f - 1)(b))).sum
-          (id, f.toLong, l1, l1 > CutThreshold)
+        // P5 tolerance: a corrupt container drops its rows, not the stage
+        Multimodal.decodeAvi(avi).iterator.flatMap { video =>
+          val hists = video.frames.map { rgb =>
+            val h = new Array[Long](Multimodal.FeatureDim)
+            (0 until VideoFramePx).foreach(i => h((rgb(3 * i) & 0xff) / 16) += 1)
+            h
+          }
+          (1 until hists.length).iterator.map { f =>
+            val l1 = (0 until Multimodal.FeatureDim)
+              .map(b => math.abs(hists(f)(b) - hists(f - 1)(b))).sum
+            (id, f.toLong, l1, l1 > CutThreshold)
+          }
         }
       }
     }.toDF("media_id", "frame_idx", "l1_dist", "is_cut")
@@ -460,17 +520,86 @@ object MultimodalQueries {
         val samples = Array.tabulate(32)(i =>
           if (i < p.length) (p(i) - 32768L).toShort else 0.toShort)
         val wav = Multimodal.wavFromSamples(samples, 8000)
-        val au = Multimodal.decodeWav(wav).getOrElse(
-          sys.error(s"self-encoded WAV failed to decode for doc $id"))
-        au.samples.grouped(AudioWin).zipWithIndex.map { case (w, wi) =>
-          val sumAbs = w.map(x => math.abs(x.toLong)).sum
-          (id, wi.toLong, sumAbs, sumAbs / (1.0 * AudioWin),
-            sumAbs < SilenceThreshold * AudioWin)
+        // P5 tolerance: a corrupt payload drops its rows, not the stage
+        Multimodal.decodeWav(wav).iterator.flatMap { au =>
+          au.samples.grouped(AudioWin).zipWithIndex.map { case (w, wi) =>
+            val sumAbs = w.map(x => math.abs(x.toLong)).sum
+            (id, wi.toLong, sumAbs, sumAbs / (1.0 * AudioWin),
+              sumAbs < SilenceThreshold * AudioWin)
+          }
         }
       }
     }.toDF("media_id", "window_idx", "sum_abs", "mean_abs", "is_silent")
       .orderBy("media_id", "window_idx")
   }
+
+  // ---- P5 for the media path: decode audit with COUNTED skips ----------------
+  // The reference tolerates malformed rows per-record (its mapper wraps
+  // each line in try/except — app/mapreduce/mapper1.py:20-25); this is
+  // the media-column analog, end-to-end gated: one modality per doc
+  // (doc_id % 3 -> image/audio/video, all REAL encoders), every 13th
+  // payload DELIBERATELY truncated to 8 bytes, decode attempted through
+  // the real magic-byte dispatch (Multimodal.decoderOf). The oracle
+  // derives decode_ok arithmetically (corrupt <=> doc_id % 13 = 0), so
+  // the gate fails if a corrupt blob decodes OR a good one skips —
+  // proving skip-and-count, never a failed stage. Scale: one
+  // mapPartitions pass + a 3-row hash agg; no shuffle beyond the agg.
+  def mediaDecodeAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextHash, Tokenizer}
+    val hs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        transform(Tokenizer.tokenize(col("text")),
+          t => TextHash.hash64(t) % 65536).as("hs"))
+      .filter(size(col("hs")) > 0)
+    hs.as[(Long, Seq[Long])].mapPartitions { rows =>
+      rows.map { case (id, p) =>
+        val kind = id % 3 match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        val payload = kind match {
+          case "image" =>
+            val lumas = Array.tabulate(32)(i =>
+              if (i < p.length) (p(i) % 256).toInt else 0)
+            if (id % 2 == 0) Multimodal.bmpFromLumas(lumas, 8)
+            else Multimodal.pngFromLumas(lumas, 8)
+          case "audio" =>
+            val samples = Array.tabulate(32)(i =>
+              if (i < p.length) (p(i) - 32768L).toShort else 0.toShort)
+            Multimodal.wavFromSamples(samples, 8000)
+          case _ =>
+            val lumas = Array.tabulate(VideoFrames * VideoFramePx)(i =>
+              if (i < p.length) (p(i) % 256).toInt else 0)
+            Multimodal.aviFromLumaFrames(lumas.grouped(VideoFramePx).toSeq, 8)
+        }
+        val shipped = if (id % 13 == 0) payload.take(8) else payload
+        (kind, Multimodal.decoderOf(shipped) != "stub")
+      }
+    }.toDF("kind", "decode_ok")
+      .groupBy("kind")
+      .agg(count(lit(1)).cast("long").as("n_media"),
+        sum(when(col("decode_ok"), 1L).otherwise(0L)).cast("long")
+          .as("n_decoded"),
+        sum(when(col("decode_ok"), 0L).otherwise(1L)).cast("long")
+          .as("n_skipped"))
+      .orderBy("kind")
+  }
+
+  val mediaDecodeAuditSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |d AS (SELECT DISTINCT doc_id FROM toks),
+       |m AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+       |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    doc_id % 13 = 0 AS corrupt
+       |  FROM d)
+       |SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+       |  CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_decoded,
+       |  CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped
+       |FROM m GROUP BY kind ORDER BY kind""".stripMargin
 
   val audioSilenceSql: String =
     s"""WITH ${OracleSql.TokCte},
@@ -502,7 +631,9 @@ object MultimodalQueries {
     "multimodal_video_stats" -> (multimodalVideoStats _),
     "video_scene_cuts" -> (videoSceneCuts _),
     "audio_silence" -> (audioSilence _),
-    "dedup_phash" -> (dedupPhash _))
+    "dedup_phash" -> (dedupPhash _),
+    "dedup_phash_clusters" -> (dedupPhashClusters _),
+    "media_decode_audit" -> (mediaDecodeAudit _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
@@ -513,5 +644,7 @@ object MultimodalQueries {
     "multimodal_video_stats" -> multimodalVideoStatsSql,
     "video_scene_cuts" -> videoSceneCutsSql,
     "audio_silence" -> audioSilenceSql,
-    "dedup_phash" -> dedupPhashSql)
+    "dedup_phash" -> dedupPhashSql,
+    "dedup_phash_clusters" -> dedupPhashClustersSql,
+    "media_decode_audit" -> mediaDecodeAuditSql)
 }

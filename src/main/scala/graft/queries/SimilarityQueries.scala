@@ -886,6 +886,24 @@ object SimilarityQueries {
         col("cosine").cast("double").as("cosine"))
       .orderBy("probe_id", "rank")
 
+  /** Cross-family composition hooks (hybrid retrieval serves its vector
+    * arm from this family's persisted IVF-PQ index): the built index's
+    * prefix and the family's serving parameters.
+    */
+  private[queries] def persistedVectorIndexPrefix(s: SparkSession,
+                                                  dir: String): String =
+    ensureVectorIndex(s, dir)
+
+  private[queries] def ivfNProbe: Int = NProbe
+  private[queries] def ivfShortlist: Int = PqShortlist
+
+  /** The IVF-PQ `ranked` CTE chain restricted to probe id 0 — the oracle
+    * counterpart of [[persistedIvfPqTopK]] for the hybrid-retrieval SQL.
+    */
+  private[queries] def ivfPqProbeZeroCtes: String =
+    annIvfPqRankedCtes("emb",
+      probeSrc = "(SELECT * FROM probes WHERE id = 0)")
+
   // ---- Vector-index DELETE lifecycle -----------------------------------------
   // Build the full persisted index, then FORGET every id % 7 == 0
   // (VectorIndex.delete — anti-join rewrite of only the touched coarse
@@ -1018,8 +1036,16 @@ object SimilarityQueries {
     *   in the index (the delete lifecycle), though still train the
     *   quantizers and may still probe
     */
-  private def annIvfPqSqlOver(trainSrc: String,
-                              candWhere: Option[String] = None): String = {
+  /** The IVF-PQ serving math as a reusable CTE chain ending in `ranked`
+    * (probe_id, cand_id, cosine, rank) — the final SELECT stays with the
+    * callers so the hybrid-retrieval oracle can fuse `ranked` with the
+    * BM25 arm instead of duplicating ~90 lines of quantizer SQL.
+    * @param probeSrc relation (or parenthesized subquery) providing the
+    *                 probe set; defaults to the shared `probes` CTE.
+    */
+  private[queries] def annIvfPqRankedCtes(trainSrc: String,
+                                          candWhere: Option[String] = None,
+                                          probeSrc: String = "probes"): String = {
     val h = OracleSql.hash64("CAST(id AS VARCHAR)")
     val avgList = (1 to PqSubDim).map(i => s"round(avg(sub[$i]), 6)")
       .mkString("[", ", ", "]")
@@ -1029,7 +1055,7 @@ object SimilarityQueries {
     val trainCte =
       if (trainSrc == "emb") ""
       else s"\n|$trainSrc AS (SELECT * FROM emb WHERE id % 2 = 0),".stripMargin
-    s"""WITH $EmbCte,$trainCte$candCte
+    s"""$EmbCte,$trainCte$candCte
        |cents0 AS (SELECT id AS cent_id, v AS cv0 FROM $trainSrc
        |  ORDER BY $h, id LIMIT $NList),
        |${ivfIterCtes(IvfIters, trainSrc)},
@@ -1050,7 +1076,7 @@ object SimilarityQueries {
        |        list_dot_product(p.v, c.cv0) /
        |          (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.cv0, c.cv0)))
        |        DESC, c.cent_id ASC) AS pr
-       |    FROM probes p, cents c) t
+       |    FROM $probeSrc p, cents c) t
        |  WHERE pr <= $NProbe),
        |seedpq AS (
        |  SELECT row_number() OVER (ORDER BY $h, id) - 1 AS k, v
@@ -1090,7 +1116,7 @@ object SimilarityQueries {
        |    CAST(round(list_dot_product(
        |      p.v[(c.m*$PqSubDim+1):(c.m*$PqSubDim+$PqSubDim)], c.carr)
        |      * 1000000) AS BIGINT) AS micro
-       |  FROM probes p CROSS JOIN codespq c),
+       |  FROM $probeSrc p CROSS JOIN codespq c),
        |qsc AS (
        |  SELECT pc.probe_id, a.cand_id, CAST(sum(l.micro) AS BIGINT) AS qscore
        |  FROM probe_cents pc
@@ -1113,10 +1139,14 @@ object SimilarityQueries {
        |        (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v)))
        |        DESC, x.cand_id ASC) AS BIGINT) AS rank
        |  FROM short x JOIN emb p ON p.id = x.probe_id
-       |       JOIN emb c ON c.id = x.cand_id)
+       |       JOIN emb c ON c.id = x.cand_id)""".stripMargin
+  }
+
+  private def annIvfPqSqlOver(trainSrc: String,
+                              candWhere: Option[String] = None): String =
+    s"""WITH ${annIvfPqRankedCtes(trainSrc, candWhere)}
        |SELECT probe_id, rank, cand_id, CAST(cosine AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
-  }
 
   val annQuantizedSql: String =
     s"""WITH $EmbCte,

@@ -261,6 +261,53 @@ object TextIndexQueries {
        |FROM fused f JOIN documents d ON d.doc_id = f.doc_id
        |ORDER BY f.rrf DESC, f.doc_id""".stripMargin
 
+  // ---- Hybrid retrieval, SERVED: both arms from persisted indexes ------------
+  // The production shape of hybrid_rrf_search (its serving twin): the
+  // lexical arm reads the term-bucketed persisted BM25 index (IN-list
+  // bucket + row-group pruning — |terms| buckets touched, never the
+  // corpus) and the semantic arm reads the persisted IVF-PQ index (DPP
+  // restricts the `_vectors` scan to the nprobe probed lists; ADC
+  // shortlist, exact cosine re-rank). Fusion is unchanged — a full-outer
+  // join of two <=10-row arm outputs — so at 100 TB the whole query costs
+  // two index point-lookups plus an O(1) merge, the reference's own
+  // serving pattern (app/query.py:97-122 reads the prebuilt store,
+  // never the corpus). The vector arm is APPROXIMATE by contract (probed
+  // lists only) — the oracle replicates the same probed-list + shortlist
+  // semantics, so its ranks are exact for what the index serves.
+  def hybridRrfPrebuilt(s: SparkSession, dir: String): DataFrame = {
+    val sq = graft.queries.SimilarityQueries
+    val vecPrefix = sq.persistedVectorIndexPrefix(s, dir)
+    // the probe vector is itself served from the stored index (vectors
+    // are persisted verbatim), so the WHOLE query reads index tables only
+    val probe = s.table(s"${vecPrefix}_vectors")
+      .filter(col("id") === 0L).select(col("id"), col("v"))
+    Search.hybridSearchPrebuilt(s, SearchQuery,
+      textPrefix = ensurePrebuilt(s, dir), vecPrefix = vecPrefix,
+      probe = probe, k = 10, nprobe = sq.ivfNProbe,
+      shortlist = sq.ivfShortlist)
+  }
+
+  val hybridRrfPrebuiltSql: String =
+    s"""${bm25TopCtes(TokCte)},
+       |${graft.queries.SimilarityQueries.ivfPqProbeZeroCtes},
+       |t_rank AS (
+       |  SELECT doc_id, CAST(row_number() OVER (
+       |    ORDER BY round(score * 1000000.0) DESC, doc_id) AS BIGINT) AS text_rank
+       |  FROM top),
+       |v_rank AS (
+       |  SELECT cand_id AS doc_id, CAST(rank AS BIGINT) AS vec_rank
+       |  FROM ranked WHERE rank <= 10),
+       |fused AS (
+       |  SELECT coalesce(t.doc_id, v.doc_id) AS doc_id, t.text_rank, v.vec_rank,
+       |    coalesce(1.0 / (60.0 + t.text_rank), 0.0) +
+       |      coalesce(1.0 / (60.0 + v.vec_rank), 0.0) AS rrf
+       |  FROM t_rank t FULL OUTER JOIN v_rank v ON t.doc_id = v.doc_id
+       |  ORDER BY rrf DESC, doc_id LIMIT 10)
+       |SELECT f.doc_id, substring(d.text, 1, 50) AS title, f.text_rank,
+       |  f.vec_rank, CAST(f.rrf AS DOUBLE) AS rrf
+       |FROM fused f JOIN documents d ON d.doc_id = f.doc_id
+       |ORDER BY f.rrf DESC, f.doc_id""".stripMargin
+
   // ---- Typo-tolerant search: edit-distance-1 vocabulary expansion ------------
   // The flagship query with every term misspelled by one edit; the fuzzy
   // expansion (Search.fuzzySearch) recovers the intended vocabulary terms
@@ -1379,6 +1426,7 @@ object TextIndexQueries {
     "corpus_stats" -> (corpusStats _),
     "bm25_search" -> (bm25Search _),
     "hybrid_rrf_search" -> (hybridRrfSearch _),
+    "hybrid_rrf_prebuilt" -> (hybridRrfPrebuilt _),
     "search_facets" -> (searchFacets _),
     "phrase_bigram_index" -> (phraseBigramIndex _),
     "bm25_fielded" -> (bm25Fielded _),
@@ -1424,6 +1472,7 @@ object TextIndexQueries {
     "corpus_stats" -> corpusStatsSql,
     "bm25_search" -> bm25SearchSql,
     "hybrid_rrf_search" -> hybridRrfSearchSql,
+    "hybrid_rrf_prebuilt" -> hybridRrfPrebuiltSql,
     "search_facets" -> searchFacetsSql,
     "phrase_bigram_index" -> phraseBigramIndexSql,
     "bm25_fielded" -> bm25FieldedSql,

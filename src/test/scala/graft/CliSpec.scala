@@ -117,6 +117,32 @@ class CliSpec extends SparkSpec {
     assert(math.abs(out2.head.getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
+  test("hsearch fuses both persisted arms and equals the library call") {
+    val tPrefix = "graft_cli_hs_t"
+    val vPrefix = "graft_cli_hs_v"
+    assert(cli.Main.run(spark, Seq("index", docsPath, tPrefix)).isRight)
+    assert(cli.Main.run(spark,
+      Seq("vindex", s"$dir/embeddings.parquet", vPrefix)).isRight)
+    val query = "spark filter join stream data"
+    val out = cli.Main.run(spark,
+        Seq("hsearch", tPrefix, vPrefix, "0", query, "10"))
+      .toOption.flatten.get.collect()
+    assert(out.length == 10)
+    // RRF descending with doc_id tiebreak; every row carries at least one
+    // arm's rank; scores are sums of exact small-integer reciprocals
+    val rrf = out.map(_.getAs[Double]("rrf")).toSeq
+    assert(rrf == rrf.sorted.reverse)
+    assert(out.forall(r =>
+      !r.isNullAt(r.fieldIndex("text_rank")) ||
+        !r.isNullAt(r.fieldIndex("vec_rank"))))
+    val probe = spark.table(s"${vPrefix}_vectors")
+      .filter(col("id") === 0L).select(col("id"), col("v"))
+    val direct = Search
+      .hybridSearchPrebuilt(spark, query, tPrefix, vPrefix, probe, 10)
+      .collect()
+    assert(out.toSeq == direct.toSeq)
+  }
+
   test("forget purges ids from BOTH serving stores in one command") {
     val tPrefix = "graft_cli_fg_t"
     val vPrefix = "graft_cli_fg_v"

@@ -283,6 +283,21 @@ class PlanSpec extends SparkSpec {
       s"snippet window join went cartesian:\n$sn")
   }
 
+  test("hybrid_rrf_prebuilt serves both arms from pruned persisted indexes") {
+    // the serving contract of the hybrid twin: the text arm's IN-list must
+    // prune the bucketed postings scan, the vector arm's probe->list join
+    // must DPP-restrict the _vectors scan, and nothing may fall back to a
+    // full-corpus documents/embeddings read
+    val p = plan("hybrid_rrf_prebuilt")
+    assert(p.contains("SelectedBucketsCount"),
+      s"text arm lost bucket pruning:\n$p")
+    assert(p.contains("In(term"), s"term filter not pushed to the scan:\n$p")
+    assert(p.contains("dynamicpruning"),
+      s"vector arm's list scan is not partition-pruned:\n$p")
+    assert(!p.contains("documents.parquet") && !p.contains("embeddings.parquet"),
+      s"hybrid serving read the corpus instead of the indexes:\n$p")
+  }
+
   test("persisted vector index scan is dynamically pruned to the probed lists") {
     // the probe->list join lands on _vectors' cent_id partition column;
     // dynamic partition pruning must restrict the scan to the nprobe
