@@ -57,19 +57,22 @@ object Queries {
       graft.queries.FunctionQueries.queries ++
       graft.queries.SketchQueries.queries
 
-  /** Fixed-geometry baseline → corpus-derived production twin.
+  /** Oracle-stability baseline → production twin.
     *
-    * The keys are oracle-stability baselines whose candidate volume is
-    * bounded by a FIXED partition count (LSH buckets / bands / k-means
-    * lists) — occupancy grows linearly with the corpus and pair volume
-    * quadratically, so each one DNF'd the x100 probe (SCALE_r7.md). The
-    * values re-derive the same geometry from `count(*)` with
-    * integer-exact cross-engine arithmetic and complete at every probed
-    * scale. The CLI's `query` command resolves a key to its twin unless
-    * `--baseline` is passed, and every internal consumer
-    * (label_propagation's graph input, graph_pagerank's and the cluster
-    * family's pair source) reads the twin form directly — no caller
-    * reaches an x100-DNF plan without an explicit opt-in.
+    * Most keys are baselines whose candidate volume is bounded by a FIXED
+    * partition count (LSH buckets / bands / k-means lists) — occupancy
+    * grows linearly with the corpus and pair volume quadratically, so
+    * each one DNF'd the x100 probe (SCALE_r7.md); their twins re-derive
+    * the same geometry from `count(*)` with integer-exact cross-engine
+    * arithmetic and complete at every probed scale. The remaining keys
+    * are pair-list forms whose OUTPUT is quadratic in the duplication
+    * factor (twins: per-doc/per-image linear forms) or serving queries
+    * that rescan the corpus (twin: the persisted-index form). The CLI's
+    * `query` command resolves a key to its twin unless `--baseline` is
+    * passed, and every internal consumer (label_propagation's graph
+    * input, graph_pagerank's and the cluster family's pair source) reads
+    * the twin form directly — no caller reaches a scale-fatal plan
+    * without an explicit opt-in.
     */
   val productionTwin: Map[String, String] = Map(
     "knn_graph"              -> "knn_graph_auto",
@@ -84,7 +87,11 @@ object Queries {
     // same adjudication on the image column: the verified pair list grows
     // quadratically with the duplication factor (44k -> 3.6M pairs at x10,
     // SCALE_r8.md); the cluster form is one row per matched image
-    "dedup_phash"            -> "dedup_phash_clusters")
+    "dedup_phash"            -> "dedup_phash_clusters",
+    // different failure class, same remedy: the baseline's vector arm is a
+    // full-corpus brute-force scan (linear, but a scan per query is not a
+    // serving plan); the twin reads both persisted indexes only
+    "hybrid_rrf_search"      -> "hybrid_rrf_prebuilt")
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++

@@ -196,10 +196,11 @@ object Main {
               else graft.Queries.productionTwin.get(name) match {
                 case Some(twin) =>
                   System.err.println(
-                    s"[graft] '$name' is a fixed-geometry baseline whose " +
-                      s"candidate volume grows quadratically with the corpus; " +
-                      s"running production twin '$twin' (pass --baseline to " +
-                      s"run '$name' anyway)")
+                    s"[graft] '$name' is an oracle-stability baseline whose " +
+                      s"plan does not survive production scale (quadratic " +
+                      s"candidate/output volume or a full-corpus scan per " +
+                      s"query); running production twin '$twin' (pass " +
+                      s"--baseline to run '$name' anyway)")
                   twin
                 case None => name
               }

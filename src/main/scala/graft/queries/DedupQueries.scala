@@ -1304,7 +1304,9 @@ object DedupQueries {
   // (small, cached) pair table, never a cartesian. Per-node counts explode
   // the three corners and aggregate.
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val e = minhashPairs(s, dir)
+    // production pair source (shingled) — same re-pointing as pagerank:
+    // the unigram graph's candidate volume is x100-DNF (SCALE_r7/r8)
+    val e = shingledPairs(s, dir)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
     val tri = e.as("ab")
       .join(e.as("bc"), col("ab.b") === col("bc.a"))
@@ -1320,7 +1322,7 @@ object DedupQueries {
   val graphTrianglesSql: String =
     s"""WITH pairs AS (
        |  SELECT doc_id_a AS a, doc_id_b AS b FROM (
-       |$dedupMinhashLshSql
+       |$dedupMinhashShingledSql
        |  ) mh),
        |tri AS (
        |  SELECT ab.a, ab.b, bc.b AS c
@@ -1344,7 +1346,8 @@ object DedupQueries {
   private val BfsMaxHops = 4
 
   def graphBfs(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir)
+    // production pair source (shingled), as in pagerank/triangles
+    val pairs = shingledPairs(s, dir)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
     val sym = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b")))
@@ -1368,7 +1371,7 @@ object DedupQueries {
     }.mkString(",\n")
     s"""WITH pairs AS (
        |  SELECT doc_id_a AS a, doc_id_b AS b FROM (
-       |$dedupMinhashLshSql
+       |$dedupMinhashShingledSql
        |  ) mh),
        |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
        |d0 AS (
@@ -1471,10 +1474,10 @@ object DedupQueries {
        |FROM pairs WHERE cosine >= 0.35
        |ORDER BY vec_id_a, vec_id_b""".stripMargin
 
-  // ---- Link prediction over the near-dup graph --------------------------------
-  // Which non-adjacent doc pairs LOOK like they should be duplicates?
-  // Common-neighbor candidates come from one self-join of the symmetrized
-  // (small, cached) pair table — length-2 paths, canonical a<b, adjacent
+  // ---- Link prediction over the kNN relatedness graph -------------------------
+  // Which non-adjacent items LOOK like they should be related? Common-
+  // neighbor candidates come from one self-join of the symmetrized
+  // (small, cached) edge table — length-2 paths, canonical a<b, adjacent
   // pairs anti-joined away — scored by Adamic-Adar (1/ln degree of each
   // shared neighbor; every shared neighbor has degree >= 2 by construction,
   // so the log never vanishes). Common neighbors with deg > HubDegreeCap
@@ -1487,8 +1490,16 @@ object DedupQueries {
   private val HubDegreeCap = 64
 
   def graphLinkPrediction(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir)
-      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    // graph input: the corpus-derived kNN relatedness graph, undirected
+    // and deduped. NOT the near-dup pair graph — 0.8-jaccard near-dup
+    // components are transitively-closed cliques at every probed SF, so
+    // Adamic-Adar has nothing to predict there; the kNN relation is
+    // non-transitive and hub-y, which is the link-prediction shape.
+    val knn = graft.queries.SimilarityQueries.knnGraphAuto(s, dir)
+    val pairs = knn.select(
+        least(col("src_id"), col("nbr_id")).as("a"),
+        greatest(col("src_id"), col("nbr_id")).as("b"))
+      .distinct()
     val und = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
     val deg = und.groupBy(col("a").as("w")).agg(count(lit(1)).as("deg"))
     // edges whose far end is an allowed (non-hub) common neighbor, with the
@@ -1517,10 +1528,7 @@ object DedupQueries {
   }
 
   val graphLinkPredictionSql: String =
-    s"""WITH pairs AS (
-       |  SELECT doc_id_a AS a, doc_id_b AS b FROM (
-       |$dedupMinhashLshSql
-       |  ) mh),
+    s"""WITH ${graft.queries.SimilarityQueries.knnAutoPairCtes},
        |und AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
        |deg AS (SELECT a AS w, count(*) AS deg FROM und GROUP BY a),
        |cand AS (

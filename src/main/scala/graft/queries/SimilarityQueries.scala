@@ -334,6 +334,22 @@ object SimilarityQueries {
        |SELECT src_id, rank, nbr_id, CAST(cosine AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $K ORDER BY src_id, rank""".stripMargin
 
+  /** The auto-geometry kNN graph as an UNDIRECTED deduped pair CTE chain
+    * (last CTE: `pairs(a, b)`, a < b) — the edge input for consumers that
+    * want the relatedness graph rather than ranked neighbour lists
+    * (graph_link_prediction reads this: the near-dup pair graph is a
+    * union of jaccard-0.8 cliques, transitively closed, so Adamic-Adar
+    * has nothing to predict there; the kNN relation is non-transitive
+    * and hub-y — the link-prediction shape).
+    */
+  private[queries] def knnAutoPairCtes: String =
+    s"""$KnnAutoCtes,
+       |knn AS (SELECT src_id, nbr_id FROM ranked WHERE rank <= $K),
+       |pairs AS (
+       |  SELECT DISTINCT least(src_id, nbr_id) AS a,
+       |    greatest(src_id, nbr_id) AS b
+       |  FROM knn)""".stripMargin
+
   // ---- Label propagation over the kNN graph ----------------------------------
   // Semi-supervised classification the way a curation pipeline labels an
   // unlabeled corpus from a small seeded subset: seeds keep their label,

@@ -394,6 +394,46 @@ class DedupSpec extends SparkSpec {
   // to [2, HubDegreeCap=64] — check the whole domain: a ±few-ulp
   // perturbation of ln(d) moves 1e6/ln(d) by ~1e-9, so a 1e-6 distance
   // from the boundary is 1000× the worst cross-engine wobble.
+  // Independent end-to-end check: the engine's Adamic-Adar output over
+  // the kNN-auto graph must equal an in-memory sweep over the same edge
+  // set (undirected dedup, hub cap, missing-edge anti-filter, micro-grid
+  // sum). Guards the whole wedge-join chain with a brute force that
+  // shares none of its joins.
+  test("graph_link_prediction == in-memory Adamic-Adar over the kNN graph") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.DedupQueries.graphLinkPrediction(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty, "link prediction should emit candidates")
+    val knn = graft.queries.SimilarityQueries.knnGraphAuto(spark, dir)
+      .select("src_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = knn
+      .map { case (s0, n0) => (math.min(s0, n0), math.max(s0, n0)) }
+      .distinct
+    val existing = edges.toSet
+    val adj = scala.collection.mutable.Map[Long, List[Long]]()
+    edges.foreach { case (a, b) =>
+      adj(a) = b :: adj.getOrElse(a, Nil)
+      adj(b) = a :: adj.getOrElse(b, Nil)
+    }
+    val deg = adj.map { case (k, v) => k -> v.length.toLong }
+    val expect = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    adj.foreach { case (w, neigh) =>
+      if (deg(w) <= 64) {
+        val micro = math.round(1e6 / math.log(deg(w).toDouble))
+        for (u <- neigh; v <- neigh
+             if u < v && !existing.contains((u, v))) {
+          val (c, s) = expect.getOrElse((u, v), (0L, 0L))
+          expect((u, v)) = (c + 1, s + micro)
+        }
+      }
+    }
+    val expected = expect.map { case (k, (c, s)) => k -> (c, s / 1e6) }.toMap
+    assert(got == expected,
+      s"engine=${got.size} rows, brute=${expected.size} rows")
+  }
+
   test("AA micro-weights stay clear of .5 rounding boundaries for all degrees") {
     for (d <- 2 to 64) {
       val x = 1e6 / math.log(d.toDouble)
