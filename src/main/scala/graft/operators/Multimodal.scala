@@ -85,12 +85,19 @@ object Multimodal {
     val rawHeight = le32(payload, 22)
     val bpp = le16(payload, 28)
     val compression = le32(payload, 30)
-    if (width <= 0 || rawHeight == 0 || bpp != 24 || compression != 0) return None
+    if (width <= 0 || rawHeight == 0 || rawHeight == Int.MinValue ||
+      bpp != 24 || compression != 0) return None
     val bottomUp = rawHeight > 0
     val height = math.abs(rawHeight)
-    val rowBytes = (width * 3 + 3) & ~3 // rows pad to 4-byte boundaries
-    if (pixelOff < 0 || pixelOff.toLong + rowBytes.toLong * height > payload.length)
+    // row/pixel arithmetic in LONG: a crafted width near 2^31/3 wraps
+    // `width * 3` negative in Int, slipping past the bounds check into an
+    // out-of-bounds read or a NegativeArraySizeException — a failed
+    // stage, where a malformed header must mean a skipped row (P5)
+    val rowBytesL = (width.toLong * 3 + 3) & ~3L
+    if (pixelOff < 0 || pixelOff.toLong + rowBytesL * height > payload.length ||
+      3L * width * height > Int.MaxValue)
       return None
+    val rowBytes = rowBytesL.toInt
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -124,7 +131,10 @@ object Multimodal {
     while (off + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
       val id = new String(payload, off, 4, StandardCharsets.US_ASCII)
       val size = le32(payload, off + 4)
-      if (size < 0 || off + 8 + size > payload.length) return None
+      // LONG arithmetic: a crafted size near 2^31 wraps the Int sum
+      // negative and admits an out-of-bounds data chunk (P5: skip, don't
+      // fail the stage)
+      if (size < 0 || off.toLong + 8L + size > payload.length) return None
       id match {
         case "fmt " if size >= 16 =>
           val audioFormat = le16(payload, off + 8)
@@ -319,15 +329,25 @@ object Multimodal {
     * (truncated file) rather than throwing.
     */
   private def riffWalk(payload: Array[Byte], start: Int, end: Int,
-                       onChunk: (String, Int, Int) => Unit): Unit = {
+                       onChunk: (String, Int, Int) => Unit,
+                       depth: Int = 0): Unit = {
+    // P5 hardening, both in LONG arithmetic and with a nesting cap: a
+    // crafted size near 2^31 would wrap `off + 8 + size` negative and
+    // admit an out-of-bounds chunk (AIOOBE = a failed stage, not a
+    // skipped row), and a blob of nothing but nested LIST headers would
+    // recurse payload/12 deep into a StackOverflowError — which is NOT
+    // NonFatal, so no catch-all would save the task. Real AVIs nest 2-3
+    // LISTs; 32 is beyond any legitimate file.
+    if (depth > 32) return
     var off = start
     var ok = true
     while (ok && off + 8 <= end) {
       val id = new String(payload, off, 4, StandardCharsets.US_ASCII)
       val size = le32(payload, off + 4)
-      if (size < 0 || off + 8 + size > end) ok = false
+      if (size < 0 || off.toLong + 8L + size > end) ok = false
       else {
-        if (id == "LIST" && size >= 4) riffWalk(payload, off + 12, off + 8 + size, onChunk)
+        if (id == "LIST" && size >= 4)
+          riffWalk(payload, off + 12, off + 8 + size, onChunk, depth + 1)
         else onChunk(id, off + 8, size)
         off += 8 + size + (size & 1)
       }
@@ -366,10 +386,14 @@ object Multimodal {
         val isDib = id.endsWith("db")
         val isCompressed = id.endsWith("dc")
         if (isDib) fmt match {
-          case Some((w, rawH, 24, 0)) if w > 0 && rawH != 0 =>
+          case Some((w, rawH, 24, 0))
+              if w > 0 && rawH != 0 && rawH != Int.MinValue &&
+                3L * w * math.abs(rawH) <= Int.MaxValue =>
             val bottomUp = rawH > 0
             val h = math.abs(rawH)
-            val rowBytes = (w * 3 + 3) & ~3
+            // long row arithmetic — same crafted-width overflow class as
+            // decodeBmp (P5: skip the frame, never fail the stage)
+            val rowBytes = ((w.toLong * 3 + 3) & ~3L).toInt
             if (rowBytes.toLong * h <= size) {
               val rgb = new Array[Byte](w * h * 3)
               var y = 0
