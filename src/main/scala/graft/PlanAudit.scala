@@ -124,6 +124,10 @@ object PlanAudit {
         "serving twin hybrid_rrf_prebuilt retires this scan"),
       "hybrid_rrf_prebuilt" -> "1-probe x 64-row stored centroid table (ADC prep)",
       "ann_quantized" -> "10-probe set x corpus, int8 exact re-rank baseline",
+      "mmr_rerank" -> ("baseline candidate arm: 1-probe set (id=0 filter) " +
+        "x corpus, the bruteForceTopK non-equi self-exclusion; serving " +
+        "twin mmr_rerank_prebuilt retires this scan"),
+      "mmr_rerank_prebuilt" -> "1-probe x 64-row stored centroid table (ADC prep)",
       "ann_ivf_pq_prebuilt" -> "probes x 64-row stored centroid table (ADC prep)",
       "ann_ivf_pq_appended" -> "probes x 64-row stored centroid table (ADC prep)",
       "ann_ivf_pq_deleted" -> "probes x 64-row stored centroid table (ADC prep)",

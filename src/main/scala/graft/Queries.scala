@@ -91,7 +91,12 @@ object Queries {
     // different failure class, same remedy: the baseline's vector arm is a
     // full-corpus brute-force scan (linear, but a scan per query is not a
     // serving plan); the twin reads both persisted indexes only
-    "hybrid_rrf_search"      -> "hybrid_rrf_prebuilt")
+    "hybrid_rrf_search"      -> "hybrid_rrf_prebuilt",
+    // same adjudication as hybrid: the baseline's candidate arm is a
+    // full-corpus brute-force scan; the twin shortlists from the
+    // persisted IVF-PQ index (the greedy MMR tail is corpus-independent
+    // either way — O(k*n) over the n-row shortlist)
+    "mmr_rerank"             -> "mmr_rerank_prebuilt")
 
   val oracles: Map[String, String] =
     Map("q1_agg" -> q1AggSql) ++

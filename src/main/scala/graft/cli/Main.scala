@@ -150,7 +150,9 @@ object Main {
         Right(None)
       case Seq("vsearch", prefix, vecId, rest @ _*) =>
         val k = rest.headOption.map(_.toInt).getOrElse(5)
-        val probe = spark.table(s"${prefix}_vectors")
+        // point fetch by id: the bucket-pruned forward store, never the
+        // cent_id-partitioned lists (whose layout can't prune on id)
+        val probe = spark.table(s"${prefix}_forward")
           .filter(col("id") === vecId.toLong).select(col("id"), col("v"))
         Right(Some(graft.operators.VectorIndex.searchPrebuilt(spark, prefix,
           probe, k, nprobe = 8, shortlist = 40)
@@ -160,7 +162,7 @@ object Main {
       // whole command reads persisted index tables only, never the corpus
       case Seq("hsearch", textPrefix, vecPrefix, vecId, query, rest @ _*) =>
         val k = rest.headOption.map(_.toInt).getOrElse(10)
-        val probe = spark.table(s"${vecPrefix}_vectors")
+        val probe = spark.table(s"${vecPrefix}_forward")
           .filter(col("id") === vecId.toLong).select(col("id"), col("v"))
         Right(Some(Search.hybridSearchPrebuilt(spark, query, textPrefix,
           vecPrefix, probe, k)))

@@ -120,7 +120,7 @@ object Indexer {
     * in-memory per JVM, so a previous run's table directory survives as an
     * orphan that saveAsTable(overwrite) refuses to reuse.
     */
-  private def dropManagedTable(spark: SparkSession, name: String): Unit = {
+  private[operators] def dropManagedTable(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val path = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)

@@ -48,6 +48,90 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("cand_id"), col("cosine"))
   }
 
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR'98)
+    * of an ALREADY-BOUNDED candidate shortlist: greedily pick the
+    * candidate maximizing `lambda*rel - beta*max_{s in picked} cos(c, s)`,
+    * trading query relevance against redundancy with what is already
+    * selected — the standard diversity pass a retrieval stack runs AFTER
+    * ANN candidate generation, never instead of it.
+    *
+    * Greedy selection is inherently sequential over the shortlist, so it
+    * runs as ONE single-partition `mapPartitions` over the <=n candidate
+    * rows (n is a query constant — 20 here; the heavy, corpus-sized work
+    * happened upstream in the candidate generator). O(k*n) cosines over
+    * in-memory arrays; the same sanctioned imperative-kernel shape as the
+    * covariance gram accumulation. `lambda` and `beta` are BOTH literal
+    * parameters (beta is not computed as 1-lambda: 1.0-0.7 =
+    * 0.30000000000000004 in IEEE, and the oracle writes the literal 0.3).
+    *
+    * Cross-engine determinism: cosines use the same sequential dot
+    * product as DuckDB's list_dot_product and the codegen'd
+    * DoubleArrayDot; selection compares raw doubles with cand_id
+    * tiebreak, so both engines make identical picks.
+    *
+    * @param cands (cand_id, v: array<double>, rel) — the shortlist
+    */
+  def mmrRerank(cands: DataFrame, lambda: Double, beta: Double,
+                k: Int): DataFrame = {
+    val s = cands.sparkSession
+    import s.implicits._
+    cands
+      .select(col("cand_id").cast("long"), col("v").cast("array<double>"),
+        col("rel").cast("double"))
+      .as[(Long, Array[Double], Double)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val cs = it.toArray
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
+        def cos(a: Array[Double], b: Array[Double]): Double =
+          dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        val n = cs.length
+        val picked = new scala.collection.mutable.ArrayBuffer[Int](k)
+        // max cosine to any already-picked candidate, maintained
+        // incrementally: one O(n) update per pick, O(k*n) total
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val out = Vector.newBuilder[(Long, Long, Double, Double)]
+        var step = 1
+        while (step <= math.min(k, n)) {
+          var best = -1; var bestScore = 0.0
+          var i = 0
+          while (i < n) {
+            if (!picked.contains(i)) {
+              // first pick has no redundancy term: pure relevance order
+              val score =
+                if (picked.isEmpty) cs(i)._3
+                else lambda * cs(i)._3 - beta * maxSim(i)
+              if (best < 0 || score > bestScore ||
+                (score == bestScore && cs(i)._1 < cs(best)._1)) {
+                best = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          val mmr =
+            if (picked.isEmpty) lambda * cs(best)._3
+            else bestScore
+          out += ((step.toLong, cs(best)._1, cs(best)._3, mmr))
+          picked += best
+          var j = 0
+          while (j < n) {
+            if (!picked.contains(j)) {
+              val sim = cos(cs(j)._2, cs(best)._2)
+              if (sim > maxSim(j)) maxSim(j) = sim
+            }
+            j += 1
+          }
+          step += 1
+        }
+        out.result().iterator
+      }
+      .toDF("rank", "doc_id", "relevance", "mmr")
+  }
+
   /** Deterministic hyperplane component for (plane j, dimension d):
     * uniform in [-1, 1] with 1/1000 resolution.
     */

@@ -16,12 +16,20 @@ import org.apache.spark.sql.functions._
   *    list ids prunes every other list at the SCAN — the on-disk form of
   *    an inverted vector file. At 100 TB a query touches nprobe/NList of
   *    the corpus files, exactly like the bm25 path touches |terms| buckets.
+  *  - `_forward` (id, v), BUCKETED BY id: the forward store every real
+  *    vector system keeps beside its inverted lists (FAISS reconstruct,
+  *    vector-DB forward index) — point fetches BY ID (a probe vector, a
+  *    rerank candidate's raw vector) bucket-prune here instead of
+  *    scanning the cent_id-partitioned lists, whose layout answers "which
+  *    vectors are near centroid c", never "what is vector i".
   *
   * Serving reads the same centroid/codebook values the build wrote (both
   * bounded: NList and M*Ks rows), so results are bit-identical to the
   * in-memory ann_ivf_pq plan and share its DuckDB oracle.
   */
 object VectorIndex {
+
+  private val ForwardBuckets = Indexer.IndexBuckets
 
   /** Write the index. `cents` (id, v) and `codes` must come from the same
     * deterministic training the serving oracle mirrors.
@@ -44,6 +52,11 @@ object VectorIndex {
       spark.catalog.createTable(s"${prefix}_$t", s"$base/$t", "parquet")
     }
     spark.catalog.recoverPartitions(s"${prefix}_vectors")
+    Indexer.dropManagedTable(spark, s"${prefix}_forward")
+    emb.select(col("id"), col("v"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(ForwardBuckets, "id").sortBy("id")
+      .saveAsTable(s"${prefix}_forward")
   }
 
   /** Train (coarse centroids + PQ codebooks) and build in one call — the
@@ -89,6 +102,12 @@ object VectorIndex {
       .write.mode("append").partitionBy("cent_id").parquet(loc.toString)
     spark.catalog.recoverPartitions(s"${prefix}_vectors")
     spark.catalog.refreshTable(s"${prefix}_vectors")
+    // forward store grows the same way postings do: one extra file per
+    // touched bucket (the writer re-declares the matching bucket spec)
+    batch.select(col("id"), col("v"))
+      .write.mode("append").format("parquet")
+      .bucketBy(ForwardBuckets, "id").sortBy("id")
+      .saveAsTable(s"${prefix}_forward")
   }
 
   /** DELETE vectors from the persisted index — the right-to-be-forgotten
@@ -134,6 +153,23 @@ object VectorIndex {
     fs.delete(staging, true)
     spark.sql(s"MSCK REPAIR TABLE $t SYNC PARTITIONS")
     spark.catalog.refreshTable(t)
+    // forward store: anti-join rewrite through a staged table + catalog
+    // rename (same recoverable-at-every-step sequence as the text index's
+    // term_df merge) — bucketed by id, the kept rows can't be rewritten
+    // per-list the way _vectors can
+    val fwd = s"${prefix}_forward"
+    val kept = spark.table(fwd)
+      .join(broadcast(del), Seq("id"), "left_anti")
+      .select(col("id"), col("v")) // USING join reorders
+    val stagedF = s"${fwd}_staged"
+    val oldF = s"${fwd}_old"
+    Indexer.dropManagedTable(spark, stagedF)
+    Indexer.dropManagedTable(spark, oldF)
+    kept.write.mode("overwrite").format("parquet")
+      .bucketBy(ForwardBuckets, "id").sortBy("id").saveAsTable(stagedF)
+    spark.sql(s"ALTER TABLE $fwd RENAME TO $oldF")
+    spark.sql(s"ALTER TABLE $stagedF RENAME TO $fwd")
+    Indexer.dropManagedTable(spark, oldF)
     affected.length
   }
 
@@ -164,6 +200,13 @@ object VectorIndex {
       spark.catalog.createTable(snapT, dst.toString, "parquet")
       if (t == "vectors") spark.catalog.recoverPartitions(snapT)
     }
+    // forward store is a MANAGED bucketed table: a path-copy would lose
+    // the catalog bucket spec, so the snapshot is a bucketed table copy
+    val fwdSnap = s"${prefix}_${tag}_forward"
+    Indexer.dropManagedTable(spark, fwdSnap)
+    spark.table(s"${prefix}_forward")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(ForwardBuckets, "id").sortBy("id").saveAsTable(fwdSnap)
   }
 
   /** Restore the live index from a snapshot. The tables are external
@@ -171,7 +214,7 @@ object VectorIndex {
     * re-point at the snapshot's directories. The snapshot is CONSUMED —
     * its files now serve the live index; take another to keep one.
     */
-  def rollback(spark: SparkSession, prefix: String, tag: String): Unit =
+  def rollback(spark: SparkSession, prefix: String, tag: String): Unit = {
     Parts.foreach { t =>
       val liveT = s"${prefix}_$t"
       val snapT = s"${prefix}_${tag}_$t"
@@ -182,6 +225,14 @@ object VectorIndex {
       if (t == "vectors") spark.catalog.recoverPartitions(liveT)
       spark.catalog.refreshTable(liveT)
     }
+    // forward store: managed-table RENAME moves the directory AND keeps
+    // the bucket spec — pure catalog surgery, snapshot consumed like the
+    // external parts
+    val fwdLive = s"${prefix}_forward"
+    Indexer.dropManagedTable(spark, fwdLive)
+    spark.sql(s"ALTER TABLE ${prefix}_${tag}_forward RENAME TO $fwdLive")
+    spark.catalog.refreshTable(fwdLive)
+  }
 
   /** IVF-PQ serving over the persisted tables: nearest-nprobe list
     * assignment per probe (centroid table broadcast), ADC shortlist via
@@ -190,7 +241,8 @@ object VectorIndex {
     * restricts the scan to the probed lists.
     */
   def searchPrebuilt(spark: SparkSession, prefix: String, probes: DataFrame,
-                     k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+                     k: Int, nprobe: Int, shortlist: Int,
+                     withVector: Boolean = false): DataFrame = {
     val codes = spark.table(s"${prefix}_codes")
       .orderBy("m", "k").collect()
       .map(r => Pq.Code(r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
@@ -225,6 +277,11 @@ object VectorIndex {
       .withColumn("cosine", Similarity.cosine(col("pv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("cand_id"), col("cosine"))
+      .select(col("probe_id") +: col("rank") +: col("cand_id") +:
+        col("cosine") +:
+        // the candidate's raw vector is already in hand at rerank time;
+        // returning it here saves a rerank consumer (MMR) a second
+        // corpus-table read
+        (if (withVector) Seq(col("cv").as("v")) else Seq.empty): _*)
   }
 }

@@ -289,7 +289,10 @@ object EventQueries {
       .withColumn("concurrent", col("carry") + sum(col("delta")).over(withinDay))
       .groupBy(col("day_idx"))
       .agg(max(col("concurrent")).as("m"))
-    dayCarry.join(deltaDayMax, Seq("day_idx"), "left_outer")
+    // deltaDayMax is day-count-sized (one row per day with deltas) but its
+    // plan-time estimate inherits the events scan, blocking the broadcast
+    // AQE would otherwise pick — hint it (bounded by time span, not corpus)
+    dayCarry.join(broadcast(deltaDayMax), Seq("day_idx"), "left_outer")
       .select(col("day_idx"),
         greatest(col("carry"), coalesce(col("m"), col("carry")))
           .cast("long").as("max_concurrent"))

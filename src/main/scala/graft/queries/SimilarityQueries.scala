@@ -920,6 +920,102 @@ object SimilarityQueries {
     annIvfPqRankedCtes("emb",
       probeSrc = "(SELECT * FROM probes WHERE id = 0)")
 
+  // ---- MMR-diversified rerank (Carbonell & Goldstein, SIGIR'98) --------------
+  // The diversity pass a retrieval stack runs AFTER candidate generation:
+  // a shortlist of the MmrN nearest candidates to probe id 0, then greedy
+  // maximal-marginal-relevance selection of MmrK — each pick maximizes
+  // lambda*relevance - beta*(max cosine to anything already picked), so a
+  // redundant near-duplicate of an earlier pick loses to a fresh-angle
+  // candidate even at lower raw relevance. Two forms, one per candidate
+  // generator: the brute-force baseline (oracle-stable, linear scan) and
+  // the serving twin over the persisted IVF-PQ index (DPP-pruned probed
+  // lists, ADC shortlist, exact-cosine rerank — the hybrid_rrf_prebuilt
+  // pattern). The greedy tail itself is corpus-independent: O(k*n)
+  // cosines over n = MmrN rows, whatever the corpus size.
+  //
+  // Oracle: the same greedy loop as a DuckDB RECURSIVE CTE — each
+  // recursive step picks its argmax via ORDER BY ... LIMIT 1 over the
+  // not-yet-chosen candidates (chosen carried as a list column). Both
+  // engines compare raw doubles built from identical sequential dot
+  // products with cand_id tiebreak, so the picks are deterministic.
+  private val MmrN = 20
+  private val MmrK = 10
+  private val MmrLambda = 0.7
+  // literal, NOT computed as 1 - MmrLambda: 1.0 - 0.7 is
+  // 0.30000000000000004 in IEEE and the oracle writes the literal 0.3
+  private val MmrBeta = 0.3
+
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("id"), col("v"))
+    val cands = Similarity
+      .bruteForceTopK(e.filter(col("id") === 0), e, MmrN)
+      .select(col("cand_id"), col("cosine").as("rel"))
+      .join(e.select(col("id").as("cand_id"), col("v")), "cand_id")
+    Similarity.mmrRerank(cands, MmrLambda, MmrBeta, MmrK).orderBy("rank")
+  }
+
+  def mmrRerankPrebuilt(s: SparkSession, dir: String): DataFrame = {
+    val prefix = ensureVectorIndex(s, dir)
+    // probe served from the index's bucket-pruned forward store (point
+    // fetch by id), candidate vectors carried through searchPrebuilt's
+    // exact-rerank stage (withVector) — the whole query touches the
+    // probed lists plus one forward bucket, never the corpus
+    val probe = s.table(s"${prefix}_forward")
+      .filter(col("id") === 0L).select(col("id"), col("v"))
+    val cands = graft.operators.VectorIndex
+      .searchPrebuilt(s, prefix, probe, MmrN, NProbe, PqShortlist,
+        withVector = true)
+      .select(col("cand_id"), col("cosine").as("rel"), col("v"))
+    Similarity.mmrRerank(cands, MmrLambda, MmrBeta, MmrK).orderBy("rank")
+  }
+
+  /** Greedy MMR selection over a `cand(id, v, rel)` CTE, shared by both
+    * oracle forms. Requires WITH RECURSIVE on the enclosing chain.
+    */
+  private def mmrSelCtes: String =
+    s"""pair AS (
+       |  SELECT a.id AS a, b.id AS b,
+       |    list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+       |  FROM cand a JOIN cand b ON a.id <> b.id),
+       |sel AS (
+       |  (SELECT CAST(1 AS BIGINT) AS rank, id, rel, $MmrLambda * rel AS mmr,
+       |     [id] AS chosen
+       |   FROM cand ORDER BY rel DESC, id LIMIT 1)
+       |  UNION ALL
+       |  (SELECT s.rank + 1, n.id, n.rel, n.mmr, list_append(s.chosen, n.id)
+       |   FROM sel s, LATERAL (
+       |     SELECT c.id, c.rel,
+       |       $MmrLambda * c.rel - $MmrBeta * (SELECT max(p.sim) FROM pair p
+       |         WHERE p.a = c.id AND list_contains(s.chosen, p.b)) AS mmr
+       |     FROM cand c WHERE NOT list_contains(s.chosen, c.id)
+       |     ORDER BY mmr DESC, c.id LIMIT 1) n
+       |   WHERE s.rank < $MmrK))""".stripMargin
+
+  private val mmrSelFinal: String =
+    """SELECT rank, id AS doc_id, CAST(rel AS DOUBLE) AS relevance,
+      |  CAST(mmr AS DOUBLE) AS mmr
+      |FROM sel ORDER BY rank""".stripMargin
+
+  val mmrRerankSql: String =
+    s"""WITH RECURSIVE $EmbCte,
+       |scored AS (
+       |  SELECT c.id, c.v, $CosineSql AS rel
+       |  FROM (SELECT * FROM emb WHERE id = 0) p
+       |  JOIN emb c ON c.id <> p.id),
+       |cand AS (SELECT * FROM scored ORDER BY rel DESC, id LIMIT $MmrN),
+       |$mmrSelCtes
+       |$mmrSelFinal""".stripMargin
+
+  val mmrRerankPrebuiltSql: String =
+    s"""WITH RECURSIVE $ivfPqProbeZeroCtes,
+       |cand AS (
+       |  SELECT r.cand_id AS id, e.v, r.cosine AS rel
+       |  FROM ranked r JOIN emb e ON e.id = r.cand_id
+       |  WHERE r.rank <= $MmrN),
+       |$mmrSelCtes
+       |$mmrSelFinal""".stripMargin
+
   // ---- Vector-index DELETE lifecycle -----------------------------------------
   // Build the full persisted index, then FORGET every id % 7 == 0
   // (VectorIndex.delete — anti-join rewrite of only the touched coarse
@@ -1667,6 +1763,8 @@ object SimilarityQueries {
     "stream_vector_ingest" -> (streamVectorIngest _),
     "ann_quantized" -> (annQuantized _),
     "ann_lsh_quantized" -> (annLshQuantized _),
+    "mmr_rerank" -> (mmrRerank _),
+    "mmr_rerank_prebuilt" -> (mmrRerankPrebuilt _),
     "embedding_norms" -> (embeddingNorms _),
     "embedding_project" -> (embeddingProject _),
     "embedding_covariance" -> (embeddingCovariance _))
@@ -1693,6 +1791,8 @@ object SimilarityQueries {
     "stream_vector_ingest" -> annIvfPqAppendedSql,
     "ann_quantized" -> annQuantizedSql,
     "ann_lsh_quantized" -> annLshQuantizedSql,
+    "mmr_rerank" -> mmrRerankSql,
+    "mmr_rerank_prebuilt" -> mmrRerankPrebuiltSql,
     "embedding_norms" -> embeddingNormsSql,
     "embedding_project" -> embeddingProjectSql)
 }

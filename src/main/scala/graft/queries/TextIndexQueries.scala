@@ -277,9 +277,11 @@ object TextIndexQueries {
   def hybridRrfPrebuilt(s: SparkSession, dir: String): DataFrame = {
     val sq = graft.queries.SimilarityQueries
     val vecPrefix = sq.persistedVectorIndexPrefix(s, dir)
-    // the probe vector is itself served from the stored index (vectors
-    // are persisted verbatim), so the WHOLE query reads index tables only
-    val probe = s.table(s"${vecPrefix}_vectors")
+    // the probe vector is itself served from the stored index, so the
+    // WHOLE query reads index tables only — and the point fetch by id
+    // reads the bucket-pruned forward store, not the cent_id-partitioned
+    // lists (an id lookup can't prune a centroid-keyed layout)
+    val probe = s.table(s"${vecPrefix}_forward")
       .filter(col("id") === 0L).select(col("id"), col("v"))
     Search.hybridSearchPrebuilt(s, SearchQuery,
       textPrefix = ensurePrebuilt(s, dir), vecPrefix = vecPrefix,

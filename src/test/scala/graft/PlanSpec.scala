@@ -296,6 +296,22 @@ class PlanSpec extends SparkSpec {
       s"vector arm's list scan is not partition-pruned:\n$p")
     assert(!p.contains("documents.parquet") && !p.contains("embeddings.parquet"),
       s"hybrid serving read the corpus instead of the indexes:\n$p")
+    // probe point-fetch must hit the forward store's id bucket, not scan
+    // the cent_id-partitioned lists (which can't prune on id)
+    assert(p.contains("_forward"),
+      s"probe fetch bypassed the forward store:\n$p")
+    assert(p.contains("SelectedBucketsCount: 1"),
+      s"forward-store point fetch not bucket-pruned to one bucket:\n$p")
+  }
+
+  test("mmr_rerank_prebuilt serves entirely from pruned index tables") {
+    val p = plan("mmr_rerank_prebuilt")
+    assert(p.contains("dynamicpruning"),
+      s"candidate list scan is not partition-pruned:\n$p")
+    assert(p.contains("SelectedBucketsCount: 1"),
+      s"probe point fetch not bucket-pruned on the forward store:\n$p")
+    assert(!p.contains("embeddings.parquet"),
+      s"MMR serving read the corpus instead of the index:\n$p")
   }
 
   test("persisted vector index scan is dynamically pruned to the probed lists") {

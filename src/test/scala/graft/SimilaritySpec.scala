@@ -66,6 +66,11 @@ class SimilaritySpec extends SparkSpec {
       .select(col("cand_id")).collect().map(_.getLong(0)).toSet
     assert(served.intersect(deletedIds).isEmpty,
       "search served a deleted vector")
+    // the forward store forgets the same ids (point fetches must 404)
+    val fwdRemaining = spark.table(s"${prefix}_forward").select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(fwdRemaining == remaining,
+      "forward store disagrees with the lists after delete")
   }
 
   test("two independent builds of a plane-dot plan canonicalize equal") {
@@ -170,5 +175,50 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(cov((i, j))) <= bound + eps,
         s"cov($i,$j)=${cov((i, j))} violates Cauchy-Schwarz bound $bound")
     }
+  }
+
+  test("mmr_rerank matches an independent in-memory greedy and diversifies") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.SimilarityQueries.mmrRerank(spark, dir)
+      .select("rank", "doc_id", "relevance", "mmr")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+
+    // independent reference: raw parquet read, driver-side brute-force
+    // shortlist and greedy loop — shares no code with the engine path
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .as[(Long, Array[Double])].collect()
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => a(i) * b(i)).sum
+    def cos(a: Array[Double], b: Array[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val probe = all.find(_._1 == 0L).get._2
+    val shortlist = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, cos(probe, v)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(20)
+    var chosen = Vector.empty[(Long, Array[Double], Double, Double)]
+    while (chosen.size < 10) {
+      val pool = shortlist.filterNot(c => chosen.exists(_._1 == c._1))
+      val scored = pool.map { case (id, v, rel) =>
+        val mmr =
+          if (chosen.isEmpty) 0.7 * rel
+          else 0.7 * rel - 0.3 * chosen.map(s => cos(v, s._2)).max
+        (id, v, rel, mmr)
+      }
+      chosen :+= (if (chosen.isEmpty)
+        scored.minBy { case (id, _, rel, _) => (-rel, id) }
+      else scored.minBy { case (id, _, _, m) => (-m, id) })
+    }
+    val want = chosen.zipWithIndex.map { case ((id, _, rel, m), i) =>
+      (i + 1L, id, rel, m)
+    }
+    // the reference dot sums via indices.map(...).sum vs the engine's
+    // sequential while-loop: same order, so doubles are exactly equal
+    assert(got == want, s"\n got=$got\nwant=$want")
+    // and the whole point — MMR must not degenerate to relevance order
+    val relOrder = shortlist.take(10).map(_._1).toSeq
+    assert(got.map(_._2) != relOrder,
+      "MMR order equals pure-relevance order: no diversification happened")
   }
 }
