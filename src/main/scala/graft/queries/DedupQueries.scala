@@ -1295,19 +1295,26 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  // ---- Triangle counts over the near-dup graph --------------------------------
+  // ---- Triangle counts over the kNN relatedness graph -------------------------
   // Per-node triangle participation — the local-density companion to
   // PageRank's centrality (triangle-rich docs sit in tightly-knit
-  // boilerplate cliques; pairwise-only hubs are stars). Canonical a<b<c
-  // enumeration: the pair table is already id_a < id_b, so each triangle
-  // matches exactly one (ab ⋈ bc ⋈ ac) path — two hash joins over the
-  // (small, cached) pair table, never a cartesian. Per-node counts explode
-  // the three corners and aggregate.
+  // neighborhoods; pairwise-only hubs are stars). Canonical a<b<c
+  // enumeration: pairs are least/greatest-normalized, so each triangle
+  // matches exactly one (ab ⋈ bc ⋈ ac) path — two hash joins, never a
+  // cartesian. Per-node counts explode the three corners and aggregate.
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    // production pair source (shingled) — same re-pointing as pagerank:
-    // the unigram graph's candidate volume is x100-DNF (SCALE_r7/r8)
-    val e = shingledPairs(s, dir)
-      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    // graph input: the corpus-derived kNN relatedness graph, whose degree
+    // is <= 2k BY CONSTRUCTION — wedge volume Θ(N·k²), linear in the
+    // corpus. NOT the near-dup pair graph: 0.8-jaccard components are
+    // replica cliques, so triangle volume there is CUBIC in the
+    // duplication factor (x100 probe: the enumeration was pure output
+    // cost) — clique triangle counts come combinatorially from
+    // dedup_clusters sizes (C(size-1, 2) per member), never enumeration.
+    val knn = graft.queries.SimilarityQueries.knnGraphAuto(s, dir)
+    val e = knn.select(
+        least(col("src_id"), col("nbr_id")).as("a"),
+        greatest(col("src_id"), col("nbr_id")).as("b"))
+      .distinct()
     val tri = e.as("ab")
       .join(e.as("bc"), col("ab.b") === col("bc.a"))
       .join(e.as("ac"),
@@ -1320,10 +1327,7 @@ object DedupQueries {
   }
 
   val graphTrianglesSql: String =
-    s"""WITH pairs AS (
-       |  SELECT doc_id_a AS a, doc_id_b AS b FROM (
-       |$dedupMinhashShingledSql
-       |  ) mh),
+    s"""WITH ${graft.queries.SimilarityQueries.knnAutoPairCtes},
        |tri AS (
        |  SELECT ab.a, ab.b, bc.b AS c
        |  FROM pairs ab

@@ -434,6 +434,34 @@ class DedupSpec extends SparkSpec {
       s"engine=${got.size} rows, brute=${expected.size} rows")
   }
 
+  test("graph_triangles equals an in-memory enumeration and is non-vacuous") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.DedupQueries.graphTriangles(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent count over the same kNN-auto pair set: adjacency sets +
+    // per-edge neighborhood intersection (no joins, no explode)
+    val pairs = graft.queries.SimilarityQueries.knnGraphAuto(spark, dir)
+      .select(least(col("src_id"), col("nbr_id")),
+        greatest(col("src_id"), col("nbr_id")))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+    pairs.foreach { case (a, b) =>
+      adj(a) = adj.getOrElse(a, Set.empty) + b
+      adj(b) = adj.getOrElse(b, Set.empty) + a
+    }
+    val cnt = scala.collection.mutable.Map[Long, Long]()
+    pairs.foreach { case (a, b) =>
+      (adj(a) intersect adj(b)).foreach { c =>
+        // each triangle counted once per corner via its a<b edge and the
+        // common neighbor above b (a<b<c exactly like the engine's chain)
+        if (c > b) Seq(a, b, c).foreach(n => cnt(n) = cnt.getOrElse(n, 0L) + 1)
+      }
+    }
+    assert(got == cnt.toMap, s"engine=${got.size} rows, brute=${cnt.size} rows")
+    assert(got.nonEmpty, "triangle gate is vacuous at sf0.001")
+  }
+
   test("AA micro-weights stay clear of .5 rounding boundaries for all degrees") {
     for (d <- 2 to 64) {
       val x = 1e6 / math.log(d.toDouble)
