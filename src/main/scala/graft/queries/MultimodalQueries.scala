@@ -122,7 +122,7 @@ object MultimodalQueries {
     * baseline (dedup_phash) and its cluster twin (dedup_phash_clusters).
     * Columns: (id_a, id_b, ph_a, ph_b, hamming).
     */
-  private def phashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  private def phashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.CacheRegistry.RegisteredCache
     import graft.functions.{TextHash, Tokenizer}
@@ -131,7 +131,7 @@ object MultimodalQueries {
         transform(Tokenizer.tokenize(col("text")),
           t => TextHash.hash64(t) % 256).as("px"))
       .filter(size(col("px")) > 0)
-    val sigs = px.as[(Long, Seq[Long])].mapPartitions { rows =>
+    px.as[(Long, Seq[Long])].mapPartitions { rows =>
       rows.flatMap { case (id, p) =>
         val lumas = Array.tabulate(32)(i =>
           if (i < p.length) p(i).toInt else 0)
@@ -152,6 +152,12 @@ object MultimodalQueries {
       .withColumn("lo", col("phash") % 65536)
       .withColumn("hi", (col("phash") / 65536).cast("long"))
       .registeredCache()
+  }
+
+  /** Banded self-join + hamming verify over a (id, phash, lo, hi) table —
+    * a union of two equi-joins, never an OR nested loop.
+    */
+  private def bandedPairs(sigs: DataFrame): DataFrame = {
     val a = sigs.select(col("id").as("id_a"), col("phash").as("ph_a"),
       col("lo").as("lo_a"), col("hi").as("hi_a"))
     val b = sigs.select(col("id").as("id_b"), col("phash").as("ph_b"),
@@ -165,6 +171,9 @@ object MultimodalQueries {
         graft.operators.Dedup.hamming(col("ph_a"), col("ph_b")))
       .filter(col("hamming") <= 6)
   }
+
+  private def phashVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    bandedPairs(phashSigs(s, dir))
 
   def dedupPhash(s: SparkSession, dir: String): DataFrame =
     phashVerifiedPairs(s, dir)
@@ -181,14 +190,40 @@ object MultimodalQueries {
   // the corpus no matter how duplicated), keeper = min doc_id — the
   // dedup_clusters contract on the image column.
   def dedupPhashClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = phashVerifiedPairs(s, dir)
+    // EXACT-SIGNATURE COLLAPSE first — the trick every production phash
+    // dedup runs: replicas share an identical 32-bit hash, so band-pair
+    // only ONE representative per distinct hash (min id) and expand the
+    // component label back through the signature groups afterwards.
+    // Semantics are EXACTLY the pair-graph components (equal phashes are
+    // hamming-0 pairs, so a size->=2 group is one cluster either way, and
+    // min-rep-per-group keeps component = min doc_id), but candidate
+    // volume is driven by DISTINCT hashes — immune to the duplication
+    // factor that makes the raw pair graph C(dup,2)-quadratic (the x100
+    // probe corpus has dup factor 100: ~25M image pairs vs the same
+    // few-hundred-edge rep graph the sf0.1 corpus produces).
+    val sigs = phashSigs(s, dir)
+    val groups = sigs.groupBy(col("phash"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("n"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+    val repPairs = bandedPairs(groups.select(col("rep").as("id"),
+        col("phash"), col("lo"), col("hi")))
       .select(col("id_a").as("a"), col("id_b").as("b"))
     val labels = graft.operators.Components
-      .connectedComponents(pairs, checkEvery = 4, pointerJump = false)
-    val byComponent = org.apache.spark.sql.expressions.Window
-      .partitionBy("component")
-    labels
-      .withColumn("cluster_size", count(lit(1)).over(byComponent).cast("long"))
+      .connectedComponents(repPairs, checkEvery = 4, pointerJump = false)
+    // a group is MATCHED iff its rep pairs with another distinct hash OR
+    // the group itself holds >= 2 images (internal hamming-0 pairs)
+    val labeledGroups = groups
+      .join(labels.select(col("id").as("rep"), col("component")),
+        Seq("rep"), "left_outer")
+      .filter(col("component").isNotNull || col("n") >= 2)
+      .select(col("phash"), col("rep"), col("n"),
+        coalesce(col("component"), col("rep")).as("component"))
+    val compSize = labeledGroups.groupBy(col("component"))
+      .agg(sum(col("n")).cast("long").as("cluster_size"))
+    // no broadcast hint on compSize: it is matched-component-sized —
+    // tiny here, corpus-proportional in the worst case; AQE decides
+    sigs.join(labeledGroups.select(col("phash"), col("component")), "phash")
+      .join(compSize, "component")
       .select(col("id").cast("long").as("doc_id"),
         col("component").cast("long").as("component"),
         col("cluster_size"),
