@@ -149,6 +149,12 @@ object PlanAudit {
       "label_propagation" -> ("labels (~N rows) join edges (~N*k rows) over " +
         "the cached knn graph: both sides scale with the corpus — small " +
         "only at audit SF; SMJ is the scale-correct shape"),
+      "dedup_phash_clusters" -> ("signature-group/component joins after the " +
+        "exact-signature collapse: group and component counts track " +
+        "DISTINCT hashes — tiny at every probed SF (and immune to the " +
+        "duplication factor), corpus-proportional in the all-distinct " +
+        "worst case, so SMJ is the scale-safe default and AQE broadcasts " +
+        "at runtime when small"),
       "training_manifest_clean" -> ("curated corpus anti-join contaminated " +
         "set: both sides scale with the corpus (contaminated ~ N/97) — " +
         "small only at audit SF"),

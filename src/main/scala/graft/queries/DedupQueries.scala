@@ -1310,7 +1310,7 @@ object DedupQueries {
     // duplication factor (x100 probe: the enumeration was pure output
     // cost) — clique triangle counts come combinatorially from
     // dedup_clusters sizes (C(size-1, 2) per member), never enumeration.
-    val knn = graft.queries.SimilarityQueries.knnGraphAuto(s, dir)
+    val knn = graft.queries.SimilarityQueries.knnAutoEdges(s, dir)
     val e = knn.select(
         least(col("src_id"), col("nbr_id")).as("a"),
         greatest(col("src_id"), col("nbr_id")).as("b"))
@@ -1499,7 +1499,7 @@ object DedupQueries {
     // components are transitively-closed cliques at every probed SF, so
     // Adamic-Adar has nothing to predict there; the kNN relation is
     // non-transitive and hub-y, which is the link-prediction shape.
-    val knn = graft.queries.SimilarityQueries.knnGraphAuto(s, dir)
+    val knn = graft.queries.SimilarityQueries.knnAutoEdges(s, dir)
     val pairs = knn.select(
         least(col("src_id"), col("nbr_id")).as("a"),
         greatest(col("src_id"), col("nbr_id")).as("b"))

@@ -243,6 +243,19 @@ object SimilarityQueries {
     knnGraphWith(s, dir, planes, bits)
   }
 
+  /** The kNN-auto EDGE table, cached once per sweep and shared by every
+    * graph consumer (label_propagation, graph_link_prediction,
+    * graph_triangles) — the shingledPairs pattern on the vector side.
+    * All three build the identical plan, so Spark's cache manager
+    * materializes the LSH + re-rank subtree once per JVM sweep instead
+    * of once per query (measured ~1.3 s per avoided rebuild at sf0.1).
+    */
+  private[queries] def knnAutoEdges(s: SparkSession, dir: String): DataFrame = {
+    import graft.CacheRegistry.RegisteredCache
+    knnGraphAuto(s, dir).select(col("src_id"), col("nbr_id"))
+      .registeredCache()
+  }
+
   private def knnGraphWith(s: SparkSession, dir: String, numPlanes: Int,
                            bandBits: Int): DataFrame = {
     val e = emb(s, dir).select(col("id"), col("v"))
@@ -369,8 +382,7 @@ object SimilarityQueries {
     // without the cache the whole LSH+re-rank subtree executes per round
     // (measured 4.4 s uncached vs 1.3 s steady-state at sf0.1). Graph
     // input is the AUTO-geometry form — the production path at every SF.
-    val edges = knnGraphAuto(s, dir).select(col("src_id"), col("nbr_id"))
-      .registeredCache()
+    val edges = knnAutoEdges(s, dir)
     val l0 = emb(s, dir).select(col("id"),
       when(col("id") % LpSeedMod === 0, col("label")).as("lab"))
     def step(cur: DataFrame): DataFrame = {
