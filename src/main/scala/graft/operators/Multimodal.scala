@@ -176,7 +176,12 @@ object Multimodal {
       payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
     val isJpeg = payload.length > 3 && (payload(0) & 0xff) == 0xff &&
       (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff
-    if (!isPng && !isJpeg) None
+    // GIF87a / GIF89a — the JDK reader handles LZW + palette; grayscale
+    // round-trips losslessly (<=256 distinct colors -> exact palette)
+    val isGif = payload.length > 6 && payload(0) == 'G' &&
+      payload(1) == 'I' && payload(2) == 'F' && payload(3) == '8' &&
+      (payload(4) == '7' || payload(4) == '9') && payload(5) == 'a'
+    if (!isPng && !isJpeg && !isGif) None
     else try {
       javax.imageio.ImageIO.setUseCache(false)
       Option(javax.imageio.ImageIO.read(
@@ -312,11 +317,118 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** REAL GIF encoder via the JDK writer — gray lumas have <= 256
+    * distinct colors, so the palette is exact and the LZW round trip is
+    * lossless (spec-pinned), extending the format-blind image family to
+    * a third on-disk codec.
+    */
+  def gifFromLumas(lumas: Array[Int], width: Int): Array[Byte] = {
+    require(width > 0 && lumas.length % width == 0, "lumas must fill rows")
+    val height = lumas.length / width
+    val bi = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    while (i < lumas.length) {
+      val v = lumas(i) & 0xff
+      bi.getRaster.setSample(i % width, i / width, 0, v)
+      i += 1
+    }
+    javax.imageio.ImageIO.setUseCache(false)
+    // NON-interlaced, explicitly: the JDK GIF writer interlaces by
+    // default and the JDK READER mis-deinterlaces small heights (rows
+    // land scrambled at h=4 — measured), so the plain ImageIO.write
+    // round trip silently corrupts pixels. MODE_DISABLED is exact.
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val p = w.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+    ios.close()
+    w.dispose()
+    out.toByteArray
+  }
+
   /** Decode any supported image payload to RGB: the pure-JVM BMP parser
-    * first (cheap magic check), then the ImageIO formats (PNG/JPEG).
+    * first (cheap magic check), then the ImageIO formats (PNG/JPEG/GIF).
     */
   def decodeImage(payload: Array[Byte]): Option[ImageDecoded] =
     decodeBmp(payload).orElse(decodeImageIO(payload))
+
+  /** MP3 metadata from a pure-JVM FRAME-HEADER walk — the honest middle
+    * tier of the codec boundary: no sample decode (that needs a codec
+    * library this container doesn't have; content stays "stub" by
+    * contract), but duration/bitrate/frame-count are genuinely PARSED
+    * from the frame structure, which is what corpus statistics actually
+    * need. Scope: MPEG-1 Layer III, the overwhelmingly common case; an
+    * optional ID3v2 prefix is skipped (synchsafe size). STRICT walk —
+    * every frame to the payload's end must parse and agree on
+    * version/layer/samplerate, a truncated or corrupt tail returns None
+    * (P5: the row skips, the stage survives).
+    */
+  case class Mp3Meta(bitrateKbps: Int, sampleRateHz: Int, frames: Int,
+                     totalSamples: Long)
+
+  private val Mp3Bitrates = // MPEG-1 Layer III, kbps; 0 = free (rejected)
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+  private val Mp3Rates = Array(44100, 48000, 32000, -1)
+
+  def decodeMp3Meta(payload: Array[Byte]): Option[Mp3Meta] = {
+    val n = payload.length
+    // optional ID3v2 container: "ID3" maj min flags + 4-byte synchsafe size
+    var off = 0L
+    if (n >= 10 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
+      val size = ((payload(6) & 0x7fL) << 21) | ((payload(7) & 0x7fL) << 14) |
+        ((payload(8) & 0x7fL) << 7) | (payload(9) & 0x7fL)
+      off = 10L + size
+    }
+    var frames = 0
+    var bitrate = -1
+    var rate = -1
+    while (off + 4 <= n) {
+      val b0 = payload(off.toInt) & 0xff
+      val b1 = payload(off.toInt + 1) & 0xff
+      val b2 = payload(off.toInt + 2) & 0xff
+      // sync (11 bits) + MPEG-1 (verBits 11) + Layer III (layerBits 01)
+      if (b0 != 0xff || (b1 & 0xfe) != 0xfa) return None
+      val br = Mp3Bitrates((b2 >> 4) & 0xf)
+      val sr = Mp3Rates((b2 >> 2) & 0x3)
+      if (br <= 0 || sr <= 0) return None
+      if (frames == 0) { bitrate = br; rate = sr }
+      else if (sr != rate) return None // mid-stream rate switch: corrupt
+      val frameLen = 144L * br * 1000L / sr + ((b2 >> 1) & 1)
+      off += frameLen
+      frames += 1
+    }
+    // a valid stream ends exactly on a frame boundary with >= 1 frame
+    if (frames == 0 || off != n) None
+    else Some(Mp3Meta(bitrate, rate, frames, 1152L * frames))
+  }
+
+  /** Synthesize a structurally valid MPEG-1 Layer III stream: real frame
+    * headers (correct sync/version/layer/bitrate/samplerate bits, no
+    * padding) with zeroed frame payloads — [[decodeMp3Meta]]'s inverse
+    * at the header level, the same synthesize-then-really-parse pattern
+    * as bmpFromLumas/wavFromSamples.
+    */
+  def mp3FromParams(frames: Int, bitrateKbps: Int, sampleRateHz: Int): Array[Byte] = {
+    val bIdx = Mp3Bitrates.indexOf(bitrateKbps)
+    val rIdx = Mp3Rates.indexOf(sampleRateHz)
+    require(bIdx > 0 && rIdx >= 0 && rIdx < 3 && frames > 0, "unsupported params")
+    val frameLen = (144L * bitrateKbps * 1000L / sampleRateHz).toInt
+    val out = new Array[Byte](frameLen * frames)
+    var f = 0
+    while (f < frames) {
+      val o = f * frameLen
+      out(o) = 0xff.toByte
+      out(o + 1) = 0xfb.toByte // MPEG-1, Layer III, no CRC
+      out(o + 2) = ((bIdx << 4) | (rIdx << 2)).toByte // no padding bit
+      out(o + 3) = 0xc4.toByte // mono, no emphasis
+      f += 1
+    }
+    out
+  }
 
   /** Decoded video: per-frame top-down row-major RGB triples, same pixel
     * layout as [[ImageDecoded]] so every image consumer is frame-blind.

@@ -135,13 +135,16 @@ object MultimodalQueries {
       rows.flatMap { case (id, p) =>
         val lumas = Array.tabulate(32)(i =>
           if (i < p.length) p(i).toInt else 0)
-        // FORMAT-BLIND by construction: even ids encode as BMP, odd ids
-        // as PNG (both REAL codecs), and the hash reads decoded PIXELS —
-        // identical either way, so the arithmetic oracle needs no format
-        // column. A near-dup pair split across formats still pairs.
-        val payload =
-          if (id % 2 == 0) Multimodal.bmpFromLumas(lumas, 8)
-          else Multimodal.pngFromLumas(lumas, 8)
+        // FORMAT-BLIND by construction: ids rotate across BMP, PNG and
+        // GIF (all three REAL codecs — GIF's gray palette round-trips
+        // losslessly, spec-pinned), and the hash reads decoded PIXELS —
+        // identical in every format, so the arithmetic oracle needs no
+        // format column. A near-dup pair split across formats still pairs.
+        val payload = (id % 3) match {
+          case 0 => Multimodal.bmpFromLumas(lumas, 8)
+          case 1 => Multimodal.pngFromLumas(lumas, 8)
+          case _ => Multimodal.gifFromLumas(lumas, 8)
+        }
         // P5 tolerance: an undecodable payload drops its ROW, never the
         // stage (self-encoded payloads always decode; the round trip is
         // spec-pinned, and media_decode_audit counts real-world skips)
@@ -568,6 +571,60 @@ object MultimodalQueries {
       .orderBy("media_id", "window_idx")
   }
 
+  // ---- Audio metadata without sample decode -----------------------------------
+  // Duration/rate statistics over a mixed audio corpus — the question a
+  // training-data pipeline asks of 100 TB of audio BEFORE paying for
+  // decode. Even ids carry real 16-bit-PCM WAV (fully decoded), odd ids
+  // carry structurally valid MPEG-1 Layer III streams whose FRAME HEADERS
+  // are genuinely walked (decodeMp3Meta — sync/bitrate/samplerate bits,
+  // frame-length arithmetic, strict to-the-end validation) while the
+  // samples stay undecoded, the codec boundary's honest middle tier.
+  // Every field is integer-exact: the oracle re-derives frame counts and
+  // durations arithmetically from the same token counts.
+  def audioMetadata(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{TextHash, Tokenizer}
+    val hs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        transform(Tokenizer.tokenize(col("text")),
+          t => TextHash.hash64(t) % 65536).as("hs"))
+      .filter(size(col("hs")) > 0)
+    hs.as[(Long, Seq[Long])].mapPartitions { rows =>
+      rows.flatMap { case (id, p) =>
+        if (id % 2 == 0) {
+          val ns = math.min(32, p.length)
+          val samples = Array.tabulate(ns)(i => (p(i) - 32768L).toShort)
+          val payload = Multimodal.wavFromSamples(samples, 8000)
+          Multimodal.decodeWav(payload).map(au =>
+            (id, "wav", au.sampleRate.toLong, au.samples.length.toLong))
+        } else {
+          val frames = (p.length % 8) + 2
+          val payload = Multimodal.mp3FromParams(frames, 128, 44100)
+          Multimodal.decodeMp3Meta(payload).map(m =>
+            (id, "mp3", m.sampleRateHz.toLong, m.totalSamples))
+        }
+      }
+    }.toDF("media_id", "codec", "sample_rate", "total_samples")
+      .withColumn("duration_ms",
+        (col("total_samples") * 1000L / col("sample_rate")).cast("long"))
+      .orderBy("media_id")
+  }
+
+  val audioMetadataSql: String =
+    s"""WITH ${OracleSql.TokCte},
+       |n AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+       |m AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp3' END AS codec,
+       |    CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 44100 END AS sample_rate,
+       |    CASE WHEN doc_id % 2 = 0 THEN least(n_tok, 32)
+       |         ELSE 1152 * ((n_tok % 8) + 2) END AS total_samples
+       |  FROM n)
+       |SELECT media_id, codec, CAST(sample_rate AS BIGINT) AS sample_rate,
+       |  CAST(total_samples AS BIGINT) AS total_samples,
+       |  CAST(total_samples * 1000 // sample_rate AS BIGINT) AS duration_ms
+       |FROM m ORDER BY media_id""".stripMargin
+
   // ---- P5 for the media path: decode audit with COUNTED skips ----------------
   // The reference tolerates malformed rows per-record (its mapper wraps
   // each line in try/except — app/mapreduce/mapper1.py:20-25); this is
@@ -668,7 +725,8 @@ object MultimodalQueries {
     "audio_silence" -> (audioSilence _),
     "dedup_phash" -> (dedupPhash _),
     "dedup_phash_clusters" -> (dedupPhashClusters _),
-    "media_decode_audit" -> (mediaDecodeAudit _))
+    "media_decode_audit" -> (mediaDecodeAudit _),
+    "audio_metadata" -> (audioMetadata _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
@@ -681,5 +739,6 @@ object MultimodalQueries {
     "audio_silence" -> audioSilenceSql,
     "dedup_phash" -> dedupPhashSql,
     "dedup_phash_clusters" -> dedupPhashClustersSql,
-    "media_decode_audit" -> mediaDecodeAuditSql)
+    "media_decode_audit" -> mediaDecodeAuditSql,
+    "audio_metadata" -> audioMetadataSql)
 }
