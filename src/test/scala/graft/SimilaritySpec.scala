@@ -177,6 +177,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("VectorIndex snapshot/rollback restores the forward store with the lists") {
+    import graft.operators.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val prefix = "vecsnap_spec"
+    VectorIndex.trainAndBuild(spark, emb, prefix, nlist = 8, iters = 1,
+      pqM = 4, pqKs = 8)
+    def ids(t: String): Set[Long] = spark.table(t).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    val full = ids(s"${prefix}_forward")
+    assert(full == ids(s"${prefix}_vectors"), "forward != lists after build")
+    // the risky-maintenance fence: snapshot, botch the index, roll back
+    VectorIndex.snapshot(spark, prefix, "pre")
+    VectorIndex.delete(spark,
+      emb.filter(col("id") % 3 === 0).select(col("id")), prefix)
+    assert(ids(s"${prefix}_forward") != full, "delete did not touch forward")
+    VectorIndex.rollback(spark, prefix, "pre")
+    assert(ids(s"${prefix}_forward") == full,
+      "rollback did not restore the forward store")
+    assert(ids(s"${prefix}_vectors") == full,
+      "rollback did not restore the lists")
+    // the bucket SPEC survives the managed-table rename (a bare filter
+    // plans "Bucketed: false (disabled by query planner)" even on a
+    // healthy table — pruning engages in join/serving contexts, which
+    // PlanSpec pins on the live index — so assert the catalog directly)
+    val described = spark.sql(s"DESCRIBE TABLE EXTENDED ${prefix}_forward")
+      .collect().map(r => s"${r.get(0)}: ${r.get(1)}").mkString("\n")
+    assert(described.contains("Num Buckets: 8") &&
+      described.contains("Bucket Columns: [`id`]"),
+      s"restored forward store lost its bucket spec:\n$described")
+  }
+
   test("mmr_rerank matches an independent in-memory greedy and diversifies") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.queries.SimilarityQueries.mmrRerank(spark, dir)
