@@ -10,6 +10,7 @@ java.base/sun.util.calendar"
 FLAGS=""
 for p in $OPENS; do FLAGS="$FLAGS --add-opens $p=ALL-UNNAMED"; done
 MEM="${SPARK_DRIVER_MEM:-8g}"
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
 exec java $FLAGS -Xmx"$MEM" -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
+  -cp "$ROOT/target/scala-2.13/classes:/opt/spark/jars/*" "$@"

@@ -52,6 +52,7 @@ object Main {
       |  hsearch <textPrefix> <vecPrefix> <vec_id> "<query>" [k=10]
       |                                           hybrid BM25+vector RRF, both arms served
       |                                           from the persisted indexes
+      |  vcompact <prefix> [maxFilesPerUnit=8]    merge over-threshold vector lists + forward buckets
       |  vdelete <ids.parquet> <prefix>           forget vectors (id column) from the vector index
       |  vsnapshot <prefix> <tag>                 point-in-time copy of the vector index
       |  vrollback <prefix> <tag>                 restore the vector index from a snapshot
@@ -166,6 +167,13 @@ object Main {
           .filter(col("id") === vecId.toLong).select(col("id"), col("v"))
         Right(Some(Search.hybridSearchPrebuilt(spark, query, textPrefix,
           vecPrefix, probe, k)))
+      case Seq("vcompact", prefix, rest @ _*) =>
+        val maxFiles = rest.headOption.map(_.toInt).getOrElse(8)
+        val did = graft.operators.VectorIndex.compact(spark, prefix, maxFiles)
+        System.err.println(
+          if (did) s"[graft] compacted ${prefix}_vectors/_forward"
+          else s"[graft] nothing to compact (all units <= $maxFiles files)")
+        Right(None)
       case Seq("vsnapshot", prefix, tag) =>
         graft.operators.VectorIndex.snapshot(spark, prefix, tag)
         Right(None)

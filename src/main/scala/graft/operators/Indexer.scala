@@ -183,14 +183,15 @@ object Indexer {
     * between statements never leaves the index with no table at all.
     * (Managed-table RENAME moves the warehouse directory with the table.)
     */
-  private def stageAndSwap(spark: SparkSession, df: DataFrame, target: String,
-                           bucketed: Boolean): Unit = {
+  private[operators] def stageAndSwap(spark: SparkSession, df: DataFrame,
+                                      target: String, bucketed: Boolean,
+                                      bucketCol: String = "term"): Unit = {
     val staging = s"${target}_staged"
     val old = s"${target}_old"
     dropManagedTable(spark, staging)
     dropManagedTable(spark, old) // leftover from a crashed prior swap
     val w = df.write.mode("overwrite").format("parquet")
-    (if (bucketed) w.bucketBy(IndexBuckets, "term").sortBy("term") else w)
+    (if (bucketed) w.bucketBy(IndexBuckets, bucketCol).sortBy(bucketCol) else w)
       .saveAsTable(staging)
     spark.sql(s"ALTER TABLE $target RENAME TO $old")
     spark.sql(s"ALTER TABLE $staging RENAME TO $target")

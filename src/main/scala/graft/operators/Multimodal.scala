@@ -381,7 +381,10 @@ object Multimodal {
     if (n >= 10 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
       val size = ((payload(6) & 0x7fL) << 21) | ((payload(7) & 0x7fL) << 14) |
         ((payload(8) & 0x7fL) << 7) | (payload(9) & 0x7fL)
-      off = 10L + size
+      // ID3v2.4 footer flag (header byte 5 bit 4): the synchsafe size
+      // excludes both the 10-byte header and the 10-byte footer
+      val footer = if ((payload(5) & 0x10) != 0) 10L else 0L
+      off = 10L + size + footer
     }
     var frames = 0
     var bitrate = -1
@@ -415,7 +418,11 @@ object Multimodal {
   def mp3FromParams(frames: Int, bitrateKbps: Int, sampleRateHz: Int): Array[Byte] = {
     val bIdx = Mp3Bitrates.indexOf(bitrateKbps)
     val rIdx = Mp3Rates.indexOf(sampleRateHz)
-    require(bIdx > 0 && rIdx >= 0 && rIdx < 3 && frames > 0, "unsupported params")
+    // bIdx 0 is the "free" bitrate and index 15 holds the -1 "bad" sentinel
+    // (so does Mp3Rates index 3): both must fail the params check here, or
+    // bitrateKbps = -1 would pass and crash on the negative frame length
+    require(bIdx > 0 && bIdx < 15 && rIdx >= 0 && rIdx < 3 && frames > 0,
+      "unsupported params")
     val frameLen = (144L * bitrateKbps * 1000L / sampleRateHz).toInt
     val out = new Array[Byte](frameLen * frames)
     var f = 0

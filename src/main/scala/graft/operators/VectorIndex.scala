@@ -173,6 +173,93 @@ object VectorIndex {
     affected.length
   }
 
+  /** Data-file count per coarse-list partition directory of `_vectors`
+    * (key = the `cent_id=N` directory name) — the growth signal compact()
+    * reads: every append adds one file per touched list.
+    */
+  def listFileCounts(spark: SparkSession, prefix: String): Map[String, Int] = {
+    val root = new org.apache.hadoop.fs.Path(
+      tableLocation(spark, s"${prefix}_vectors"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cent_id="))
+      .map { d =>
+        val n = fs.listStatus(d.getPath).count { f =>
+          val nm = f.getPath.getName
+          f.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+        }
+        d.getPath.getName -> n
+      }.toMap
+  }
+
+  /** Compact the persisted vector index — the maintenance operation that
+    * bounds file-count growth under continuous append (every
+    * appendPrebuilt batch adds one file per touched coarse list AND one
+    * per touched forward bucket; without a merge pass a year of hourly
+    * ingest is ~9k files per list, and at 100 TB the scan's file-open
+    * overhead dominates the read). The vector twin of
+    * [[Indexer.compactBucketedIndex]], with the same contract: results
+    * are byte-identical before and after, only the file layout changes.
+    *
+    *  - `_vectors`: only lists whose directory exceeds `maxFilesPerUnit`
+    *    data files are rewritten (staging dir + per-partition rename —
+    *    the atomic unit delete() already uses); untouched lists keep
+    *    their files byte-for-byte. `repartition(cent_id)` collapses each
+    *    rewritten list to one task → one file.
+    *  - `_forward`: bucket file counts from the managed table's warehouse
+    *    dir; over-threshold → whole-table rewrite through the staged-
+    *    table rename swap (bucketed by id; the table is O(corpus) rows of
+    *    (id, v) — one read+write, the same cost class as a text-index
+    *    compaction). autoBucketedScan is disabled for the rewrite so the
+    *    scan yields one partition per bucket → one output file per bucket.
+    *
+    * @return true if either store was rewritten
+    */
+  def compact(spark: SparkSession, prefix: String,
+              maxFilesPerUnit: Int = 8): Boolean = {
+    val t = s"${prefix}_vectors"
+    val counts = listFileCounts(spark, prefix)
+    val affected = counts.filter(_._2 > maxFilesPerUnit).keys.toSeq
+      .map(_.stripPrefix("cent_id="))
+    val didVectors = affected.nonEmpty
+    if (didVectors) {
+      val loc = tableLocation(spark, t)
+      val root = new org.apache.hadoop.fs.Path(loc)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = new org.apache.hadoop.fs.Path(loc + "_compact_staging")
+      fs.delete(staging, true)
+      // partition values are numeric by construction (cent_id = centroid
+      // ordinal); a raw IN-list literal matches whatever width the
+      // partition-column inference chose, so pruning still applies
+      spark.table(t)
+        .filter(expr(s"cent_id IN (${affected.mkString(", ")})"))
+        .repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id").parquet(staging.toString)
+      affected.foreach { c =>
+        val live = new org.apache.hadoop.fs.Path(root, s"cent_id=$c")
+        val next = new org.apache.hadoop.fs.Path(staging, s"cent_id=$c")
+        fs.delete(live, true)
+        if (!fs.rename(next, live))
+          sys.error(s"vector compaction rename failed for cent_id=$c")
+      }
+      fs.delete(staging, true)
+      spark.sql(s"MSCK REPAIR TABLE $t SYNC PARTITIONS")
+      spark.catalog.refreshTable(t)
+    }
+    val fwd = s"${prefix}_forward"
+    val fwdCounts = Indexer.bucketFileCounts(spark, fwd)
+    val didForward = fwdCounts.values.exists(_ > maxFilesPerUnit)
+    if (didForward) {
+      val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prev = spark.conf.get(conf)
+      spark.conf.set(conf, "false") // one partition per bucket at the scan
+      try Indexer.stageAndSwap(spark, spark.table(fwd), fwd,
+        bucketed = true, bucketCol = "id")
+      finally spark.conf.set(conf, prev)
+    }
+    didVectors || didForward
+  }
+
   private def tableLocation(spark: SparkSession, name: String): String =
     spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
@@ -227,10 +314,16 @@ object VectorIndex {
     }
     // forward store: managed-table RENAME moves the directory AND keeps
     // the bucket spec — pure catalog surgery, snapshot consumed like the
-    // external parts
+    // external parts. Rename live aside FIRST and drop it LAST (the
+    // recoverable-at-every-step sequence delete() uses): dropping the live
+    // table before the snapshot rename would destroy the only copy if the
+    // snapshot's forward table is missing or its rename fails.
     val fwdLive = s"${prefix}_forward"
-    Indexer.dropManagedTable(spark, fwdLive)
+    val fwdOld = s"${fwdLive}_old"
+    Indexer.dropManagedTable(spark, fwdOld) // leftover from a crashed swap
+    spark.sql(s"ALTER TABLE $fwdLive RENAME TO $fwdOld")
     spark.sql(s"ALTER TABLE ${prefix}_${tag}_forward RENAME TO $fwdLive")
+    Indexer.dropManagedTable(spark, fwdOld)
     spark.catalog.refreshTable(fwdLive)
   }
 

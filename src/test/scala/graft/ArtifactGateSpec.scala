@@ -52,8 +52,13 @@ class ArtifactGateSpec extends AnyFunSuite {
     val text = scala.io.Source.fromFile(f, "UTF-8").mkString
     // the queries object is flat {"name":sec,...}: count its keys without
     // a JSON library (none on the test classpath by design)
-    val inner = text.substring(text.indexOf("\"queries\":{") + 11)
-      .takeWhile(_ != '}')
+    val at = text.indexOf("\"queries\":{")
+    assert(at >= 0, s"${f.getName} has no \"queries\" object — " +
+      "not a graft.Bench JSON line")
+    val inner = text.substring(at + 11).takeWhile(_ != '}')
+    assert(!inner.contains('{'),
+      s"${f.getName}'s queries object is not flat — the key-count parse " +
+        "below would miscount; fix the parser if Bench's shape changed")
     val n = if (inner.trim.isEmpty) 0 else inner.count(_ == ':')
     assert(n == Queries.all.size,
       s"${f.getName} benches $n queries but the registry has " +

@@ -211,6 +211,43 @@ class SimilaritySpec extends SparkSpec {
       s"restored forward store lost its bucket spec:\n$described")
   }
 
+  test("VectorIndex.compact merges append debris; serving is unchanged") {
+    import graft.operators.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val prefix = "veccomp_spec"
+    VectorIndex.trainAndBuild(spark, emb.filter(col("id") % 2 === 0), prefix,
+      nlist = 8, iters = 1, pqM = 4, pqKs = 8)
+    VectorIndex.append(spark, emb.filter(col("id") % 4 === 1), prefix)
+    VectorIndex.append(spark, emb.filter(col("id") % 4 === 3), prefix)
+    // the growth compact() exists to bound: each append added one file per
+    // touched list and forward bucket
+    assert(VectorIndex.listFileCounts(spark, prefix).values.exists(_ > 1),
+      "appends left no multi-file list — fixture too small to exercise compact")
+    assert(graft.operators.Indexer
+      .bucketFileCounts(spark, s"${prefix}_forward").values.exists(_ > 1),
+      "appends left no multi-file forward bucket")
+    val probes = emb.filter(col("id") % 50 === 0)
+    def serve() = VectorIndex
+      .searchPrebuilt(spark, prefix, probes, k = 5, nprobe = 4, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    val before = serve()
+    assert(VectorIndex.compact(spark, prefix, maxFilesPerUnit = 1),
+      "compact() reported nothing to do on a multi-file index")
+    assert(VectorIndex.listFileCounts(spark, prefix).values.forall(_ <= 1),
+      "a vector list still has multiple files after compaction")
+    assert(graft.operators.Indexer
+      .bucketFileCounts(spark, s"${prefix}_forward").values.forall(_ <= 1),
+      "a forward bucket still has multiple files after compaction")
+    assert(serve() == before, "serving changed across compaction")
+    // idempotent: a second pass finds nothing over threshold
+    assert(!VectorIndex.compact(spark, prefix, maxFilesPerUnit = 1),
+      "second compact() pass was not a no-op")
+  }
+
   test("mmr_rerank matches an independent in-memory greedy and diversifies") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.queries.SimilarityQueries.mmrRerank(spark, dir)
