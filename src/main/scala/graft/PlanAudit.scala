@@ -128,9 +128,14 @@ object PlanAudit {
         "x corpus, the bruteForceTopK non-equi self-exclusion; serving " +
         "twin mmr_rerank_prebuilt retires this scan"),
       "mmr_rerank_prebuilt" -> "1-probe x 64-row stored centroid table (ADC prep)",
+      "mmr_rerank_batch_prebuilt" ->
+        "3-probe set x 64-row stored centroid table (ADC prep)",
+      "hybrid_rrf_batch_prebuilt" ->
+        "3-probe set x 64-row stored centroid table (ADC prep)",
       "ann_ivf_pq_prebuilt" -> "probes x 64-row stored centroid table (ADC prep)",
       "ann_ivf_pq_appended" -> "probes x 64-row stored centroid table (ADC prep)",
       "ann_ivf_pq_deleted" -> "probes x 64-row stored centroid table (ADC prep)",
+      "vindex_compacted" -> "probes x 64-row stored centroid table (ADC prep)",
       "stream_vector_ingest" -> "serving read: probes x 64-row centroid table",
       "cross_join_regions" -> "labeled cartesian: 5 regions x 25 nations",
       "quantile_bins" -> "values x 10-row quantile cut-point table")

@@ -187,6 +187,73 @@ object Search {
       .orderBy(col("rrf").desc, col("doc_id"))
   }
 
+  /** Batch hybrid retrieval — [[hybridSearchPrebuilt]] generalized from
+    * one (query, probe) pair to a TABLE of pairs, the actual serving
+    * workload shape (a request batch, not a point call). Both arms stay
+    * index-only and probe-derived:
+    *  - text arm: the union of all query terms becomes ONE literal
+    *    IN-list, so every per-query probe shares one bucket-pruned scan of
+    *    postings/term_df (the batchSearchPrebuilt pattern) — cost is
+    *    |distinct terms| buckets, independent of the corpus;
+    *  - vector arm: probe vectors point-fetched from the bucket-pruned
+    *    `_forward` store by the literal id list, then one DPP-pruned pass
+    *    over the probed `_vectors` lists — VectorIndex.searchPrebuilt is
+    *    already multi-probe, so the batch costs |probed lists| partitions,
+    *    not |queries| passes;
+    *  - fusion: per-pair RRF over the two ≤k-row-per-query arm outputs, a
+    *    |queries|·k-row window — O(1) per query.
+    * The pairs are a Scala Seq, not a DataFrame, for the same reason
+    * fuzzySearchPrebuilt materializes its expansion: the literal lists ARE
+    * what prunes buckets at the scan (query rewrite before index access).
+    *
+    * @param queries (probe_id, query_text): probe_id keys both the stored
+    *                probe vector and the output rows
+    */
+  def hybridBatchSearchPrebuilt(spark: SparkSession,
+                                queries: Seq[(Long, String)],
+                                textPrefix: String, vecPrefix: String,
+                                k: Int = 10, nprobe: Int = 8,
+                                shortlist: Int = 40): DataFrame = {
+    import spark.implicits._
+    val ids = queries.map(_._1)
+    val allTerms = queries.flatMap(q => queryTokens(q._2)).distinct
+    val postings = spark.table(s"${textPrefix}_postings")
+      .filter(col("term").isin(allTerms: _*))
+    val termDf = spark.table(s"${textPrefix}_term_df")
+      .filter(col("term").isin(allTerms: _*))
+    val docInfo = spark.table(s"${textPrefix}_doc_info")
+    // per-query re-rank of the k survivors on the Money-grid score (the
+    // single-probe hybrid's convention — the window orders ≤k rows/query)
+    val tw = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val textRank = batchSearch(
+        queries.toDF("query_id", "query_text"), postings, termDf, docInfo, k)
+      .select(col("query_id"), col("doc_id").cast("long").as("doc_id"),
+        col("score"))
+      .withColumn("text_rank", row_number().over(tw).cast("long"))
+      .drop("score")
+    val probes = spark.table(s"${vecPrefix}_forward")
+      .filter(col("id").isin(ids: _*)).select(col("id"), col("v"))
+    val vecRank = VectorIndex
+      .searchPrebuilt(spark, vecPrefix, probes, k, nprobe, shortlist)
+      .select(col("probe_id").as("query_id"), col("cand_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    val fused = textRank.join(vecRank, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("text_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+    spark.table(s"${textPrefix}_doc_info")
+      .select(col("doc_id").cast("long").as("doc_id"), col("title"))
+      .join(broadcast(fused), "doc_id")
+      .select(col("query_id"), col("doc_id"), col("title"), col("text_rank"),
+        col("vec_rank"), col("rrf").cast("double").as("rrf"))
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+  }
+
   /** "Did you mean": for each query token, the best correction among
     * vocabulary terms within `maxDist` edits — closest distance first,
     * then highest document frequency (the commoner word is the likelier

@@ -80,56 +80,89 @@ object Similarity {
         col("rel").cast("double"))
       .as[(Long, Array[Double], Double)]
       .repartition(1)
-      .mapPartitions { it =>
-        val cs = it.toArray
-        def dot(a: Array[Double], b: Array[Double]): Double = {
-          var acc = 0.0; var i = 0
-          while (i < a.length) { acc += a(i) * b(i); i += 1 }
-          acc
-        }
-        def cos(a: Array[Double], b: Array[Double]): Double =
-          dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
-        val n = cs.length
-        val picked = new scala.collection.mutable.ArrayBuffer[Int](k)
-        // max cosine to any already-picked candidate, maintained
-        // incrementally: one O(n) update per pick, O(k*n) total
-        val maxSim = Array.fill(n)(Double.NegativeInfinity)
-        val out = Vector.newBuilder[(Long, Long, Double, Double)]
-        var step = 1
-        while (step <= math.min(k, n)) {
-          var best = -1; var bestScore = 0.0
-          var i = 0
-          while (i < n) {
-            if (!picked.contains(i)) {
-              // first pick has no redundancy term: pure relevance order
-              val score =
-                if (picked.isEmpty) cs(i)._3
-                else lambda * cs(i)._3 - beta * maxSim(i)
-              if (best < 0 || score > bestScore ||
-                (score == bestScore && cs(i)._1 < cs(best)._1)) {
-                best = i; bestScore = score
-              }
-            }
-            i += 1
-          }
-          val mmr =
-            if (picked.isEmpty) lambda * cs(best)._3
-            else bestScore
-          out += ((step.toLong, cs(best)._1, cs(best)._3, mmr))
-          picked += best
-          var j = 0
-          while (j < n) {
-            if (!picked.contains(j)) {
-              val sim = cos(cs(j)._2, cs(best)._2)
-              if (sim > maxSim(j)) maxSim(j) = sim
-            }
-            j += 1
-          }
-          step += 1
-        }
-        out.result().iterator
-      }
+      .mapPartitions(it => mmrGreedy(it.toArray, lambda, beta, k))
       .toDF("rank", "doc_id", "relevance", "mmr")
+  }
+
+  /** [[mmrRerank]] over a BATCH of probes: one greedy selection per
+    * probe_id group, each over its own shortlist. `groupByKey` shuffles
+    * the |probes|·n candidate rows once; the greedy tails run in parallel
+    * across executors, each corpus-independent (O(k·n) over its n-row
+    * group). The serving-batch twin of the single-probe form — same
+    * kernel, so per-probe output is bit-identical to calling mmrRerank
+    * per probe.
+    *
+    * @param cands (probe_id, cand_id, v: array<double>, rel)
+    */
+  def mmrRerankBatch(cands: DataFrame, lambda: Double, beta: Double,
+                     k: Int): DataFrame = {
+    val s = cands.sparkSession
+    import s.implicits._
+    cands
+      .select(col("probe_id").cast("long"), col("cand_id").cast("long"),
+        col("v").cast("array<double>"), col("rel").cast("double"))
+      .as[(Long, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (pid, it) =>
+        mmrGreedy(it.map(t => (t._2, t._3, t._4)).toArray, lambda, beta, k)
+          .map { case (rank, id, rel, mmr) => (pid, rank, id, rel, mmr) }
+      }
+      .toDF("probe_id", "rank", "doc_id", "relevance", "mmr")
+  }
+
+  /** The sequential greedy MMR kernel both forms share (selection order
+    * is scan-independent: argmax with cand_id tiebreak over the whole
+    * array each step, so input order never matters).
+    */
+  private def mmrGreedy(cs: Array[(Long, Array[Double], Double)],
+                        lambda: Double, beta: Double,
+                        k: Int): Iterator[(Long, Long, Double, Double)] = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val n = cs.length
+    val picked = new scala.collection.mutable.ArrayBuffer[Int](k)
+    // max cosine to any already-picked candidate, maintained
+    // incrementally: one O(n) update per pick, O(k*n) total
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    val out = Vector.newBuilder[(Long, Long, Double, Double)]
+    var step = 1
+    while (step <= math.min(k, n)) {
+      var best = -1; var bestScore = 0.0
+      var i = 0
+      while (i < n) {
+        if (!picked.contains(i)) {
+          // first pick has no redundancy term: pure relevance order
+          val score =
+            if (picked.isEmpty) cs(i)._3
+            else lambda * cs(i)._3 - beta * maxSim(i)
+          if (best < 0 || score > bestScore ||
+            (score == bestScore && cs(i)._1 < cs(best)._1)) {
+            best = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      val mmr =
+        if (picked.isEmpty) lambda * cs(best)._3
+        else bestScore
+      out += ((step.toLong, cs(best)._1, cs(best)._3, mmr))
+      picked += best
+      var j = 0
+      while (j < n) {
+        if (!picked.contains(j)) {
+          val sim = cos(cs(j)._2, cs(best)._2)
+          if (sim > maxSim(j)) maxSim(j) = sim
+        }
+        j += 1
+      }
+      step += 1
+    }
+    out.result().iterator
   }
 
   /** Deterministic hyperplane component for (plane j, dimension d):

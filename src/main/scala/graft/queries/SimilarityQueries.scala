@@ -932,6 +932,15 @@ object SimilarityQueries {
     annIvfPqRankedCtes("emb",
       probeSrc = "(SELECT * FROM probes WHERE id = 0)")
 
+  /** The same chain restricted to a literal probe-id set — the oracle
+    * counterpart of the batch serving forms (hybrid_rrf_batch_prebuilt /
+    * mmr_rerank_batch_prebuilt). Ids must be multiples of 50 (the shared
+    * `probes` CTE's membership rule).
+    */
+  private[queries] def ivfPqProbeSetCtes(ids: Seq[Long]): String =
+    annIvfPqRankedCtes("emb",
+      probeSrc = s"(SELECT * FROM probes WHERE id IN (${ids.mkString(", ")}))")
+
   // ---- MMR-diversified rerank (Carbonell & Goldstein, SIGIR'98) --------------
   // The diversity pass a retrieval stack runs AFTER candidate generation:
   // a shortlist of the MmrN nearest candidates to probe id 0, then greedy
@@ -981,6 +990,29 @@ object SimilarityQueries {
     Similarity.mmrRerank(cands, MmrLambda, MmrBeta, MmrK).orderBy("rank")
   }
 
+  /** The batch serving form: one DPP-pruned candidate pass for the whole
+    * probe SET (VectorIndex.searchPrebuilt is natively multi-probe; the
+    * probe vectors come from the literal-id bucket-pruned forward fetch),
+    * then one greedy MMR tail PER probe, run in parallel across executors
+    * (Similarity.mmrRerankBatch). Cost ∝ probes, never the corpus — the
+    * request-batch generalization the text side's
+    * bm25_batch_search_prebuilt established.
+    */
+  private[queries] val MmrBatchIds = Seq(0L, 50L, 100L)
+
+  def mmrRerankBatchPrebuilt(s: SparkSession, dir: String): DataFrame = {
+    val prefix = ensureVectorIndex(s, dir)
+    val probes = s.table(s"${prefix}_forward")
+      .filter(col("id").isin(MmrBatchIds: _*)).select(col("id"), col("v"))
+    val cands = graft.operators.VectorIndex
+      .searchPrebuilt(s, prefix, probes, MmrN, NProbe, PqShortlist,
+        withVector = true)
+      .select(col("probe_id"), col("cand_id"), col("cosine").as("rel"),
+        col("v"))
+    Similarity.mmrRerankBatch(cands, MmrLambda, MmrBeta, MmrK)
+      .orderBy("probe_id", "rank")
+  }
+
   /** Greedy MMR selection over a `cand(id, v, rel)` CTE, shared by both
     * oracle forms. Requires WITH RECURSIVE on the enclosing chain.
     */
@@ -1027,6 +1059,48 @@ object SimilarityQueries {
        |  WHERE r.rank <= $MmrN),
        |$mmrSelCtes
        |$mmrSelFinal""".stripMargin
+
+  /** [[mmrSelCtes]] with every CTE carrying probe_id: the recursion's
+    * UNION ALL advances each probe's chain independently (one seed row
+    * per probe, each recursive step LATERAL-picks that probe's next
+    * argmax over its own not-yet-chosen candidates).
+    */
+  private def mmrSelBatchCtes: String =
+    s"""pair AS (
+       |  SELECT a.probe_id, a.id AS a, b.id AS b,
+       |    list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+       |  FROM cand a JOIN cand b ON a.probe_id = b.probe_id AND a.id <> b.id),
+       |sel AS (
+       |  (SELECT probe_id, CAST(1 AS BIGINT) AS rank, id, rel,
+       |     $MmrLambda * rel AS mmr, [id] AS chosen
+       |   FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |           ORDER BY rel DESC, id) AS rn
+       |         FROM cand) t
+       |   WHERE rn = 1)
+       |  UNION ALL
+       |  (SELECT s.probe_id, s.rank + 1, n.id, n.rel, n.mmr,
+       |     list_append(s.chosen, n.id)
+       |   FROM sel s, LATERAL (
+       |     SELECT c.id, c.rel,
+       |       $MmrLambda * c.rel - $MmrBeta * (SELECT max(p.sim) FROM pair p
+       |         WHERE p.probe_id = s.probe_id AND p.a = c.id
+       |           AND list_contains(s.chosen, p.b)) AS mmr
+       |     FROM cand c
+       |     WHERE c.probe_id = s.probe_id AND NOT list_contains(s.chosen, c.id)
+       |     ORDER BY mmr DESC, c.id LIMIT 1) n
+       |   WHERE s.rank < $MmrK))""".stripMargin
+
+  val mmrRerankBatchPrebuiltSql: String =
+    s"""WITH RECURSIVE ${ivfPqProbeSetCtes(MmrBatchIds)},
+       |cand AS (
+       |  SELECT r.probe_id, r.cand_id AS id, e.v, r.cosine AS rel
+       |  FROM ranked r JOIN emb e ON e.id = r.cand_id
+       |  WHERE r.rank <= $MmrN),
+       |$mmrSelBatchCtes
+       |SELECT probe_id, rank, id AS doc_id, CAST(rel AS DOUBLE) AS relevance,
+       |  CAST(mmr AS DOUBLE) AS mmr
+       |FROM sel ORDER BY probe_id, rank""".stripMargin
 
   // ---- Vector-index DELETE lifecycle -----------------------------------------
   // Build the full persisted index, then FORGET every id % 7 == 0
@@ -1129,6 +1203,51 @@ object SimilarityQueries {
   def streamVectorIngest(s: SparkSession, dir: String): DataFrame =
     graft.operators.VectorIndex.searchPrebuilt(s,
         ensureStreamedVectorIndex(s, dir), probes(s, dir), K, NProbe,
+        PqShortlist)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("probe_id", "rank")
+
+  // ---- Vector-index COMPACTION lifecycle --------------------------------------
+  // Build from half the corpus, append the other half in TWO batches
+  // (each append adds one file per touched coarse list and forward
+  // bucket — the continuous-ingest growth VectorIndex.append documents),
+  // then COMPACT both stores down to one file per unit. Serving must be
+  // byte-identical to the uncompacted appended index — the oracle is the
+  // append lifecycle's SQL (train on the built half, encode everything).
+  // Completes the vector-index lifecycle: build / append / delete /
+  // snapshot / rollback / compact — the text index's full operation set.
+  private val builtVectorIdxComp = scala.collection.mutable.Set[String]()
+
+  private def ensureCompactedVectorIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val prefix = "graft_vecidxc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!builtVectorIdxComp.contains(prefix)) {
+        import s.implicits._
+        val e = emb(s, dir)
+        val half = e.filter(col("id") % 2 === 0)
+        val cents = Similarity.trainCentroids(half, NList, IvfIters, Dim)
+          .toDF("id", "v")
+        val codes = graft.operators.Pq.train(
+          half.select(col("id"), col("v")), PqM, PqSubDim, PqKs)
+        graft.operators.VectorIndex.build(s, half, prefix, cents, codes,
+          PqM, PqSubDim)
+        graft.operators.VectorIndex.append(s, e.filter(col("id") % 4 === 1),
+          prefix)
+        graft.operators.VectorIndex.append(s, e.filter(col("id") % 4 === 3),
+          prefix)
+        if (!graft.operators.VectorIndex.compact(s, prefix,
+            maxFilesPerUnit = 1))
+          sys.error("vector compaction unexpectedly skipped " +
+            "(files under threshold)")
+        builtVectorIdxComp += prefix
+      }
+      prefix
+    }
+
+  def annIvfPqCompacted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.VectorIndex.searchPrebuilt(s,
+        ensureCompactedVectorIndex(s, dir), probes(s, dir), K, NProbe,
         PqShortlist)
       .select(col("probe_id"), col("rank"), col("cand_id"),
         col("cosine").cast("double").as("cosine"))
@@ -1771,12 +1890,14 @@ object SimilarityQueries {
     "ann_ivf_pq_prebuilt" -> (annIvfPqPrebuilt _),
     "ann_ivf_pq_appended" -> (annIvfPqAppended _),
     "ann_ivf_pq_deleted" -> (annIvfPqDeleted _),
+    "vindex_compacted" -> (annIvfPqCompacted _),
     "vector_index_drift" -> (vectorIndexDrift _),
     "stream_vector_ingest" -> (streamVectorIngest _),
     "ann_quantized" -> (annQuantized _),
     "ann_lsh_quantized" -> (annLshQuantized _),
     "mmr_rerank" -> (mmrRerank _),
     "mmr_rerank_prebuilt" -> (mmrRerankPrebuilt _),
+    "mmr_rerank_batch_prebuilt" -> (mmrRerankBatchPrebuilt _),
     "embedding_norms" -> (embeddingNorms _),
     "embedding_project" -> (embeddingProject _),
     "embedding_covariance" -> (embeddingCovariance _))
@@ -1799,12 +1920,14 @@ object SimilarityQueries {
     "ann_ivf_pq_prebuilt" -> annIvfPqSql,
     "ann_ivf_pq_appended" -> annIvfPqAppendedSql,
     "ann_ivf_pq_deleted" -> annIvfPqDeletedSql,
+    "vindex_compacted" -> annIvfPqAppendedSql,
     "vector_index_drift" -> vectorIndexDriftSql,
     "stream_vector_ingest" -> annIvfPqAppendedSql,
     "ann_quantized" -> annQuantizedSql,
     "ann_lsh_quantized" -> annLshQuantizedSql,
     "mmr_rerank" -> mmrRerankSql,
     "mmr_rerank_prebuilt" -> mmrRerankPrebuiltSql,
+    "mmr_rerank_batch_prebuilt" -> mmrRerankBatchPrebuiltSql,
     "embedding_norms" -> embeddingNormsSql,
     "embedding_project" -> embeddingProjectSql)
 }

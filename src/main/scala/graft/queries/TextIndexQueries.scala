@@ -289,6 +289,77 @@ object TextIndexQueries {
       shortlist = sq.ivfShortlist)
   }
 
+  // ---- Batch hybrid retrieval over the persisted indexes ---------------------
+  // hybrid_rrf_prebuilt generalized from one (query, probe) pair to a
+  // request BATCH — the real serving workload. The union of all query
+  // terms is one literal IN-list (one bucket-pruned pass over the text
+  // index for every query), the probe vectors are one literal-id
+  // bucket-pruned forward fetch, and the candidate lists are read once
+  // under DPP for the whole probe set: cost ∝ probes, never the corpus,
+  // and never |queries| separate passes. Fusion and the per-query top-k
+  // window run over |queries|·k rows.
+  // lazy: BatchQueries declares later in the object body
+  lazy val HybridBatch: Seq[(Long, String)] =
+    BatchQueries.zipWithIndex.map { case ((_, text), i) => (i * 50L, text) }
+
+  def hybridRrfBatchPrebuilt(s: SparkSession, dir: String): DataFrame = {
+    val sq = graft.queries.SimilarityQueries
+    Search.hybridBatchSearchPrebuilt(s, HybridBatch,
+      textPrefix = ensurePrebuilt(s, dir),
+      vecPrefix = sq.persistedVectorIndexPrefix(s, dir),
+      k = 10, nprobe = sq.ivfNProbe, shortlist = sq.ivfShortlist)
+  }
+
+  lazy val hybridRrfBatchPrebuiltSql: String = {
+    val qArms = HybridBatch.map { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => s"'$t'").mkString("[", ",", "]")
+      s"SELECT CAST($id AS BIGINT) AS query_id, unnest($toks) AS term"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $TokCte,
+       |postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+       |term_df AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+       |doc_info AS (SELECT doc_id, len(l) AS length FROM docs_l),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(length) AS avgdl FROM doc_info),
+       |q AS (
+       |  $qArms),
+       |scored AS (
+       |  SELECT q.query_id, p.doc_id,
+       |    ln(greatest(1.0, s.n / greatest(1.0, CAST(d.df AS DOUBLE)))) * p.tf * 2.0 /
+       |      (p.tf + (0.25 + 0.75 * di.length / s.avgdl)) AS score
+       |  FROM q JOIN term_df d USING(term) JOIN postings p USING(term)
+       |       JOIN doc_info di USING(doc_id), stats s),
+       |summed AS (
+       |  SELECT query_id, doc_id, sum(score) AS score
+       |  FROM scored GROUP BY query_id, doc_id),
+       |t_rank AS (
+       |  SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(score * 1000000.0) DESC, doc_id ASC) AS BIGINT)
+       |      AS text_rank
+       |  FROM summed QUALIFY text_rank <= 10),
+       |${graft.queries.SimilarityQueries.ivfPqProbeSetCtes(HybridBatch.map(_._1))},
+       |v_rank AS (
+       |  SELECT probe_id AS query_id, cand_id AS doc_id,
+       |    CAST(rank AS BIGINT) AS vec_rank
+       |  FROM ranked WHERE rank <= 10),
+       |fused AS (
+       |  SELECT coalesce(t.query_id, v.query_id) AS query_id,
+       |    coalesce(t.doc_id, v.doc_id) AS doc_id, t.text_rank, v.vec_rank,
+       |    coalesce(1.0 / (60.0 + t.text_rank), 0.0) +
+       |      coalesce(1.0 / (60.0 + v.vec_rank), 0.0) AS rrf
+       |  FROM t_rank t FULL OUTER JOIN v_rank v
+       |    ON t.query_id = v.query_id AND t.doc_id = v.doc_id),
+       |topk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS rn
+       |  FROM fused QUALIFY rn <= 10)
+       |SELECT f.query_id, f.doc_id, substring(d.text, 1, 50) AS title,
+       |  f.text_rank, f.vec_rank, CAST(f.rrf AS DOUBLE) AS rrf
+       |FROM topk f JOIN documents d ON d.doc_id = f.doc_id
+       |ORDER BY f.query_id, f.rrf DESC, f.doc_id""".stripMargin
+  }
+
   val hybridRrfPrebuiltSql: String =
     s"""${bm25TopCtes(TokCte)},
        |${graft.queries.SimilarityQueries.ivfPqProbeZeroCtes},
@@ -1429,6 +1500,7 @@ object TextIndexQueries {
     "bm25_search" -> (bm25Search _),
     "hybrid_rrf_search" -> (hybridRrfSearch _),
     "hybrid_rrf_prebuilt" -> (hybridRrfPrebuilt _),
+    "hybrid_rrf_batch_prebuilt" -> (hybridRrfBatchPrebuilt _),
     "search_facets" -> (searchFacets _),
     "phrase_bigram_index" -> (phraseBigramIndex _),
     "bm25_fielded" -> (bm25Fielded _),
@@ -1475,6 +1547,7 @@ object TextIndexQueries {
     "bm25_search" -> bm25SearchSql,
     "hybrid_rrf_search" -> hybridRrfSearchSql,
     "hybrid_rrf_prebuilt" -> hybridRrfPrebuiltSql,
+    "hybrid_rrf_batch_prebuilt" -> hybridRrfBatchPrebuiltSql,
     "search_facets" -> searchFacetsSql,
     "phrase_bigram_index" -> phraseBigramIndexSql,
     "bm25_fielded" -> bm25FieldedSql,

@@ -304,6 +304,39 @@ class PlanSpec extends SparkSpec {
       s"forward-store point fetch not bucket-pruned to one bucket:\n$p")
   }
 
+  test("hybrid_rrf_batch_prebuilt keeps probe-derived pruning with a multi-probe set") {
+    // the batch generalization must not lose what the point form pins:
+    // IN-list bucket pruning on the text index, literal-id bucket pruning
+    // on the forward fetch (3 probes land in >1 but <all of the 8
+    // buckets), DPP on the candidate lists, and no corpus fallback
+    val p = plan("hybrid_rrf_batch_prebuilt")
+    assert(p.contains("SelectedBucketsCount"),
+      s"text arm lost bucket pruning:\n$p")
+    assert(p.contains("In(term"), s"term filter not pushed to the scan:\n$p")
+    assert(p.contains("dynamicpruning"),
+      s"vector arm's list scan is not partition-pruned:\n$p")
+    assert(!p.contains("documents.parquet") && !p.contains("embeddings.parquet"),
+      s"batch hybrid serving read the corpus instead of the indexes:\n$p")
+    assert(p.contains("_forward"),
+      s"probe fetch bypassed the forward store:\n$p")
+    // the probe-id IN-list prunes the forward scan to fewer than all 8
+    // buckets (the exact count depends on id hashing — assert pruned, not 8)
+    val fwdPrune = "SelectedBucketsCount: (\\d) out of 8".r
+      .findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(fwdPrune.exists(_ < 8),
+      s"no scan in the batch plan is bucket-pruned below 8/8:\n$p")
+  }
+
+  test("mmr_rerank_batch_prebuilt serves the probe SET from pruned index tables") {
+    val p = plan("mmr_rerank_batch_prebuilt")
+    assert(p.contains("dynamicpruning"),
+      s"candidate list scan is not partition-pruned:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"probe-set fetch not bucket-pruned on the forward store:\n$p")
+    assert(!p.contains("embeddings.parquet"),
+      s"batch MMR serving read the corpus instead of the index:\n$p")
+  }
+
   test("mmr_rerank_prebuilt serves entirely from pruned index tables") {
     val p = plan("mmr_rerank_prebuilt")
     assert(p.contains("dynamicpruning"),

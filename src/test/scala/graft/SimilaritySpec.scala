@@ -248,6 +248,24 @@ class SimilaritySpec extends SparkSpec {
       "second compact() pass was not a no-op")
   }
 
+  test("mmr_rerank_batch_prebuilt probe-0 rows equal the single-probe form") {
+    // the batch form's contract: per-probe output is bit-identical to
+    // calling the single-probe serving path per probe (shared greedy
+    // kernel, same candidate generator)
+    val dir = "/root/testdata/sf0.001"
+    val single = graft.queries.SimilarityQueries.mmrRerankPrebuilt(spark, dir)
+      .select("rank", "doc_id", "relevance", "mmr")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.queries.SimilarityQueries
+      .mmrRerankBatchPrebuilt(spark, dir)
+      .filter(col("probe_id") === 0L)
+      .select("rank", "doc_id", "relevance", "mmr")
+      .collect().map(_.toSeq).toSeq
+    assert(batch == single,
+      s"batch probe-0 selection diverged from the single-probe form:\n" +
+        s" batch=$batch\nsingle=$single")
+  }
+
   test("mmr_rerank matches an independent in-memory greedy and diversifies") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.queries.SimilarityQueries.mmrRerank(spark, dir)
