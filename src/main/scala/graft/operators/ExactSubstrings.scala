@@ -54,6 +54,34 @@ object ExactSubstrings {
   val DefaultMinLen = 8
   val DfFloor = 20
 
+  /** Per-gram stats shape. Auto computes the flip from the corpus (one
+    * partial-aggregating pass over the gram table); Window / Agg force a
+    * shape — test and bench hooks for the row-identity pin.
+    */
+  sealed trait Shape
+  case object Auto extends Shape
+  case object WindowShape extends Shape
+  case object AggShape extends Shape
+
+  /** Window-shape buffer guard (the AUDIT_r9 trade-off, now computed):
+    * per-gram stats as WINDOW aggregates buffer every occurrence of a
+    * gram in one task before any filter can drop it — AQE cannot
+    * skew-split a window partition, so a boilerplate gram with ~1e9
+    * occurrences is a single-task OOM regardless of the stop-gram cap.
+    * The aggregate-then-rejoin shape is immune (partial aggregation
+    * collapses the heavy gram map-side, and capped grams never reach the
+    * probe join) but pays a second scan of the gram build. Flip when the
+    * heaviest gram's occurrence count exceeds `SkewFlipFactor`x the
+    * stop-gram cap — the point where one window partition's buffer is an
+    * order of magnitude past the volume the cap was sized to bound.
+    * Division, not multiplication: `cap` may be Long.MaxValue (the
+    * brute-force-parity override).
+    */
+  val SkewFlipFactor = 16L
+
+  def windowShapeSafe(maxOcc: Long, cap: Long): Boolean =
+    maxOcc / SkewFlipFactor <= cap
+
   /** Maximal cross-document exact token repeats of >= minLen tokens —
     * the pair-level DETAIL view. Output is quadratic in the corpus's
     * duplication factor by definition (every replica pair x every shared
@@ -79,27 +107,73 @@ object ExactSubstrings {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("g"))
 
+  /** (doc_id, pos, g) rows of grams that survive the cross-doc test and
+    * the `cap` occurrence filter, in whichever stats shape the corpus
+    * calls for. `cap` bounds what SURVIVES (Long.MaxValue = no cap, the
+    * spans semantics); `flipAt` is the skew threshold the Auto decision
+    * compares the heaviest gram against — the two differ exactly when the
+    * output must keep boilerplate grams the window shape cannot afford to
+    * buffer.
+    */
+  private def crossDocOccurrences(gr0: DataFrame, cap: Long, flipAt: Long,
+                                  shape: Shape): DataFrame = {
+    import graft.CacheRegistry.RegisteredCache
+    // Auto pays an extra pass over the gram build for the flip signal —
+    // cache the build so the pass and the chosen shape share one compute
+    val gr = shape match {
+      case Auto => gr0.registeredCache()
+      case _ => gr0
+    }
+    def windowForm = {
+      val wg = Window.partitionBy("g")
+      gr.withColumn("occ", count(lit(1)).over(wg))
+        .withColumn("d0", min("doc_id").over(wg))
+        .withColumn("d1", max("doc_id").over(wg))
+        .filter(col("occ") <= cap && col("d0") =!= col("d1"))
+        .select("doc_id", "pos", "g")
+    }
+    def aggForm = {
+      // partial aggregation collapses heavy grams map-side; capped grams
+      // never reach the probe join, so no task ever buffers them
+      val keep = gr.groupBy("g")
+        .agg(count(lit(1)).as("occ"), min("doc_id").as("d0"),
+          max("doc_id").as("d1"))
+        .filter(col("occ") <= cap && col("d0") =!= col("d1"))
+        .select("g")
+      gr.join(keep, "g").select("doc_id", "pos", "g")
+    }
+    shape match {
+      case WindowShape => windowForm
+      case AggShape => aggForm
+      case Auto =>
+        // count-only payload, map-side combined: skew-safe by construction
+        val maxOcc = gr.groupBy("g").count()
+          .agg(max(col("count"))).head().get(0) match {
+          case null => 0L
+          case n: java.lang.Long => n.longValue()
+        }
+        if (windowShapeSafe(maxOcc, flipAt)) windowForm else aggForm
+    }
+  }
+
   def matches(docs: DataFrame, minLen: Int = DefaultMinLen,
-              capOverride: Option[Long] = None): DataFrame = {
+              capOverride: Option[Long] = None,
+              shape: Shape = Auto): DataFrame = {
     import graft.CacheRegistry.RegisteredCache
     val gr = grams(docs, minLen)
     val cap = capOverride.getOrElse(
       math.max(DfFloor.toLong, (docs.count() + 999L) / 1000L))
-    // min<>max doc_id is the cheap cross-doc test (no count-distinct),
-    // computed as WINDOW aggregates over the gram key: one shuffle of
-    // the gram table and one scan of its build, where the
-    // aggregate-then-rejoin shape scans the tokenize+gram subtree twice
-    // (the partial-agg exchange and the probe exchange carry different
-    // payloads, so ReuseExchange cannot collapse them). Same idiom as
-    // Winnow.overlap's df cap. The singleton majority dies here, before
-    // the pair join.
-    val wg = Window.partitionBy("g")
-    val occ = gr
-      .withColumn("occ", count(lit(1)).over(wg))
-      .withColumn("d0", min("doc_id").over(wg))
-      .withColumn("d1", max("doc_id").over(wg))
-      .filter(col("occ") <= cap && col("d0") =!= col("d1"))
-      .select("doc_id", "pos", "g")
+    // min<>max doc_id is the cheap cross-doc test (no count-distinct).
+    // Default shape: WINDOW aggregates over the gram key — one shuffle of
+    // the gram table and one scan of its build, where aggregate-then-
+    // rejoin scans the tokenize+gram subtree twice (the partial-agg
+    // exchange and the probe exchange carry different payloads, so
+    // ReuseExchange cannot collapse them). Same idiom as Winnow.overlap's
+    // df cap. The singleton majority dies here, before the pair join.
+    // Above the computed skew flip ([[windowShapeSafe]]) the agg shape
+    // takes over: heavy grams collapse map-side and die at the stats
+    // filter, never reaching a single task's buffer.
+    val occ = crossDocOccurrences(gr, cap, flipAt = cap, shape)
       // both pair sides read the filtered occurrence table — cache it,
       // or the whole chain above executes twice
       .registeredCache()
@@ -140,16 +214,17 @@ object ExactSubstrings {
     *   length of each maximal span covered by cross-document repeats.
     */
   def duplicatedSpans(docs: DataFrame,
-                      minLen: Int = DefaultMinLen): DataFrame = {
+                      minLen: Int = DefaultMinLen,
+                      shape: Shape = Auto): DataFrame = {
     val gr = grams(docs, minLen)
-    // cross-doc mark as window aggregates over the gram key — one
-    // shuffle, one scan of the gram build (see matches() for why the
-    // aggregate-then-rejoin shape pays a second scan)
-    val wg = Window.partitionBy("g")
-    val marked = gr
-      .withColumn("d0", min("doc_id").over(wg))
-      .withColumn("d1", max("doc_id").over(wg))
-      .filter(col("d0") =!= col("d1"))
+    // cross-doc mark, same two shapes as matches() — but NO occurrence
+    // cap (boilerplate is exactly what a span remover wants marked), so
+    // the skew flip threshold comes from the corpus-derived stop-gram
+    // formula alone: a span corpus whose heaviest gram is orders of
+    // magnitude past it must not buffer that gram in one window task
+    val flipAt = math.max(DfFloor.toLong, (docs.count() + 999L) / 1000L)
+    val marked = crossDocOccurrences(gr, cap = Long.MaxValue,
+        flipAt = flipAt, shape = shape)
       .select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     marked

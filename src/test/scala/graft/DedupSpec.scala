@@ -388,6 +388,64 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((100L, 101L, 9L)), out.mkString(","))
   }
 
+  test("exact-substring skew flip engages above the computed threshold; shapes agree") {
+    import spark.implicits._
+    import operators.ExactSubstrings
+    // the flip rule itself (maxOcc/16 <= cap is window-safe; integer div)
+    assert(ExactSubstrings.windowShapeSafe(320L, 20L))
+    assert(!ExactSubstrings.windowShapeSafe(400L, 20L))
+    assert(ExactSubstrings.windowShapeSafe(Long.MaxValue / 2,
+      Long.MaxValue / 16), "near-overflow domain must stay well-defined")
+    // skewed fixture: one 8-token boilerplate gram in 400 docs (occ 400 >
+    // 16 x cap 20 -> Auto must flip to the agg shape), plus one genuine
+    // 2-doc repeat so the matches output is non-vacuous under the cap
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    val shared = "one two three four five six seven eight"
+    val docs = (0L until 400L).map { i =>
+      val tail = if (i < 2) s" $shared" else ""
+      (i, s"$boiler tail$i$tail")
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val mWin = ExactSubstrings.matches(docs, 8,
+      shape = ExactSubstrings.WindowShape)
+    val mAgg = ExactSubstrings.matches(docs, 8,
+      shape = ExactSubstrings.AggShape)
+    val mWinRows = rows(mWin)
+    assert(mWinRows.nonEmpty, "fixture produced no matches — vacuous pin")
+    assert(mWinRows == rows(mAgg),
+      "window and agg shapes disagree on matches()")
+    val sWin = ExactSubstrings.duplicatedSpans(docs, 8,
+      shape = ExactSubstrings.WindowShape)
+    val sAgg = ExactSubstrings.duplicatedSpans(docs, 8,
+      shape = ExactSubstrings.AggShape)
+    val sWinRows = rows(sWin)
+    assert(sWinRows.size >= 400, "boilerplate spans missing — vacuous pin")
+    assert(sWinRows == rows(sAgg),
+      "window and agg shapes disagree on duplicatedSpans()")
+    // Auto must have PICKED the agg shape here: the only Window operator
+    // left in the plan is the islands window, never the per-gram stats.
+    // (analyzed, not optimized: cache substitution folds the occurrence
+    // subtree into an InMemoryRelation and would hide the Window)
+    def gWindows(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(_.references.exists(_.name == "g")) => w
+      }.size
+    assert(gWindows(mWin) > 0 && gWindows(sWin) > 0,
+      "forced window shape lost its per-gram window (test harness broken)")
+    assert(gWindows(ExactSubstrings.matches(docs, 8)) == 0,
+      "Auto kept the per-gram window on a 400x-skewed gram (no flip)")
+    assert(gWindows(ExactSubstrings.duplicatedSpans(docs, 8)) == 0,
+      "Auto spans kept the per-gram window on a skewed corpus (no flip)")
+    // and on a uniform corpus Auto keeps the cheaper window shape
+    val uniform = (0L until 40L)
+      .map(i => (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h u${i}i"))
+      .toDF("doc_id", "text")
+    assert(gWindows(ExactSubstrings.matches(uniform, 8)) > 0,
+      "Auto flipped to agg on a skew-free corpus")
+  }
+
   // graph_link_prediction's AA micro-weight round(1e6/ln deg) claims to be
   // cross-libm stable. ln is libm-dependent (±1 ulp), so the claim only
   // holds if no weight lands NEAR a .5 rounding boundary. deg is bounded

@@ -102,4 +102,27 @@ class TablesSpec extends SparkSpec {
             "driver testdata drifted; check the loaders in Tables.scala")
     }
   }
+
+  test("no embedding has zero norm at either gate SF") {
+    // every cosine in the engine AND every DuckDB oracle divides by
+    // sqrt(v·v) without a zero guard; both sides agree only because the
+    // corpus contains no zero vector. That invariant lives in the driver's
+    // testdata generator, not in any code this repo controls — pin it so
+    // a regeneration that introduces one reds a NAMED test instead of
+    // silently diverging every cosine query cross-engine (NaN ordering
+    // differs between Spark and DuckDB).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val zeros = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double") * x.cast("double")).as("ss"))
+        .filter(col("ss") === 0.0).select("vec_id")
+        .collect().map(_.getLong(0))
+      assert(zeros.isEmpty,
+        s"$dir has zero-norm embeddings ${zeros.take(5).mkString(",")} — " +
+          "every cosine query now NaN-diverges cross-engine; regenerate " +
+          "testdata or add explicit zero-norm handling to Similarity.cosine " +
+          "and every oracle")
+    }
+  }
 }
