@@ -184,23 +184,49 @@ object Multimodal {
     if (!isPng && !isJpeg && !isGif) None
     else try {
       javax.imageio.ImageIO.setUseCache(false)
-      Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))).map { bi =>
-        val w = bi.getWidth
-        val h = bi.getHeight
-        val argb = bi.getRGB(0, 0, w, h, null, 0, w) // packed ARGB, any model
-        val rgb = new Array[Byte](w * h * 3)
-        var i = 0
-        while (i < argb.length) {
-          rgb(3 * i) = ((argb(i) >> 16) & 0xff).toByte
-          rgb(3 * i + 1) = ((argb(i) >> 8) & 0xff).toByte
-          rgb(3 * i + 2) = (argb(i) & 0xff).toByte
-          i += 1
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            // dimension gate BEFORE the raster exists: getWidth/getHeight
+            // parse the header only, so a crafted 100-byte bomb declaring
+            // a multi-gigapixel canvas is rejected here instead of
+            // OOM-killing the task inside ImageIO.read (an
+            // OutOfMemoryError is the one failure no catch can turn into
+            // a P5 skip)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
+            else {
+              val bi = reader.read(0)
+              val argb = bi.getRGB(0, 0, w, h, null, 0, w) // packed ARGB, any model
+              val rgb = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < argb.length) {
+                rgb(3 * i) = ((argb(i) >> 16) & 0xff).toByte
+                rgb(3 * i + 1) = ((argb(i) >> 8) & 0xff).toByte
+                rgb(3 * i + 2) = (argb(i) & 0xff).toByte
+                i += 1
+              }
+              Some(ImageDecoded(w, h, rgb))
+            }
+          } finally reader.dispose()
         }
-        ImageDecoded(w, h, rgb)
-      }
+      } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  /** Pixel-count cap for the ImageIO path (16.7M pixels = 8192x2048 ≈
+    * 50 MB decoded RGB — generous for any document-pipeline image, small
+    * enough that 32 concurrent decode tasks stay bounded). decodeBmp and
+    * the AVI DIB walk are separately bounded by the payload's own length.
+    */
+  val MaxDecodePixels: Long = 1L << 24
 
   /** Feature vector from REAL decoded content, same 16-dim normalized
     * histogram shape as the stub so the schema and every consumer are

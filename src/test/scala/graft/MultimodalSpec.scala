@@ -111,6 +111,44 @@ class MultimodalSpec extends SparkSpec {
       "ID3v2-prefixed stream did not parse")
     assert(Multimodal.decodeMp3Meta(base.dropRight(1)).isEmpty,
       "truncated tail frame wrongly accepted")
+    // ID3v2.4 footer flag (byte 5 bit 4): the synchsafe size excludes the
+    // 10-byte footer, so the skip must add it (ADVICE r9 regression)
+    val footered = "ID3".getBytes("ISO-8859-1") ++
+      Array[Byte](4, 0, 0x10, 0, 0, 0, 12) ++
+      Array.fill[Byte](12)(0x7f) ++ Array.fill[Byte](10)(0x3e) ++ base
+    assert(Multimodal.decodeMp3Meta(footered).exists(_.frames == 4),
+      "ID3v2.4 footer-flagged stream rejected as corrupt")
+    // the -1 "bad" sentinels at bitrate index 15 / rate index 3 must fail
+    // the params check, not crash downstream (ADVICE r9 regression)
+    for ((br, sr) <- Seq((-1, 44100), (0, 44100), (128, -1)))
+      assertThrows[IllegalArgumentException](
+        Multimodal.mp3FromParams(2, br, sr))
+  }
+
+  test("gigapixel header bombs skip without allocating the raster") {
+    // a ~100-byte payload declaring a multi-gigapixel canvas must reject
+    // at the header gate (MaxDecodePixels) — before ImageIO.read would
+    // allocate w*h*4 bytes and OOM the task (AUDIT_r10)
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val pngBomb = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+      0x1a, 0x0a) ++ be32(13) ++ "IHDR".getBytes("ISO-8859-1") ++
+      be32(1000000) ++ be32(1000000) ++
+      Array[Byte](8, 0, 0, 0, 0) ++ be32(0) // bogus CRC: gate fires first
+    assert(Multimodal.decodeImage(pngBomb).isEmpty,
+      "gigapixel PNG was not rejected")
+    val gifBomb = "GIF89a".getBytes("ISO-8859-1") ++
+      Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+        0x00, 0x00, 0x00) ++
+      Array[Byte](0x2c, 0, 0, 0, 0, 0xff.toByte, 0xff.toByte,
+        0xff.toByte, 0xff.toByte, 0x00, 0x02) // 65535x65535 descriptor
+    assert(Multimodal.decodeImage(gifBomb).isEmpty,
+      "gigapixel GIF was not rejected")
+    // and a legitimate image still decodes through the gated path
+    assert(Multimodal.decodeImage(Multimodal.pngFromLumas(lumas32, 8)).isDefined,
+      "dimension gate broke the legitimate PNG path")
+    assert(Multimodal.decodeImage(Multimodal.gifFromLumas(lumas32, 8)).isDefined,
+      "dimension gate broke the legitimate GIF path")
   }
 
   test("corrupt blobs route to the stub and never fail the stage") {
