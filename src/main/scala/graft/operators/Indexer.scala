@@ -437,18 +437,39 @@ object Indexer {
         col("p99_df").cast("double").as("p99_df"))
   }
 
+  /** Total data-file count of a managed (possibly unbucketed) table —
+    * the growth signal for doc_info, which appends one file per batch.
+    */
+  def tableFileCount(spark: SparkSession, table: String): Int = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).count { f =>
+      val n = f.getPath.getName
+      f.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   def compactBucketedIndex(spark: SparkSession, prefix: String,
                            maxFilesPerBucket: Int = 8): Boolean = {
     val name = s"${prefix}_postings"
     val counts = bucketFileCounts(spark, name)
-    if (counts.values.forall(_ <= maxFilesPerBucket)) false
-    else {
+    val didPostings = counts.values.exists(_ > maxFilesPerBucket)
+    if (didPostings) {
       val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
       val prev = spark.conf.get(conf)
       spark.conf.set(conf, "false") // one partition per bucket at the scan
       try stageAndSwap(spark, spark.table(name), name, bucketed = true)
       finally spark.conf.set(conf, prev)
-      true
     }
+    // doc_info grows one file per append batch too (plain unbucketed
+    // appends) — same IndexBuckets-scaled threshold, coalesced rewrite
+    // (the table is corpus-row-sized but narrow: doc_id, length, title)
+    val info = s"${prefix}_doc_info"
+    val didInfo = tableFileCount(spark, info) > maxFilesPerBucket * IndexBuckets
+    if (didInfo)
+      stageAndSwap(spark,
+        spark.table(info).coalesce(IndexBuckets), info, bucketed = false)
+    didPostings || didInfo
   }
 }

@@ -116,6 +116,26 @@ class IndexerSpec extends SparkSpec {
     assert(!Indexer.compactBucketedIndex(spark, prefix, maxFilesPerBucket = 8))
   }
 
+  test("compaction also merges doc_info append debris") {
+    val prefix = "graft_idx_compinfo_spec"
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    Indexer.buildBucketedIndex(spark, d.filter(col("doc_id") % 3 === 0), prefix)
+    Indexer.appendBucketedIndex(spark, d.filter(col("doc_id") % 3 === 1), prefix)
+    Indexer.appendBucketedIndex(spark, d.filter(col("doc_id") % 3 === 2), prefix)
+    val info = s"${prefix}_doc_info"
+    assert(Indexer.tableFileCount(spark, info) >= 3,
+      "appends did not stack doc_info files — fixture broken")
+    val query = "spark filter join stream data"
+    val resBefore = Search.searchPrebuilt(spark, query, prefix).collect().toSeq
+    // threshold 0 forces both stores over it, exercising the info path
+    assert(Indexer.compactBucketedIndex(spark, prefix, maxFilesPerBucket = 0))
+    assert(Indexer.tableFileCount(spark, info) <= Indexer.IndexBuckets,
+      "doc_info append debris not merged")
+    assert(Search.searchPrebuilt(spark, query, prefix).collect().toSeq
+      == resBefore, "doc_info compaction changed search results")
+  }
+
   test("shard merge == full build: results, term_df, layout all agree") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
