@@ -52,6 +52,7 @@ object Main {
       |  hsearch <textPrefix> <vecPrefix> <vec_id> "<query>" [k=10]
       |                                           hybrid BM25+vector RRF, both arms served
       |                                           from the persisted indexes
+      |  hbatch <reqs.parquet> <tPfx> <vPfx> [k]  batch hybrid serving (query_id = probe vector id)
       |  vcompact <prefix> [maxFilesPerUnit=8]    merge over-threshold vector lists + forward buckets
       |  vdelete <ids.parquet> <prefix>           forget vectors (id column) from the vector index
       |  vsnapshot <prefix> <tag>                 point-in-time copy of the vector index
@@ -167,6 +168,17 @@ object Main {
           .filter(col("id") === vecId.toLong).select(col("id"), col("v"))
         Right(Some(Search.hybridSearchPrebuilt(spark, query, textPrefix,
           vecPrefix, probe, k)))
+      // batch hybrid serving: a request TABLE (query_id = stored probe
+      // vector id, query_text) read from parquet; the union of all query
+      // terms becomes one bucket-pruned pass, the probe ids one forward
+      // fetch — the collect is bounded by the request batch, never data
+      case Seq("hbatch", requestsPath, textPrefix, vecPrefix, rest @ _*) =>
+        val k = rest.headOption.map(_.toInt).getOrElse(10)
+        val reqs = spark.read.parquet(requestsPath)
+          .select(col("query_id").cast("long"), col("query_text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        Right(Some(Search.hybridBatchSearchPrebuilt(spark, reqs,
+          textPrefix, vecPrefix, k)))
       case Seq("vcompact", prefix, rest @ _*) =>
         val maxFiles = rest.headOption.map(_.toInt).getOrElse(8)
         val did = graft.operators.VectorIndex.compact(spark, prefix, maxFiles)

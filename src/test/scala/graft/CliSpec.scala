@@ -143,6 +143,28 @@ class CliSpec extends SparkSpec {
     assert(out.toSeq == direct.toSeq)
   }
 
+  test("hbatch serves a request table and equals the library call") {
+    import spark.implicits._
+    val tPrefix = "graft_cli_hb_t"
+    val vPrefix = "graft_cli_hb_v"
+    assert(cli.Main.run(spark, Seq("index", docsPath, tPrefix)).isRight)
+    assert(cli.Main.run(spark,
+      Seq("vindex", s"$dir/embeddings.parquet", vPrefix)).isRight)
+    val reqs = Seq((0L, "spark filter join"), (50L, "customer order data"))
+    val reqPath = ScratchDirs.fresh("graft_test", "hbatch_reqs").toString
+    reqs.toDF("query_id", "query_text")
+      .write.mode("overwrite").parquet(reqPath)
+    val out = cli.Main.run(spark,
+        Seq("hbatch", reqPath, tPrefix, vPrefix, "5"))
+      .toOption.flatten.get.collect()
+    assert(out.nonEmpty && out.map(_.getAs[Long]("query_id")).toSet
+      == Set(0L, 50L))
+    val direct = Search
+      .hybridBatchSearchPrebuilt(spark, reqs, tPrefix, vPrefix, 5)
+      .collect()
+    assert(out.toSeq == direct.toSeq)
+  }
+
   test("forget purges ids from BOTH serving stores in one command") {
     val tPrefix = "graft_cli_fg_t"
     val vPrefix = "graft_cli_fg_v"
