@@ -136,6 +136,7 @@ object PlanAudit {
       "ann_ivf_pq_appended" -> "probes x 64-row stored centroid table (ADC prep)",
       "ann_ivf_pq_deleted" -> "probes x 64-row stored centroid table (ADC prep)",
       "vindex_compacted" -> "probes x 64-row stored centroid table (ADC prep)",
+      "vindex_merged" -> "probes x 64-row stored centroid table (ADC prep)",
       "stream_vector_ingest" -> "serving read: probes x 64-row centroid table",
       "cross_join_regions" -> "labeled cartesian: 5 regions x 25 nations",
       "quantile_bins" -> "values x 10-row quantile cut-point table")
@@ -145,6 +146,10 @@ object PlanAudit {
     // broadcast would be wrong at 100 TB — SMJ is the scale-correct
     // shape, so the finding is a property of the audit's SF, not the plan.
     val allowedShapes: Map[String, String] = Map(
+      "vindex_stats" -> ("maintenance DESCRIBE: occupancy stats read every " +
+        "coarse list by definition (one narrow count-per-list pass over " +
+        "the stored index, the same cost class as a compaction decision; " +
+        "not a serving query — serving rows pin DPP/bucket pruning)"),
       "bucketed_join" -> ("merge-hinted on purpose: the query DEMONSTRATES " +
         "the exchange-free bucketed sort-merge join (PlanSpec pins zero " +
         "join exchanges); broadcasting would bypass the layout under test"),

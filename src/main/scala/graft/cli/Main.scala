@@ -55,6 +55,8 @@ object Main {
       |  hbatch <reqs.parquet> <tPfx> <vPfx> [k]  batch hybrid serving (query_id = probe vector id)
       |  vcompact <prefix> [maxFilesPerUnit=8]    merge over-threshold vector lists + forward buckets
       |  vdelete <ids.parquet> <prefix>           forget vectors (id column) from the vector index
+      |  vmerge <prefixA> <prefixB> <out>         merge shard indexes (adopts A's quantizers, re-encodes B)
+      |  vstats <prefix>                          one-row describe: sizes + list-occupancy skew
       |  vsnapshot <prefix> <tag>                 point-in-time copy of the vector index
       |  vrollback <prefix> <tag>                 restore the vector index from a snapshot
       |  forget  <ids.parquet> <textPrefix> <vecPrefix>  purge ids from BOTH serving stores
@@ -186,6 +188,11 @@ object Main {
           if (did) s"[graft] compacted ${prefix}_vectors/_forward"
           else s"[graft] nothing to compact (all units <= $maxFiles files)")
         Right(None)
+      case Seq("vmerge", prefixA, prefixB, out) =>
+        graft.operators.VectorIndex.merge(spark, prefixA, prefixB, out)
+        Right(None)
+      case Seq("vstats", prefix) =>
+        Right(Some(graft.operators.VectorIndex.describe(spark, prefix)))
       case Seq("vsnapshot", prefix, tag) =>
         graft.operators.VectorIndex.snapshot(spark, prefix, tag)
         Right(None)

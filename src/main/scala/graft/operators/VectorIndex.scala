@@ -267,33 +267,92 @@ object VectorIndex {
 
   private val Parts = Seq("centroids", "codes", "vectors")
 
-  /** Point-in-time copy of the vector index (the risky-maintenance fence:
-    * snapshot, then append/delete/retrain; if the batch was bad, roll
-    * back). The three dirs are copied to a fresh scratch base and
-    * registered as `${prefix}_${tag}_*` — cost is one read+write of the
-    * index, the same shape as a compaction pass.
+  /** Full copy of an index under a new prefix — the shared mechanics of
+    * snapshot (copy aside) and merge (copy A, then grow). The three
+    * external dirs copy to a fresh scratch base; the forward store is a
+    * MANAGED bucketed table, so its copy is a bucketed table write (a
+    * path-copy would lose the catalog bucket spec).
     */
-  def snapshot(spark: SparkSession, prefix: String, tag: String): Unit = {
-    val base = graft.ScratchDirs.fresh("graft_vecidx", s"${prefix}_$tag")
+  private def copyIndex(spark: SparkSession, from: String, to: String): Unit = {
+    val base = graft.ScratchDirs.fresh("graft_vecidx", to)
     val conf = spark.sparkContext.hadoopConfiguration
     Parts.foreach { t =>
-      val src = new org.apache.hadoop.fs.Path(tableLocation(spark, s"${prefix}_$t"))
+      val src = new org.apache.hadoop.fs.Path(tableLocation(spark, s"${from}_$t"))
       val dst = new org.apache.hadoop.fs.Path(base.toString, t)
       val fs = src.getFileSystem(conf)
       if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf))
-        sys.error(s"vector snapshot copy failed for $t")
-      val snapT = s"${prefix}_${tag}_$t"
-      spark.sql(s"DROP TABLE IF EXISTS $snapT")
-      spark.catalog.createTable(snapT, dst.toString, "parquet")
-      if (t == "vectors") spark.catalog.recoverPartitions(snapT)
+        sys.error(s"vector index copy failed for $t")
+      val toT = s"${to}_$t"
+      spark.sql(s"DROP TABLE IF EXISTS $toT")
+      spark.catalog.createTable(toT, dst.toString, "parquet")
+      if (t == "vectors") spark.catalog.recoverPartitions(toT)
     }
-    // forward store is a MANAGED bucketed table: a path-copy would lose
-    // the catalog bucket spec, so the snapshot is a bucketed table copy
-    val fwdSnap = s"${prefix}_${tag}_forward"
-    Indexer.dropManagedTable(spark, fwdSnap)
-    spark.table(s"${prefix}_forward")
+    val fwdTo = s"${to}_forward"
+    Indexer.dropManagedTable(spark, fwdTo)
+    spark.table(s"${from}_forward")
       .write.mode("overwrite").format("parquet")
-      .bucketBy(ForwardBuckets, "id").sortBy("id").saveAsTable(fwdSnap)
+      .bucketBy(ForwardBuckets, "id").sortBy("id").saveAsTable(fwdTo)
+  }
+
+  /** Point-in-time copy of the vector index (the risky-maintenance fence:
+    * snapshot, then append/delete/retrain; if the batch was bad, roll
+    * back). Cost is one read+write of the index, the same shape as a
+    * compaction pass.
+    */
+  def snapshot(spark: SparkSession, prefix: String, tag: String): Unit =
+    copyIndex(spark, prefix, s"${prefix}_$tag")
+
+  /** Merge two shard-built vector indexes into a third (the vector twin
+    * of Indexer.mergeBucketedIndexes, with the semantics a vector store
+    * forces): `out` ADOPTS shard A's quantizers — A's encoded lists copy
+    * byte-compatible, while B's vectors are RE-ENCODED with A's frozen
+    * centroids/codebooks, read as raw (id, v) from B's forward store —
+    * the operation the forward store exists to make possible (PQ codes
+    * are meaningless under a different codebook, so unlike the text
+    * index's postings merge a vector merge can never be a pure file
+    * union). B's own quantizers are discarded. Ids must be disjoint,
+    * same contract as the text merge. Cost: one copy of A + one
+    * assign-encode-append pass over B.
+    */
+  def merge(spark: SparkSession, prefixA: String, prefixB: String,
+            out: String): Unit = {
+    copyIndex(spark, prefixA, out)
+    append(spark,
+      spark.table(s"${prefixB}_forward").select(col("id"), col("v")), out)
+  }
+
+  /** One-row DESCRIBE of a persisted vector index: corpus size, list
+    * count, the occupancy distribution (max + p50/p99 via the
+    * range-partitioned exact quantile operator — the skew signal a
+    * maintainer reads before nprobe / rebuild decisions), and the
+    * forward store's row count, which must equal n_vectors (a drifting
+    * pair means a maintenance op failed between the stores). The vector
+    * sibling of Indexer.describeIndex; runs over the same tables
+    * serving reads.
+    */
+  def describe(spark: SparkSession, prefix: String): DataFrame = {
+    val occ = spark.table(s"${prefix}_vectors")
+      .groupBy(col("cent_id")).agg(count(lit(1)).cast("long").as("n"))
+    val base = occ.agg(
+      sum(col("n")).cast("long").as("n_vectors"),
+      count(lit(1)).cast("long").as("n_lists"),
+      max(col("n")).cast("long").as("max_occ"))
+    val fwd = spark.table(s"${prefix}_forward")
+      .agg(count(lit(1)).cast("long").as("n_forward"))
+    // an EMPTY index (everything deleted) has no occupancy quantiles —
+    // substitute a null row rather than letting the crossJoin annihilate
+    // the report (same guard as the text index's describe)
+    val q0 = Quantiles.exactQuantiles(
+        occ.withColumn("g", lit("all")), "g", "n", Seq(0.5, 0.99))
+      .select(col("q0").as("p50_occ"), col("q1").as("p99_occ"))
+    val q = if (q0.isEmpty)
+      spark.range(1).select(lit(null).cast("double").as("p50_occ"),
+        lit(null).cast("double").as("p99_occ"))
+    else q0
+    base.crossJoin(fwd).crossJoin(q)
+      .select(col("n_vectors"), col("n_lists"), col("n_forward"),
+        col("max_occ"), col("p50_occ").cast("double").as("p50_occ"),
+        col("p99_occ").cast("double").as("p99_occ"))
   }
 
   /** Restore the live index from a snapshot. The tables are external

@@ -1253,6 +1253,76 @@ object SimilarityQueries {
         col("cosine").cast("double").as("cosine"))
       .orderBy("probe_id", "rank")
 
+  // ---- Vector-index MERGE lifecycle -------------------------------------------
+  // Distributed index construction, the text index's indexMerged on the
+  // vector store: each half of the corpus indexed independently (its own
+  // quantizers, as it would be where the data lives), then merged —
+  // `out` adopts shard A's quantizers, A's lists copy byte-compatible,
+  // B's vectors re-encode from its raw forward store. The result must be
+  // indistinguishable from build(A) + append(B), so the oracle is the
+  // append lifecycle's SQL (train on A's half, encode everything).
+  private val builtVectorIdxMerge = scala.collection.mutable.Set[String]()
+
+  private def ensureMergedVectorIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val prefix = "graft_vecidxm_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!builtVectorIdxMerge.contains(prefix)) {
+        import s.implicits._
+        val e = emb(s, dir)
+        val half = e.filter(col("id") % 2 === 0)
+        val other = e.filter(col("id") % 2 =!= 0)
+        val cents = Similarity.trainCentroids(half, NList, IvfIters, Dim)
+          .toDF("id", "v")
+        val codes = graft.operators.Pq.train(
+          half.select(col("id"), col("v")), PqM, PqSubDim, PqKs)
+        graft.operators.VectorIndex.build(s, half, s"${prefix}_sa", cents,
+          codes, PqM, PqSubDim)
+        // shard B trains its OWN quantizers — discarded by the merge,
+        // exactly the production situation (the surviving shard's
+        // geometry wins)
+        graft.operators.VectorIndex.trainAndBuild(s, other, s"${prefix}_sb",
+          nlist = NList, iters = IvfIters, pqM = PqM, pqKs = PqKs)
+        graft.operators.VectorIndex.merge(s, s"${prefix}_sa",
+          s"${prefix}_sb", prefix)
+        builtVectorIdxMerge += prefix
+      }
+      prefix
+    }
+
+  def annIvfPqMerged(s: SparkSession, dir: String): DataFrame =
+    graft.operators.VectorIndex.searchPrebuilt(s,
+        ensureMergedVectorIndex(s, dir), probes(s, dir), K, NProbe,
+        PqShortlist)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("probe_id", "rank")
+
+  // ---- Vector-index DESCRIBE ---------------------------------------------------
+  // The maintainer's one-row report over the standard persisted index:
+  // corpus size, list count, occupancy skew (max/p50/p99), forward-store
+  // row count (must equal n_vectors). Oracle re-derives the occupancy
+  // distribution from the shared assignment CTEs; quantile_cont matches
+  // the engine's range-partitioned exact quantiles by construction.
+  def vindexStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.VectorIndex.describe(s, ensureVectorIndex(s, dir))
+
+  val vindexStatsSql: String =
+    s"""WITH ${annIvfPqRankedCtes("emb")},
+       |occ AS (
+       |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM assigned GROUP BY cent_id),
+       |base AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n_vectors,
+       |    CAST(count(*) AS BIGINT) AS n_lists,
+       |    CAST(max(n) AS BIGINT) AS max_occ,
+       |    CAST(quantile_cont(CAST(n AS DOUBLE), 0.5) AS DOUBLE) AS p50_occ,
+       |    CAST(quantile_cont(CAST(n AS DOUBLE), 0.99) AS DOUBLE) AS p99_occ
+       |  FROM occ),
+       |fwd AS (SELECT CAST(count(*) AS BIGINT) AS n_forward FROM emb)
+       |SELECT base.n_vectors, base.n_lists, fwd.n_forward, base.max_occ,
+       |  base.p50_occ, base.p99_occ
+       |FROM base, fwd""".stripMargin
+
   val annIvfPqSql: String = annIvfPqSqlOver("emb")
 
   /** The append lifecycle's oracle: train on the built half (id % 2 = 0),
@@ -1891,6 +1961,8 @@ object SimilarityQueries {
     "ann_ivf_pq_appended" -> (annIvfPqAppended _),
     "ann_ivf_pq_deleted" -> (annIvfPqDeleted _),
     "vindex_compacted" -> (annIvfPqCompacted _),
+    "vindex_merged" -> (annIvfPqMerged _),
+    "vindex_stats" -> (vindexStats _),
     "vector_index_drift" -> (vectorIndexDrift _),
     "stream_vector_ingest" -> (streamVectorIngest _),
     "ann_quantized" -> (annQuantized _),
@@ -1921,6 +1993,8 @@ object SimilarityQueries {
     "ann_ivf_pq_appended" -> annIvfPqAppendedSql,
     "ann_ivf_pq_deleted" -> annIvfPqDeletedSql,
     "vindex_compacted" -> annIvfPqAppendedSql,
+    "vindex_merged" -> annIvfPqAppendedSql,
+    "vindex_stats" -> vindexStatsSql,
     "vector_index_drift" -> vectorIndexDriftSql,
     "stream_vector_ingest" -> annIvfPqAppendedSql,
     "ann_quantized" -> annQuantizedSql,

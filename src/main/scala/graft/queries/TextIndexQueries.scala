@@ -360,6 +360,35 @@ object TextIndexQueries {
        |ORDER BY f.query_id, f.rrf DESC, f.doc_id""".stripMargin
   }
 
+  // ---- ONLINE hybrid serving: the request stream --------------------------------
+  // The batch form's streaming dual: requests arrive one micro-batch per
+  // staged file and each batch is served through the SAME pruned path
+  // (hybridBatchSearchPrebuilt) with results appended to a parquet sink.
+  // Per-query results are batching-invariant (each query joins only its
+  // own terms/probe), so the accumulated sink hash-matches the one-shot
+  // batch oracle — replay invariance on the query side.
+  private val servedHybridOut = scala.collection.mutable.Map[String, String]()
+
+  def streamHybridServing(s: SparkSession, dir: String): DataFrame = {
+    val out = synchronized {
+      servedHybridOut.getOrElseUpdate(dir, {
+        import s.implicits._
+        val t = ensurePrebuilt(s, dir)
+        val v = graft.queries.SimilarityQueries.persistedVectorIndexPrefix(s, dir)
+        val staged = graft.streaming.DocStreams.stagedRequestSplits(
+          HybridBatch.toDF("query_id", "query_text"), nFiles = 3)
+        val outPath = graft.ScratchDirs
+          .fresh("graft_stream", "hserve_out").toString
+        graft.streaming.DocStreams.hybridServe(s, staged, t, v, outPath)
+        outPath
+      })
+    }
+    s.read.parquet(out)
+      .select(col("query_id"), col("doc_id"), col("title"), col("text_rank"),
+        col("vec_rank"), col("rrf"))
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+  }
+
   val hybridRrfPrebuiltSql: String =
     s"""${bm25TopCtes(TokCte)},
        |${graft.queries.SimilarityQueries.ivfPqProbeZeroCtes},
@@ -1501,6 +1530,7 @@ object TextIndexQueries {
     "hybrid_rrf_search" -> (hybridRrfSearch _),
     "hybrid_rrf_prebuilt" -> (hybridRrfPrebuilt _),
     "hybrid_rrf_batch_prebuilt" -> (hybridRrfBatchPrebuilt _),
+    "stream_hybrid_serving" -> (streamHybridServing _),
     "search_facets" -> (searchFacets _),
     "phrase_bigram_index" -> (phraseBigramIndex _),
     "bm25_fielded" -> (bm25Fielded _),
@@ -1548,6 +1578,7 @@ object TextIndexQueries {
     "hybrid_rrf_search" -> hybridRrfSearchSql,
     "hybrid_rrf_prebuilt" -> hybridRrfPrebuiltSql,
     "hybrid_rrf_batch_prebuilt" -> hybridRrfBatchPrebuiltSql,
+    "stream_hybrid_serving" -> hybridRrfBatchPrebuiltSql,
     "search_facets" -> searchFacetsSql,
     "phrase_bigram_index" -> phraseBigramIndexSql,
     "bm25_fielded" -> bm25FieldedSql,

@@ -193,6 +193,70 @@ object DocStreams {
     dir.toString
   }
 
+  /** Stage a request table (query_id, query_text) as `nFiles` parquet
+    * files (query_id mod nFiles) — the arriving-queries side of online
+    * serving, same staging mechanics as the ingest streams.
+    */
+  def stagedRequestSplits(reqs: DataFrame, nFiles: Int): String = {
+    val dir = graft.ScratchDirs.fresh("graft_stream", "req_src")
+    (0 until nFiles).foreach { i =>
+      val tmp = dir.resolve(s"_split_$i")
+      reqs.filter(pmod(col("query_id"), lit(nFiles)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"request split $i produced no parquet part file"))
+      java.nio.file.Files.move(part.toPath,
+        dir.resolve(if (i == 0) "requests.parquet" else s"requests.parquet$i"))
+      locally {
+        import scala.reflect.io.Directory
+        new Directory(tmp.toFile).deleteRecursively(): Unit
+      }
+    }
+    dir.toString
+  }
+
+  /** ONLINE hybrid serving: a micro-batched request stream (query_id =
+    * stored probe vector id, query_text) served from the persisted
+    * text + vector indexes — each micro-batch goes through the SAME
+    * batch serving path a synchronous caller uses
+    * (Search.hybridBatchSearchPrebuilt: IN-list bucket pruning, forward
+    * point fetch, DPP'd lists, per-query RRF top-k), results appended to
+    * a parquet sink. Per-query results are independent of batching (each
+    * query joins only its own terms / probe), so the union over
+    * micro-batches equals one big batch call — the replay-invariance
+    * contract the ingest streams pin, here on the QUERY side. The
+    * driver-side collect per batch is bounded by the micro-batch size
+    * (the literal ids/terms ARE what prunes the index scans).
+    */
+  def hybridServe(s: SparkSession, stagedDir: String, textPrefix: String,
+                  vecPrefix: String, outPath: String, k: Int = 10): Unit = {
+    val ckpt = graft.ScratchDirs.fresh("graft_stream", "hserve_ckpt").toString
+    val schema = s.read.parquet(s"$stagedDir/requests.parquet").schema
+    val src = s.readStream.schema(schema).option("basePath", stagedDir)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stagedDir/requests.parquet*")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = src.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val reqs = batch
+            .select(col("query_id").cast("long"), col("query_text"))
+            .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+          if (reqs.nonEmpty)
+            graft.operators.Search
+              .hybridBatchSearchPrebuilt(s, reqs, textPrefix, vecPrefix, k)
+              .write.mode("append").parquet(outPath)
+        }
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** Live index ingestion: stream a staged corpus directory one file per
     * micro-batch, appending each batch into the persisted bucketed index
     * via the SAME appendBucketedIndex the batch lifecycle uses — the

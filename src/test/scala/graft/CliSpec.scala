@@ -198,6 +198,33 @@ class CliSpec extends SparkSpec {
       "vector search served forgotten id")
   }
 
+  test("vmerge combines shard indexes; vstats sizes stay consistent") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val aPath = ScratchDirs.fresh("graft_test", "vmerge_a").toString
+    val bPath = ScratchDirs.fresh("graft_test", "vmerge_b").toString
+    e.filter(col("vec_id") % 2 === 0).write.mode("overwrite").parquet(aPath)
+    e.filter(col("vec_id") % 2 =!= 0).write.mode("overwrite").parquet(bPath)
+    assert(cli.Main.run(spark, Seq("vindex", aPath, "graft_cli_vm_a")).isRight)
+    assert(cli.Main.run(spark, Seq("vindex", bPath, "graft_cli_vm_b")).isRight)
+    assert(cli.Main.run(spark,
+      Seq("vmerge", "graft_cli_vm_a", "graft_cli_vm_b", "graft_cli_vm_out"))
+      .isRight)
+    val stats = cli.Main.run(spark, Seq("vstats", "graft_cli_vm_out"))
+      .toOption.flatten.get.collect()(0)
+    assert(stats.getAs[Long]("n_vectors") == e.count(),
+      "merged index does not hold the full corpus")
+    assert(stats.getAs[Long]("n_forward") == stats.getAs[Long]("n_vectors"),
+      "forward store drifted from the lists across the merge")
+    // merged quantizers are shard A's: centroid tables byte-equal
+    val ca = spark.table("graft_cli_vm_a_centroids").collect().map(_.toSeq).toSet
+    val co = spark.table("graft_cli_vm_out_centroids").collect().map(_.toSeq).toSet
+    assert(ca == co, "merge did not adopt shard A's centroids")
+    val out = cli.Main.run(spark, Seq("vsearch", "graft_cli_vm_out", "0", "5"))
+      .toOption.flatten.get.collect()
+    assert(out.length == 5, "merged index does not serve")
+  }
+
   test("vsnapshot then vrollback undoes a bad vector delete") {
     val prefix = "graft_cli_vsnap"
     assert(cli.Main.run(spark,
