@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedWriter, File, FileWriter}
+import java.io.File
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -136,7 +136,12 @@ object Pipelines {
         col("text"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         rows.foreach { r =>
-          val w = new BufferedWriter(new FileWriter(new File(outDir, r.getString(0) + ".txt")))
+          // explicit UTF-8: Spark's text reader decodes UTF-8 by spec, so
+          // a platform-default-charset writer (FileWriter) would corrupt
+          // non-ASCII content through the round-trip on non-UTF-8 JVMs
+          val w = java.nio.file.Files.newBufferedWriter(
+            new File(outDir, r.getString(0) + ".txt").toPath,
+            java.nio.charset.StandardCharsets.UTF_8)
           try w.write(if (r.isNullAt(1)) "" else r.getString(1)) finally w.close()
         }
       }
