@@ -331,8 +331,13 @@ object VectorIndex {
     * serving reads.
     */
   def describe(spark: SparkSession, prefix: String): DataFrame = {
+    import graft.CacheRegistry.RegisteredCache
+    // cached: both the size aggregate and the quantile pass read the
+    // per-list occupancy table — without the cache each would rescan the
+    // full _vectors store (the agg output is only ~NList rows)
     val occ = spark.table(s"${prefix}_vectors")
       .groupBy(col("cent_id")).agg(count(lit(1)).cast("long").as("n"))
+      .registeredCache()
     val base = occ.agg(
       sum(col("n")).cast("long").as("n_vectors"),
       count(lit(1)).cast("long").as("n_lists"),
