@@ -248,6 +248,85 @@ class SimilaritySpec extends SparkSpec {
       "second compact() pass was not a no-op")
   }
 
+  test("vector-index lifecycle fuzz: random op sequences keep the stores consistent") {
+    import graft.operators.{Pq, VectorIndex}
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val allIds = emb.select("id").collect().map(_.getLong(0)).toSet
+    val initial = allIds.filter(_ % 3 == 0)
+    val prefix = "vecfuzz_spec"
+    def sub(ids: Set[Long]) = emb.filter(col("id").isin(ids.toSeq: _*))
+    // frozen quantizers for the whole run: append/delete never retrain,
+    // so ANY op sequence ending at member set S must serve byte-identical
+    // to a fresh build over S with the same quantizers — the end-state
+    // equivalence this fuzz pins
+    val cents = graft.operators.Similarity
+      .trainCentroids(sub(initial), 8, 1, 64).toDF("id", "v")
+    val codes = Pq.train(sub(initial).select(col("id"), col("v")), 4, 16, 8)
+    VectorIndex.build(spark, sub(initial), prefix, cents, codes, 4, 16)
+    val probes = emb.filter(col("id") % 50 === 0)
+    def ids(t: String): Set[Long] = spark.table(t).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    def serve(p: String): Seq[(Long, Long, Long, Double)] = VectorIndex
+      .searchPrebuilt(spark, p, probes, k = 5, nprobe = 4, shortlist = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    val rnd = new scala.util.Random(42)
+    var model = initial
+    var snap: Option[(String, Set[Long])] = None
+    var snapN = 0
+    val oplog = new StringBuilder
+    (1 to 12).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 => // append a batch of unindexed ids
+          val pool = (allIds -- model).toSeq.sorted
+          if (pool.nonEmpty) {
+            val batch = rnd.shuffle(pool).take(1 + rnd.nextInt(40)).toSet
+            oplog ++= s"append(${batch.size}); "
+            VectorIndex.append(spark, sub(batch), prefix)
+            model ++= batch
+          }
+        case 1 => // forget a subset (keep enough to stay non-degenerate)
+          if (model.size > 80) {
+            val victims = rnd.shuffle(model.toSeq.sorted)
+              .take(1 + rnd.nextInt(30)).toSet
+            oplog ++= s"delete(${victims.size}); "
+            VectorIndex.delete(spark,
+              sub(victims).select(col("id")), prefix)
+            model --= victims
+          }
+        case 2 =>
+          oplog ++= "compact; "
+          VectorIndex.compact(spark, prefix, maxFilesPerUnit = 1)
+        case 3 =>
+          snapN += 1
+          oplog ++= s"snapshot($snapN); "
+          VectorIndex.snapshot(spark, prefix, s"f$snapN")
+          snap = Some((s"f$snapN", model))
+        case 4 =>
+          snap.foreach { case (tag, saved) =>
+            oplog ++= s"rollback($tag); "
+            VectorIndex.rollback(spark, prefix, tag)
+            model = saved
+            snap = None // consumed
+          }
+      }
+      // invariants after EVERY op: both stores hold exactly the model set
+      assert(ids(s"${prefix}_vectors") == model,
+        s"step $step [$oplog]: _vectors drifted from the model")
+      assert(ids(s"${prefix}_forward") == model,
+        s"step $step [$oplog]: _forward drifted from the lists")
+    }
+    // end-state equivalence: serving == a fresh build over the final set
+    // with the same frozen quantizers
+    VectorIndex.build(spark, sub(model), s"${prefix}_ref", cents, codes, 4, 16)
+    assert(serve(prefix) == serve(s"${prefix}_ref"),
+      s"[$oplog] end state serves differently from a fresh build")
+  }
+
   test("mmr_rerank_batch_prebuilt probe-0 rows equal the single-probe form") {
     // the batch form's contract: per-probe output is bit-identical to
     // calling the single-probe serving path per probe (shared greedy
