@@ -116,6 +116,75 @@ class IndexerSpec extends SparkSpec {
     assert(!Indexer.compactBucketedIndex(spark, prefix, maxFilesPerBucket = 8))
   }
 
+  test("text-index lifecycle fuzz: random op sequences end fresh-build-equal") {
+    // the text sibling of SimilaritySpec's vector-index fuzz: seeded
+    // random append / delete / compact / snapshot / rollback against a
+    // model doc set; after every op the index's doc set must equal the
+    // model, and the end state must SEARCH identically to a fresh build
+    // over the final docs (no frozen-quantizer caveat here — text
+    // postings are content-determined, so the equivalence is exact)
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val allIds = d.select("doc_id").collect().map(_.getLong(0)).toSet
+    val initial = allIds.filter(_ % 3 == 0)
+    val prefix = "graft_idx_fuzz_spec"
+    def sub(ids: Set[Long]) = d.filter(col("doc_id").isin(ids.toSeq: _*))
+    Indexer.buildBucketedIndex(spark, sub(initial), prefix)
+    val query = "spark filter join stream data"
+    def docSet: Set[Long] = spark.table(s"${prefix}_doc_info")
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val rnd = new scala.util.Random(7)
+    var model = initial
+    var snap: Option[(String, Set[Long])] = None
+    var snapN = 0
+    val oplog = new StringBuilder
+    (1 to 10).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 =>
+          val pool = (allIds -- model).toSeq.sorted
+          if (pool.nonEmpty) {
+            val batch = rnd.shuffle(pool).take(1 + rnd.nextInt(30)).toSet
+            oplog ++= s"append(${batch.size}); "
+            Indexer.appendBucketedIndex(spark, sub(batch), prefix)
+            model ++= batch
+          }
+        case 1 =>
+          if (model.size > 40) {
+            val victims = rnd.shuffle(model.toSeq.sorted)
+              .take(1 + rnd.nextInt(20)).toSet
+            oplog ++= s"delete(${victims.size}); "
+            import spark.implicits._
+            Indexer.deleteFromBucketedIndex(spark, prefix,
+              victims.toSeq.toDF("doc_id"))
+            model --= victims
+          }
+        case 2 =>
+          oplog ++= "compact; "
+          Indexer.compactBucketedIndex(spark, prefix, maxFilesPerBucket = 1)
+        case 3 =>
+          snapN += 1
+          oplog ++= s"snapshot($snapN); "
+          Indexer.snapshotIndex(spark, prefix, s"f$snapN")
+          snap = Some((s"f$snapN", model))
+        case 4 =>
+          snap.foreach { case (tag, saved) =>
+            oplog ++= s"rollback($tag); "
+            Indexer.rollbackIndex(spark, prefix, tag)
+            model = saved
+            snap = None // consumed
+          }
+      }
+      assert(docSet == model,
+        s"step $step [$oplog]: indexed doc set drifted from the model")
+    }
+    Indexer.buildBucketedIndex(spark, sub(model), s"${prefix}_ref")
+    val got = Search.searchPrebuilt(spark, query, prefix).collect().toSeq
+    val want = Search.searchPrebuilt(spark, query, s"${prefix}_ref")
+      .collect().toSeq
+    assert(got == want,
+      s"[$oplog] end state searches differently from a fresh build")
+  }
+
   test("compaction also merges doc_info append debris") {
     val prefix = "graft_idx_compinfo_spec"
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
