@@ -239,7 +239,10 @@ object VectorIndex {
         val live = new org.apache.hadoop.fs.Path(root, s"cent_id=$c")
         val next = new org.apache.hadoop.fs.Path(staging, s"cent_id=$c")
         fs.delete(live, true)
-        if (!fs.rename(next, live))
+        // an affected dir whose files hold ZERO rows (empty-batch append
+        // debris) stages nothing — it stays deleted and SYNC PARTITIONS
+        // drops it, same as delete()'s emptied-list case
+        if (fs.exists(next) && !fs.rename(next, live))
           sys.error(s"vector compaction rename failed for cent_id=$c")
       }
       fs.delete(staging, true)
