@@ -226,4 +226,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+
+  test("ExactSubstrings window and agg shapes are row-identical on random corpora") {
+    // the skew flip's load-bearing claim (DedupSpec pins one skewed
+    // fixture; this generalizes it): for ANY corpus and ANY cap, the
+    // window form and the aggregate-then-rejoin form of the per-gram
+    // stats produce identical matches() and duplicatedSpans() rows
+    import graft.operators.ExactSubstrings
+    val tok = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val docTokens = Gen.chooseNum(6, 14).flatMap(Gen.listOfN(_, tok))
+    val corpus: Gen[List[(Long, String)]] =
+      Gen.chooseNum(4, 8).flatMap(k =>
+        Gen.listOfN(k, docTokens).map(_.zipWithIndex.map {
+          case (ts, i) => (i.toLong, ts.mkString(" "))
+        }))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    var nonVacuous = 0
+    (1 to 6).foreach { i =>
+      val docs = corpus.apply(Gen.Parameters.default, Seed(100L + i)).get
+        .toDF("doc_id", "text")
+      for (cap <- Seq(None, Some(3L))) {
+        val w = rows(ExactSubstrings.matches(docs, 4, cap,
+          ExactSubstrings.WindowShape))
+        val a = rows(ExactSubstrings.matches(docs, 4, cap,
+          ExactSubstrings.AggShape))
+        assert(w == a, s"seed ${100 + i} cap $cap: matches shapes disagree")
+      }
+      val sw = rows(ExactSubstrings.duplicatedSpans(docs, 4,
+        ExactSubstrings.WindowShape))
+      val sa = rows(ExactSubstrings.duplicatedSpans(docs, 4,
+        ExactSubstrings.AggShape))
+      assert(sw == sa, s"seed ${100 + i}: span shapes disagree")
+      if (sw.nonEmpty) nonVacuous += 1
+    }
+    // a sample with no cross-doc 4-gram proves nothing — require that the
+    // generator produced real repeats in most samples
+    assert(nonVacuous >= 4, s"only $nonVacuous/6 samples had spans — vacuous")
+  }
 }
