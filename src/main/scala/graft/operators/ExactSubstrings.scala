@@ -117,13 +117,13 @@ object ExactSubstrings {
     */
   private def crossDocOccurrences(gr0: DataFrame, cap: Long, flipAt: Long,
                                   shape: Shape): DataFrame = {
-    import graft.CacheRegistry.RegisteredCache
-    // Auto pays an extra pass over the gram build for the flip signal —
-    // cache the build so the pass and the chosen shape share one compute
-    val gr = shape match {
-      case Auto => gr0.registeredCache()
-      case _ => gr0
-    }
+    // Auto pays an extra pass over the gram build for the flip signal. The
+    // probe runs UNCACHED: it is a count-only pass whose partial aggregation
+    // collapses map-side, so recomputing the gram build for it is cheap —
+    // while caching the FULL gram table (corpus-scale at the 100 TB target)
+    // just to share that compute would cost more storage/eviction pressure
+    // than the one rescan it saves.
+    val gr = gr0
     def windowForm = {
       val wg = Window.partitionBy("g")
       gr.withColumn("occ", count(lit(1)).over(wg))

@@ -141,16 +141,9 @@ object VectorIndex {
       .join(broadcast(del), Seq("id"), "left_anti")
       .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(staging.toString)
-    affected.foreach { c =>
-      val live = new org.apache.hadoop.fs.Path(root, s"cent_id=$c")
-      val next = new org.apache.hadoop.fs.Path(staging, s"cent_id=$c")
-      fs.delete(live, true)
-      // a list whose every member was deleted has no staged dir — it stays
-      // deleted and SYNC PARTITIONS drops it from the catalog
-      if (fs.exists(next) && !fs.rename(next, live))
-        sys.error(s"vector delete rename failed for cent_id=$c")
-    }
-    fs.delete(staging, true)
+    swapListDirs(fs, root, staging,
+      new org.apache.hadoop.fs.Path(loc.toString + "_delete_aside"),
+      affected.toSeq, "delete")
     spark.sql(s"MSCK REPAIR TABLE $t SYNC PARTITIONS")
     spark.catalog.refreshTable(t)
     // forward store: anti-join rewrite through a staged table + catalog
@@ -171,6 +164,43 @@ object VectorIndex {
     spark.sql(s"ALTER TABLE $stagedF RENAME TO $fwd")
     Indexer.dropManagedTable(spark, oldF)
     affected.length
+  }
+
+  /** Per-list directory swap shared by delete() and compact(): for each
+    * affected cent_id, move the staged rewrite into place with the live dir
+    * renamed ASIDE first — never deleted before its replacement has landed
+    * (the rollback() sequence). A crash or rename failure at any step
+    * leaves the list's rows in at least one of live/aside/staging; an
+    * in-process rename failure restores the live dir before erroring. A
+    * list with NO staged dir was emptied by the rewrite (every member
+    * deleted, or zero-row append debris) — its live dir is removed, which
+    * IS the committed outcome, and SYNC PARTITIONS drops it.
+    */
+  private def swapListDirs(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path,
+                           staging: org.apache.hadoop.fs.Path,
+                           asideRoot: org.apache.hadoop.fs.Path,
+                           affected: Seq[Any], op: String): Unit = {
+    fs.delete(asideRoot, true) // debris from a prior COMPLETED run only
+    fs.mkdirs(asideRoot)
+    affected.foreach { c =>
+      val live = new org.apache.hadoop.fs.Path(root, s"cent_id=$c")
+      val next = new org.apache.hadoop.fs.Path(staging, s"cent_id=$c")
+      if (!fs.exists(next)) {
+        fs.delete(live, true)
+      } else {
+        val aside = new org.apache.hadoop.fs.Path(asideRoot, s"cent_id=$c")
+        if (fs.exists(live) && !fs.rename(live, aside))
+          sys.error(s"vector $op aside-rename failed for cent_id=$c")
+        if (!fs.rename(next, live)) {
+          fs.rename(aside, live) // restore — no data-loss window
+          sys.error(s"vector $op rename failed for cent_id=$c")
+        }
+        fs.delete(aside, true)
+      }
+    }
+    fs.delete(staging, true)
+    fs.delete(asideRoot, true)
   }
 
   /** Data-file count per coarse-list partition directory of `_vectors`
@@ -235,17 +265,9 @@ object VectorIndex {
         .filter(expr(s"cent_id IN (${affected.mkString(", ")})"))
         .repartition(col("cent_id"))
         .write.mode("overwrite").partitionBy("cent_id").parquet(staging.toString)
-      affected.foreach { c =>
-        val live = new org.apache.hadoop.fs.Path(root, s"cent_id=$c")
-        val next = new org.apache.hadoop.fs.Path(staging, s"cent_id=$c")
-        fs.delete(live, true)
-        // an affected dir whose files hold ZERO rows (empty-batch append
-        // debris) stages nothing — it stays deleted and SYNC PARTITIONS
-        // drops it, same as delete()'s emptied-list case
-        if (fs.exists(next) && !fs.rename(next, live))
-          sys.error(s"vector compaction rename failed for cent_id=$c")
-      }
-      fs.delete(staging, true)
+      swapListDirs(fs, root, staging,
+        new org.apache.hadoop.fs.Path(loc + "_compact_aside"),
+        affected, "compaction")
       spark.sql(s"MSCK REPAIR TABLE $t SYNC PARTITIONS")
       spark.catalog.refreshTable(t)
     }

@@ -332,12 +332,19 @@ object TextIndexQueries {
        |summed AS (
        |  SELECT query_id, doc_id, sum(score) AS score
        |  FROM scored GROUP BY query_id, doc_id),
+       |t_cut AS (
+       |  -- top-10 membership is cut on the RAW score first (the engine's
+       |  -- batchSearch convention, mirroring the single-form `top` CTE);
+       |  -- only the survivors are re-ranked on the 1e-6 display grid below
+       |  SELECT query_id, doc_id, score
+       |  FROM summed QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id ASC) <= 10),
        |t_rank AS (
        |  SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY round(score * 1000000.0) DESC, doc_id ASC) AS BIGINT)
        |      AS text_rank
-       |  FROM summed QUALIFY text_rank <= 10),
+       |  FROM t_cut),
        |${graft.queries.SimilarityQueries.ivfPqProbeSetCtes(HybridBatch.map(_._1))},
        |v_rank AS (
        |  SELECT probe_id AS query_id, cand_id AS doc_id,

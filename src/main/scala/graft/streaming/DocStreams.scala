@@ -228,6 +228,13 @@ object DocStreams {
     * contract the ingest streams pin, here on the QUERY side. The
     * driver-side collect per batch is bounded by the micro-batch size
     * (the literal ids/terms ARE what prunes the index scans).
+    *
+    * foreachBatch is at-least-once, so each micro-batch writes to a
+    * batchId-keyed subdirectory in OVERWRITE mode: a retried batch
+    * replaces its own previous (possibly partial) output instead of
+    * double-appending — the sink stays equal to the one-shot batch call
+    * under replay, which is exactly the invariance stream_hybrid_serving
+    * pins.
     */
   def hybridServe(s: SparkSession, stagedDir: String, textPrefix: String,
                   vecPrefix: String, outPath: String, k: Int = 10): Unit = {
@@ -243,14 +250,14 @@ object DocStreams {
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val reqs = batch
             .select(col("query_id").cast("long"), col("query_text"))
             .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
           if (reqs.nonEmpty)
             graft.operators.Search
               .hybridBatchSearchPrebuilt(s, reqs, textPrefix, vecPrefix, k)
-              .write.mode("append").parquet(outPath)
+              .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         }
         .start()
       q.awaitTermination()
