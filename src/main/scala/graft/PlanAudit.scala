@@ -132,6 +132,8 @@ object PlanAudit {
         "3-probe set x 64-row stored centroid table (ADC prep)",
       "hybrid_rrf_batch_prebuilt" ->
         "3-probe set x 64-row stored centroid table (ADC prep)",
+      "hybrid_rrf_bulk" ->
+        "request-table probes x 64-row stored centroid table (ADC prep)",
       "ann_ivf_pq_prebuilt" -> "probes x 64-row stored centroid table (ADC prep)",
       "ann_ivf_pq_appended" -> "probes x 64-row stored centroid table (ADC prep)",
       "ann_ivf_pq_deleted" -> "probes x 64-row stored centroid table (ADC prep)",
@@ -173,7 +175,11 @@ object PlanAudit {
         "SMJ is the scale-safe default (the codegen'd bloom prefilter " +
         "already collapses the anti-join probe volume)"),
       "stream_ingest_pipeline" -> ("same gates as ingest_pipeline with " +
-        "streamed candidate pairs; batch side unbounded in production"))
+        "streamed candidate pairs; batch side unbounded in production"),
+      "hybrid_rrf_bulk" -> ("bulk request-table serving: every " +
+        "request-derived side is DELIBERATELY un-broadcast (the form's " +
+        "whole contract — it must hold at 10M requests), so its joins " +
+        "stay SMJ/shuffled-hash and are small only at audit SF"))
 
     var flagged = 0
     Queries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>

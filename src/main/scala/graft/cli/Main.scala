@@ -52,7 +52,12 @@ object Main {
       |  hsearch <textPrefix> <vecPrefix> <vec_id> "<query>" [k=10]
       |                                           hybrid BM25+vector RRF, both arms served
       |                                           from the persisted indexes
-      |  hbatch <reqs.parquet> <tPfx> <vPfx> [k]  batch hybrid serving (query_id = probe vector id)
+      |  hbatch <reqs.parquet> <tPfx> <vPfx> [k]  batch hybrid serving (query_id = probe vector id);
+      |                                           auto-routes to hbulk above the literal-pruning
+      |                                           sweet spot
+      |  hbulk  <reqs.parquet> <tPfx> <vPfx> [k]  BULK hybrid serving over an unbounded request
+      |                                           table — joins only, nothing request-derived is
+      |                                           collected, broadcast, or inlined as a literal
       |  vcompact <prefix> [maxFilesPerUnit=8]    merge over-threshold vector lists + forward buckets
       |  vdelete <ids.parquet> <prefix>           forget vectors (id column) from the vector index
       |  vmerge <prefixA> <prefixB> <out>         merge shard indexes (adopts A's quantizers, re-encodes B)
@@ -65,6 +70,15 @@ object Main {
       |                                           corpus-derived production twin unless
       |                                           --baseline explicitly opts into the fixed form
       |""".stripMargin
+
+  /** Above this many requests, `hbatch` routes to the bulk join plan:
+    * the batch form's per-term/per-id literals are what PRUNE the index
+    * scans for a small batch, but the expression tree and the driver's
+    * request collect grow linearly with the batch — past a few thousand
+    * requests one shared pass over the touched index regions (the hbulk
+    * plan) is both safer and faster.
+    */
+  val BulkRequestThreshold = 4096L
 
   /** docs parquet in the testdata shape: (doc_id, text[, ...]). */
   private def readDocs(spark: SparkSession, path: String): DataFrame =
@@ -176,10 +190,37 @@ object Main {
       // fetch — the collect is bounded by the request batch, never data
       case Seq("hbatch", requestsPath, textPrefix, vecPrefix, rest @ _*) =>
         val k = rest.headOption.map(_.toInt).getOrElse(10)
-        val reqs = spark.read.parquet(requestsPath)
-          .select(col("query_id").cast("long"), col("query_text"))
-          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-        Right(Some(Search.hybridBatchSearchPrebuilt(spark, reqs,
+        val reqDf = spark.read.parquet(requestsPath)
+          .select(col("query_id").cast("long").as("query_id"),
+            col("query_text"))
+        // the literal-pruned batch plan is the right shape for a serving
+        // micro-batch, but its IN-lists (and this collect) cap it at
+        // driver scale — above the sweet spot the request table routes to
+        // the bulk join plan, the same twin resolution `query` applies
+        val n = reqDf.count()
+        if (n > BulkRequestThreshold) {
+          System.err.println(s"[graft] $n requests exceed the " +
+            s"literal-pruning sweet spot ($BulkRequestThreshold); serving " +
+            "via the bulk join plan (hbulk; pass hbatch smaller batches " +
+            "to keep IN-list bucket pruning)")
+          Right(Some(Search.hybridBulkSearchPrebuilt(spark, reqDf,
+            textPrefix, vecPrefix, k)))
+        } else {
+          val reqs = reqDf.collect()
+            .map(r => (r.getLong(0), r.getString(1))).toSeq
+          Right(Some(Search.hybridBatchSearchPrebuilt(spark, reqs,
+            textPrefix, vecPrefix, k)))
+        }
+      // bulk hybrid serving over an UNBOUNDED request table: terms prune
+      // by join against the bucketed index, probe vectors by join against
+      // the forward store — no collect, no broadcast, no literals, so the
+      // command survives a 10M-request offline sweep
+      case Seq("hbulk", requestsPath, textPrefix, vecPrefix, rest @ _*) =>
+        val k = rest.headOption.map(_.toInt).getOrElse(10)
+        val reqDf = spark.read.parquet(requestsPath)
+          .select(col("query_id").cast("long").as("query_id"),
+            col("query_text"))
+        Right(Some(Search.hybridBulkSearchPrebuilt(spark, reqDf,
           textPrefix, vecPrefix, k)))
       case Seq("vcompact", prefix, rest @ _*) =>
         val maxFiles = rest.headOption.map(_.toInt).getOrElse(8)

@@ -254,6 +254,78 @@ object Search {
       .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
   }
 
+  /** BULK hybrid serving over an UNBOUNDED request TABLE — the scale-out
+    * twin of [[hybridBatchSearchPrebuilt]]. The batch form's contract
+    * silently caps batch size: its driver-side `Seq` of (id, query) pairs
+    * becomes literal IN-lists whose pruning is exactly right for a serving
+    * micro-batch but whose expression tree (and the driver's memory) dies
+    * at offline-bulk scale — 10M stored queries for an eval sweep, an
+    * offline rerank, a RAG corpus annotation (the reference's own
+    * limitation: its per-term driver loop, app/query.py:97-122). Here
+    * NOTHING request-derived is collected, broadcast, or inlined as a
+    * literal:
+    *  - text arm: requests tokenize IN-PLAN and probe postings/term_df by
+    *    JOIN on term ([[bulkSearch]]) — against the term-bucketed index
+    *    tables the join lands exchange-free on the index side, and the
+    *    request side shuffles by term once;
+    *  - vector arm: probe vectors come from a JOIN of the requests against
+    *    the id-bucketed `_forward` store (requests without a stored vector
+    *    simply have no semantic arm — the full-outer fusion handles them),
+    *    candidates from [[VectorIndex.searchBulk]], which scores the
+    *    probed lists through a shuffle join on cent_id instead of a probe
+    *    broadcast;
+    *  - fusion and the per-query top-k are partitionBy(query_id) windows,
+    *    and the display-title attach is a plain join of doc_info against
+    *    the |requests|·k winners.
+    * Cost ∝ |requests| + touched index data; every shuffle key
+    * (term, cent_id, doc_id, query_id) partitions across the cluster, so
+    * no single task, no broadcast, and no driver structure scales with the
+    * request count. Above a literal-pruning sweet spot (a few thousand
+    * requests) this form replaces the batch one — below it, the literals
+    * ARE the pruning and the batch form wins.
+    *
+    * @param requests (query_id: long, query_text: string); query_id keys
+    *                 the stored probe vector and the output rows
+    */
+  def hybridBulkSearchPrebuilt(spark: SparkSession, requests: DataFrame,
+                               textPrefix: String, vecPrefix: String,
+                               k: Int = 10, nprobe: Int = 8,
+                               shortlist: Int = 40): DataFrame = {
+    val postings = spark.table(s"${textPrefix}_postings")
+    val termDf = spark.table(s"${textPrefix}_term_df")
+    val docInfo = spark.table(s"${textPrefix}_doc_info")
+    // per-query re-rank of the k raw-score survivors on the Money-grid
+    // score — the batch form's convention, unchanged
+    val tw = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val textRank = bulkSearch(requests, postings, termDf, docInfo, k)
+      .select(col("query_id"), col("doc_id").cast("long").as("doc_id"),
+        col("score"))
+      .withColumn("text_rank", row_number().over(tw).cast("long"))
+      .drop("score")
+    val probes = spark.table(s"${vecPrefix}_forward")
+      .join(requests.select(col("query_id").as("id")), "id")
+      .select(col("id"), col("v"))
+    val vecRank = VectorIndex
+      .searchBulk(spark, vecPrefix, probes, k, nprobe, shortlist)
+      .select(col("probe_id").as("query_id"), col("cand_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    val fused = textRank.join(vecRank, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("text_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+    spark.table(s"${textPrefix}_doc_info")
+      .select(col("doc_id").cast("long").as("doc_id"), col("title"))
+      .join(fused, "doc_id")
+      .select(col("query_id"), col("doc_id"), col("title"), col("text_rank"),
+        col("vec_rank"), col("rrf").cast("double").as("rrf"))
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+  }
+
   /** "Did you mean": for each query token, the best correction among
     * vocabulary terms within `maxDist` edits — closest distance first,
     * then highest document frequency (the commoner word is the likelier
@@ -324,13 +396,34 @@ object Search {
     */
   def batchSearch(queries: DataFrame,
                   postings: DataFrame, termDf: DataFrame, docInfo: DataFrame,
-                  k: Int = 10): DataFrame = {
+                  k: Int = 10): DataFrame =
+    batchSearchImpl(queries, postings, termDf, docInfo, k,
+      broadcastRequests = true)
+
+  /** [[batchSearch]] for an UNBOUNDED requests table: identical math, but
+    * nothing derived from the requests is ever broadcast — the term probe
+    * and the winners' title attach are plain shuffle joins, so the plan
+    * holds at 10M requests where the batch form's broadcasts (and the
+    * prebuilt path's literal IN-lists) die. Against a term-bucketed index
+    * the term joins land exchange-free on the postings/term_df side.
+    */
+  def bulkSearch(requests: DataFrame,
+                 postings: DataFrame, termDf: DataFrame, docInfo: DataFrame,
+                 k: Int = 10): DataFrame =
+    batchSearchImpl(requests, postings, termDf, docInfo, k,
+      broadcastRequests = false)
+
+  private def batchSearchImpl(queries: DataFrame,
+                              postings: DataFrame, termDf: DataFrame,
+                              docInfo: DataFrame, k: Int,
+                              broadcastRequests: Boolean): DataFrame = {
     val stats = docInfo.agg(
       count(lit(1)).cast("double").as("n_docs"), avg(col("length")).as("avg_len"))
-    val qTerms = queries.select(col("query_id"),
+    val qTerms0 = queries.select(col("query_id"),
         explode(array_distinct(
           graft.functions.Tokenizer.tokenize(col("query_text")))).as("term"))
-    val scored = broadcast(qTerms)
+    val qTerms = if (broadcastRequests) broadcast(qTerms0) else qTerms0
+    val scored = qTerms
       .join(termDf, "term")
       .join(postings.select("term", "doc_id", "tf"), "term")
       .join(docInfo.select("doc_id", "length"), "doc_id")
@@ -343,10 +436,11 @@ object Search {
       .agg(sum(col("score")).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-    // display metadata joins the winners only (broadcast probe of docInfo,
-    // cost ∝ |queries|·k) — mirrors the single-query search()
+    // display metadata joins the winners only (cost ∝ |queries|·k) —
+    // mirrors the single-query search(); the winners side broadcasts in
+    // the batch form but stays a shuffle join under an unbounded bulk run
     docInfo.select(col("doc_id"), col("title"))
-      .join(broadcast(top), "doc_id")
+      .join(if (broadcastRequests) broadcast(top) else top, "doc_id")
       .select(col("query_id"), col("rank"), col("doc_id"), col("title"),
         graft.Money.micros(col("score")).as("score"))
   }

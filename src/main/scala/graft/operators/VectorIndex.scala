@@ -424,7 +424,30 @@ object VectorIndex {
     */
   def searchPrebuilt(spark: SparkSession, prefix: String, probes: DataFrame,
                      k: Int, nprobe: Int, shortlist: Int,
-                     withVector: Boolean = false): DataFrame = {
+                     withVector: Boolean = false): DataFrame =
+    servePlan(spark, prefix, probes, k, nprobe, shortlist, withVector,
+      broadcastProbes = true)
+
+  /** [[searchPrebuilt]] for an UNBOUNDED probe table: identical serving
+    * math, but the probe side is never broadcast — probed lists score
+    * through a shuffle join on cent_id, so the plan holds at 10M probes
+    * (an offline eval sweep, bulk reranking) where a probe broadcast dies.
+    * List-scan pruning is irrelevant here by construction: a bulk probe
+    * set touches essentially every coarse list, so the one full pass over
+    * `_vectors` is the work, amortized across all probes (and AQE's skew
+    * split handles hot lists). Below a few thousand probes the broadcast
+    * form wins — its probe-literal DPP skips unprobed lists entirely.
+    */
+  def searchBulk(spark: SparkSession, prefix: String, probes: DataFrame,
+                 k: Int, nprobe: Int, shortlist: Int,
+                 withVector: Boolean = false): DataFrame =
+    servePlan(spark, prefix, probes, k, nprobe, shortlist, withVector,
+      broadcastProbes = false)
+
+  private def servePlan(spark: SparkSession, prefix: String, probes: DataFrame,
+                        k: Int, nprobe: Int, shortlist: Int,
+                        withVector: Boolean,
+                        broadcastProbes: Boolean): DataFrame = {
     val codes = spark.table(s"${prefix}_codes")
       .orderBy("m", "k").collect()
       .map(r => Pq.Code(r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
@@ -451,7 +474,8 @@ object VectorIndex {
       .orderBy(col("qscore").desc, col("cand_id").asc)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
-    broadcast(probeCents).join(vecs, Seq("cent_id"))
+    (if (broadcastProbes) broadcast(probeCents) else probeCents)
+      .join(vecs, Seq("cent_id"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("qscore", Pq.adcScore(col("lut"), col("codes"), pqM))
       .withColumn("qrank", row_number().over(cw))

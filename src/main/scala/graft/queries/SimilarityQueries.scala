@@ -941,6 +941,13 @@ object SimilarityQueries {
     annIvfPqRankedCtes("emb",
       probeSrc = s"(SELECT * FROM probes WHERE id IN (${ids.mkString(", ")}))")
 
+  /** The same chain over an ARBITRARY probe subquery (any SELECT yielding
+    * emb-shaped rows) — the oracle counterpart of the bulk serving form,
+    * whose probe set is a TABLE rather than a literal id list.
+    */
+  private[queries] def ivfPqProbeSrcCtes(probeSrc: String): String =
+    annIvfPqRankedCtes("emb", probeSrc = probeSrc)
+
   // ---- MMR-diversified rerank (Carbonell & Goldstein, SIGIR'98) --------------
   // The diversity pass a retrieval stack runs AFTER candidate generation:
   // a shortlist of the MmrN nearest candidates to probe id 0, then greedy

@@ -367,6 +367,82 @@ object TextIndexQueries {
        |ORDER BY f.query_id, f.rrf DESC, f.doc_id""".stripMargin
   }
 
+  // ---- BULK hybrid serving: an unbounded request TABLE -----------------------
+  // The batch form's scale-out twin (Search.hybridBulkSearchPrebuilt):
+  // requests are a DataFrame — here one request per document, its text the
+  // document's first five tokens (the eval-sweep shape: "score every
+  // stored query against the corpus") — and NOTHING request-derived is
+  // collected, broadcast, or inlined as a literal. Terms probe the
+  // persisted index by JOIN, probe vectors come from a JOIN against the
+  // id-bucketed forward store, fusion/top-k are per-query windows. Cost ∝
+  // |requests| + touched index data at any request count; PlanSpec pins
+  // that the plan carries no request-derived IN-list and no broadcast of a
+  // request-derived side.
+  private def bulkRequests(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id").cast("long").as("query_id"),
+      array_join(slice(graft.functions.Tokenizer.tokenize(col("text")), 1, 5),
+        " ").as("query_text"))
+
+  def hybridRrfBulk(s: SparkSession, dir: String): DataFrame = {
+    val sq = graft.queries.SimilarityQueries
+    Search.hybridBulkSearchPrebuilt(s, bulkRequests(s, dir),
+      textPrefix = ensurePrebuilt(s, dir),
+      vecPrefix = sq.persistedVectorIndexPrefix(s, dir),
+      k = 10, nprobe = sq.ivfNProbe, shortlist = sq.ivfShortlist)
+  }
+
+  lazy val hybridRrfBulkSql: String =
+    s"""WITH $TokCte,
+       |postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+       |term_df AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+       |doc_info AS (SELECT doc_id, len(l) AS length FROM docs_l),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(length) AS avgdl FROM doc_info),
+       |q AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT CAST(doc_id AS BIGINT) AS query_id, unnest(l[1:5]) AS term
+       |    FROM docs_l) qt),
+       |scored AS (
+       |  SELECT q.query_id, p.doc_id,
+       |    ln(greatest(1.0, s.n / greatest(1.0, CAST(d.df AS DOUBLE)))) * p.tf * 2.0 /
+       |      (p.tf + (0.25 + 0.75 * di.length / s.avgdl)) AS score
+       |  FROM q JOIN term_df d USING(term) JOIN postings p USING(term)
+       |       JOIN doc_info di USING(doc_id), stats s),
+       |summed AS (
+       |  SELECT query_id, doc_id, sum(score) AS score
+       |  FROM scored GROUP BY query_id, doc_id),
+       |t_cut AS (
+       |  SELECT query_id, doc_id, score
+       |  FROM summed QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id ASC) <= 10),
+       |t_rank AS (
+       |  SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(score * 1000000.0) DESC, doc_id ASC) AS BIGINT)
+       |      AS text_rank
+       |  FROM t_cut),
+       |${graft.queries.SimilarityQueries.ivfPqProbeSrcCtes(
+            "(SELECT e.* FROM emb e JOIN documents dd ON e.id = dd.doc_id)")},
+       |v_rank AS (
+       |  SELECT probe_id AS query_id, cand_id AS doc_id,
+       |    CAST(rank AS BIGINT) AS vec_rank
+       |  FROM ranked WHERE rank <= 10),
+       |fused AS (
+       |  SELECT coalesce(t.query_id, v.query_id) AS query_id,
+       |    coalesce(t.doc_id, v.doc_id) AS doc_id, t.text_rank, v.vec_rank,
+       |    coalesce(1.0 / (60.0 + t.text_rank), 0.0) +
+       |      coalesce(1.0 / (60.0 + v.vec_rank), 0.0) AS rrf
+       |  FROM t_rank t FULL OUTER JOIN v_rank v
+       |    ON t.query_id = v.query_id AND t.doc_id = v.doc_id),
+       |topk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS rn
+       |  FROM fused QUALIFY rn <= 10)
+       |SELECT f.query_id, f.doc_id, substring(d.text, 1, 50) AS title,
+       |  f.text_rank, f.vec_rank, CAST(f.rrf AS DOUBLE) AS rrf
+       |FROM topk f JOIN documents d ON d.doc_id = f.doc_id
+       |ORDER BY f.query_id, f.rrf DESC, f.doc_id""".stripMargin
+
   // ---- ONLINE hybrid serving: the request stream --------------------------------
   // The batch form's streaming dual: requests arrive one micro-batch per
   // staged file and each batch is served through the SAME pruned path
@@ -1537,6 +1613,7 @@ object TextIndexQueries {
     "hybrid_rrf_search" -> (hybridRrfSearch _),
     "hybrid_rrf_prebuilt" -> (hybridRrfPrebuilt _),
     "hybrid_rrf_batch_prebuilt" -> (hybridRrfBatchPrebuilt _),
+    "hybrid_rrf_bulk" -> (hybridRrfBulk _),
     "stream_hybrid_serving" -> (streamHybridServing _),
     "search_facets" -> (searchFacets _),
     "phrase_bigram_index" -> (phraseBigramIndex _),
@@ -1585,6 +1662,7 @@ object TextIndexQueries {
     "hybrid_rrf_search" -> hybridRrfSearchSql,
     "hybrid_rrf_prebuilt" -> hybridRrfPrebuiltSql,
     "hybrid_rrf_batch_prebuilt" -> hybridRrfBatchPrebuiltSql,
+    "hybrid_rrf_bulk" -> hybridRrfBulkSql,
     "stream_hybrid_serving" -> hybridRrfBatchPrebuiltSql,
     "search_facets" -> searchFacetsSql,
     "phrase_bigram_index" -> phraseBigramIndexSql,

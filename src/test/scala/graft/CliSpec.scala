@@ -165,6 +165,28 @@ class CliSpec extends SparkSpec {
     assert(out.toSeq == direct.toSeq)
   }
 
+  test("hbulk equals hbatch on the same requests (twin contract)") {
+    import spark.implicits._
+    val tPrefix = "graft_cli_hk_t"
+    val vPrefix = "graft_cli_hk_v"
+    assert(cli.Main.run(spark, Seq("index", docsPath, tPrefix)).isRight)
+    assert(cli.Main.run(spark,
+      Seq("vindex", s"$dir/embeddings.parquet", vPrefix)).isRight)
+    val reqs = Seq((0L, "spark filter join"), (50L, "customer order data"),
+      (100L, "window stream merge sort"))
+    val reqPath = ScratchDirs.fresh("graft_test", "hbulk_reqs").toString
+    reqs.toDF("query_id", "query_text")
+      .write.mode("overwrite").parquet(reqPath)
+    // the bulk form prunes by JOIN where the batch form prunes by
+    // literals — per-query results must be row-identical, or routing a
+    // big batch to the bulk plan would change what a user is served
+    def rows(cmd: String) = cli.Main
+      .run(spark, Seq(cmd, reqPath, tPrefix, vPrefix, "5"))
+      .toOption.flatten.get.collect().map(_.toSeq).toSeq
+    assert(rows("hbulk") == rows("hbatch"),
+      "bulk serving diverged from the literal-pruned batch form")
+  }
+
   test("forget purges ids from BOTH serving stores in one command") {
     val tPrefix = "graft_cli_fg_t"
     val vPrefix = "graft_cli_fg_v"

@@ -535,6 +535,24 @@ class PlanSpec extends SparkSpec {
       s"broadcast side is the untrimmed vocabulary:\n$p")
   }
 
+  test("hybrid_rrf_bulk plans joins only — no request-derived literals anywhere") {
+    val p = plan("hybrid_rrf_bulk")
+    // the batch form's fingerprints, which cap it at driver scale: literal
+    // term/id IN-lists pushed into the index scans, and a driver-side
+    // local relation for the requests. The bulk form must have NEITHER —
+    // its requests enter as a file scan and prune by JOIN, the only shape
+    // that survives a 10M-request offline sweep.
+    assert(!p.contains("In(term"),
+      s"request terms leaked into a literal IN-list:\n$p")
+    assert(!p.contains("In(id"),
+      s"request ids leaked into a literal IN-list:\n$p")
+    assert(!p.contains("LocalTableScan"),
+      s"a driver-side literal relation rode into the bulk plan:\n$p")
+    // the stored layout still serves both arms
+    assert(p.contains("Bucketed: true"),
+      s"bulk serving lost the bucketed index scans:\n$p")
+  }
+
   test("link prediction hub-caps degrees before a hash-based wedge join") {
     val p = plan("graph_link_prediction")
     assert(!p.contains("CartesianProduct") &&
