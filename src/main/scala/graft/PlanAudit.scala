@@ -139,6 +139,7 @@ object PlanAudit {
       "ann_ivf_pq_deleted" -> "probes x 64-row stored centroid table (ADC prep)",
       "vindex_compacted" -> "probes x 64-row stored centroid table (ADC prep)",
       "vindex_merged" -> "probes x 64-row stored centroid table (ADC prep)",
+      "vindex_retrained" -> "probes x 64-row stored centroid table (ADC prep)",
       "stream_vector_ingest" -> "serving read: probes x 64-row centroid table",
       "cross_join_regions" -> "labeled cartesian: 5 regions x 25 nations",
       "quantile_bins" -> "values x 10-row quantile cut-point table")

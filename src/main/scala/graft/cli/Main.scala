@@ -62,6 +62,9 @@ object Main {
       |  vdelete <ids.parquet> <prefix>           forget vectors (id column) from the vector index
       |  vmerge <prefixA> <prefixB> <out>         merge shard indexes (adopts A's quantizers, re-encodes B)
       |  vstats <prefix>                          one-row describe: sizes + list-occupancy skew
+      |  vretrain <prefix> [iters=2]              re-Lloyd centroids+codebooks from the forward
+      |                                           store and re-encode (snapshot-fenced: takes
+      |                                           <prefix>_preretrain first; vrollback to undo)
       |  vsnapshot <prefix> <tag>                 point-in-time copy of the vector index
       |  vrollback <prefix> <tag>                 restore the vector index from a snapshot
       |  forget  <ids.parquet> <textPrefix> <vecPrefix>  purge ids from BOTH serving stores
@@ -234,6 +237,16 @@ object Main {
         Right(None)
       case Seq("vstats", prefix) =>
         Right(Some(graft.operators.VectorIndex.describe(spark, prefix)))
+      case Seq("vretrain", prefix, rest @ _*) =>
+        val iters = rest.headOption.map(_.toInt).getOrElse(2)
+        // fence the multi-table swap: a crash mid-retrain leaves a mixed
+        // quantizer state, recoverable only from a point-in-time copy
+        graft.operators.VectorIndex.snapshot(spark, prefix, "preretrain")
+        graft.operators.VectorIndex.retrain(spark, prefix, iters)
+        System.err.println(s"[graft] retrained $prefix from its forward " +
+          s"store (fence: ${prefix}_preretrain — " +
+          s"`vrollback $prefix preretrain` to undo)")
+        Right(None)
       case Seq("vsnapshot", prefix, tag) =>
         graft.operators.VectorIndex.snapshot(spark, prefix, tag)
         Right(None)

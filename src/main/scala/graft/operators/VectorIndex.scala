@@ -33,10 +33,13 @@ object VectorIndex {
 
   /** Write the index. `cents` (id, v) and `codes` must come from the same
     * deterministic training the serving oracle mirrors.
+    * @param writeForward false when the forward store already holds exactly
+    *   `emb`'s rows (retrain reads `emb` FROM the forward store — rewriting
+    *   it would both waste a pass and overwrite a table mid-read)
     */
   def build(spark: SparkSession, emb: DataFrame, prefix: String,
             cents: DataFrame, codes: Seq[Pq.Code],
-            pqM: Int, pqSubDim: Int): Unit = {
+            pqM: Int, pqSubDim: Int, writeForward: Boolean = true): Unit = {
     val base = graft.ScratchDirs.fresh("graft_vecidx", prefix).toString
     cents.select(col("id").as("cent_id"), col("v").as("cv"))
       .write.mode("overwrite").parquet(s"$base/centroids")
@@ -52,11 +55,13 @@ object VectorIndex {
       spark.catalog.createTable(s"${prefix}_$t", s"$base/$t", "parquet")
     }
     spark.catalog.recoverPartitions(s"${prefix}_vectors")
-    Indexer.dropManagedTable(spark, s"${prefix}_forward")
-    emb.select(col("id"), col("v"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(ForwardBuckets, "id").sortBy("id")
-      .saveAsTable(s"${prefix}_forward")
+    if (writeForward) {
+      Indexer.dropManagedTable(spark, s"${prefix}_forward")
+      emb.select(col("id"), col("v"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(ForwardBuckets, "id").sortBy("id")
+        .saveAsTable(s"${prefix}_forward")
+    }
   }
 
   /** Train (coarse centroids + PQ codebooks) and build in one call — the
@@ -344,6 +349,51 @@ object VectorIndex {
     copyIndex(spark, prefixA, out)
     append(spark,
       spark.table(s"${prefixB}_forward").select(col("id"), col("v")), out)
+  }
+
+  /** RETRAIN the quantizers of a persisted index from its own forward
+    * store — the drift remedy the maintenance loop closes with: append and
+    * delete never retrain (standard IVF-PQ), so a corpus that drifts from
+    * the training distribution degrades recall until someone re-Lloyds.
+    * The drift report (`vector_index_drift`) and `describe`'s occupancy
+    * skew give the SIGNAL; this is the operator.
+    *
+    * Geometry is derived from the stored index (nlist from `_centroids`,
+    * M/subDim/Ks from `_codes`) unless overridden, the raw vectors come
+    * from the forward store (the table that exists precisely so encoded
+    * stores can be re-derived), and the rebuilt centroids/codebooks/lists
+    * land via [[build]]'s fresh-directory + catalog-re-point swap with the
+    * forward store untouched. Training is the same deterministic
+    * hash-seeded Lloyd as a from-scratch build, so retraining a
+    * NON-drifted index is a no-op for serving — and retraining a drifted
+    * one is indistinguishable from having built fresh over today's corpus
+    * (RecallSpec pins the recall recovery).
+    *
+    * Crash safety: the swap re-points the three external tables one at a
+    * time; a crash mid-swap leaves a MIXED quantizer state (old lists, new
+    * centroids), which is why the operation should be snapshot-fenced —
+    * `snapshot(prefix, tag)` first, `rollback` if the retrain dies (the
+    * CLI's `vretrain` takes the snapshot automatically). Old directories
+    * are never deleted, so no state is unrecoverable.
+    */
+  def retrain(spark: SparkSession, prefix: String, iters: Int = 2,
+              nlistOverride: Option[Int] = None): Unit = {
+    import spark.implicits._
+    val codes0 = spark.table(s"${prefix}_codes")
+      .orderBy("m", "k").collect()
+      .map(r => Pq.Code(r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .toSeq
+    val pqM = codes0.map(_.m).max + 1
+    val pqSubDim = codes0.head.carr.length
+    val pqKs = codes0.map(_.k).max + 1
+    val nlist = nlistOverride.getOrElse(
+      spark.table(s"${prefix}_centroids").count().toInt)
+    val raw = spark.table(s"${prefix}_forward").select(col("id"), col("v"))
+    val cents = Similarity
+      .trainCentroids(raw, nlist, iters, pqM * pqSubDim).toDF("id", "v")
+    val codes = Pq.train(raw, pqM, pqSubDim, pqKs)
+    build(spark, raw, prefix, cents, codes, pqM, pqSubDim,
+      writeForward = false)
   }
 
   /** One-row DESCRIBE of a persisted vector index: corpus size, list

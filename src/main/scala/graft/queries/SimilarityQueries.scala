@@ -1304,6 +1304,45 @@ object SimilarityQueries {
         col("cosine").cast("double").as("cosine"))
       .orderBy("probe_id", "rank")
 
+  // ---- Vector-index RETRAIN lifecycle -----------------------------------------
+  // The drift remedy: build the full corpus under STALE quantizers (trained
+  // on the id%2==0 half — exactly the state continuous ingest leaves, the
+  // appended lifecycle's oracle would match it), then RETRAIN from the
+  // forward store. The retrained index must be indistinguishable from a
+  // from-scratch build over today's corpus, so the oracle is the standard
+  // full-training IVF-PQ SQL (annIvfPqSql) — the retrain visibly MOVES the
+  // index from the appended oracle's answer to this one. RecallSpec pins
+  // the recall recovery on a drifted fixture; the fuzzer mixes retrain
+  // into random op sequences.
+  private val builtVectorIdxRetrain = scala.collection.mutable.Set[String]()
+
+  private def ensureRetrainedVectorIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val prefix = "graft_vecidxr_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!builtVectorIdxRetrain.contains(prefix)) {
+        import s.implicits._
+        val e = emb(s, dir)
+        val half = e.filter(col("id") % 2 === 0)
+        val staleCents = Similarity.trainCentroids(half, NList, IvfIters, Dim)
+          .toDF("id", "v")
+        val staleCodes = graft.operators.Pq.train(
+          half.select(col("id"), col("v")), PqM, PqSubDim, PqKs)
+        graft.operators.VectorIndex.build(s, e, prefix, staleCents,
+          staleCodes, PqM, PqSubDim)
+        graft.operators.VectorIndex.retrain(s, prefix, iters = IvfIters)
+        builtVectorIdxRetrain += prefix
+      }
+      prefix
+    }
+
+  def annIvfPqRetrained(s: SparkSession, dir: String): DataFrame =
+    graft.operators.VectorIndex.searchPrebuilt(s,
+        ensureRetrainedVectorIndex(s, dir), probes(s, dir), K, NProbe,
+        PqShortlist)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("probe_id", "rank")
+
   // ---- Vector-index DESCRIBE ---------------------------------------------------
   // The maintainer's one-row report over the standard persisted index:
   // corpus size, list count, occupancy skew (max/p50/p99), forward-store
@@ -1969,6 +2008,7 @@ object SimilarityQueries {
     "ann_ivf_pq_deleted" -> (annIvfPqDeleted _),
     "vindex_compacted" -> (annIvfPqCompacted _),
     "vindex_merged" -> (annIvfPqMerged _),
+    "vindex_retrained" -> (annIvfPqRetrained _),
     "vindex_stats" -> (vindexStats _),
     "vector_index_drift" -> (vectorIndexDrift _),
     "stream_vector_ingest" -> (streamVectorIngest _),
@@ -2001,6 +2041,7 @@ object SimilarityQueries {
     "ann_ivf_pq_deleted" -> annIvfPqDeletedSql,
     "vindex_compacted" -> annIvfPqAppendedSql,
     "vindex_merged" -> annIvfPqAppendedSql,
+    "vindex_retrained" -> annIvfPqSql,
     "vindex_stats" -> vindexStatsSql,
     "vector_index_drift" -> vectorIndexDriftSql,
     "stream_vector_ingest" -> annIvfPqAppendedSql,

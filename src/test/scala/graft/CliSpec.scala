@@ -187,6 +187,26 @@ class CliSpec extends SparkSpec {
       "bulk serving diverged from the literal-pruned batch form")
   }
 
+  test("vretrain re-derives quantizers behind a snapshot fence; vrollback undoes") {
+    val prefix = "graft_cli_rt"
+    assert(cli.Main.run(spark,
+      Seq("vindex", s"$dir/embeddings.parquet", prefix)).isRight)
+    val centsBefore = spark.table(s"${prefix}_centroids").collect()
+      .map(_.toSeq).toSet
+    assert(cli.Main.run(spark, Seq("vretrain", prefix)).isRight)
+    // the fence exists and serving still answers from the retrained index
+    assert(spark.catalog.tableExists(s"${prefix}_preretrain_centroids"),
+      "vretrain did not take its snapshot fence")
+    val out = cli.Main.run(spark, Seq("vsearch", prefix, "0", "5"))
+      .toOption.flatten.get.collect()
+    assert(out.length == 5)
+    // undo: rollback consumes the fence and restores the original quantizers
+    assert(cli.Main.run(spark, Seq("vrollback", prefix, "preretrain")).isRight)
+    assert(spark.table(s"${prefix}_centroids").collect()
+      .map(_.toSeq).toSet == centsBefore,
+      "rollback did not restore the pre-retrain quantizers")
+  }
+
   test("forget purges ids from BOTH serving stores in one command") {
     val tPrefix = "graft_cli_fg_t"
     val vPrefix = "graft_cli_fg_v"

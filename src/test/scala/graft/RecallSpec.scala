@@ -101,6 +101,74 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("retrain recovers recall on a drifted corpus that stale quantizers lose") {
+    import spark.implicits._
+    import graft.operators.VectorIndex
+    // deterministic two-epoch fixture: epoch A (ids 0..199) carries its
+    // signal in dims 0..31, epoch B (ids 1000..1199 — the DRIFT: think a
+    // new embedding domain) in dims 32..63. Quantizers trained on A alone
+    // have near-noise codewords for B's subspaces, so ADC cannot rank B
+    // candidates for a B probe — the shortlist cut happens on garbage and
+    // the exact re-rank never sees the true neighbors. That is precisely
+    // the degradation append-without-retrain accumulates.
+    // each epoch is 4 sub-clusters (anchor by id%4) with a small per-id
+    // perturbation: a probe's true top-5 live in its own sub-cluster, so
+    // recall is a sharp signal — reachable by any quantizer trained on the
+    // epoch, unreachable through codebooks that never saw its subspaces
+    def vec(id: Long, lo: Int): Seq[Double] = (0 until 64).map { d =>
+      if (d >= lo && d < lo + 32)
+        math.sin(0.5 * (id % 4 + 1) * (d - lo)) +
+          0.05 * math.sin(0.91 * ((id * 7 + d) % 53))
+      else 0.01 * (((id * 31 + d * 17) % 11).toDouble)
+    }
+    val a = (0L until 200L).map(i => (i, vec(i, 0)))
+    val b = (1000L until 1200L).map(i => (i, vec(i, 32)))
+    val prefix = "vecdrift_spec"
+    VectorIndex.trainAndBuild(spark, a.toDF("id", "v"), prefix,
+      nlist = 8, iters = 2, pqM = 4, pqKs = 16)
+    VectorIndex.append(spark, b.toDF("id", "v"), prefix)
+    // exact ground truth for the drifted probes, driver-side
+    val all = (a ++ b).toMap
+    def cos(x: Seq[Double], y: Seq[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val probeIds = (1000L until 1200L by 20L).toSeq
+    val exact: Map[Long, Set[Long]] = probeIds.map { p =>
+      p -> all.toSeq.filter(_._1 != p)
+        .map { case (id, v) => (id, cos(all(p), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val probesDf = probeIds.map(p => (p, all(p))).toDF("id", "v")
+    def recallNow(): Double = {
+      val got = VectorIndex
+        .searchPrebuilt(spark, prefix, probesDf, k = 5, nprobe = 4,
+          shortlist = 40)
+        .select("probe_id", "cand_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (p, rows) => p -> rows.map(_.getLong(1)).toSet }
+      val per = probeIds.map(p =>
+        got.getOrElse(p, Set.empty[Long]).intersect(exact(p)).size / 5.0)
+      per.sum / per.size
+    }
+    val stale = recallNow()
+    VectorIndex.retrain(spark, prefix)
+    val retrained = recallNow()
+    info(f"drifted-probe recall@5: stale=$stale%.3f retrained=$retrained%.3f")
+    // stale quantizers measured 0.380 (near-constant ADC over B's
+    // subspaces cuts the shortlist on noise, and the exact re-rank never
+    // sees the lost neighbors); retrained measured 1.000 — floors pinned
+    // with margin, fully deterministic fixture
+    assert(stale <= 0.60,
+      f"fixture no longer drifts: stale recall $stale%.3f — the test " +
+        "proves nothing")
+    assert(retrained >= 0.85,
+      f"retrain failed to recover recall: $retrained%.3f")
+    assert(retrained >= stale + 0.25,
+      f"retrain recovery margin collapsed: $stale%.3f -> $retrained%.3f")
+  }
+
   test("banded embedding dedup recovers most exact-cosine pairs") {
     val banded = Queries.all("dedup_embedding_cosine")(spark, dir)
       .select("vec_id_a", "vec_id_b").collect()

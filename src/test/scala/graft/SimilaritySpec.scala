@@ -258,10 +258,11 @@ class SimilaritySpec extends SparkSpec {
     val initial = allIds.filter(_ % 3 == 0)
     val prefix = "vecfuzz_spec"
     def sub(ids: Set[Long]) = emb.filter(col("id").isin(ids.toSeq: _*))
-    // frozen quantizers for the whole run: append/delete never retrain,
-    // so ANY op sequence ending at member set S must serve byte-identical
-    // to a fresh build over S with the same quantizers — the end-state
-    // equivalence this fuzz pins
+    // append/delete never retrain (quantizers stay frozen between
+    // explicit retrain ops), so ANY op sequence ending at member set S
+    // must serve byte-identical to a fresh build over S with whatever
+    // quantizers the sequence ended at — the end-state equivalence this
+    // fuzz pins
     val cents = graft.operators.Similarity
       .trainCentroids(sub(initial), 8, 1, 64).toDF("id", "v")
     val codes = Pq.train(sub(initial).select(col("id"), col("v")), 4, 16, 8)
@@ -280,7 +281,7 @@ class SimilaritySpec extends SparkSpec {
     var snapN = 0
     val oplog = new StringBuilder
     (1 to 12).foreach { step =>
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 => // append a batch of unindexed ids
           val pool = (allIds -- model).toSeq.sorted
           if (pool.nonEmpty) {
@@ -313,6 +314,9 @@ class SimilaritySpec extends SparkSpec {
             model = saved
             snap = None // consumed
           }
+        case 5 => // re-Lloyd from the forward store; membership unchanged
+          oplog ++= "retrain; "
+          VectorIndex.retrain(spark, prefix, iters = 1)
       }
       // invariants after EVERY op: both stores hold exactly the model set
       assert(ids(s"${prefix}_vectors") == model,
@@ -321,8 +325,16 @@ class SimilaritySpec extends SparkSpec {
         s"step $step [$oplog]: _forward drifted from the lists")
     }
     // end-state equivalence: serving == a fresh build over the final set
-    // with the same frozen quantizers
-    VectorIndex.build(spark, sub(model), s"${prefix}_ref", cents, codes, 4, 16)
+    // with the CURRENT quantizers — read from the live index, because a
+    // retrain (or a rollback across one) legitimately replaces them;
+    // whatever geometry the sequence ended at, the stores must serve
+    // byte-identical to a from-scratch build under it
+    val centsNow = spark.table(s"${prefix}_centroids")
+      .select(col("cent_id").as("id"), col("cv").as("v"))
+    val codesNow = spark.table(s"${prefix}_codes").orderBy("m", "k").collect()
+      .map(r => Pq.Code(r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    VectorIndex.build(spark, sub(model), s"${prefix}_ref", centsNow, codesNow,
+      4, 16)
     assert(serve(prefix) == serve(s"${prefix}_ref"),
       s"[$oplog] end state serves differently from a fresh build")
   }
