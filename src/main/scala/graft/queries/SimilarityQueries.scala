@@ -1201,7 +1201,10 @@ object SimilarityQueries {
           PqM, PqSubDim)
         val staged = graft.streaming.DocStreams.stagedEmbSplits(
           e.filter(col("id") % 2 =!= 0).select(col("id"), col("v")), nFiles = 3)
-        graft.streaming.DocStreams.vectorIngestAppend(s, staged, prefix)
+        // maintenance policy ON at the production threshold (no-op for 3
+        // staged files; StreamingSpec drives it past the threshold)
+        graft.streaming.DocStreams.vectorIngestAppend(s, staged, prefix,
+          maxFilesPerUnit = Some(8))
         builtVectorIdxStream += prefix
       }
       prefix

@@ -686,7 +686,12 @@ object TextIndexQueries {
       Indexer.buildBucketedIndex(s, d.filter(col("doc_id") % 2 === 0), prefix)
       val staged = graft.streaming.DocStreams
         .stagedDocSplits(d.filter(col("doc_id") % 2 === 1), nFiles = 3)
-      graft.streaming.DocStreams.ingestAppend(s, staged, prefix)
+      // maintenance policy ON, production threshold: each micro-batch is
+      // followed by the bounded-file-count check (a no-op here — 3 staged
+      // files stay under 8; StreamingSpec drives a long ingest past the
+      // threshold and pins the bound)
+      graft.streaming.DocStreams.ingestAppend(s, staged, prefix,
+        maxFilesPerUnit = Some(8))
     })
 
   // ---- Batch multi-query search: one plan scores a query TABLE ---------------

@@ -146,8 +146,8 @@ object DocStreams {
     * (VectorIndex.append) — the vector twin of ingestAppend. A concurrent
     * ANN searcher reads the same tables as the corpus grows.
     */
-  def vectorIngestAppend(s: SparkSession, stagedDir: String,
-                         prefix: String): Unit = {
+  def vectorIngestAppend(s: SparkSession, stagedDir: String, prefix: String,
+                         maxFilesPerUnit: Option[Int] = None): Unit = {
     val ckpt = graft.ScratchDirs.fresh("graft_stream", "vingest_ckpt").toString
     val schema = s.read.parquet(s"$stagedDir/embeddings.parquet").schema
     val src = s.readStream.schema(schema).option("basePath", stagedDir)
@@ -161,10 +161,17 @@ object DocStreams {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty)
+          if (!batch.isEmpty) {
             graft.operators.VectorIndex.append(s,
               batch.select(org.apache.spark.sql.functions.col("id"),
                 org.apache.spark.sql.functions.col("v")), prefix)
+            // the same bounded-file-count policy as ingestAppend: one
+            // listing per batch, a per-list/per-bucket rewrite only past
+            // the threshold — continuous embedding ingest no longer
+            // implies unbounded file-count growth
+            maxFilesPerUnit.foreach(t =>
+              graft.operators.VectorIndex.compact(s, prefix, t): Unit)
+          }
         }
         .start()
       q.awaitTermination()
@@ -270,8 +277,21 @@ object DocStreams {
     * streaming half of the reference's "index once, grow forever" pattern
     * (app/index.sh re-runs into the same Cassandra tables; here the
     * arriving stream grows the same tables a concurrent searcher reads).
+    *
+    * `maxFilesPerUnit` wires the MAINTENANCE POLICY into the stream: every
+    * append adds one file per touched bucket, so an unattended ingest
+    * grows file counts without bound (a year of hourly batches is ~9k
+    * files per bucket — the reference gets this for free from Cassandra's
+    * automatic compaction, app/app.py:42-67). With the threshold set, each
+    * micro-batch is followed by a compaction CHECK (one directory listing;
+    * compactBucketedIndex no-ops under threshold), so files-per-bucket
+    * stays bounded for the stream's whole life and a concurrent searcher
+    * keeps reading correct results — compaction is results-invisible by
+    * contract. Amortized cost: the rewrite only triggers every ~threshold
+    * batches and touches only over-threshold buckets.
     */
-  def ingestAppend(s: SparkSession, stagedDir: String, prefix: String): Unit = {
+  def ingestAppend(s: SparkSession, stagedDir: String, prefix: String,
+                   maxFilesPerUnit: Option[Int] = None): Unit = {
     val ckpt = graft.ScratchDirs.fresh("graft_stream", "ingest_ckpt").toString
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -282,9 +302,12 @@ object DocStreams {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty)
+          if (!batch.isEmpty) {
             graft.operators.Indexer.appendBucketedIndex(s,
               batch.select(col("doc_id"), col("text")), prefix)
+            maxFilesPerUnit.foreach(t =>
+              graft.operators.Indexer.compactBucketedIndex(s, prefix, t): Unit)
+          }
         }
         .start()
       q.awaitTermination()

@@ -616,6 +616,70 @@ class StreamingSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("long text-index ingest under the maintenance policy keeps file counts bounded") {
+    import graft.streaming.DocStreams
+    val prefix = "graft_idx_policy_spec"
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    graft.operators.Indexer.buildBucketedIndex(spark,
+      d.filter(col("doc_id") % 12 === 0), prefix)
+    // 11 more micro-batches: WITHOUT the policy the busiest bucket ends at
+    // 12 files (build + one per append); the policy's threshold is 3
+    val staged = DocStreams.stagedDocSplits(
+      d.filter(col("doc_id") % 12 =!= 0), nFiles = 11)
+    DocStreams.ingestAppend(spark, staged, prefix, maxFilesPerUnit = Some(3))
+    val files = graft.operators.Indexer
+      .bucketFileCounts(spark, s"${prefix}_postings")
+    assert(files.values.max <= 3,
+      s"in-stream compaction did not bound file growth: $files")
+    // and the reader contract survives the whole maintenance history:
+    // search == a from-scratch build over the same corpus
+    graft.operators.Indexer.buildBucketedIndex(spark, d, s"${prefix}_full")
+    val q = "spark filter join stream data"
+    assert(graft.operators.Search.searchPrebuilt(spark, q, prefix)
+        .collect().toSeq ==
+      graft.operators.Search.searchPrebuilt(spark, q, s"${prefix}_full")
+        .collect().toSeq,
+      "post-policy index serves differently from a fresh build")
+  }
+
+  test("long vector ingest under the maintenance policy keeps file counts bounded") {
+    import graft.streaming.DocStreams
+    import graft.operators.VectorIndex
+    val prefix = "graft_vec_policy_spec"
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    VectorIndex.trainAndBuild(spark, e.filter(col("id") % 12 === 0), prefix,
+      nlist = 8, iters = 1, pqM = 4, pqKs = 8)
+    val staged = DocStreams.stagedEmbSplits(
+      e.filter(col("id") % 12 =!= 0).select(col("id"), col("v")), nFiles = 11)
+    DocStreams.vectorIngestAppend(spark, staged, prefix,
+      maxFilesPerUnit = Some(3))
+    val lists = VectorIndex.listFileCounts(spark, prefix)
+    val fwd = graft.operators.Indexer
+      .bucketFileCounts(spark, s"${prefix}_forward")
+    assert(lists.values.max <= 3,
+      s"in-stream compaction did not bound list growth: $lists")
+    assert(fwd.values.max <= 3,
+      s"in-stream compaction did not bound forward-bucket growth: $fwd")
+    // serving equals a fresh build over the full set with the SAME frozen
+    // quantizers (compaction and append are results-invisible)
+    val cents = spark.table(s"${prefix}_centroids")
+      .select(col("cent_id").as("id"), col("cv").as("v"))
+    val codes = spark.table(s"${prefix}_codes").orderBy("m", "k").collect()
+      .map(r => graft.operators.Pq.Code(r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2))).toSeq
+    VectorIndex.build(spark, e.select(col("id"), col("v")), s"${prefix}_ref",
+      cents, codes, 4, 16)
+    val probes = e.filter(col("id") % 50 === 0)
+    def serve(p: String) = VectorIndex
+      .searchPrebuilt(spark, p, probes, k = 5, nprobe = 4, shortlist = 20)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(serve(prefix) == serve(s"${prefix}_ref"),
+      "post-policy vector index serves differently from a fresh build")
+  }
+
   // ---- Replay invariance -----------------------------------------------------
   // The registry's stream_* rows run one AvailableNow pass over a
   // single-file source (one micro-batch plus sentinels). A live stream has
