@@ -98,17 +98,28 @@ object ScaleProbe {
       done.createNewFile(): Unit
     }
 
+    // `hybrid_rrf_bulk_<n>k` probes the bulk serving path with a FIXED
+    // request count over the scaled corpus (the registry row's one-request-
+    // per-doc fixture scales both dimensions at once by design)
+    val BulkRe = "hybrid_rrf_bulk_(\\d+)k".r
+    def queryFn(name: String): (SparkSession, String) => DataFrame =
+      name match {
+        case BulkRe(n) => (s, d) =>
+          graft.queries.TextIndexQueries.hybridRrfBulkN(s, d, n.toInt * 1000)
+        case _ => Queries.all(name)
+      }
+
     def time(name: String, dir: String): (Double, Long) = {
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
-        val df: DataFrame = Queries.all(name)(spark, dir)
+        val df: DataFrame = queryFn(name)(spark, dir)
         df.write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         (dt, -1L)
       }
       once() // warmup: memoized builds + codegen outside the timed runs
       val runs = (1 to 3).map(_ => once()._1)
-      val rows = Queries.all(name)(spark, dir).count()
+      val rows = queryFn(name)(spark, dir).count()
       (runs.min, rows)
     }
 

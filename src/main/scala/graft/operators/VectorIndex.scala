@@ -130,16 +130,18 @@ object VectorIndex {
     */
   def delete(spark: SparkSession, ids: DataFrame, prefix: String): Int = {
     val t = s"${prefix}_vectors"
-    val del = ids.select(col("id")).distinct()
-    val vecs = spark.table(t)
-    val affected = vecs.join(broadcast(del), "id")
-      .select(col("cent_id")).distinct().collect().map(_.get(0))
-    if (affected.isEmpty) return 0
     val loc = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
       .location
     val root = new org.apache.hadoop.fs.Path(loc)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // restore any crashed-swap debris BEFORE reading or counting anything
+    recoverAside(spark, t, root, fs, asideRootsFor(loc.toString))
+    val del = ids.select(col("id")).distinct()
+    val vecs = spark.table(t)
+    val affected = vecs.join(broadcast(del), "id")
+      .select(col("cent_id")).distinct().collect().map(_.get(0))
+    if (affected.isEmpty) return 0
     val staging = new org.apache.hadoop.fs.Path(loc.toString + "_delete_staging")
     fs.delete(staging, true)
     vecs.filter(col("cent_id").isin(affected: _*))
@@ -171,11 +173,54 @@ object VectorIndex {
     affected.length
   }
 
+  /** Crash recovery for the rename-aside swap, run on ENTRY to delete()
+    * and compact() before anything is counted, read, or deleted: if a
+    * prior maintenance run died between renaming a live list aside and
+    * landing its staged replacement, the aside dir holds the list's only
+    * durable copy (entry cleanup deletes staging debris) — restore every
+    * aside list whose live dir is missing, then clear the aside root
+    * (whatever remains belongs to swaps that completed). Without this,
+    * the next run's debris cleanup would destroy the last copy. Re-syncs
+    * the partition catalog when a restore happened.
+    */
+  private def recoverAside(spark: SparkSession, table: String,
+                           root: org.apache.hadoop.fs.Path,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           asideRoots: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    var restored = false
+    asideRoots.filter(fs.exists(_)).foreach { asideRoot =>
+      fs.listStatus(asideRoot)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cent_id="))
+        .foreach { d =>
+          val live = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+          if (!fs.exists(live)) {
+            if (!fs.rename(d.getPath, live))
+              sys.error(s"aside recovery rename failed for ${d.getPath}")
+            restored = true
+          }
+        }
+      fs.delete(asideRoot, true)
+    }
+    if (restored) {
+      spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
+      spark.catalog.refreshTable(table)
+    }
+  }
+
+  /** Both maintenance ops' aside roots for a `_vectors` location — a
+    * crashed DELETE's debris must be recovered on entry to a COMPACT and
+    * vice versa, so every op checks both.
+    */
+  private def asideRootsFor(loc: String): Seq[org.apache.hadoop.fs.Path] =
+    Seq(new org.apache.hadoop.fs.Path(loc + "_delete_aside"),
+      new org.apache.hadoop.fs.Path(loc + "_compact_aside"))
+
   /** Per-list directory swap shared by delete() and compact(): for each
     * affected cent_id, move the staged rewrite into place with the live dir
     * renamed ASIDE first — never deleted before its replacement has landed
     * (the rollback() sequence). A crash or rename failure at any step
-    * leaves the list's rows in at least one of live/aside/staging; an
+    * leaves the list's rows in at least one of live/aside/staging (and
+    * [[recoverAside]] restores aside debris on the next op's entry); an
     * in-process rename failure restores the live dir before erroring. A
     * list with NO staged dir was emptied by the rewrite (every member
     * deleted, or zero-row append debris) — its live dir is removed, which
@@ -253,14 +298,17 @@ object VectorIndex {
   def compact(spark: SparkSession, prefix: String,
               maxFilesPerUnit: Int = 8): Boolean = {
     val t = s"${prefix}_vectors"
+    val loc = tableLocation(spark, t)
+    val root = new org.apache.hadoop.fs.Path(loc)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // restore any crashed-swap debris BEFORE counting files — a restored
+    // list must be counted (and is usually exactly the one over threshold)
+    recoverAside(spark, t, root, fs, asideRootsFor(loc))
     val counts = listFileCounts(spark, prefix)
     val affected = counts.filter(_._2 > maxFilesPerUnit).keys.toSeq
       .map(_.stripPrefix("cent_id="))
     val didVectors = affected.nonEmpty
     if (didVectors) {
-      val loc = tableLocation(spark, t)
-      val root = new org.apache.hadoop.fs.Path(loc)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val staging = new org.apache.hadoop.fs.Path(loc + "_compact_staging")
       fs.delete(staging, true)
       // partition values are numeric by construction (cent_id = centroid

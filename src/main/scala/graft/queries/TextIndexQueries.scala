@@ -392,6 +392,21 @@ object TextIndexQueries {
       k = 10, nprobe = sq.ivfNProbe, shortlist = sq.ivfShortlist)
   }
 
+  /** Scale-probe hook (graft.ScaleProbe `hybrid_rrf_bulk_<n>k` targets):
+    * the bulk serving call with a FIXED request count, so the scaling
+    * curve isolates corpus growth — the registry row's requests-per-doc
+    * fixture deliberately scales BOTH dimensions at once, which is the
+    * correctness shape, not the scale one.
+    */
+  def hybridRrfBulkN(s: SparkSession, dir: String, nReq: Int): DataFrame = {
+    val sq = graft.queries.SimilarityQueries
+    Search.hybridBulkSearchPrebuilt(s,
+      bulkRequests(s, dir).orderBy("query_id").limit(nReq),
+      textPrefix = ensurePrebuilt(s, dir),
+      vecPrefix = sq.persistedVectorIndexPrefix(s, dir),
+      k = 10, nprobe = sq.ivfNProbe, shortlist = sq.ivfShortlist)
+  }
+
   lazy val hybridRrfBulkSql: String =
     s"""WITH $TokCte,
        |postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),

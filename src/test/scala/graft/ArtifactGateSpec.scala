@@ -64,5 +64,12 @@ class ArtifactGateSpec extends AnyFunSuite {
       s"${f.getName} benches $n queries but the registry has " +
         s"${Queries.all.size} — re-run graft.Bench at sf0.1 and commit " +
         "the refreshed artifact (stale-artifact gate, VERDICT r8 #1c)")
+    // r11+: the artifact must carry its own in-sweep variance signal
+    // (start/mid/end canary checkpoints + max_drift_ratio), so bench
+    // movements are adjudicated from the artifact instead of a fresh
+    // same-machine tree A/B every round (VERDICT r10 "what's wrong" #1)
+    assert(text.contains("\"canary\":") && text.contains("max_drift_ratio"),
+      s"${f.getName} has no canary variance block — re-run graft.Bench " +
+        "(the canary instrumentation landed in r11)")
   }
 }

@@ -248,6 +248,45 @@ class SimilaritySpec extends SparkSpec {
       "second compact() pass was not a no-op")
   }
 
+  test("maintenance recovery restores a list stranded by a crashed swap") {
+    import graft.operators.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val prefix = "vecrecover_spec"
+    VectorIndex.trainAndBuild(spark, emb, prefix,
+      nlist = 8, iters = 1, pqM = 4, pqKs = 8)
+    val probes = emb.filter(col("id") % 50 === 0)
+    def serve() = VectorIndex
+      .searchPrebuilt(spark, prefix, probes, k = 5, nprobe = 4, shortlist = 20)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val before = serve()
+    // simulate the crash window: a compact/delete died AFTER renaming a
+    // live list aside and BEFORE landing its staged replacement (staging
+    // debris already cleared by the next run's entry cleanup) — the aside
+    // dir holds the list's only copy
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${prefix}_vectors")).location
+    val root = new org.apache.hadoop.fs.Path(loc)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cent_id="))
+      .map(_.getPath).minBy(_.getName)
+    val asideRoot = new org.apache.hadoop.fs.Path(loc.toString + "_compact_aside")
+    fs.mkdirs(asideRoot)
+    assert(fs.rename(victim,
+      new org.apache.hadoop.fs.Path(asideRoot, victim.getName)))
+    // ANY subsequent maintenance op must first restore the stranded list
+    // (threshold 999 = no rewrite work; entry recovery is what runs)
+    VectorIndex.compact(spark, prefix, maxFilesPerUnit = 999)
+    assert(!fs.exists(asideRoot), "recovery left the aside root behind")
+    assert(fs.exists(victim), "recovery did not restore the stranded list")
+    assert(serve() == before,
+      "serving changed across crash recovery — rows were lost")
+  }
+
   test("vector-index lifecycle fuzz: random op sequences keep the stores consistent") {
     import graft.operators.{Pq, VectorIndex}
     val dir = "/root/testdata/sf0.001"
