@@ -90,10 +90,12 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = obj(results)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val maxDrift = Canaries.map { c =>
+    // -1 (not NaN: invalid JSON for strict parsers) when a canary failed
+    val ratios = Canaries.flatMap { c =>
       val ts = Seq(cStart, cMid, cEnd).map(_.toMap.apply(c)).filter(_ > 0)
-      if (ts.size == 3) ts.max / ts.min else Double.NaN
-    }.max
+      if (ts.size == 3) Some(ts.max / ts.min) else None
+    }
+    val maxDrift = if (ratios.size == Canaries.size) ratios.max else -1.0
     val canary = s"""{"start":${obj(cStart)},"mid":${obj(cMid)},""" +
       s""""end":${obj(cEnd)},"max_drift_ratio":$maxDrift}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary":$canary,"sf":"$sfDir","runs_per_query":3,"warmup_runs":1,"reported":"min"}"""

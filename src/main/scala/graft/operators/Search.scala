@@ -285,7 +285,11 @@ object Search {
     * ARE the pruning and the batch form wins.
     *
     * @param requests (query_id: long, query_text: string); query_id keys
-    *                 the stored probe vector and the output rows
+    *                 the stored probe vector and the output rows, and must
+    *                 be UNIQUE — duplicate rows under one id are an
+    *                 ill-defined request ("one query, two texts") and
+    *                 double-score the text arm (the batch form shares this
+    *                 contract; AUDIT_r11 #7)
     */
   def hybridBulkSearchPrebuilt(spark: SparkSession, requests: DataFrame,
                                textPrefix: String, vecPrefix: String,

@@ -43,6 +43,14 @@ class ArtifactGateSpec extends AnyFunSuite {
         "refreshed artifact (stale-audit gate, VERDICT r8 #1c)")
   }
 
+  test("bench canaries are registered queries") {
+    // Bench.main resolves canaries through the registry at startup; a
+    // renamed/removed canary would kill the whole sweep at its first line
+    Bench.Canaries.foreach(c =>
+      assert(Queries.all.contains(c),
+        s"bench canary '$c' is not a registered query"))
+  }
+
   test("newest BENCH_LOCAL artifact benches the FULL registry") {
     val benches = root.listFiles()
       .filter(f => f.getName.matches("BENCH_LOCAL_r\\d+\\.json"))
