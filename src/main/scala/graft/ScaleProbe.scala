@@ -124,6 +124,51 @@ object ScaleProbe {
     }
 
     ensureSf1()
+
+    // `ingest_policy`: throughput probe for the in-stream maintenance
+    // policy — the same 11-batch ingest with the compaction check OFF vs
+    // ON at a threshold (3) low enough to trigger several rewrites; the
+    // printed overhead ratio is the policy's whole cost. Runs at sf0.1
+    // and the scaled corpus, text and vector stores.
+    if (args.contains("ingest_policy")) {
+      Seq(("sf0.1", src), (s"x$factor", sf1)).foreach { case (tag, dir) =>
+        val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        val staged = graft.streaming.DocStreams
+          .stagedDocSplits(d.filter(col("doc_id") % 12 =!= 0), nFiles = 11)
+        def run(policy: Option[Int], p: String): Double = {
+          val prefix = s"probe_ing_${p}_" + tag.replaceAll("[^A-Za-z0-9]", "_")
+          graft.operators.Indexer.buildBucketedIndex(spark,
+            d.filter(col("doc_id") % 12 === 0), prefix)
+          val t0 = System.nanoTime()
+          graft.streaming.DocStreams.ingestAppend(spark, staged, prefix, policy)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val off = run(None, "off")
+        val on = run(Some(3), "on")
+        println(f"ingest_policy[text] $tag: off=$off%.2f s on=$on%.2f s " +
+          f"overhead=${on / off}%.2f")
+        val e = Tables.embeddings(spark, dir).select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val vstaged = graft.streaming.DocStreams
+          .stagedEmbSplits(e.filter(col("id") % 12 =!= 0), nFiles = 11)
+        def vrun(policy: Option[Int], p: String): Double = {
+          val prefix = s"probe_ving_${p}_" + tag.replaceAll("[^A-Za-z0-9]", "_")
+          graft.operators.VectorIndex.trainAndBuild(spark,
+            e.filter(col("id") % 12 === 0), prefix)
+          val t0 = System.nanoTime()
+          graft.streaming.DocStreams.vectorIngestAppend(spark, vstaged,
+            prefix, policy)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val voff = vrun(None, "off")
+        val von = vrun(Some(3), "on")
+        println(f"ingest_policy[vector] $tag: off=$voff%.2f s on=$von%.2f s " +
+          f"overhead=${von / voff}%.2f")
+      }
+      spark.stop()
+      return
+    }
+
     val targets =
       if (args.nonEmpty) args.toSeq
       else Seq("knn_graph", "knn_graph_auto", "dedup_embedding_auto",

@@ -427,10 +427,28 @@ object Search {
         explode(array_distinct(
           graft.functions.Tokenizer.tokenize(col("query_text")))).as("term"))
     val qTerms = if (broadcastRequests) broadcast(qTerms0) else qTerms0
-    val scored = qTerms
-      .join(termDf, "term")
-      .join(postings.select("term", "doc_id", "tf"), "term")
-      .join(docInfo.select("doc_id", "length"), "doc_id")
+    // Join ORDER differs by form, and it matters enormously at scale. The
+    // broadcast (micro-batch) form prunes postings down to the batch's
+    // terms first, so the doc-length attach touches only the pruned rows.
+    // The bulk form's term join MULTIPLIES rows (every posting row matches
+    // ~|queries sharing the term|), so attaching length AFTER it would
+    // shuffle the |requests|-times-larger scored relation by doc_id — the
+    // x10 probe measured exactly that as the dominant cost. Attaching
+    // length to postings BEFORE the term join keeps every shuffle
+    // proportional to the postings table, never the scored blow-up (which
+    // then flows straight into the map-side partial aggregation).
+    val joined =
+      if (broadcastRequests)
+        qTerms
+          .join(termDf, "term")
+          .join(postings.select("term", "doc_id", "tf"), "term")
+          .join(docInfo.select("doc_id", "length"), "doc_id")
+      else
+        qTerms
+          .join(termDf, "term")
+          .join(postings.select("term", "doc_id", "tf")
+            .join(docInfo.select("doc_id", "length"), "doc_id"), "term")
+    val scored = joined
       .crossJoin(broadcast(stats))
       .withColumn("score", BM25.termScore(col("tf"),
         BM25.idf(col("n_docs"), col("df")), col("length"), col("avg_len")))
