@@ -481,7 +481,12 @@ object TextIndexQueries {
         outPath
       })
     }
-    s.read.parquet(out)
+    // recursiveFileLookup: the sink's batch_id=N subdirs exist for
+    // idempotent replay (one overwrite target per micro-batch), NOT as a
+    // partition scheme — the accumulated results are read in full by
+    // definition, so don't let partition discovery turn the replay dirs
+    // into a prunable (and audit-flagged-unpruned) partition column
+    s.read.option("recursiveFileLookup", "true").parquet(out)
       .select(col("query_id"), col("doc_id"), col("title"), col("text_rank"),
         col("vec_rank"), col("rrf"))
       .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
