@@ -187,6 +187,37 @@ class CliSpec extends SparkSpec {
       "bulk serving diverged from the literal-pruned batch form")
   }
 
+  test("hbatch auto-routes past the literal-pruning threshold and stays correct") {
+    import spark.implicits._
+    val tPrefix = "graft_cli_rt_t"
+    val vPrefix = "graft_cli_rt_v"
+    assert(cli.Main.run(spark, Seq("index", docsPath, tPrefix)).isRight)
+    assert(cli.Main.run(spark,
+      Seq("vindex", s"$dir/embeddings.parquet", vPrefix)).isRight)
+    // one over the threshold: the command must serve through the bulk
+    // join plan (no driver collect of the requests) with the same rows
+    // the library's bulk call returns
+    val n = (cli.Main.BulkRequestThreshold + 1).toInt
+    val reqs = (0 until n).map(i =>
+      (i.toLong, if (i % 2 == 0) "spark filter join" else "customer data"))
+    val reqPath = ScratchDirs.fresh("graft_test", "hroute_reqs").toString
+    val reqDf = reqs.toDF("query_id", "query_text")
+    reqDf.write.mode("overwrite").parquet(reqPath)
+    val routed = cli.Main
+      .run(spark, Seq("hbatch", reqPath, tPrefix, vPrefix, "5"))
+      .toOption.flatten.get.collect().map(_.toSeq).toSeq
+    val direct = graft.operators.Search
+      .hybridBulkSearchPrebuilt(spark,
+        spark.read.parquet(reqPath)
+          .select(col("query_id").cast("long").as("query_id"),
+            col("query_text")),
+        tPrefix, vPrefix, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(routed == direct,
+      "over-threshold hbatch did not serve through the bulk plan")
+    assert(routed.nonEmpty)
+  }
+
   test("vretrain re-derives quantizers behind a snapshot fence; vrollback undoes") {
     val prefix = "graft_cli_rt"
     assert(cli.Main.run(spark,
