@@ -240,7 +240,13 @@ object Indexer {
     * @param docIds one column `doc_id`, the documents to forget
     */
   def deleteFromBucketedIndex(spark: SparkSession, prefix: String,
-                              docIds: DataFrame): Unit = {
+                              docIds: DataFrame): Unit =
+    MaintenanceLease.withLease(spark, prefix, "index-delete") {
+      deleteFromBucketedIndexImpl(spark, prefix, docIds)
+    }
+
+  private def deleteFromBucketedIndexImpl(spark: SparkSession, prefix: String,
+                                          docIds: DataFrame): Unit = {
     val ids = docIds.select(col("doc_id"))
     val deletedPostings = spark.table(s"${prefix}_postings")
       .join(broadcast(ids), Seq("doc_id"), "left_semi")
@@ -362,6 +368,13 @@ object Indexer {
                            prefixB: String, outPrefix: String): Unit = {
     require(outPrefix != prefixA && outPrefix != prefixB,
       "merge target must be a new index (use appendBucketedIndex to grow in place)")
+    MaintenanceLease.withLease(spark, outPrefix, "index-merge") {
+      mergeBucketedIndexesImpl(spark, prefixA, prefixB, outPrefix)
+    }
+  }
+
+  private def mergeBucketedIndexesImpl(spark: SparkSession, prefixA: String,
+                                       prefixB: String, outPrefix: String): Unit = {
     Seq("postings", "term_df", "doc_info")
       .foreach(t => dropManagedTable(spark, s"${outPrefix}_$t"))
     // Union-of-co-bucketed-children is the ONE shape where Spark 4.1's
@@ -451,7 +464,13 @@ object Indexer {
   }
 
   def compactBucketedIndex(spark: SparkSession, prefix: String,
-                           maxFilesPerBucket: Int = 8): Boolean = {
+                           maxFilesPerBucket: Int = 8): Boolean =
+    MaintenanceLease.withLease(spark, prefix, "index-compact") {
+      compactBucketedIndexImpl(spark, prefix, maxFilesPerBucket)
+    }
+
+  private def compactBucketedIndexImpl(spark: SparkSession, prefix: String,
+                                       maxFilesPerBucket: Int): Boolean = {
     val name = s"${prefix}_postings"
     val counts = bucketFileCounts(spark, name)
     val didPostings = counts.values.exists(_ > maxFilesPerBucket)

@@ -128,7 +128,12 @@ object VectorIndex {
     * @param ids one column `id` — the vectors to forget
     * @return number of coarse lists rewritten
     */
-  def delete(spark: SparkSession, ids: DataFrame, prefix: String): Int = {
+  def delete(spark: SparkSession, ids: DataFrame, prefix: String): Int =
+    MaintenanceLease.withLease(spark, prefix, "vector-delete") {
+      deleteImpl(spark, ids, prefix)
+    }
+
+  private def deleteImpl(spark: SparkSession, ids: DataFrame, prefix: String): Int = {
     val t = s"${prefix}_vectors"
     val loc = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
@@ -296,7 +301,13 @@ object VectorIndex {
     * @return true if either store was rewritten
     */
   def compact(spark: SparkSession, prefix: String,
-              maxFilesPerUnit: Int = 8): Boolean = {
+              maxFilesPerUnit: Int = 8): Boolean =
+    MaintenanceLease.withLease(spark, prefix, "vector-compact") {
+      compactImpl(spark, prefix, maxFilesPerUnit)
+    }
+
+  private def compactImpl(spark: SparkSession, prefix: String,
+                          maxFilesPerUnit: Int): Boolean = {
     val t = s"${prefix}_vectors"
     val loc = tableLocation(spark, t)
     val root = new org.apache.hadoop.fs.Path(loc)
@@ -352,6 +363,10 @@ object VectorIndex {
     * path-copy would lose the catalog bucket spec).
     */
   private def copyIndex(spark: SparkSession, from: String, to: String): Unit = {
+    // a snapshot taken between a crash and the next maintenance op must
+    // not bake a mid-swap missing list into the fence copy (ADVICE r11)
+    ensureRecovered(spark, from,
+      context = "snapshot/copy would bake the missing lists into the copy")
     val base = graft.ScratchDirs.fresh("graft_vecidx", to)
     val conf = spark.sparkContext.hadoopConfiguration
     Parts.foreach { t =>
@@ -393,11 +408,14 @@ object VectorIndex {
     * assign-encode-append pass over B.
     */
   def merge(spark: SparkSession, prefixA: String, prefixB: String,
-            out: String): Unit = {
-    copyIndex(spark, prefixA, out)
-    append(spark,
-      spark.table(s"${prefixB}_forward").select(col("id"), col("v")), out)
-  }
+            out: String): Unit =
+    // lease the index being WRITTEN (A and B are only read; their own
+    // crash-debris checks run at copyIndex/table-read entry)
+    MaintenanceLease.withLease(spark, out, "vector-merge") {
+      copyIndex(spark, prefixA, out)
+      append(spark,
+        spark.table(s"${prefixB}_forward").select(col("id"), col("v")), out)
+    }
 
   /** RETRAIN the quantizers of a persisted index from its own forward
     * store — the drift remedy the maintenance loop closes with: append and
@@ -425,7 +443,21 @@ object VectorIndex {
     * are never deleted, so no state is unrecoverable.
     */
   def retrain(spark: SparkSession, prefix: String, iters: Int = 2,
-              nlistOverride: Option[Int] = None): Unit = {
+              nlistOverride: Option[Int] = None): Unit =
+    MaintenanceLease.withLease(spark, prefix, "vector-retrain") {
+      // clear crashed-swap debris first (ADVICE r11): retrain never reads
+      // `_vectors`, but build()'s re-point would orphan the aside copy
+      // forever (asideRootsFor derives from the NEW location afterwards)
+      val t = s"${prefix}_vectors"
+      val loc = tableLocation(spark, t)
+      val root = new org.apache.hadoop.fs.Path(loc)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recoverAside(spark, t, root, fs, asideRootsFor(loc))
+      retrainImpl(spark, prefix, iters, nlistOverride)
+    }
+
+  private def retrainImpl(spark: SparkSession, prefix: String, iters: Int,
+                          nlistOverride: Option[Int]): Unit = {
     import spark.implicits._
     val codes0 = spark.table(s"${prefix}_codes")
       .orderBy("m", "k").collect()
@@ -442,6 +474,27 @@ object VectorIndex {
     val codes = Pq.train(raw, pqM, pqSubDim, pqKs)
     build(spark, raw, prefix, cents, codes, pqM, pqSubDim,
       writeForward = false)
+  }
+
+  /** Occupancy skew of the coarse lists — max/mean member count, the
+    * cheap drift signal the in-stream retrain policy reads
+    * ([[graft.streaming.DocStreams.RetrainPolicy]]): appends assign with
+    * FROZEN centroids, so a corpus drifting from the training
+    * distribution piles its new vectors onto the few stale centroids that
+    * happen to score highest, and the imbalance grows monotonically with
+    * the drift. The aggregate groups on the PARTITION column only (no
+    * data columns read — row counts come from parquet metadata) and
+    * outputs <= NList rows, so the check costs file-listing time at any
+    * corpus scale. 1.0 = perfectly balanced; an empty index reports 0.0
+    * (never triggers).
+    */
+  def occupancySkew(spark: SparkSession, prefix: String): Double = {
+    val r = spark.table(s"${prefix}_vectors")
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).cast("double"), avg(col("n")))
+      .head()
+    if (r.isNullAt(0) || r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
   }
 
   /** One-row DESCRIBE of a persisted vector index: corpus size, list
@@ -542,10 +595,45 @@ object VectorIndex {
     servePlan(spark, prefix, probes, k, nprobe, shortlist, withVector,
       broadcastProbes = false)
 
+  /** Crash-debris check shared by the READ entry points (serving, the
+    * snapshot copy): if either maintenance op's aside root exists, a prior
+    * run crashed mid-swap and the live `_vectors` may be missing a list —
+    * recover it NOW rather than silently under-returning until the next
+    * delete/compact (ADVICE r11). Recovery runs under the maintenance
+    * lease, taken OPPORTUNISTICALLY: when a live op holds it, the "debris"
+    * is that op's in-flight swap, which its own sequence will land or its
+    * successor recover — touching it here would corrupt the swap, so the
+    * read proceeds (serving across a live swap window was always the
+    * documented transient; the lease now bounds it to genuinely-live ops).
+    * Cost on the hot serve path: two fs.exists calls, nothing else, in the
+    * no-debris case.
+    */
+  private def ensureRecovered(spark: SparkSession, prefix: String,
+                              context: String): Unit = {
+    val t = s"${prefix}_vectors"
+    val loc = tableLocation(spark, t)
+    val root = new org.apache.hadoop.fs.Path(loc)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (asideRootsFor(loc).exists(fs.exists)) {
+      val done = MaintenanceLease
+        .tryWithLease(spark, prefix, "aside-recovery") {
+          recoverAside(spark, t, root, fs, asideRootsFor(loc))
+        }
+      if (done.isEmpty)
+        System.err.println(s"[graft] $prefix has aside-swap directories " +
+          s"and a live maintenance op holds the lease — proceeding " +
+          s"without recovery ($context; transient while the op runs)")
+    }
+  }
+
   private def servePlan(spark: SparkSession, prefix: String, probes: DataFrame,
                         k: Int, nprobe: Int, shortlist: Int,
                         withVector: Boolean,
                         broadcastProbes: Boolean): DataFrame = {
+    // serving between a crash and the next maintenance op must not
+    // under-return from a mid-swap-missing list (ADVICE r11)
+    ensureRecovered(spark, prefix,
+      context = "serving may transiently under-return from probed lists")
     val codes = spark.table(s"${prefix}_codes")
       .orderBy("m", "k").collect()
       .map(r => Pq.Code(r.getInt(0), r.getInt(1), r.getSeq[Double](2)))

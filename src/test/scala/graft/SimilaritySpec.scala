@@ -287,6 +287,155 @@ class SimilaritySpec extends SparkSpec {
       "serving changed across crash recovery — rows were lost")
   }
 
+  test("maintenance lease: a second concurrent op fails fast naming the holder") {
+    import graft.operators.{Indexer, MaintenanceLease, VectorIndex}
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val prefix = "veclease_spec"
+    VectorIndex.trainAndBuild(spark, emb, prefix,
+      nlist = 8, iters = 1, pqM = 4, pqKs = 8)
+    // a "scheduled policy" holds the lease; the "manual op" must fail
+    // fast with the holder named, never interleave
+    val ex = intercept[MaintenanceLease.LeaseHeldException] {
+      MaintenanceLease.withLease(spark, prefix, "scheduled-policy-compact") {
+        VectorIndex.compact(spark, prefix, maxFilesPerUnit = 999)
+      }
+    }
+    assert(ex.getMessage.contains("scheduled-policy-compact"),
+      s"contention error does not name the holder: ${ex.getMessage}")
+    assert(ex.getMessage.contains(prefix))
+    // the lease releases on exit: the same op now proceeds
+    VectorIndex.compact(spark, prefix, maxFilesPerUnit = 999)
+    // retrain and delete honor the same lease
+    intercept[MaintenanceLease.LeaseHeldException] {
+      MaintenanceLease.withLease(spark, prefix, "other-writer") {
+        VectorIndex.retrain(spark, prefix, iters = 1)
+      }
+    }
+    intercept[MaintenanceLease.LeaseHeldException] {
+      import spark.implicits._
+      MaintenanceLease.withLease(spark, prefix, "other-writer") {
+        VectorIndex.delete(spark, Seq(1L).toDF("id"), prefix)
+      }
+    }
+    // the TEXT index's maintenance ops honor theirs too
+    val tPrefix = "txtlease_spec"
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(50)
+    Indexer.buildBucketedIndex(spark, docs, tPrefix)
+    val ex2 = intercept[MaintenanceLease.LeaseHeldException] {
+      MaintenanceLease.withLease(spark, tPrefix, "stream-policy") {
+        Indexer.compactBucketedIndex(spark, tPrefix, maxFilesPerBucket = 999)
+      }
+    }
+    assert(ex2.getMessage.contains("stream-policy"))
+  }
+
+  test("maintenance lease: a crashed writer's stale lease expires; a fresh one blocks") {
+    import graft.operators.VectorIndex
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val prefix = "vecstale_spec"
+    VectorIndex.trainAndBuild(spark, emb, prefix,
+      nlist = 8, iters = 1, pqM = 4, pqKs = 8)
+    val lease = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"_graft_lease_$prefix")
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plantLease(ageMs: Long): Unit = {
+      val out = fs.create(lease, true)
+      out.write("op=crashed-writer host=gone pid=0 epoch=0\n".getBytes("UTF-8"))
+      out.close()
+      val t = System.currentTimeMillis() - ageMs
+      fs.setTimes(lease, t, t)
+    }
+    val prevStale = spark.conf.getOption(
+      graft.operators.MaintenanceLease.StaleMsConf)
+    spark.conf.set(graft.operators.MaintenanceLease.StaleMsConf, "60000")
+    try {
+      // fresh foreign lease (age 0 < 60 s): blocked, holder named
+      plantLease(ageMs = 0)
+      val ex = intercept[graft.operators.MaintenanceLease.LeaseHeldException] {
+        VectorIndex.compact(spark, prefix, maxFilesPerUnit = 999)
+      }
+      assert(ex.getMessage.contains("crashed-writer"))
+      // stale lease (2 min > 60 s): expired and retaken; the op runs and
+      // releases cleanly
+      plantLease(ageMs = 120000)
+      VectorIndex.compact(spark, prefix, maxFilesPerUnit = 999)
+      assert(!fs.exists(lease), "op did not release the retaken lease")
+      // token-checked release: an op that outlives staleMs and gets
+      // usurped must NOT delete the usurper's lease on exit
+      graft.operators.MaintenanceLease.withLease(spark, prefix, "slow-op") {
+        plantLease(ageMs = 0) // the usurper retakes mid-op
+      }
+      assert(fs.exists(lease),
+        "a usurped op deleted the new holder's lease on exit " +
+          "(lock-token bug)")
+    } finally {
+      fs.delete(lease, false)
+      prevStale match {
+        case Some(v) => spark.conf.set(
+          graft.operators.MaintenanceLease.StaleMsConf, v)
+        case None => spark.conf.unset(
+          graft.operators.MaintenanceLease.StaleMsConf)
+      }
+    }
+  }
+
+  test("serving recovers crash debris, but never under a live maintenance lease") {
+    import graft.operators.{MaintenanceLease, VectorIndex}
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val prefix = "vecserverec_spec"
+    VectorIndex.trainAndBuild(spark, emb, prefix,
+      nlist = 8, iters = 1, pqM = 4, pqKs = 8)
+    val probes = emb.filter(col("id") % 50 === 0)
+    def serve() = VectorIndex
+      .searchPrebuilt(spark, prefix, probes, k = 5, nprobe = 8, shortlist = 20)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val before = serve()
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${prefix}_vectors")).location
+    val root = new org.apache.hadoop.fs.Path(loc)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def strand(): org.apache.hadoop.fs.Path = {
+      val victim = fs.listStatus(root)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cent_id="))
+        .map(_.getPath).minBy(_.getName)
+      val asideRoot = new org.apache.hadoop.fs.Path(
+        loc.toString + "_delete_aside")
+      fs.mkdirs(asideRoot)
+      assert(fs.rename(victim,
+        new org.apache.hadoop.fs.Path(asideRoot, victim.getName)))
+      spark.sql(s"MSCK REPAIR TABLE ${prefix}_vectors SYNC PARTITIONS")
+      asideRoot
+    }
+    // crash debris with NO live op: the serve itself recovers it (ADVICE
+    // r11 — no under-returning window until the next maintenance op)
+    val aside1 = strand()
+    assert(serve() == before,
+      "serve did not recover crash debris — results under-returned")
+    assert(!fs.exists(aside1), "serve-path recovery left the aside root")
+    // debris while a LIVE op holds the lease: serving must NOT touch the
+    // op's in-flight swap state (recovering here would corrupt it)
+    val aside2 = strand()
+    MaintenanceLease.withLease(spark, prefix, "live-compact") {
+      serve() // transient under-return is the documented contract here
+      assert(fs.exists(aside2),
+        "serve-path recovery ran under a live maintenance lease")
+    }
+    // op gone (lease released): next maintenance entry restores the list
+    VectorIndex.compact(spark, prefix, maxFilesPerUnit = 999)
+    assert(serve() == before)
+  }
+
   test("vector-index lifecycle fuzz: random op sequences keep the stores consistent") {
     import graft.operators.{Pq, VectorIndex}
     val dir = "/root/testdata/sf0.001"
