@@ -141,6 +141,8 @@ object PlanAudit {
       "vindex_merged" -> "probes x 64-row stored centroid table (ADC prep)",
       "vindex_retrained" -> "probes x 64-row stored centroid table (ADC prep)",
       "stream_vector_ingest" -> "serving read: probes x 64-row centroid table",
+      "stream_vector_ingest_retrain" ->
+        "serving read: probes x 64-row centroid table",
       "cross_join_regions" -> "labeled cartesian: 5 regions x 25 nations",
       "quantile_bins" -> "values x 10-row quantile cut-point table")
 

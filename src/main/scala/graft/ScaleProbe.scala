@@ -129,7 +129,9 @@ object ScaleProbe {
     // policy — the same 11-batch ingest with the compaction check OFF vs
     // ON at a threshold (3) low enough to trigger several rewrites; the
     // printed overhead ratio is the policy's whole cost. Runs at sf0.1
-    // and the scaled corpus, text and vector stores.
+    // and the scaled corpus, text and vector stores. Falls through to any
+    // OTHER targets in the same invocation (an early return here silently
+    // dropped them — ADVICE r11).
     if (args.contains("ingest_policy")) {
       Seq(("sf0.1", src), (s"x$factor", sf1)).foreach { case (tag, dir) =>
         val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -165,23 +167,57 @@ object ScaleProbe {
         println(f"ingest_policy[vector] $tag: off=$voff%.2f s on=$von%.2f s " +
           f"overhead=${von / voff}%.2f")
       }
-      spark.stop()
-      return
     }
 
+    // `retrain_policy`: throughput probe for the drift-triggered retrain
+    // check in the vector ingest stream — the same 11-batch embedding
+    // ingest with the policy OFF vs ON at a cadence/threshold that
+    // TRIGGERS (threshold 0 fires at every check), so the ratio prices
+    // check + snapshot fence + retrain, the policy's whole cost. A real
+    // deployment amortizes further: the skew check alone is a
+    // partition-column-only aggregate, and retrain only fires on drift.
+    if (args.contains("retrain_policy")) {
+      Seq(("sf0.1", src), (s"x$factor", sf1)).foreach { case (tag, dir) =>
+        val e = Tables.embeddings(spark, dir).select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val vstaged = graft.streaming.DocStreams
+          .stagedEmbSplits(e.filter(col("id") % 12 =!= 0), nFiles = 11)
+        def vrun(policy: Option[graft.streaming.DocStreams.RetrainPolicy],
+                 p: String): Double = {
+          val prefix = s"probe_vrt_${p}_" + tag.replaceAll("[^A-Za-z0-9]", "_")
+          graft.operators.VectorIndex.trainAndBuild(spark,
+            e.filter(col("id") % 12 === 0), prefix)
+          val t0 = System.nanoTime()
+          graft.streaming.DocStreams.vectorIngestAppend(spark, vstaged,
+            prefix, maxFilesPerUnit = None, retrainPolicy = policy)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val off = vrun(None, "off")
+        val on = vrun(Some(graft.streaming.DocStreams.RetrainPolicy(
+          everyNBatches = 6, skewThreshold = 0.0)), "on")
+        println(f"retrain_policy[vector] $tag: off=$off%.2f s on=$on%.2f s " +
+          f"overhead=${on / off}%.2f (cadence 6, threshold 0 => every " +
+          "check fires: snapshot fence + full re-Lloyd included)")
+      }
+    }
+
+    val policyProbes = Set("ingest_policy", "retrain_policy")
     val targets =
-      if (args.nonEmpty) args.toSeq
+      if (args.exists(policyProbes)) args.toSeq.filterNot(policyProbes)
+      else if (args.nonEmpty) args.toSeq
       else Seq("knn_graph", "knn_graph_auto", "dedup_embedding_auto",
         "semantic_dedup_auto", "ingest_pipeline", "q1_agg", "q3_shipping",
         "q5_star_join", "q7_volume_shipping", "events_sessionize",
         "events_session_window", "scd2_history", "dedup_minhash_lsh",
         "dedup_minhash_shingled", "dedup_substring_spans", "token_pmi",
         "graph_pagerank", "index_postings", "bm25_search")
-    println(f"${"query"}%-22s ${"sf0.1 s"}%9s ${"sf1 s"}%9s ${"ratio"}%7s rows0.1 rows1")
-    targets.foreach { q =>
-      val (t01, r01) = time(q, src)
-      val (t1, r1) = time(q, sf1)
-      println(f"$q%-22s $t01%9.2f $t1%9.2f ${t1 / t01}%7.2f $r01 $r1")
+    if (targets.nonEmpty) {
+      println(f"${"query"}%-22s ${"sf0.1 s"}%9s ${"sf1 s"}%9s ${"ratio"}%7s rows0.1 rows1")
+      targets.foreach { q =>
+        val (t01, r01) = time(q, src)
+        val (t1, r1) = time(q, sf1)
+        println(f"$q%-22s $t01%9.2f $t1%9.2f ${t1 / t01}%7.2f $r01 $r1")
+      }
     }
     spark.stop()
   }

@@ -1218,6 +1218,57 @@ object SimilarityQueries {
         col("cosine").cast("double").as("cosine"))
       .orderBy("probe_id", "rank")
 
+  // ---- Vector ingest stream + drift-triggered RETRAIN POLICY -----------------
+  // The automation half of the maintenance loop (r11 wired compaction into
+  // the streams; this wires retrain): the same build-half / stream-half
+  // ingest, with the policy set to check at the final batch and fire
+  // unconditionally (threshold 0 — the deterministic setting; the
+  // drift-SIGNAL behavior is pinned by StreamingSpec's drifted fixture,
+  // which needs a distribution shift sf-corpus data doesn't have). A
+  // policy retrain re-Lloyds from the forward store, which then holds the
+  // FULL corpus — so the served result must hash-match the from-scratch
+  // build oracle (annIvfPqSql trains on all of emb), exactly like
+  // vindex_retrained. Pins end-to-end: stream appends grow the forward
+  // store correctly, the in-stream policy fires through the snapshot
+  // fence and the maintenance lease, and retrain-in-stream equals
+  // build-fresh.
+  private val builtVectorIdxStreamRt = scala.collection.mutable.Set[String]()
+
+  private def ensureStreamRetrainedIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val prefix = "graft_vecidxsr_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!builtVectorIdxStreamRt.contains(prefix)) {
+        import s.implicits._
+        val e = emb(s, dir)
+        val half = e.filter(col("id") % 2 === 0)
+        val cents = Similarity.trainCentroids(half, NList, IvfIters, Dim)
+          .toDF("id", "v")
+        val codes = graft.operators.Pq.train(
+          half.select(col("id"), col("v")), PqM, PqSubDim, PqKs)
+        graft.operators.VectorIndex.build(s, half, prefix, cents, codes,
+          PqM, PqSubDim)
+        val staged = graft.streaming.DocStreams.stagedEmbSplits(
+          e.filter(col("id") % 2 =!= 0).select(col("id"), col("v")), nFiles = 3)
+        val fired = graft.streaming.DocStreams.vectorIngestAppend(s, staged,
+          prefix, maxFilesPerUnit = None,
+          retrainPolicy = Some(graft.streaming.DocStreams.RetrainPolicy(
+            everyNBatches = 3, skewThreshold = 0.0, iters = IvfIters)))
+        if (fired != 1)
+          sys.error(s"retrain policy fired $fired times, fixture expects " +
+            "exactly 1 (at the final micro-batch)")
+        builtVectorIdxStreamRt += prefix
+      }
+      prefix
+    }
+
+  def streamVectorIngestRetrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.VectorIndex.searchPrebuilt(s,
+        ensureStreamRetrainedIndex(s, dir), probes(s, dir), K, NProbe,
+        PqShortlist)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        col("cosine").cast("double").as("cosine"))
+      .orderBy("probe_id", "rank")
+
   // ---- Vector-index COMPACTION lifecycle --------------------------------------
   // Build from half the corpus, append the other half in TWO batches
   // (each append adds one file per touched coarse list and forward
@@ -2015,6 +2066,7 @@ object SimilarityQueries {
     "vindex_stats" -> (vindexStats _),
     "vector_index_drift" -> (vectorIndexDrift _),
     "stream_vector_ingest" -> (streamVectorIngest _),
+    "stream_vector_ingest_retrain" -> (streamVectorIngestRetrain _),
     "ann_quantized" -> (annQuantized _),
     "ann_lsh_quantized" -> (annLshQuantized _),
     "mmr_rerank" -> (mmrRerank _),
@@ -2048,6 +2100,10 @@ object SimilarityQueries {
     "vindex_stats" -> vindexStatsSql,
     "vector_index_drift" -> vectorIndexDriftSql,
     "stream_vector_ingest" -> annIvfPqAppendedSql,
+    // the policy retrain at the last batch re-derives quantizers from the
+    // full forward store — the from-scratch-build oracle, like
+    // vindex_retrained
+    "stream_vector_ingest_retrain" -> annIvfPqSql,
     "ann_quantized" -> annQuantizedSql,
     "ann_lsh_quantized" -> annLshQuantizedSql,
     "mmr_rerank" -> mmrRerankSql,

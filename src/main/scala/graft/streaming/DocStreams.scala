@@ -140,14 +140,58 @@ object DocStreams {
       .orderBy("source")
   }
 
+  /** Drift-triggered RETRAIN policy for the vector ingest stream (VERDICT
+    * r11 "next" #1 — the automation half of the maintenance loop, now that
+    * compaction is wired): every `everyNBatches` non-empty micro-batches,
+    * read the occupancy-skew drift signal
+    * ([[graft.operators.VectorIndex.occupancySkew]] — a <= NList-row
+    * partition-column aggregate) and past `skewThreshold` run a
+    * snapshot-fenced [[graft.operators.VectorIndex.retrain]]. Appends
+    * encode with frozen quantizers, so a long-lived ingest whose corpus
+    * drifts from the training distribution loses recall until someone
+    * re-Lloyds — this closes that loop the way the compaction policy
+    * closed file-count growth (the self-maintaining-store role the
+    * reference delegates to Cassandra, app/app.py:42-67).
+    *
+    * @param everyNBatches check cadence (the check is cheap; retrain is
+    *   the expensive part and only fires past the threshold)
+    * @param skewThreshold max/mean list-occupancy ratio above which the
+    *   index is declared drifted. Balanced ~1-2; a drifted ingest piles
+    *   onto few stale lists (StreamingSpec's drifted fixture measures >3
+    *   while its pre-drift index sits under 2). <= 0 fires at every
+    *   check — the deterministic always-retrain setting the oracle row
+    *   and throughput probe use.
+    * @param iters Lloyd rounds for the re-train
+    * @param snapshotFence take `<prefix>_preretrain` before each retrain
+    *   (the CLI `vretrain` fence; rollback target if a retrain dies)
+    */
+  case class RetrainPolicy(everyNBatches: Int = 8, skewThreshold: Double = 3.0,
+                           iters: Int = 2, snapshotFence: Boolean = true) {
+    require(everyNBatches > 0, s"check cadence must be >= 1 ($everyNBatches)")
+  }
+
   /** Live VECTOR-index ingestion: stream a staged embeddings directory one
     * file per micro-batch, each batch encoded with the FROZEN stored
     * quantizers and appended into the persisted IVF-PQ index
     * (VectorIndex.append) — the vector twin of ingestAppend. A concurrent
     * ANN searcher reads the same tables as the corpus grows.
+    * `maxFilesPerUnit` wires in the compaction policy (file-count bound),
+    * `retrainPolicy` the drift policy (recall bound) — together the store
+    * self-maintains under unattended continuous ingest.
+    *
+    * Policy-vs-serving race, disposed: each policy op takes the
+    * maintenance lease, so policies and manual CLI maintenance can never
+    * interleave swap windows; a CONCURRENT SEARCHER during a triggered
+    * retrain can observe the documented mixed-quantizer window while the
+    * three external tables re-point (the same window manual `vretrain`
+    * has — the snapshot fence bounds the damage to a rollback).
+    *
+    * @return number of policy-triggered retrains (0 without a policy) —
+    *   observable so tests and probes can pin when the policy fired
     */
   def vectorIngestAppend(s: SparkSession, stagedDir: String, prefix: String,
-                         maxFilesPerUnit: Option[Int] = None): Unit = {
+                         maxFilesPerUnit: Option[Int] = None,
+                         retrainPolicy: Option[RetrainPolicy] = None): Int = {
     val ckpt = graft.ScratchDirs.fresh("graft_stream", "vingest_ckpt").toString
     val schema = s.read.parquet(s"$stagedDir/embeddings.parquet").schema
     val src = s.readStream.schema(schema).option("basePath", stagedDir)
@@ -155,6 +199,9 @@ object DocStreams {
       .parquet(s"$stagedDir/embeddings.parquet*")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    // foreachBatch runs serially on the driver, so plain vars are safe
+    var nBatches = 0
+    var retrains = 0
     try {
       val q = src.writeStream
         .outputMode(OutputMode.Append)
@@ -171,11 +218,28 @@ object DocStreams {
             // implies unbounded file-count growth
             maxFilesPerUnit.foreach(t =>
               graft.operators.VectorIndex.compact(s, prefix, t): Unit)
+            nBatches += 1
+            retrainPolicy.foreach { p =>
+              if (nBatches % p.everyNBatches == 0) {
+                val skew = graft.operators.VectorIndex.occupancySkew(s, prefix)
+                if (skew > p.skewThreshold) {
+                  System.err.println(f"[graft] $prefix occupancy skew " +
+                    f"$skew%.2f exceeds ${p.skewThreshold}%.2f after " +
+                    f"$nBatches batches — retraining (fence: " +
+                    s"${if (p.snapshotFence) s"${prefix}_preretrain" else "OFF"})")
+                  if (p.snapshotFence)
+                    graft.operators.VectorIndex.snapshot(s, prefix, "preretrain")
+                  graft.operators.VectorIndex.retrain(s, prefix, p.iters)
+                  retrains += 1
+                }
+              }
+            }
           }
         }
         .start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    retrains
   }
 
   /** Stage `emb` (id, v) into a fresh stream-source dir as `nFiles`

@@ -680,6 +680,92 @@ class StreamingSpec extends SparkSpec {
       "post-policy vector index serves differently from a fresh build")
   }
 
+  test("drift-triggered retrain policy recovers recall a policy-less ingest loses") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.operators.VectorIndex
+    // RecallSpec's two-epoch drift fixture, streamed: epoch A (ids 0..199)
+    // carries its signal in dims 0..31, epoch B (ids 1000..1199) in dims
+    // 32..63 — quantizers trained on A alone cannot rank B candidates, the
+    // degradation an unattended append-only ingest accumulates. Here B
+    // arrives through the REAL ingest stream and the policy must (a) see
+    // the drift in the occupancy-skew signal and (b) fire a fenced retrain
+    // that recovers the recall the policy-less run loses.
+    def vec(id: Long, lo: Int): Seq[Double] = (0 until 64).map { d =>
+      if (d >= lo && d < lo + 32)
+        math.sin(0.5 * (id % 4 + 1) * (d - lo)) +
+          0.05 * math.sin(0.91 * ((id * 7 + d) % 53))
+      else 0.01 * (((id * 31 + d * 17) % 11).toDouble)
+    }
+    val a = (0L until 200L).map(i => (i, vec(i, 0)))
+    val b = (1000L until 1200L).map(i => (i, vec(i, 32)))
+    val all = (a ++ b).toMap
+    def cos(x: Seq[Double], y: Seq[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val probeIds = (1000L until 1200L by 20L).toSeq
+    val exact: Map[Long, Set[Long]] = probeIds.map { p =>
+      p -> all.toSeq.filter(_._1 != p)
+        .map { case (id, v) => (id, cos(all(p), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val probesDf = probeIds.map(p => (p, all(p))).toDF("id", "v")
+    def recallOf(prefix: String): Double = {
+      val got = VectorIndex
+        .searchPrebuilt(spark, prefix, probesDf, k = 5, nprobe = 4,
+          shortlist = 40)
+        .select("probe_id", "cand_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (p, rows) => p -> rows.map(_.getLong(1)).toSet }
+      probeIds.map(p =>
+        got.getOrElse(p, Set.empty[Long]).intersect(exact(p)).size / 5.0)
+        .sum / probeIds.size
+    }
+    val threshold = 2.5
+    def runIngest(prefix: String,
+                  policy: Option[DocStreams.RetrainPolicy]): Int = {
+      VectorIndex.trainAndBuild(spark, a.toDF("id", "v"), prefix,
+        nlist = 8, iters = 2, pqM = 4, pqKs = 16)
+      // the signal must DISCRIMINATE: a healthy pre-drift index sits
+      // under the threshold (a policy on it would never fire)
+      val base = VectorIndex.occupancySkew(spark, prefix)
+      assert(base < threshold,
+        f"pre-drift skew $base%.2f already above threshold $threshold — " +
+          "the policy would retrain a healthy index")
+      val staged = DocStreams.stagedEmbSplits(b.toDF("id", "v"), nFiles = 3)
+      DocStreams.vectorIngestAppend(spark, staged, prefix,
+        maxFilesPerUnit = None, retrainPolicy = policy)
+    }
+    // policy OFF: the drifted corpus serves through stale quantizers
+    assert(runIngest("vecdrift_stream_off", None) == 0)
+    val skewOff = VectorIndex.occupancySkew(spark, "vecdrift_stream_off")
+    val recallOff = recallOf("vecdrift_stream_off")
+    // policy ON at the same cadence: the final-batch check sees the skew
+    // and fires exactly one fenced retrain
+    val fired = runIngest("vecdrift_stream_on",
+      Some(DocStreams.RetrainPolicy(everyNBatches = 3,
+        skewThreshold = threshold, iters = 2)))
+    assert(fired == 1,
+      s"policy fired $fired times; the drifted fixture should trigger " +
+        "exactly the final-batch check")
+    assert(spark.catalog.tableExists("vecdrift_stream_on_preretrain_centroids"),
+      "policy retrain did not take its snapshot fence")
+    val recallOn = recallOf("vecdrift_stream_on")
+    info(f"drifted skew=$skewOff%.2f; recall off=$recallOff%.3f " +
+      f"on=$recallOn%.3f")
+    assert(skewOff > threshold,
+      f"drift no longer shows in the skew signal: $skewOff%.2f — the " +
+        "fixture proves nothing")
+    assert(recallOff <= 0.60,
+      f"fixture no longer drifts: policy-less recall $recallOff%.3f")
+    assert(recallOn >= 0.85,
+      f"policy retrain failed to recover recall: $recallOn%.3f")
+    assert(recallOn >= recallOff + 0.25,
+      f"recovery margin collapsed: $recallOff%.3f -> $recallOn%.3f")
+  }
+
   // ---- Replay invariance -----------------------------------------------------
   // The registry's stream_* rows run one AvailableNow pass over a
   // single-file source (one micro-batch plus sentinels). A live stream has
