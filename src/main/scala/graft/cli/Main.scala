@@ -52,9 +52,11 @@ object Main {
       |  hsearch <textPrefix> <vecPrefix> <vec_id> "<query>" [k=10]
       |                                           hybrid BM25+vector RRF, both arms served
       |                                           from the persisted indexes
-      |  hbatch <reqs.parquet> <tPfx> <vPfx> [k]  batch hybrid serving (query_id = probe vector id);
+      |  hbatch <reqs.parquet> <tPfx> <vPfx> [k] [--force-batch]
+      |                                           batch hybrid serving (query_id = probe vector id);
       |                                           auto-routes to hbulk above the literal-pruning
-      |                                           sweet spot
+      |                                           sweet spot unless --force-batch pins the
+      |                                           literal-pruned plan (driver-scale collect!)
       |  hbulk  <reqs.parquet> <tPfx> <vPfx> [k]  BULK hybrid serving over an unbounded request
       |                                           table — joins only, nothing request-derived is
       |                                           collected, broadcast, or inlined as a literal
@@ -192,20 +194,28 @@ object Main {
       // terms becomes one bucket-pruned pass, the probe ids one forward
       // fetch — the collect is bounded by the request batch, never data
       case Seq("hbatch", requestsPath, textPrefix, vecPrefix, rest @ _*) =>
-        val k = rest.headOption.map(_.toInt).getOrElse(10)
+        val (hflags, hpos) = rest.partition(_.startsWith("--"))
+        val k = hpos.headOption.map(_.toInt).getOrElse(10)
         val reqDf = spark.read.parquet(requestsPath)
           .select(col("query_id").cast("long").as("query_id"),
             col("query_text"))
         // the literal-pruned batch plan is the right shape for a serving
         // micro-batch, but its IN-lists (and this collect) cap it at
         // driver scale — above the sweet spot the request table routes to
-        // the bulk join plan, the same twin resolution `query` applies
-        val n = reqDf.count()
-        if (n > BulkRequestThreshold) {
-          System.err.println(s"[graft] $n requests exceed the " +
+        // the bulk join plan, the same twin resolution `query` applies.
+        // --force-batch opts out (results are pinned identical by CliSpec;
+        // the flag trades the bulk plan's safety for IN-list pruning at
+        // the caller's own driver-memory risk). The routing probe is a
+        // LIMIT-bounded count, not a full scan: it reads just enough of
+        // the request parquet to know which side of the threshold we are
+        // on, so the small-batch path never pays a second full pass.
+        val over = !hflags.contains("--force-batch") &&
+          reqDf.limit(BulkRequestThreshold.toInt + 1).count() > BulkRequestThreshold
+        if (over) {
+          System.err.println("[graft] request table exceeds the " +
             s"literal-pruning sweet spot ($BulkRequestThreshold); serving " +
-            "via the bulk join plan (hbulk; pass hbatch smaller batches " +
-            "to keep IN-list bucket pruning)")
+            "via the bulk join plan (hbulk; pass --force-batch to keep " +
+            "IN-list bucket pruning anyway)")
           Right(Some(Search.hybridBulkSearchPrebuilt(spark, reqDf,
             textPrefix, vecPrefix, k)))
         } else {

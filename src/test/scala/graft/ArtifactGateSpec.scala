@@ -43,6 +43,42 @@ class ArtifactGateSpec extends AnyFunSuite {
         "refreshed artifact (stale-audit gate, VERDICT r8 #1c)")
   }
 
+  test("fixture-scaled bench rows are registered queries") {
+    // Bench prices deliberately-fixture-scaled rows in the artifact; a
+    // renamed/removed row here would silently stop netting it out
+    Bench.FixtureScaled.foreach(c =>
+      assert(Queries.all.contains(c),
+        s"fixture-scaled row '$c' is not a registered query"))
+  }
+
+  test("driver round artifacts are committed through the previous round") {
+    // VERDICT r10/r11 hygiene item: the driver writes BENCH_r{N}.json /
+    // CORRECTNESS_r{N}.json at round close; round N+1 must COMMIT them at
+    // open. The newest committed driver artifact may lag the newest local
+    // sweep (BENCH_LOCAL_r{N+1} lands mid-round, before the driver's
+    // N+1 artifacts exist) by at most one round.
+    import scala.sys.process._
+    val tracked =
+      try Process(Seq("git", "ls-files"), root).!!.linesIterator.toSet
+      catch { case _: Throwable => cancel("git unavailable in this checkout") }
+    def newestTracked(re: String): Int = tracked
+      .flatMap(re.r.findFirstMatchIn(_).map(_.group(1).toInt))
+      .maxOption.getOrElse(0)
+    val localNewest = root.listFiles()
+      .flatMap(f => "BENCH_LOCAL_r(\\d+)\\.json".r
+        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .maxOption.getOrElse(0)
+    Seq("BENCH_r0*(\\d+)\\.json" -> "BENCH_r*",
+        "CORRECTNESS_r0*(\\d+)\\.json" -> "CORRECTNESS_r*").foreach {
+      case (re, label) =>
+        val committed = newestTracked("^" + re + "$")
+        assert(committed >= localNewest - 1,
+          s"newest committed $label is round $committed but the local " +
+            s"sweep is at round $localNewest — commit the driver's round " +
+            "artifacts (VERDICT r11 'what's wrong' #4)")
+    }
+  }
+
   test("bench canaries are registered queries") {
     // Bench.main resolves canaries through the registry at startup; a
     // renamed/removed canary would kill the whole sweep at its first line
@@ -79,5 +115,27 @@ class ArtifactGateSpec extends AnyFunSuite {
     assert(text.contains("\"canary\":") && text.contains("max_drift_ratio"),
       s"${f.getName} has no canary variance block — re-run graft.Bench " +
         "(the canary instrumentation landed in r11)")
+    // r12 (ADVICE r11): key presence is not enough — a canary that FAILED
+    // mid-sweep writes the -1.0 sentinel, and such an artifact carries no
+    // usable variance signal; reject it like a stale one. A real ratio is
+    // max/min of positive times, so >= 1.0 by construction.
+    Seq("max_drift_ratio", "mid_end_drift_ratio").foreach { key =>
+      val v = ("\"" + key + "\":(-?[0-9.]+)").r.findFirstMatchIn(text)
+        .getOrElse(fail(s"${f.getName}: unparseable $key"))
+        .group(1).toDouble
+      assert(v >= 1.0,
+        s"${f.getName}: $key=$v — a failed-canary sentinel (or corrupt " +
+          "value); the artifact has no usable variance signal, re-run " +
+          "graft.Bench on an idle machine")
+    }
+    // r12+: fixture-scaled rows must be priced in the artifact so trend
+    // math can net them out (VERDICT r11 "what's wrong" #3)
+    val round = f.getName.stripPrefix("BENCH_LOCAL_r")
+      .stripSuffix(".json").toInt
+    if (round >= 12)
+      assert(text.contains("\"fixture_scaled\":") &&
+          text.contains("\"total_net\":"),
+        s"${f.getName} does not price its fixture-scaled rows — re-run " +
+          "graft.Bench (fields landed in r12)")
   }
 }

@@ -218,6 +218,31 @@ class CliSpec extends SparkSpec {
     assert(routed.nonEmpty)
   }
 
+  test("hbatch --force-batch pins the literal-pruned plan over the threshold") {
+    import spark.implicits._
+    val tPrefix = "graft_cli_fb_t"
+    val vPrefix = "graft_cli_fb_v"
+    assert(cli.Main.run(spark, Seq("index", docsPath, tPrefix)).isRight)
+    assert(cli.Main.run(spark,
+      Seq("vindex", s"$dir/embeddings.parquet", vPrefix)).isRight)
+    val n = (cli.Main.BulkRequestThreshold + 1).toInt
+    val reqs = (0 until n).map(i =>
+      (i.toLong, if (i % 2 == 0) "spark filter join" else "customer data"))
+    val reqPath = ScratchDirs.fresh("graft_test", "hforce_reqs").toString
+    reqs.toDF("query_id", "query_text").write.mode("overwrite").parquet(reqPath)
+    // over threshold + flag: must serve through the BATCH path (equal to
+    // the library batch call, which the twin test pins equal to bulk)
+    val forced = cli.Main
+      .run(spark, Seq("hbatch", reqPath, tPrefix, vPrefix, "5", "--force-batch"))
+      .toOption.flatten.get.collect().map(_.toSeq).toSeq
+    val direct = graft.operators.Search
+      .hybridBatchSearchPrebuilt(spark, reqs, tPrefix, vPrefix, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(forced == direct,
+      "--force-batch did not serve through the literal-pruned batch plan")
+    assert(forced.nonEmpty)
+  }
+
   test("vretrain re-derives quantizers behind a snapshot fence; vrollback undoes") {
     val prefix = "graft_cli_rt"
     assert(cli.Main.run(spark,

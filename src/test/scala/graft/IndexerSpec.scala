@@ -309,4 +309,50 @@ class IndexerSpec extends SparkSpec {
     val res = Search.searchDocs(spark, allDocs, "x", k = 10).collect()
     assert(res.forall(_.getAs[Double]("score") == 0.0))
   }
+
+  test("batchSearch cuts top-k on the RAW score, not the micros grid") {
+    // ADVICE r11: the t_cut oracle convention (cut on raw, re-rank the
+    // survivors on micros) diverges from a micros-grid cut ONLY on a
+    // micros-rounding tie at the rank-k boundary, so the convention needs
+    // exactly such a tie pinned. Construct one: two docs whose RAW BM25
+    // scores differ by ~1e-7 (below the 1e-6 display grid) via a huge-avgdl
+    // filler doc, with the raw LOSER holding the smaller doc_id — a
+    // micros-cut at k=1 would tie and keep the smaller id ("a"); the raw
+    // cut must keep the strictly-higher-scoring "b".
+    def rawScore(dl: Int, avgdl: Double, idf: Double): Double =
+      idf * 1.0 * 2.0 / (1.0 + 1.0 * (0.25 + (0.75 * dl.toDouble) / avgdl))
+    def microsOf(x: Double): Long =
+      BigDecimal(x * 1000000.0)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    val idf = math.log(3.0 / 2.0) // 3 docs, df=2
+    // search filler lengths around 3*3.3e6 for a micros collision of the
+    // two raw-distinct scores (Spark's avg = sum.toDouble / count.toDouble)
+    val fillerLen = (9900000 to 9990000).find { l =>
+      val avgdl = (10L + 11L + l).toDouble / 3.0
+      val (sb, sa) = (rawScore(10, avgdl, idf), rawScore(11, avgdl, idf))
+      sb > sa && microsOf(sb) == microsOf(sa)
+    }.getOrElse(fail("no micros-colliding filler length in range"))
+    val avgdl = (10L + 11L + fillerLen).toDouble / 3.0
+    val postings = Seq(("t", "a", 1), ("t", "b", 1)).toDF("term", "doc_id", "tf")
+    val termDf = Seq(("t", 2)).toDF("term", "df")
+    val docInfo = Seq(("a", 11, "doc a"), ("b", 10, "doc b"),
+      ("f", fillerLen, "filler")).toDF("doc_id", "length", "title")
+    val queries = Seq((1L, "t")).toDF("query_id", "query_text")
+    // fixture validity, proven IN-ENGINE: at k=2 both docs survive and
+    // their DISPLAYED (micros) scores are equal — the tie is real
+    val both = Search.batchSearch(queries, postings, termDf, docInfo, k = 2)
+      .select("doc_id", "score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(both("a") == both("b"),
+      s"fixture regressed: displayed scores differ ($both) — no micros tie")
+    // hand-check the raw scores really differ in the direction built
+    assert(rawScore(10, avgdl, idf) > rawScore(11, avgdl, idf))
+    // the convention: k=1 keeps the raw winner "b", never the micros-tie
+    // smaller-id "a"
+    val kept = Search.batchSearch(queries, postings, termDf, docInfo, k = 1)
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(kept == Seq("b"),
+      s"top-k cut is not on the raw score: kept $kept (a micros-grid cut " +
+        "breaks this tie toward the smaller doc_id)")
+  }
 }
