@@ -193,11 +193,18 @@ object ScaleProbe {
           (System.nanoTime() - t0) / 1e9
         }
         val off = vrun(None, "off")
+        // check-only: the skew signal read at EVERY batch, never firing —
+        // isolates the policy's standing cost from the retrain it gates
+        val chk = vrun(Some(graft.streaming.DocStreams.RetrainPolicy(
+          everyNBatches = 1, skewThreshold = Double.MaxValue)), "chk")
         val on = vrun(Some(graft.streaming.DocStreams.RetrainPolicy(
           everyNBatches = 6, skewThreshold = 0.0)), "on")
-        println(f"retrain_policy[vector] $tag: off=$off%.2f s on=$on%.2f s " +
-          f"overhead=${on / off}%.2f (cadence 6, threshold 0 => every " +
-          "check fires: snapshot fence + full re-Lloyd included)")
+        println(f"retrain_policy[vector] $tag: off=$off%.2f s " +
+          f"check-only=$chk%.2f s (${chk / off}%.2f) " +
+          f"always-fire=$on%.2f s (${on / off}%.2f) " +
+          "(check-only: skew read every batch, threshold never met; " +
+          "always-fire: cadence 6, threshold 0 => snapshot fence + full " +
+          "re-Lloyd included)")
       }
     }
 

@@ -333,8 +333,16 @@ object Indexer {
 
   /** Restore the live index from a snapshot taken by snapshotIndex. The
     * snapshot is CONSUMED (renamed in); take another if you need to keep it.
+    * Swaps the live tables, so it takes the maintenance lease like every
+    * other writer.
     */
   def rollbackIndex(spark: SparkSession, prefix: String, tag: String): Unit =
+    MaintenanceLease.withLease(spark, prefix, "index-rollback") {
+      rollbackIndexImpl(spark, prefix, tag)
+    }
+
+  private def rollbackIndexImpl(spark: SparkSession, prefix: String,
+                                tag: String): Unit =
     Seq("postings", "term_df", "doc_info").foreach { t =>
       val live = s"${prefix}_$t"
       val snap = s"${prefix}_${tag}_$t"

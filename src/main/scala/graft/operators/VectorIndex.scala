@@ -541,7 +541,14 @@ object VectorIndex {
     * re-point at the snapshot's directories. The snapshot is CONSUMED —
     * its files now serve the live index; take another to keep one.
     */
-  def rollback(spark: SparkSession, prefix: String, tag: String): Unit = {
+  def rollback(spark: SparkSession, prefix: String, tag: String): Unit =
+    // rollback swaps the LIVE index (catalog re-points + forward rename)
+    // — a maintenance write like any other, so it takes the same lease
+    MaintenanceLease.withLease(spark, prefix, "vector-rollback") {
+      rollbackImpl(spark, prefix, tag)
+    }
+
+  private def rollbackImpl(spark: SparkSession, prefix: String, tag: String): Unit = {
     Parts.foreach { t =>
       val liveT = s"${prefix}_$t"
       val snapT = s"${prefix}_${tag}_$t"

@@ -189,10 +189,50 @@ object DocStreams {
     * @return number of policy-triggered retrains (0 without a policy) —
     *   observable so tests and probes can pin when the policy fired
     */
+  /** Applied-batch guard for the ingest streams' foreachBatch bodies
+    * (AUDIT_r12 #6): foreachBatch is at-least-once — a crash between a
+    * COMMITTED append job and the streaming checkpoint's batch commit
+    * replays the batch on restart, and an index append is not naturally
+    * idempotent (unlike the serving sink's overwrite subdirs). A marker
+    * file per applied batch, living INSIDE the checkpoint directory
+    * (keyed by the same batchId, reclaimed with the checkpoint), makes
+    * the append effectively-once: a replayed batch sees its marker and
+    * skips. Residual window: a crash between the append's job commit and
+    * the marker write still double-appends — two driver-side filesystem
+    * ops apart instead of the whole batch, the practical narrowing short
+    * of a transactional store. Only meaningful with a STABLE caller
+    * checkpoint (the fresh-checkpoint default can never replay).
+    */
+  private def runAppliedOnce(s: SparkSession, ckpt: String, batchId: Long,
+                             what: String)(body: => Unit): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(
+      ckpt, s"_graft_applied/batch_$batchId")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      System.err.println(s"[graft] $what batch $batchId already applied " +
+        "(at-least-once replay) — skipping")
+      false
+    } else {
+      body
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
+  /** @param checkpointDir STABLE checkpoint for resumable ingest: a
+    *   second call with the same checkpoint processes only files the
+    *   source has not yet seen, and a batch replayed after a crash
+    *   mid-commit is skipped by the applied-marker guard
+    *   ([[runAppliedOnce]]) instead of double-appending. Default: a
+    *   fresh one-shot checkpoint (the existing fixture behavior).
+    */
   def vectorIngestAppend(s: SparkSession, stagedDir: String, prefix: String,
                          maxFilesPerUnit: Option[Int] = None,
-                         retrainPolicy: Option[RetrainPolicy] = None): Int = {
-    val ckpt = graft.ScratchDirs.fresh("graft_stream", "vingest_ckpt").toString
+                         retrainPolicy: Option[RetrainPolicy] = None,
+                         checkpointDir: Option[String] = None): Int = {
+    val ckpt = checkpointDir.getOrElse(
+      graft.ScratchDirs.fresh("graft_stream", "vingest_ckpt").toString)
     val schema = s.read.parquet(s"$stagedDir/embeddings.parquet").schema
     val src = s.readStream.schema(schema).option("basePath", stagedDir)
       .option("maxFilesPerTrigger", "1")
@@ -207,30 +247,34 @@ object DocStreams {
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           if (!batch.isEmpty) {
-            graft.operators.VectorIndex.append(s,
-              batch.select(org.apache.spark.sql.functions.col("id"),
-                org.apache.spark.sql.functions.col("v")), prefix)
-            // the same bounded-file-count policy as ingestAppend: one
-            // listing per batch, a per-list/per-bucket rewrite only past
-            // the threshold — continuous embedding ingest no longer
-            // implies unbounded file-count growth
-            maxFilesPerUnit.foreach(t =>
-              graft.operators.VectorIndex.compact(s, prefix, t): Unit)
-            nBatches += 1
-            retrainPolicy.foreach { p =>
-              if (nBatches % p.everyNBatches == 0) {
-                val skew = graft.operators.VectorIndex.occupancySkew(s, prefix)
-                if (skew > p.skewThreshold) {
-                  System.err.println(f"[graft] $prefix occupancy skew " +
-                    f"$skew%.2f exceeds ${p.skewThreshold}%.2f after " +
-                    f"$nBatches batches — retraining (fence: " +
-                    s"${if (p.snapshotFence) s"${prefix}_preretrain" else "OFF"})")
-                  if (p.snapshotFence)
-                    graft.operators.VectorIndex.snapshot(s, prefix, "preretrain")
-                  graft.operators.VectorIndex.retrain(s, prefix, p.iters)
-                  retrains += 1
+            val applied = runAppliedOnce(s, ckpt, batchId, "vector ingest") {
+              graft.operators.VectorIndex.append(s,
+                batch.select(org.apache.spark.sql.functions.col("id"),
+                  org.apache.spark.sql.functions.col("v")), prefix)
+              // the same bounded-file-count policy as ingestAppend: one
+              // listing per batch, a per-list/per-bucket rewrite only past
+              // the threshold — continuous embedding ingest no longer
+              // implies unbounded file-count growth
+              maxFilesPerUnit.foreach(t =>
+                graft.operators.VectorIndex.compact(s, prefix, t): Unit)
+            }
+            if (applied) {
+              nBatches += 1
+              retrainPolicy.foreach { p =>
+                if (nBatches % p.everyNBatches == 0) {
+                  val skew = graft.operators.VectorIndex.occupancySkew(s, prefix)
+                  if (skew > p.skewThreshold) {
+                    System.err.println(f"[graft] $prefix occupancy skew " +
+                      f"$skew%.2f exceeds ${p.skewThreshold}%.2f after " +
+                      f"$nBatches batches — retraining (fence: " +
+                      s"${if (p.snapshotFence) s"${prefix}_preretrain" else "OFF"})")
+                    if (p.snapshotFence)
+                      graft.operators.VectorIndex.snapshot(s, prefix, "preretrain")
+                    graft.operators.VectorIndex.retrain(s, prefix, p.iters)
+                    retrains += 1
+                  }
                 }
               }
             }
@@ -355,8 +399,10 @@ object DocStreams {
     * batches and touches only over-threshold buckets.
     */
   def ingestAppend(s: SparkSession, stagedDir: String, prefix: String,
-                   maxFilesPerUnit: Option[Int] = None): Unit = {
-    val ckpt = graft.ScratchDirs.fresh("graft_stream", "ingest_ckpt").toString
+                   maxFilesPerUnit: Option[Int] = None,
+                   checkpointDir: Option[String] = None): Unit = {
+    val ckpt = checkpointDir.getOrElse(
+      graft.ScratchDirs.fresh("graft_stream", "ingest_ckpt").toString)
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
@@ -365,13 +411,14 @@ object DocStreams {
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            graft.operators.Indexer.appendBucketedIndex(s,
-              batch.select(col("doc_id"), col("text")), prefix)
-            maxFilesPerUnit.foreach(t =>
-              graft.operators.Indexer.compactBucketedIndex(s, prefix, t): Unit)
-          }
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty)
+            runAppliedOnce(s, ckpt, batchId, "index ingest") {
+              graft.operators.Indexer.appendBucketedIndex(s,
+                batch.select(col("doc_id"), col("text")), prefix)
+              maxFilesPerUnit.foreach(t =>
+                graft.operators.Indexer.compactBucketedIndex(s, prefix, t): Unit)
+            }: Unit
         }
         .start()
       q.awaitTermination()

@@ -320,6 +320,13 @@ class SimilaritySpec extends SparkSpec {
         VectorIndex.delete(spark, Seq(1L).toDF("id"), prefix)
       }
     }
+    // rollback swaps the live index too — lease checked BEFORE any read,
+    // so no snapshot needs to exist for the contention to surface
+    intercept[MaintenanceLease.LeaseHeldException] {
+      MaintenanceLease.withLease(spark, prefix, "other-writer") {
+        VectorIndex.rollback(spark, prefix, "nosuch")
+      }
+    }
     // the TEXT index's maintenance ops honor theirs too
     val tPrefix = "txtlease_spec"
     val docs = Tables.documents(spark, dir)

@@ -680,6 +680,58 @@ class StreamingSpec extends SparkSpec {
       "post-policy vector index serves differently from a fresh build")
   }
 
+  test("stable-checkpoint ingest resumes and survives batch replay without double-appending") {
+    import graft.streaming.DocStreams
+    val prefix = "graft_idx_resume_spec"
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    graft.operators.Indexer.buildBucketedIndex(spark,
+      d.filter(col("doc_id") % 6 === 0), prefix)
+    val rest = d.filter(col("doc_id") % 6 =!= 0)
+    val ckpt = ScratchDirs.fresh("graft_stream", "resume_ckpt").toString
+    // first session: three micro-batches arrive and commit
+    val staged = DocStreams.stagedDocSplits(
+      rest.filter(pmod(col("doc_id"), lit(5)) < 3), nFiles = 3)
+    DocStreams.ingestAppend(spark, staged, prefix, checkpointDir = Some(ckpt))
+    // simulate the at-least-once crash window: the last batch's append
+    // JOB committed but the streaming checkpoint's commit record was
+    // lost — on restart Spark re-executes that batch from its logged
+    // offsets, and without the applied-marker guard the index would
+    // double-append it
+    val commits = new java.io.File(s"$ckpt/commits")
+    val last = commits.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+    assert(last.delete(), s"could not remove ${last}")
+    // the commit is rename-written, so a crash before it leaves neither
+    // the file NOR its ChecksumFs .crc sidecar — remove both, or the
+    // replayed commit's rename collides with the stale sidecar
+    val crc = new java.io.File(commits, s".${last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    // meanwhile MORE corpus arrives in the same source directory
+    val extra = DocStreams.stagedDocSplits(
+      rest.filter(pmod(col("doc_id"), lit(5)) >= 3), nFiles = 2)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(extra, "documents.parquet"),
+      java.nio.file.Paths.get(staged, "documents.parquet3"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(extra, "documents.parquet1"),
+      java.nio.file.Paths.get(staged, "documents.parquet4"))
+    // second session, SAME checkpoint: replays the uncommitted batch
+    // (skipped by its marker) and processes only the two new files
+    DocStreams.ingestAppend(spark, staged, prefix, checkpointDir = Some(ckpt))
+    // no document lost, none double-appended: doc_info is exactly the
+    // corpus, and search equals a from-scratch build
+    assert(spark.table(s"${prefix}_doc_info").count() == d.count(),
+      "resumed ingest lost or double-appended documents")
+    graft.operators.Indexer.buildBucketedIndex(spark, d, s"${prefix}_full")
+    val q = "spark filter join stream data"
+    assert(graft.operators.Search.searchPrebuilt(spark, q, prefix)
+        .collect().toSeq ==
+      graft.operators.Search.searchPrebuilt(spark, q, s"${prefix}_full")
+        .collect().toSeq,
+      "resumed+replayed index serves differently from a fresh build")
+  }
+
   test("drift-triggered retrain policy recovers recall a policy-less ingest loses") {
     import spark.implicits._
     import graft.streaming.DocStreams
