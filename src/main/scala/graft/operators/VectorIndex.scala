@@ -533,7 +533,14 @@ object VectorIndex {
     base.crossJoin(fwd).crossJoin(q)
       .select(col("n_vectors"), col("n_lists"), col("n_forward"),
         col("max_occ"), col("p50_occ").cast("double").as("p50_occ"),
-        col("p99_occ").cast("double").as("p99_occ"))
+        col("p99_occ").cast("double").as("p99_occ"),
+        // max/mean occupancy — the exact signal the in-stream retrain
+        // policy reads (occupancySkew); surfacing it here lets an
+        // operator read "should this retrain?" off the same one-row
+        // report. Cast-first keeps the arithmetic in doubles (long/long
+        // would truncate) and matches the oracle's op order bit-for-bit.
+        (col("max_occ").cast("double") * col("n_lists").cast("double") /
+          col("n_vectors").cast("double")).as("occ_skew"))
   }
 
   /** Restore the live index from a snapshot. The tables are external

@@ -1420,7 +1420,9 @@ object SimilarityQueries {
        |  FROM occ),
        |fwd AS (SELECT CAST(count(*) AS BIGINT) AS n_forward FROM emb)
        |SELECT base.n_vectors, base.n_lists, fwd.n_forward, base.max_occ,
-       |  base.p50_occ, base.p99_occ
+       |  base.p50_occ, base.p99_occ,
+       |  CAST(base.max_occ AS DOUBLE) * CAST(base.n_lists AS DOUBLE)
+       |    / CAST(base.n_vectors AS DOUBLE) AS occ_skew
        |FROM base, fwd""".stripMargin
 
   val annIvfPqSql: String = annIvfPqSqlOver("emb")

@@ -351,9 +351,16 @@ object DocStreams {
     * under replay, which is exactly the invariance stream_hybrid_serving
     * pins.
     */
+  /** @param checkpointDir STABLE checkpoint for a resumable serving
+    *   stream: a restart answers only requests the source has not yet
+    *   seen. No applied-marker is needed here — the batch_id-keyed
+    *   overwrite sink is already idempotent under replay.
+    */
   def hybridServe(s: SparkSession, stagedDir: String, textPrefix: String,
-                  vecPrefix: String, outPath: String, k: Int = 10): Unit = {
-    val ckpt = graft.ScratchDirs.fresh("graft_stream", "hserve_ckpt").toString
+                  vecPrefix: String, outPath: String, k: Int = 10,
+                  checkpointDir: Option[String] = None): Unit = {
+    val ckpt = checkpointDir.getOrElse(
+      graft.ScratchDirs.fresh("graft_stream", "hserve_ckpt").toString)
     val schema = s.read.parquet(s"$stagedDir/requests.parquet").schema
     val src = s.readStream.schema(schema).option("basePath", stagedDir)
       .option("maxFilesPerTrigger", "1")

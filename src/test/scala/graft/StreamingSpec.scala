@@ -732,6 +732,50 @@ class StreamingSpec extends SparkSpec {
       "resumed+replayed index serves differently from a fresh build")
   }
 
+  test("stable-checkpoint serving stream resumes, answering only unseen requests") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    val dir = "/root/testdata/sf0.001"
+    val tPrefix = "graft_hserve_resume_t"
+    val vPrefix = "graft_hserve_resume_v"
+    graft.operators.Indexer.buildBucketedIndex(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), tPrefix)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    graft.operators.VectorIndex.trainAndBuild(spark, emb, vPrefix,
+      nlist = 8, iters = 1, pqM = 4, pqKs = 8)
+    val staged = DocStreams.stagedRequestSplits(
+      Seq((0L, "spark filter join"), (1L, "customer data"),
+        (2L, "stream data")).toDF("query_id", "query_text"), nFiles = 3)
+    val ckpt = ScratchDirs.fresh("graft_stream", "hserve_resume_ckpt").toString
+    val out = ScratchDirs.fresh("graft_stream", "hserve_resume_out").toString
+    DocStreams.hybridServe(spark, staged, tPrefix, vPrefix, out, k = 5,
+      checkpointDir = Some(ckpt))
+    def served() = spark.read
+      .option("recursiveFileLookup", "true").parquet(out)
+    assert(served().select("query_id").distinct().count() == 3)
+    // two more requests arrive in the same source dir; a restarted
+    // serving session on the SAME checkpoint answers only those
+    val extra = DocStreams.stagedRequestSplits(
+      Seq((3L, "big data simple"), (4L, "orders revenue"))
+        .toDF("query_id", "query_text"), nFiles = 2)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(extra, "requests.parquet"),
+      java.nio.file.Paths.get(staged, "requests.parquet3"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(extra, "requests.parquet1"),
+      java.nio.file.Paths.get(staged, "requests.parquet4"))
+    DocStreams.hybridServe(spark, staged, tPrefix, vPrefix, out, k = 5,
+      checkpointDir = Some(ckpt))
+    val df = served()
+    assert(df.select("query_id").distinct().count() == 5,
+      "resumed serving session did not answer the new requests")
+    // nothing re-answered: every (query, doc) row appears exactly once
+    assert(df.count() == df.dropDuplicates("query_id", "doc_id").count(),
+      "restart double-served already-answered requests")
+  }
+
   test("drift-triggered retrain policy recovers recall a policy-less ingest loses") {
     import spark.implicits._
     import graft.streaming.DocStreams
