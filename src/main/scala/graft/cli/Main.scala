@@ -70,6 +70,22 @@ object Main {
       |  vsnapshot <prefix> <tag>                 point-in-time copy of the vector index
       |  vrollback <prefix> <tag>                 restore the vector index from a snapshot
       |  forget  <ids.parquet> <textPrefix> <vecPrefix>  purge ids from BOTH serving stores
+      |  singest <stagedDir> <prefix> [maxFilesPerUnit] [--ckpt=<dir>]
+      |                                           STREAM staged corpus files (documents.parquet*)
+      |                                           into the text index, one micro-batch per file;
+      |                                           optional in-stream compaction policy; a stable
+      |                                           --ckpt makes re-runs resume (only unseen files,
+      |                                           replayed batches skipped, never double-appended)
+      |  vingest <stagedDir> <prefix> [maxFilesPerUnit] [--ckpt=<dir>]
+      |          [--retrain-every=<N>] [--retrain-skew=<T>]
+      |                                           STREAM staged embeddings (embeddings.parquet*)
+      |                                           into the vector index; --retrain-every/-skew arm
+      |                                           the drift policy (occupancy-skew check every N
+      |                                           batches; snapshot-fenced retrain past T)
+      |  hserve  <stagedDir> <tPfx> <vPfx> <outDir> [k] [--ckpt=<dir>]
+      |                                           ONLINE hybrid serving of a staged request stream
+      |                                           (requests.parquet*), results appended under
+      |                                           outDir/batch_id=N; stable --ckpt resumes
       |  query   <name> <sfDir> [--baseline]      run a registry query over a testdata dir;
       |                                           fixed-geometry baselines resolve to their
       |                                           corpus-derived production twin unless
@@ -88,6 +104,12 @@ object Main {
   /** docs parquet in the testdata shape: (doc_id, text[, ...]). */
   private def readDocs(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("doc_id"), col("text"))
+
+  /** `--name=value` flag lookup (boolean flags stay bare `--name`). */
+  private def flagValue(flags: Seq[String], name: String): Option[String] =
+    flags.collectFirst {
+      case f if f.startsWith(s"--$name=") => f.stripPrefix(s"--$name=")
+    }
 
   /** Command dispatch, separated from main() so tests drive it in-process.
     * @return Left(error) or Right(optional result table to display)
@@ -275,6 +297,37 @@ object Main {
           ids.select(col("doc_id")))
         graft.operators.VectorIndex.delete(spark,
           ids.select(col("doc_id").as("id")), vecPrefix)
+        Right(None)
+      // Streaming ingest/serving on the CLI: the reference re-runs
+      // index.sh from cron to grow its store; these commands run the
+      // streaming equivalent — arriving files become micro-batches, the
+      // stores self-maintain (compaction/retrain policies), and a stable
+      // checkpoint makes every command resumable and effectively-once
+      case Seq("singest", stagedDir, prefix, rest @ _*) =>
+        val (flags, pos) = rest.partition(_.startsWith("--"))
+        graft.streaming.DocStreams.ingestAppend(spark, stagedDir, prefix,
+          pos.headOption.map(_.toInt), flagValue(flags, "ckpt"))
+        Right(None)
+      case Seq("vingest", stagedDir, prefix, rest @ _*) =>
+        val (flags, pos) = rest.partition(_.startsWith("--"))
+        val every = flagValue(flags, "retrain-every").map(_.toInt)
+        val skew = flagValue(flags, "retrain-skew").map(_.toDouble)
+        val policy =
+          if (every.isEmpty && skew.isEmpty) None
+          else Some(graft.streaming.DocStreams.RetrainPolicy(
+            everyNBatches = every.getOrElse(8),
+            skewThreshold = skew.getOrElse(3.0)))
+        val fired = graft.streaming.DocStreams.vectorIngestAppend(spark,
+          stagedDir, prefix, pos.headOption.map(_.toInt), policy,
+          flagValue(flags, "ckpt"))
+        if (policy.isDefined)
+          System.err.println(s"[graft] retrain policy fired $fired time(s)")
+        Right(None)
+      case Seq("hserve", stagedDir, textPrefix, vecPrefix, outDir, rest @ _*) =>
+        val (flags, pos) = rest.partition(_.startsWith("--"))
+        val k = pos.headOption.map(_.toInt).getOrElse(10)
+        graft.streaming.DocStreams.hybridServe(spark, stagedDir, textPrefix,
+          vecPrefix, outDir, k, flagValue(flags, "ckpt"))
         Right(None)
       // Registry access with twin resolution: the fixed-geometry forms
       // stay registered as oracle-stability baselines, but a user typing

@@ -243,6 +243,57 @@ class CliSpec extends SparkSpec {
     assert(forced.nonEmpty)
   }
 
+  test("streaming CLI: singest/vingest/hserve run the resumable stream surface") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // singest: stream 3 staged corpus files into a prebuilt index with
+    // the compaction policy armed; equals a from-scratch build
+    val tPrefix = "graft_cli_singest"
+    graft.operators.Indexer.buildBucketedIndex(spark,
+      d.filter(col("doc_id") % 2 === 0), tPrefix)
+    val stagedDocs = DocStreams.stagedDocSplits(
+      d.filter(col("doc_id") % 2 === 1), nFiles = 3)
+    val ckpt = ScratchDirs.fresh("graft_cli", "singest_ckpt").toString
+    assert(cli.Main.run(spark,
+      Seq("singest", stagedDocs, tPrefix, "3", s"--ckpt=$ckpt")).isRight)
+    // resumable: an immediate re-run on the same checkpoint is a no-op
+    assert(cli.Main.run(spark,
+      Seq("singest", stagedDocs, tPrefix, "3", s"--ckpt=$ckpt")).isRight)
+    graft.operators.Indexer.buildBucketedIndex(spark, d, s"${tPrefix}_full")
+    val q = "spark filter join stream data"
+    assert(Search.searchPrebuilt(spark, q, tPrefix).collect().toSeq ==
+      Search.searchPrebuilt(spark, q, s"${tPrefix}_full").collect().toSeq,
+      "singest-grown index serves differently from a fresh build")
+    // vingest with the retrain policy armed at always-fire: the stream
+    // appends then re-Lloyds, leaving the fresh-build-equal state the
+    // stream_vector_ingest_retrain oracle pins
+    val vPrefix = "graft_cli_vingest"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    graft.operators.VectorIndex.trainAndBuild(spark,
+      emb.filter(col("id") % 2 === 0), vPrefix,
+      nlist = 8, iters = 1, pqM = 4, pqKs = 8)
+    val stagedEmb = DocStreams.stagedEmbSplits(
+      emb.filter(col("id") % 2 === 1), nFiles = 3)
+    assert(cli.Main.run(spark, Seq("vingest", stagedEmb, vPrefix,
+      "--retrain-every=3", "--retrain-skew=0")).isRight)
+    assert(spark.catalog.tableExists(s"${vPrefix}_preretrain_centroids"),
+      "CLI-armed retrain policy did not fire through its snapshot fence")
+    // hserve: three requests served from the two indexes just grown
+    val reqs = DocStreams.stagedRequestSplits(
+      Seq((0L, "spark filter join"), (1L, "customer data"),
+        (2L, "stream data")).toDF("query_id", "query_text"), nFiles = 3)
+    val outDir = ScratchDirs.fresh("graft_cli", "hserve_out").toString
+    assert(cli.Main.run(spark,
+      Seq("hserve", reqs, tPrefix, vPrefix, outDir, "5")).isRight)
+    val served = spark.read.option("recursiveFileLookup", "true")
+      .parquet(outDir)
+    assert(served.select("query_id").distinct().count() == 3,
+      "hserve did not answer every staged request")
+  }
+
   test("vretrain re-derives quantizers behind a snapshot fence; vrollback undoes") {
     val prefix = "graft_cli_rt"
     assert(cli.Main.run(spark,
