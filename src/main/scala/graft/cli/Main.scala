@@ -92,14 +92,11 @@ object Main {
       |                                           --baseline explicitly opts into the fixed form
       |""".stripMargin
 
-  /** Above this many requests, `hbatch` routes to the bulk join plan:
-    * the batch form's per-term/per-id literals are what PRUNE the index
-    * scans for a small batch, but the expression tree and the driver's
-    * request collect grow linearly with the batch — past a few thousand
-    * requests one shared pass over the touched index regions (the hbulk
-    * plan) is both safer and faster.
+  /** Above this many requests, `hbatch` (and the `hserve` stream's
+    * micro-batches) route to the bulk join plan — see
+    * [[graft.operators.Search.BulkRequestThreshold]], the shared constant.
     */
-  val BulkRequestThreshold = 4096L
+  val BulkRequestThreshold: Long = Search.BulkRequestThreshold
 
   /** docs parquet in the testdata shape: (doc_id, text[, ...]). */
   private def readDocs(spark: SparkSession, path: String): DataFrame =

@@ -126,7 +126,16 @@ object MaintenanceLease {
         out.close()
         true
       } catch {
-        case _: java.io.IOException => false // exists (or created a hair earlier)
+        // ONLY path-exists is contention (ADVICE r12): a transient fs
+        // failure (permissions, disk full) swallowed here would misreport
+        // as a lease held by '<released>' — the follow-up read finds no
+        // lease file, the stale-expiry path fails the create AGAIN, and
+        // the caller gets a misleading LeaseHeldException instead of the
+        // real I/O error. FileAlreadyExistsException is the documented
+        // exists signal; for filesystems that throw a bare IOException,
+        // an exists() probe decides, and anything else rethrows.
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException => if (fs.exists(path)) false else throw e
       }
     if (!created) {
       val (holder, ageMs) =

@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** Above this many requests, serving routes to the bulk join plan
+    * ([[hybridBulkSearchPrebuilt]]): the batch form's per-term/per-id
+    * literals are what PRUNE the index scans for a small batch, but the
+    * expression tree and the driver's request collect grow linearly with
+    * the batch — past a few thousand requests one shared pass over the
+    * touched index regions is both safer and faster. Shared by the CLI
+    * `hbatch` auto-route and the serving stream
+    * ([[graft.streaming.DocStreams.hybridServe]]).
+    */
+  val BulkRequestThreshold = 4096L
+
   /** Driver-side tokenization of the scalar query string — same semantics
     * as Tokenizer.tokenize, distinct terms in first-occurrence order.
     */

@@ -362,11 +362,29 @@ object VectorIndex {
     * MANAGED bucketed table, so its copy is a bucketed table write (a
     * path-copy would lose the catalog bucket spec).
     */
-  private def copyIndex(spark: SparkSession, from: String, to: String): Unit = {
-    // a snapshot taken between a crash and the next maintenance op must
-    // not bake a mid-swap missing list into the fence copy (ADVICE r11)
-    ensureRecovered(spark, from,
-      context = "snapshot/copy would bake the missing lists into the copy")
+  private def copyIndex(spark: SparkSession, from: String, to: String): Unit =
+    // the SOURCE lease is held for the whole copy (ADVICE r12): the old
+    // warn-and-proceed ensureRecovered let a snapshot raced against another
+    // process's compact/delete copy mid-swap state with a list renamed
+    // aside — now contention fails fast like every other maintenance op,
+    // and no new maintenance can start mid-copy. The in-stream retrain
+    // policy catches the LeaseHeldException as skip-and-retry.
+    MaintenanceLease.withLease(spark, from, "snapshot-read") {
+      // a snapshot taken between a crash and the next maintenance op must
+      // not bake a mid-swap missing list into the fence copy (ADVICE r11);
+      // recoverAside directly — we already hold the lease ensureRecovered
+      // would try to take
+      locally {
+        val t = s"${from}_vectors"
+        val loc = tableLocation(spark, t)
+        val root = new org.apache.hadoop.fs.Path(loc)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverAside(spark, t, root, fs, asideRootsFor(loc))
+      }
+      copyIndexImpl(spark, from, to)
+    }
+
+  private def copyIndexImpl(spark: SparkSession, from: String, to: String): Unit = {
     val base = graft.ScratchDirs.fresh("graft_vecidx", to)
     val conf = spark.sparkContext.hadoopConfiguration
     Parts.foreach { t =>
@@ -408,14 +426,22 @@ object VectorIndex {
     * assign-encode-append pass over B.
     */
   def merge(spark: SparkSession, prefixA: String, prefixB: String,
-            out: String): Unit =
-    // lease the index being WRITTEN (A and B are only read; their own
-    // crash-debris checks run at copyIndex/table-read entry)
+            out: String): Unit = {
+    // same guard as Indexer.mergeBucketedIndexes (ADVICE r12): merging
+    // into one of the inputs would drop and overwrite its tables via
+    // copyIndex while also reading them, corrupting the index under its
+    // own lease
+    require(out != prefixA && out != prefixB,
+      s"merge output '$out' must differ from both inputs " +
+        s"('$prefixA', '$prefixB')")
+    // lease the index being WRITTEN (A and B are only read; copyIndex
+    // holds A's lease for the copy, B's read is a plain table scan)
     MaintenanceLease.withLease(spark, out, "vector-merge") {
       copyIndex(spark, prefixA, out)
       append(spark,
         spark.table(s"${prefixB}_forward").select(col("id"), col("v")), out)
     }
+  }
 
   /** RETRAIN the quantizers of a persisted index from its own forward
     * store — the drift remedy the maintenance loop closes with: append and

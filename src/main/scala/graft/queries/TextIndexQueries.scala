@@ -492,6 +492,36 @@ object TextIndexQueries {
       .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
   }
 
+  // The ROUTED serving stream (VERDICT r12 "what's missing" #1): the same
+  // staged requests served with bulkThreshold=0, so every micro-batch
+  // exceeds the literal-pruning sweet spot and serves through the bulk
+  // JOIN plan (Search.hybridBulkSearchPrebuilt — no driver collect,
+  // nothing request-derived inlined as a literal). Shares
+  // stream_hybrid_serving's oracle: the route must be results-invisible,
+  // and this row makes the DuckDB gate enforce it every round.
+  private val servedHybridBulkOut = scala.collection.mutable.Map[String, String]()
+
+  def streamHybridServingBulk(s: SparkSession, dir: String): DataFrame = {
+    val out = synchronized {
+      servedHybridBulkOut.getOrElseUpdate(dir, {
+        import s.implicits._
+        val t = ensurePrebuilt(s, dir)
+        val v = graft.queries.SimilarityQueries.persistedVectorIndexPrefix(s, dir)
+        val staged = graft.streaming.DocStreams.stagedRequestSplits(
+          HybridBatch.toDF("query_id", "query_text"), nFiles = 3)
+        val outPath = graft.ScratchDirs
+          .fresh("graft_stream", "hservebulk_out").toString
+        graft.streaming.DocStreams.hybridServe(s, staged, t, v, outPath,
+          bulkThreshold = 0L)
+        outPath
+      })
+    }
+    s.read.option("recursiveFileLookup", "true").parquet(out)
+      .select(col("query_id"), col("doc_id"), col("title"), col("text_rank"),
+        col("vec_rank"), col("rrf"))
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+  }
+
   val hybridRrfPrebuiltSql: String =
     s"""${bm25TopCtes(TokCte)},
        |${graft.queries.SimilarityQueries.ivfPqProbeZeroCtes},
@@ -1640,6 +1670,7 @@ object TextIndexQueries {
     "hybrid_rrf_batch_prebuilt" -> (hybridRrfBatchPrebuilt _),
     "hybrid_rrf_bulk" -> (hybridRrfBulk _),
     "stream_hybrid_serving" -> (streamHybridServing _),
+    "stream_hybrid_serving_bulk" -> (streamHybridServingBulk _),
     "search_facets" -> (searchFacets _),
     "phrase_bigram_index" -> (phraseBigramIndex _),
     "bm25_fielded" -> (bm25Fielded _),
@@ -1689,6 +1720,9 @@ object TextIndexQueries {
     "hybrid_rrf_batch_prebuilt" -> hybridRrfBatchPrebuiltSql,
     "hybrid_rrf_bulk" -> hybridRrfBulkSql,
     "stream_hybrid_serving" -> hybridRrfBatchPrebuiltSql,
+    // routed (bulk-join) serving stream: same oracle — the route is
+    // results-invisible by contract
+    "stream_hybrid_serving_bulk" -> hybridRrfBatchPrebuiltSql,
     "search_facets" -> searchFacetsSql,
     "phrase_bigram_index" -> phraseBigramIndexSql,
     "bm25_fielded" -> bm25FieldedSql,

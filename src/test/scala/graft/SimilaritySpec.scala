@@ -393,6 +393,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("snapshot fails fast when the source prefix's lease is held") {
+    import graft.operators.{MaintenanceLease, VectorIndex}
+    // ADVICE r12: snapshot used to warn-and-proceed past a held source
+    // lease — a copy raced against another process's compact/delete could
+    // bake mid-swap state (a list renamed aside) into the fence copy. It
+    // now holds the SOURCE lease for the copy and fails fast like every
+    // other maintenance op.
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val prefix = "vecsnaplease_spec"
+    VectorIndex.trainAndBuild(spark, emb, prefix,
+      nlist = 8, iters = 1, pqM = 4, pqKs = 8)
+    val ex = intercept[MaintenanceLease.LeaseHeldException] {
+      MaintenanceLease.withLease(spark, prefix, "live-compact") {
+        VectorIndex.snapshot(spark, prefix, "raced")
+      }
+    }
+    assert(ex.getMessage.contains("live-compact"),
+      s"contention error does not name the holder: ${ex.getMessage}")
+    assert(!spark.catalog.tableExists(s"${prefix}_raced_centroids"),
+      "fail-fast snapshot still copied tables")
+    // lease released: the same snapshot proceeds and lands all four stores
+    VectorIndex.snapshot(spark, prefix, "ok")
+    assert(spark.catalog.tableExists(s"${prefix}_ok_centroids"))
+    assert(spark.table(s"${prefix}_ok_forward").count() ==
+      spark.table(s"${prefix}_forward").count())
+  }
+
+  test("vector merge refuses to alias its output to an input") {
+    import graft.operators.VectorIndex
+    // ADVICE r12: merge(a, b, out=a) would drop and overwrite prefixA's
+    // tables via copyIndex while also reading them — corrupting the index
+    // under its own lease. Guarded before any table access, like
+    // Indexer.mergeBucketedIndexes.
+    intercept[IllegalArgumentException] {
+      VectorIndex.merge(spark, "vm_alias_a", "vm_alias_b", "vm_alias_a")
+    }
+    intercept[IllegalArgumentException] {
+      VectorIndex.merge(spark, "vm_alias_a", "vm_alias_b", "vm_alias_b")
+    }
+  }
+
   test("serving recovers crash debris, but never under a live maintenance lease") {
     import graft.operators.{MaintenanceLease, VectorIndex}
     val dir = "/root/testdata/sf0.001"
