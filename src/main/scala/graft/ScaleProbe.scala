@@ -208,7 +208,57 @@ object ScaleProbe {
       }
     }
 
-    val policyProbes = Set("ingest_policy", "retrain_policy")
+    // `serve_route`: throughput probe for the serving stream's bulk route
+    // (r13) — one OVERSIZED staged request file (8192 > the 4096
+    // threshold) answered by hybridServe at sf0.1 and the scaled corpus.
+    // Pre-r13 this micro-batch was an unbounded driver collect plus an
+    // 8192-literal IN-list plan; routed, it is one bulk join pass. A
+    // 64-request file rides along as the below-threshold (literal-pruned)
+    // reference point on the same indexes.
+    if (args.contains("serve_route")) {
+      Seq(("sf0.1", src), (s"x$factor", sf1)).foreach { case (tag, dir) =>
+        val slug = tag.replaceAll("[^A-Za-z0-9]", "_")
+        val tPrefix = s"probe_srt_t_$slug"
+        val vPrefix = s"probe_srt_v_$slug"
+        graft.operators.Indexer.buildBucketedIndex(spark,
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+          tPrefix)
+        val e = Tables.embeddings(spark, dir).select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        // corpus-derived coarse geometry (the auto-family practice,
+        // SCALE_r7): hold ~312 vectors per list at every scale point so
+        // probed-candidate volume per request stays flat as the corpus
+        // grows — a fixed nlist would scale the vector arm's ADC work
+        // linearly with the corpus and the probe would measure geometry
+        // drift, not the serving path
+        val nlist = math.max(64, (e.count() / 312L).toInt)
+        graft.operators.VectorIndex.trainAndBuild(spark, e, vPrefix,
+          nlist = nlist)
+        def serveN(n: Int): Double = {
+          val reqs = Tables.documents(spark, dir).select(
+            col("doc_id").cast("long").as("query_id"),
+            array_join(slice(
+              graft.functions.Tokenizer.tokenize(col("text")), 1, 5),
+              " ").as("query_text"))
+            .orderBy("query_id").limit(n)
+          val staged = graft.streaming.DocStreams
+            .stagedRequestSplits(reqs, nFiles = 1)
+          val out = graft.ScratchDirs
+            .fresh("graft_probe", s"srt_${slug}_$n").toString
+          val t0 = System.nanoTime()
+          graft.streaming.DocStreams.hybridServe(spark, staged, tPrefix,
+            vPrefix, out, k = 10)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val small = serveN(64)
+        val big = serveN(8192)
+        println(f"serve_route $tag: 64-req(batch path)=$small%.2f s " +
+          f"8192-req(bulk route)=$big%.2f s " +
+          f"per-request=${big / 8192 * 1000}%.3f ms")
+      }
+    }
+
+    val policyProbes = Set("ingest_policy", "retrain_policy", "serve_route")
     val targets =
       if (args.exists(policyProbes)) args.toSeq.filterNot(policyProbes)
       else if (args.nonEmpty) args.toSeq

@@ -82,7 +82,7 @@ object Main {
       |                                           into the vector index; --retrain-every/-skew arm
       |                                           the drift policy (occupancy-skew check every N
       |                                           batches; snapshot-fenced retrain past T)
-      |  hserve  <stagedDir> <tPfx> <vPfx> <outDir> [k] [--ckpt=<dir>]
+      |  hserve  <stagedDir> <tPfx> <vPfx> <outDir> [k] [--ckpt=<dir>] [--sink-max-dirs=<n>]
       |                                           ONLINE hybrid serving of a staged request stream
       |                                           (requests.parquet*), results appended under
       |                                           outDir/batch_id=N; stable --ckpt resumes
@@ -324,7 +324,8 @@ object Main {
         val (flags, pos) = rest.partition(_.startsWith("--"))
         val k = pos.headOption.map(_.toInt).getOrElse(10)
         graft.streaming.DocStreams.hybridServe(spark, stagedDir, textPrefix,
-          vecPrefix, outDir, k, flagValue(flags, "ckpt"))
+          vecPrefix, outDir, k, flagValue(flags, "ckpt"),
+          maxSinkDirs = flagValue(flags, "sink-max-dirs").map(_.toInt))
         Right(None)
       // Registry access with twin resolution: the fixed-geometry forms
       // stay registered as oracle-stability baselines, but a user typing

@@ -403,10 +403,106 @@ object DocStreams {
     * under replay, which is exactly the invariance stream_hybrid_serving
     * pins.
     */
+  /** Serving-SINK compaction (the last store without a file-count bound):
+    * every micro-batch appends one `batch_id=N` subdirectory of small
+    * parquet files, so a year of unattended serving is ~9k directories —
+    * the same growth the index compaction policies bound for the two
+    * serving stores, here on the results log. With `maxSinkDirs` set,
+    * each batch is followed by a directory count; past the threshold all
+    * COMMITTED result dirs (everything except the current batch's, which
+    * is the only one foreachBatch can replay-overwrite) merge into one
+    * `compacted_<batchId>` directory. The rewrite is results-invisible:
+    * the union read bin-packs the small files and writes few large ones.
+    *
+    * Crash safety, same discipline as the index swaps (staged + marker +
+    * recover-at-entry): the staged union is written under an
+    * underscore-prefixed name (invisible to parquet readers), THEN a
+    * marker naming the target and every absorbed dir is created, THEN the
+    * absorbed dirs delete and the staging renames into place, THEN the
+    * marker deletes. A crash at any point recovers at the next
+    * compaction-capable stream start or batch: marker present → staging
+    * is authoritative (it was complete before the marker existed), so
+    * recovery deletes the listed dirs, lands the staging at the named
+    * target if not already landed, and clears the marker; marker absent →
+    * any stale staging is an incomplete write whose rows are all still
+    * live, deleted outright. Readers see a transient under-return between
+    * the deletes and the rename (the documented maintenance transient the
+    * vector index shares), never a duplicate.
+    */
+  private[graft] def recoverSinkCompaction(s: SparkSession, outPath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val marker = new org.apache.hadoop.fs.Path(root, "_sink_absorbed")
+    val staging = new org.apache.hadoop.fs.Path(root, "_sink_staging")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val lines = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      in.close()
+      val target = lines.head.stripPrefix("target=")
+      System.err.println(s"[graft] completing crashed sink compaction at " +
+        s"$outPath (target $target)")
+      lines.tail.foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, d), true): Unit)
+      val targetPath = new org.apache.hadoop.fs.Path(root, target)
+      if (fs.exists(staging) && !fs.exists(targetPath)) {
+        if (!fs.rename(staging, targetPath))
+          sys.error(s"sink compaction recovery rename failed for $target")
+      } else fs.delete(staging, true)
+      fs.delete(marker, false): Unit
+    } else
+      // no marker: an incomplete staged write whose rows are all still
+      // live in the source dirs — drop it
+      fs.delete(staging, true): Unit
+  }
+
+  private[graft] def compactServingSink(s: SparkSession, outPath: String,
+                                        maxDirs: Int,
+                                        currentBatchId: Long): Boolean = {
+    recoverSinkCompaction(s, outPath)
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    def resultDirs = fs.listStatus(root).toSeq.filter(d => d.isDirectory &&
+      (d.getPath.getName.startsWith("batch_id=") ||
+        d.getPath.getName.startsWith("compacted_")))
+    val dirs = resultDirs
+    if (dirs.size <= maxDirs) return false
+    // never absorb the CURRENT batch's dir: it is the one dir a replayed
+    // batch overwrites, and absorbing it would double its rows on replay
+    val absorb = dirs.map(_.getPath)
+      .filter(_.getName != s"batch_id=$currentBatchId")
+    if (absorb.size < 2) return false
+    val staging = new org.apache.hadoop.fs.Path(root, "_sink_staging")
+    fs.delete(staging, true)
+    // recursiveFileLookup disables partition inference — without it the
+    // batch_id=K path components would be inferred as a partition column
+    // and conflict with the compacted_M dirs' non-kv names
+    s.read.option("recursiveFileLookup", "true")
+      .parquet(absorb.map(_.toString): _*)
+      .write.mode("overwrite").parquet(staging.toString)
+    val target = s"compacted_$currentBatchId"
+    val marker = new org.apache.hadoop.fs.Path(root, "_sink_absorbed")
+    val out = fs.create(marker, true)
+    out.write((s"target=$target\n" + absorb.map(_.getName).mkString("\n"))
+      .getBytes("UTF-8"))
+    out.close()
+    absorb.foreach(p => fs.delete(p, true): Unit)
+    if (!fs.rename(staging, new org.apache.hadoop.fs.Path(root, target)))
+      sys.error(s"sink compaction rename failed for $target")
+    fs.delete(marker, false)
+    true
+  }
+
   /** @param checkpointDir STABLE checkpoint for a resumable serving
     *   stream: a restart answers only requests the source has not yet
     *   seen. No applied-marker is needed here — the batch_id-keyed
     *   overwrite sink is already idempotent under replay.
+    * @param maxSinkDirs bound on the sink's result-directory count (the
+    *   file-growth policy for the serving log — see
+    *   [[compactServingSink]]); None = off, the pre-r13 layout
     * @param bulkThreshold micro-batches above this many requests serve
     *   through the bulk JOIN plan instead of the literal-pruned batch
     *   plan (VERDICT r12 "what's missing" #1): a micro-batch is "whatever
@@ -422,7 +518,8 @@ object DocStreams {
                   vecPrefix: String, outPath: String, k: Int = 10,
                   checkpointDir: Option[String] = None,
                   bulkThreshold: Long =
-                    graft.operators.Search.BulkRequestThreshold): Unit = {
+                    graft.operators.Search.BulkRequestThreshold,
+                  maxSinkDirs: Option[Int] = None): Unit = {
     // a negative threshold would make the probe limit(0) and silently
     // DROP every request; clamp the probe at Int range for huge values
     // (AUDIT_r13 #3)
@@ -436,6 +533,9 @@ object DocStreams {
       .parquet(s"$stagedDir/requests.parquet*")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    // a restarted serving stream heals crashed-compaction debris before
+    // answering anything (readers would under-return from a mid-swap sink)
+    if (maxSinkDirs.isDefined) recoverSinkCompaction(s, outPath)
     try {
       val q = src.writeStream
         .outputMode(OutputMode.Append)
@@ -448,26 +548,41 @@ object DocStreams {
           // the micro-batch to know which side of the threshold it is on
           val n = reqDf.limit(probeLimit).count()
           if (n > 0) {
-            val served =
-              if (n > bulkThreshold) {
-                System.err.println(s"[graft] serving micro-batch $batchId " +
-                  s"exceeds the literal-pruning sweet spot " +
-                  s"($bulkThreshold requests) — routing to the bulk join " +
-                  "plan (no driver collect, nothing request-derived " +
-                  "inlined as a literal)")
-                graft.operators.Search.hybridBulkSearchPrebuilt(
+            if (n > bulkThreshold) {
+              System.err.println(s"[graft] serving micro-batch $batchId " +
+                s"exceeds the literal-pruning sweet spot " +
+                s"($bulkThreshold requests) — routing to the bulk join " +
+                "plan (no driver collect, nothing request-derived " +
+                "inlined as a literal)")
+              // the stream pins shuffle.partitions low for micro-batch
+              // serving; a bulk-routed oversized batch is a full
+              // distributed job whose term/cent_id/query_id shuffles
+              // should run at the session's own parallelism, exactly as
+              // the same job does through `hbulk` — on a cluster, 4
+              // reduce partitions would idle all but 4 slots. (In the
+              // single-JVM probe container the width is a wash — CPU
+              // saturates either way — SCALE_r13 §4.)
+              s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+              try graft.operators.Search.hybridBulkSearchPrebuilt(
                   s, reqDf, textPrefix, vecPrefix, k)
-              } else {
-                // below the threshold the literal IN-lists ARE the index
-                // pruning, and this collect is bounded by the threshold
-                val reqs = reqDf.collect()
-                  .map(r => (r.getLong(0), r.getString(1))).toSeq
-                graft.operators.Search.hybridBatchSearchPrebuilt(
+                .write.mode("overwrite")
+                .parquet(s"$outPath/batch_id=$batchId")
+              finally s.conf.set("spark.sql.shuffle.partitions", "4")
+            } else {
+              // below the threshold the literal IN-lists ARE the index
+              // pruning, and this collect is bounded by the threshold
+              val reqs = reqDf.collect()
+                .map(r => (r.getLong(0), r.getString(1))).toSeq
+              graft.operators.Search.hybridBatchSearchPrebuilt(
                   s, reqs, textPrefix, vecPrefix, k)
-              }
-            served.write.mode("overwrite")
-              .parquet(s"$outPath/batch_id=$batchId")
+                .write.mode("overwrite")
+                .parquet(s"$outPath/batch_id=$batchId")
+            }
           }
+          // the sink's file-growth policy, AFTER this batch's results are
+          // durable; absorbs only COMMITTED dirs (never batch $batchId's)
+          maxSinkDirs.foreach(t =>
+            compactServingSink(s, outPath, t, batchId): Unit)
         }
         .start()
       q.awaitTermination()

@@ -1001,6 +1001,70 @@ class StreamingSpec extends SparkSpec {
       "bulk-routed serving stream diverged from the literal-pruned path")
   }
 
+  test("serving-sink compaction bounds result-dir growth, stays " +
+    "results-invisible, and recovers a crashed swap") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    val dir = "/root/testdata/sf0.001"
+    val tPrefix = "graft_sinkcomp_t"
+    val vPrefix = "graft_sinkcomp_v"
+    graft.operators.Indexer.buildBucketedIndex(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), tPrefix)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    graft.operators.VectorIndex.trainAndBuild(spark, emb, vPrefix,
+      nlist = 8, iters = 1, pqM = 4, pqKs = 8)
+    val reqs = Seq((0L, "spark filter join"), (1L, "customer data"),
+      (2L, "stream data"), (3L, "big data simple"), (4L, "orders revenue"))
+      .toDF("query_id", "query_text")
+    def rows(p: String): Seq[Seq[Any]] = spark.read
+      .option("recursiveFileLookup", "true").parquet(p)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    def resultDirs(p: String): Seq[String] = new java.io.File(p)
+      .listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(n => n.startsWith("batch_id=") || n.startsWith("compacted_"))
+      .toSeq.sorted
+    // baseline layout: 5 micro-batches, one result dir each
+    val outA = ScratchDirs.fresh("graft_stream", "sinkcomp_a").toString
+    DocStreams.hybridServe(spark,
+      DocStreams.stagedRequestSplits(reqs, nFiles = 5),
+      tPrefix, vPrefix, outA, k = 5)
+    assert(resultDirs(outA).size == 5)
+    // policy ON at threshold 2: dir count stays bounded for the stream's
+    // whole life and the accumulated rows are byte-identical
+    val outB = ScratchDirs.fresh("graft_stream", "sinkcomp_b").toString
+    DocStreams.hybridServe(spark,
+      DocStreams.stagedRequestSplits(reqs, nFiles = 5),
+      tPrefix, vPrefix, outB, k = 5, maxSinkDirs = Some(2))
+    assert(rows(outB) == rows(outA),
+      "sink compaction changed the accumulated results")
+    assert(resultDirs(outB).size <= 2,
+      s"sink compaction did not bound dir growth: ${resultDirs(outB)}")
+    // crash recovery: manufacture the exact post-crash state — the staged
+    // union complete, the marker written (target + absorbed names), the
+    // crash landing BEFORE the deletes — and assert recovery lands the
+    // swap with the rows intact
+    val fs = new org.apache.hadoop.fs.Path(outB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val absorbed = resultDirs(outB)
+    spark.read.option("recursiveFileLookup", "true").parquet(outB)
+      .write.mode("overwrite").parquet(s"$outB/_sink_staging")
+    val mk = fs.create(
+      new org.apache.hadoop.fs.Path(outB, "_sink_absorbed"), true)
+    mk.write(("target=compacted_99\n" + absorbed.mkString("\n"))
+      .getBytes("UTF-8"))
+    mk.close()
+    DocStreams.recoverSinkCompaction(spark, outB)
+    assert(rows(outB) == rows(outA),
+      "crashed-swap recovery lost or duplicated sink rows")
+    assert(resultDirs(outB) == Seq("compacted_99"),
+      s"recovery did not land the marker's target: ${resultDirs(outB)}")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(outB, "_sink_absorbed")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(outB, "_sink_staging")),
+      "recovery left its marker or staging behind")
+  }
+
   // ---- Replay invariance -----------------------------------------------------
   // The registry's stream_* rows run one AvailableNow pass over a
   // single-file source (one micro-batch plus sentinels). A live stream has
