@@ -435,6 +435,15 @@ object DocStreams {
     if (!fs.exists(root)) return
     val marker = new org.apache.hadoop.fs.Path(root, "_sink_absorbed")
     val staging = new org.apache.hadoop.fs.Path(root, "_sink_staging")
+    // a .tmp marker is an INCOMPLETE write (the real marker lands by
+    // atomic rename): the crashed compaction never reached its
+    // destructive phase, so every row is still live in the source dirs —
+    // drop the debris. Without the rename protocol a partially-written
+    // marker would mislead recovery into deleting only the parsed subset
+    // of absorbed dirs and landing the staging beside the rest:
+    // duplicates (AUDIT_r13 #16).
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_sink_absorbed.tmp"),
+      false)
     if (fs.exists(marker)) {
       val in = fs.open(marker)
       val lines = new String(
@@ -484,11 +493,17 @@ object DocStreams {
       .parquet(absorb.map(_.toString): _*)
       .write.mode("overwrite").parquet(staging.toString)
     val target = s"compacted_$currentBatchId"
+    // the marker gates the destructive phase, so it must be all-or-
+    // nothing: write to a .tmp and RENAME into place (atomic on local
+    // and HDFS) — recovery treats a .tmp as never-started
     val marker = new org.apache.hadoop.fs.Path(root, "_sink_absorbed")
-    val out = fs.create(marker, true)
+    val markerTmp = new org.apache.hadoop.fs.Path(root, "_sink_absorbed.tmp")
+    val out = fs.create(markerTmp, true)
     out.write((s"target=$target\n" + absorb.map(_.getName).mkString("\n"))
       .getBytes("UTF-8"))
     out.close()
+    if (!fs.rename(markerTmp, marker))
+      sys.error("sink compaction marker rename failed")
     absorb.foreach(p => fs.delete(p, true): Unit)
     if (!fs.rename(staging, new org.apache.hadoop.fs.Path(root, target)))
       sys.error(s"sink compaction rename failed for $target")

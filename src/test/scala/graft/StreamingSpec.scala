@@ -1063,6 +1063,24 @@ class StreamingSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(outB, "_sink_absorbed")) &&
       !fs.exists(new org.apache.hadoop.fs.Path(outB, "_sink_staging")),
       "recovery left its marker or staging behind")
+    // an INCOMPLETE marker (crash mid-write, before the atomic rename
+    // landed it) means the destructive phase never started: recovery must
+    // drop the .tmp + staging debris and touch nothing else — a partial
+    // absorbed-list misread as real would delete a subset and duplicate
+    // the rest (AUDIT_r13 #16)
+    spark.read.option("recursiveFileLookup", "true").parquet(outB)
+      .write.mode("overwrite").parquet(s"$outB/_sink_staging")
+    val tmp = fs.create(
+      new org.apache.hadoop.fs.Path(outB, "_sink_absorbed.tmp"), true)
+    tmp.write("target=compac".getBytes("UTF-8")) // truncated mid-write
+    tmp.close()
+    DocStreams.recoverSinkCompaction(spark, outB)
+    assert(rows(outB) == rows(outA),
+      "partial-marker recovery changed the sink rows")
+    assert(resultDirs(outB) == Seq("compacted_99"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(outB, "_sink_absorbed.tmp")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(outB, "_sink_staging")),
+      "partial-marker recovery left debris behind")
   }
 
   // ---- Replay invariance -----------------------------------------------------
