@@ -170,25 +170,6 @@ object DocStreams {
     require(everyNBatches > 0, s"check cadence must be >= 1 ($everyNBatches)")
   }
 
-  /** Live VECTOR-index ingestion: stream a staged embeddings directory one
-    * file per micro-batch, each batch encoded with the FROZEN stored
-    * quantizers and appended into the persisted IVF-PQ index
-    * (VectorIndex.append) — the vector twin of ingestAppend. A concurrent
-    * ANN searcher reads the same tables as the corpus grows.
-    * `maxFilesPerUnit` wires in the compaction policy (file-count bound),
-    * `retrainPolicy` the drift policy (recall bound) — together the store
-    * self-maintains under unattended continuous ingest.
-    *
-    * Policy-vs-serving race, disposed: each policy op takes the
-    * maintenance lease, so policies and manual CLI maintenance can never
-    * interleave swap windows; a CONCURRENT SEARCHER during a triggered
-    * retrain can observe the documented mixed-quantizer window while the
-    * three external tables re-point (the same window manual `vretrain`
-    * has — the snapshot fence bounds the damage to a rollback).
-    *
-    * @return number of policy-triggered retrains (0 without a policy) —
-    *   observable so tests and probes can pin when the policy fired
-    */
   /** Applied-batch guard for the ingest streams' foreachBatch bodies
     * (AUDIT_r12 #6): foreachBatch is at-least-once — a crash between a
     * COMMITTED append job and the streaming checkpoint's batch commit
@@ -261,12 +242,31 @@ object DocStreams {
           s"retrying at the next batch): ${e.getMessage}")
     }
 
-  /** @param checkpointDir STABLE checkpoint for resumable ingest: a
+  /** Live VECTOR-index ingestion: stream a staged embeddings directory one
+    * file per micro-batch, each batch encoded with the FROZEN stored
+    * quantizers and appended into the persisted IVF-PQ index
+    * (VectorIndex.append) — the vector twin of ingestAppend. A concurrent
+    * ANN searcher reads the same tables as the corpus grows.
+    * `maxFilesPerUnit` wires in the compaction policy (file-count bound),
+    * `retrainPolicy` the drift policy (recall bound) — together the store
+    * self-maintains under unattended continuous ingest.
+    *
+    * Policy-vs-serving race, disposed: each policy op takes the
+    * maintenance lease, so policies and manual CLI maintenance can never
+    * interleave swap windows (contention skips the policy round —
+    * [[policyOp]]); a CONCURRENT SEARCHER during a triggered retrain can
+    * observe the documented mixed-quantizer window while the three
+    * external tables re-point (the same window manual `vretrain` has —
+    * the snapshot fence bounds the damage to a rollback).
+    *
+    * @param checkpointDir STABLE checkpoint for resumable ingest: a
     *   second call with the same checkpoint processes only files the
     *   source has not yet seen, and a batch replayed after a crash
     *   mid-commit is skipped by the applied-marker guard
     *   ([[runAppliedOnce]]) instead of double-appending. Default: a
     *   fresh one-shot checkpoint (the existing fixture behavior).
+    * @return number of policy-triggered retrains (0 without a policy) —
+    *   observable so tests and probes can pin when the policy fired
     */
   def vectorIngestAppend(s: SparkSession, stagedDir: String, prefix: String,
                          maxFilesPerUnit: Option[Int] = None,

@@ -287,11 +287,19 @@ class CliSpec extends SparkSpec {
         (2L, "stream data")).toDF("query_id", "query_text"), nFiles = 3)
     val outDir = ScratchDirs.fresh("graft_cli", "hserve_out").toString
     assert(cli.Main.run(spark,
-      Seq("hserve", reqs, tPrefix, vPrefix, outDir, "5")).isRight)
+      Seq("hserve", reqs, tPrefix, vPrefix, outDir, "5",
+        "--sink-max-dirs=1")).isRight)
     val served = spark.read.option("recursiveFileLookup", "true")
       .parquet(outDir)
     assert(served.select("query_id").distinct().count() == 3,
       "hserve did not answer every staged request")
+    // the flag wires the sink's file-growth policy: 3 micro-batches leave
+    // a bounded result-dir count, not one dir per batch
+    val sinkDirs = new java.io.File(outDir).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(n => n.startsWith("batch_id=") || n.startsWith("compacted_"))
+    assert(sinkDirs.length <= 2,
+      s"--sink-max-dirs did not bound the sink: ${sinkDirs.mkString(", ")}")
   }
 
   test("hserve auto-routes an oversized staged request file to the bulk plan") {
