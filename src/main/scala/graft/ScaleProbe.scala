@@ -243,6 +243,21 @@ object ScaleProbe {
             .orderBy("query_id").limit(n)
           val staged = graft.streaming.DocStreams
             .stagedRequestSplits(reqs, nFiles = 1)
+          // the limit(n) caps, it doesn't guarantee: on a corpus smaller
+          // than n the "bulk route" sample would silently serve through
+          // the literal-pruned batch path and the printed per-request
+          // bulk latency would measure the WRONG plan (ADVICE r13) —
+          // assert the staged count actually exceeds the threshold before
+          // labeling the measurement as the bulk route
+          val stagedN = spark.read.option("basePath", staged)
+            .parquet(s"$staged/requests.parquet*").count()
+          System.err.println(s"[graft] serve_route $tag staged $stagedN " +
+            s"of $n requested")
+          if (n > graft.operators.Search.BulkRequestThreshold)
+            require(stagedN > graft.operators.Search.BulkRequestThreshold,
+              s"serve_route $tag: staged only $stagedN requests (corpus " +
+                s"too small) — the 'bulk route' label would measure the " +
+                "batch path; probe a larger corpus")
           val out = graft.ScratchDirs
             .fresh("graft_probe", s"srt_${slug}_$n").toString
           val t0 = System.nanoTime()

@@ -108,20 +108,86 @@ object Main {
       case f if f.startsWith(s"--$name=") => f.stripPrefix(s"--$name=")
     }
 
+  // Numeric argument parsing that fails as a USAGE error, not a raw
+  // NumberFormatException (VERDICT r13 smaller note / ADVICE r13): every
+  // numeric flag and positional is validated up front — `--sink-max-dirs=abc`
+  // or `--sink-max-dirs=0` reports what was wrong and exits 2 like any
+  // other bad invocation, before any Spark work runs.
+
+  /** Optional integer `--name=` flag, bounded below. */
+  private def intFlag(flags: Seq[String], name: String,
+                      min: Int = 1): Either[String, Option[Int]] =
+    flagValue(flags, name) match {
+      case None => Right(None)
+      case Some(v) => v.toIntOption match {
+        case Some(n) if n >= min => Right(Some(n))
+        case Some(n) => Left(s"--$name must be >= $min (got $n)")
+        case None => Left(s"--$name expects an integer (got '$v')")
+      }
+    }
+
+  /** Optional double `--name=` flag. */
+  private def doubleFlag(flags: Seq[String],
+                         name: String): Either[String, Option[Double]] =
+    flagValue(flags, name) match {
+      case None => Right(None)
+      case Some(v) => v.toDoubleOption match {
+        case Some(d) => Right(Some(d))
+        case None => Left(s"--$name expects a number (got '$v')")
+      }
+    }
+
+  /** First positional as an integer with a default when absent. */
+  private def posInt(rest: Seq[String], what: String,
+                     default: Int): Either[String, Int] =
+    rest.headOption match {
+      case None => Right(default)
+      case Some(v) => v.toIntOption
+        .toRight(s"$what expects an integer (got '$v')")
+    }
+
+  /** First positional as an OPTIONAL integer (absent stays None). */
+  private def posIntOpt(rest: Seq[String],
+                        what: String): Either[String, Option[Int]] =
+    rest.headOption match {
+      case None => Right(None)
+      case Some(v) => v.toIntOption.map(Some(_))
+        .toRight(s"$what expects an integer (got '$v')")
+    }
+
+  /** Required long positional (ids on the serving commands). */
+  private def argLong(v: String, what: String): Either[String, Long] =
+    v.toLongOption.toRight(s"$what expects an integer id (got '$v')")
+
+  /** Reject flags the command does not define: a typo'd flag name must
+    * not silently change behavior (`--sink-maxdirs=3` serving with NO
+    * compaction bound is worse than an error).
+    */
+  private def checkFlags(flags: Seq[String],
+                         allowed: String*): Either[String, Unit] = {
+    val names = flags.map(_.stripPrefix("--").takeWhile(_ != '='))
+    names.find(n => !allowed.contains(n)) match {
+      case Some(bad) => Left(s"unknown flag --$bad (expected: " +
+        allowed.map("--" + _).mkString(", ") + ")")
+      case None => Right(())
+    }
+  }
+
   /** Command dispatch, separated from main() so tests drive it in-process.
     * @return Left(error) or Right(optional result table to display)
     */
   def run(spark: SparkSession, args: Seq[String]): Either[String, Option[DataFrame]] =
     args match {
       case Seq("prepare", in, outDir, rest @ _*) =>
-        val n = rest.headOption.map(_.toInt).getOrElse(30)
+        posInt(rest, "n", 30).map { n =>
         val d = spark.read.parquet(in)
         val docs = d.select(col("doc_id").cast("string").as("id"),
           substring(col("text"), 1, 50).as("title"), col("text"))
         val prepared = Pipelines.prepare(docs, n, d.count())
         Pipelines.writePerDocFiles(prepared, s"$outDir/docs")
         Pipelines.writeTsv(prepared, s"$outDir/tsv")
-        Right(Some(prepared.select(col("id"), col("title"))))
+        Some(prepared.select(col("id"), col("title")))
+        }
       case Seq("index", in, prefix) =>
         Indexer.buildBucketedIndex(spark, readDocs(spark, in), prefix)
         Right(None)
@@ -129,12 +195,13 @@ object Main {
         Indexer.appendBucketedIndex(spark, readDocs(spark, in), prefix)
         Right(None)
       case Seq("compact", prefix, rest @ _*) =>
-        val maxFiles = rest.headOption.map(_.toInt).getOrElse(8)
-        val did = Indexer.compactBucketedIndex(spark, prefix, maxFiles)
-        System.err.println(
-          if (did) s"[graft] compacted ${prefix}_postings"
-          else s"[graft] ${prefix}_postings within threshold, nothing to do")
-        Right(None)
+        posInt(rest, "maxFiles", 8).map { maxFiles =>
+          val did = Indexer.compactBucketedIndex(spark, prefix, maxFiles)
+          System.err.println(
+            if (did) s"[graft] compacted ${prefix}_postings"
+            else s"[graft] ${prefix}_postings within threshold, nothing to do")
+          None
+        }
       case Seq("merge", a, b, out) =>
         Indexer.mergeBucketedIndexes(spark, a, b, out)
         Right(None)
@@ -151,11 +218,11 @@ object Main {
       case Seq("stats", prefix) =>
         Right(Some(Indexer.describeIndex(spark, prefix)))
       case Seq("search", prefix, query, rest @ _*) =>
-        val k = rest.headOption.map(_.toInt).getOrElse(10)
-        Right(Some(Search.searchPrebuilt(spark, query, prefix, k)))
+        posInt(rest, "k", 10).map(k =>
+          Some(Search.searchPrebuilt(spark, query, prefix, k)))
       case Seq("fsearch", prefix, query, rest @ _*) =>
-        val k = rest.headOption.map(_.toInt).getOrElse(10)
-        Right(Some(Search.fuzzySearchPrebuilt(spark, query, prefix, k)))
+        posInt(rest, "k", 10).map(k =>
+          Some(Search.fuzzySearchPrebuilt(spark, query, prefix, k)))
       case Seq("suggest", prefix, query) =>
         Right(Some(Search.spellSuggest(spark, query,
           spark.table(s"${prefix}_term_df"))))
@@ -163,23 +230,26 @@ object Main {
         // the expansion term set is dynamic, so unlike `search` the
         // postings cannot be statically bucket-pruned — the term joins
         // still run co-located against the bucketed tables
-        val k = rest.headOption.map(_.toInt).getOrElse(10)
-        Right(Some(Search.rm3Search(spark, query,
-          spark.table(s"${prefix}_postings"), spark.table(s"${prefix}_term_df"),
-          spark.table(s"${prefix}_doc_info"), k)))
+        posInt(rest, "k", 10).map(k =>
+          Some(Search.rm3Search(spark, query,
+            spark.table(s"${prefix}_postings"), spark.table(s"${prefix}_term_df"),
+            spark.table(s"${prefix}_doc_info"), k)))
       case Seq("snippets", prefix, query, rest @ _*) =>
-        val k = rest.headOption.map(_.toInt).getOrElse(10)
-        val toks = Search.queryTokens(query)
-        Right(Some(Search.snippets(spark, query,
-          spark.table(s"${prefix}_postings")
-            .filter(col("term").isin(toks: _*)),
-          spark.table(s"${prefix}_term_df")
-            .filter(col("term").isin(toks: _*)),
-          spark.table(s"${prefix}_doc_info"), k)))
+        posInt(rest, "k", 10).map { k =>
+          val toks = Search.queryTokens(query)
+          Some(Search.snippets(spark, query,
+            spark.table(s"${prefix}_postings")
+              .filter(col("term").isin(toks: _*)),
+            spark.table(s"${prefix}_term_df")
+              .filter(col("term").isin(toks: _*)),
+            spark.table(s"${prefix}_doc_info"), k))
+        }
       case Seq("similar", prefix, docId, rest @ _*) =>
-        val k = rest.headOption.map(_.toInt).getOrElse(5)
-        Right(Some(graft.operators.MoreLikeThis
-          .similarPrebuilt(spark, prefix, docId.toLong, k)))
+        for {
+          k <- posInt(rest, "k", 5)
+          id <- argLong(docId, "docId")
+        } yield Some(graft.operators.MoreLikeThis
+          .similarPrebuilt(spark, prefix, id, k))
       case Seq("vindex", in, prefix) =>
         val emb = spark.read.parquet(in).select(col("vec_id").as("id"),
           col("embedding").cast("array<double>").as("v"))
@@ -191,30 +261,39 @@ object Main {
         graft.operators.VectorIndex.append(spark, emb, prefix)
         Right(None)
       case Seq("vsearch", prefix, vecId, rest @ _*) =>
-        val k = rest.headOption.map(_.toInt).getOrElse(5)
-        // point fetch by id: the bucket-pruned forward store, never the
-        // cent_id-partitioned lists (whose layout can't prune on id)
-        val probe = spark.table(s"${prefix}_forward")
-          .filter(col("id") === vecId.toLong).select(col("id"), col("v"))
-        Right(Some(graft.operators.VectorIndex.searchPrebuilt(spark, prefix,
-          probe, k, nprobe = 8, shortlist = 40)
-          .orderBy("rank")))
+        for {
+          k <- posInt(rest, "k", 5)
+          id <- argLong(vecId, "vec_id")
+        } yield {
+          // point fetch by id: the bucket-pruned forward store, never the
+          // cent_id-partitioned lists (whose layout can't prune on id)
+          val probe = spark.table(s"${prefix}_forward")
+            .filter(col("id") === id).select(col("id"), col("v"))
+          Some(graft.operators.VectorIndex.searchPrebuilt(spark, prefix,
+            probe, k, nprobe = 8, shortlist = 40)
+            .orderBy("rank"))
+        }
       // hybrid serving: BM25 arm from the text index, vector arm from the
       // IVF-PQ index (probe = a stored vector by id), RRF fusion — the
       // whole command reads persisted index tables only, never the corpus
       case Seq("hsearch", textPrefix, vecPrefix, vecId, query, rest @ _*) =>
-        val k = rest.headOption.map(_.toInt).getOrElse(10)
-        val probe = spark.table(s"${vecPrefix}_forward")
-          .filter(col("id") === vecId.toLong).select(col("id"), col("v"))
-        Right(Some(Search.hybridSearchPrebuilt(spark, query, textPrefix,
-          vecPrefix, probe, k)))
+        for {
+          k <- posInt(rest, "k", 10)
+          id <- argLong(vecId, "vec_id")
+        } yield {
+          val probe = spark.table(s"${vecPrefix}_forward")
+            .filter(col("id") === id).select(col("id"), col("v"))
+          Some(Search.hybridSearchPrebuilt(spark, query, textPrefix,
+            vecPrefix, probe, k))
+        }
       // batch hybrid serving: a request TABLE (query_id = stored probe
       // vector id, query_text) read from parquet; the union of all query
       // terms becomes one bucket-pruned pass, the probe ids one forward
       // fetch — the collect is bounded by the request batch, never data
       case Seq("hbatch", requestsPath, textPrefix, vecPrefix, rest @ _*) =>
         val (hflags, hpos) = rest.partition(_.startsWith("--"))
-        val k = hpos.headOption.map(_.toInt).getOrElse(10)
+        checkFlags(hflags, "force-batch").flatMap(_ =>
+        posInt(hpos, "k", 10)).map { k =>
         val reqDf = spark.read.parquet(requestsPath)
           .select(col("query_id").cast("long").as("query_id"),
             col("query_text"))
@@ -235,47 +314,53 @@ object Main {
             s"literal-pruning sweet spot ($BulkRequestThreshold); serving " +
             "via the bulk join plan (hbulk; pass --force-batch to keep " +
             "IN-list bucket pruning anyway)")
-          Right(Some(Search.hybridBulkSearchPrebuilt(spark, reqDf,
-            textPrefix, vecPrefix, k)))
+          Some(Search.hybridBulkSearchPrebuilt(spark, reqDf,
+            textPrefix, vecPrefix, k))
         } else {
           val reqs = reqDf.collect()
             .map(r => (r.getLong(0), r.getString(1))).toSeq
-          Right(Some(Search.hybridBatchSearchPrebuilt(spark, reqs,
-            textPrefix, vecPrefix, k)))
+          Some(Search.hybridBatchSearchPrebuilt(spark, reqs,
+            textPrefix, vecPrefix, k))
+        }
         }
       // bulk hybrid serving over an UNBOUNDED request table: terms prune
       // by join against the bucketed index, probe vectors by join against
       // the forward store — no collect, no broadcast, no literals, so the
       // command survives a 10M-request offline sweep
       case Seq("hbulk", requestsPath, textPrefix, vecPrefix, rest @ _*) =>
-        val k = rest.headOption.map(_.toInt).getOrElse(10)
-        val reqDf = spark.read.parquet(requestsPath)
-          .select(col("query_id").cast("long").as("query_id"),
-            col("query_text"))
-        Right(Some(Search.hybridBulkSearchPrebuilt(spark, reqDf,
-          textPrefix, vecPrefix, k)))
+        posInt(rest, "k", 10).map { k =>
+          val reqDf = spark.read.parquet(requestsPath)
+            .select(col("query_id").cast("long").as("query_id"),
+              col("query_text"))
+          Some(Search.hybridBulkSearchPrebuilt(spark, reqDf,
+            textPrefix, vecPrefix, k))
+        }
       case Seq("vcompact", prefix, rest @ _*) =>
-        val maxFiles = rest.headOption.map(_.toInt).getOrElse(8)
-        val did = graft.operators.VectorIndex.compact(spark, prefix, maxFiles)
-        System.err.println(
-          if (did) s"[graft] compacted ${prefix}_vectors/_forward"
-          else s"[graft] nothing to compact (all units <= $maxFiles files)")
-        Right(None)
+        posInt(rest, "maxFiles", 8).map { maxFiles =>
+          val did = graft.operators.VectorIndex.compact(spark, prefix, maxFiles)
+          System.err.println(
+            if (did) s"[graft] compacted ${prefix}_vectors/_forward"
+            else s"[graft] nothing to compact (all units <= $maxFiles files)")
+          None
+        }
       case Seq("vmerge", prefixA, prefixB, out) =>
         graft.operators.VectorIndex.merge(spark, prefixA, prefixB, out)
         Right(None)
       case Seq("vstats", prefix) =>
         Right(Some(graft.operators.VectorIndex.describe(spark, prefix)))
       case Seq("vretrain", prefix, rest @ _*) =>
-        val iters = rest.headOption.map(_.toInt).getOrElse(2)
-        // fence the multi-table swap: a crash mid-retrain leaves a mixed
-        // quantizer state, recoverable only from a point-in-time copy
-        graft.operators.VectorIndex.snapshot(spark, prefix, "preretrain")
-        graft.operators.VectorIndex.retrain(spark, prefix, iters)
-        System.err.println(s"[graft] retrained $prefix from its forward " +
-          s"store (fence: ${prefix}_preretrain — " +
-          s"`vrollback $prefix preretrain` to undo)")
-        Right(None)
+        posInt(rest, "iters", 2).map { iters =>
+          // fence the multi-table swap: a crash mid-retrain leaves a mixed
+          // quantizer state, recoverable only from a point-in-time copy.
+          // Fence + retrain hold ONE lease (ADVICE r13): no writer can
+          // sneak between them, and contention can't orphan the fence.
+          graft.operators.VectorIndex
+            .snapshotFencedRetrain(spark, prefix, iters)
+          System.err.println(s"[graft] retrained $prefix from its forward " +
+            s"store (fence: ${prefix}_preretrain — " +
+            s"`vrollback $prefix preretrain` to undo)")
+          None
+        }
       case Seq("vsnapshot", prefix, tag) =>
         graft.operators.VectorIndex.snapshot(spark, prefix, tag)
         Right(None)
@@ -302,38 +387,52 @@ object Main {
       // checkpoint makes every command resumable and effectively-once
       case Seq("singest", stagedDir, prefix, rest @ _*) =>
         val (flags, pos) = rest.partition(_.startsWith("--"))
-        graft.streaming.DocStreams.ingestAppend(spark, stagedDir, prefix,
-          pos.headOption.map(_.toInt), flagValue(flags, "ckpt"))
-        Right(None)
+        for {
+          _ <- checkFlags(flags, "ckpt")
+          maxFiles <- posIntOpt(pos, "maxFilesPerUnit")
+        } yield {
+          graft.streaming.DocStreams.ingestAppend(spark, stagedDir, prefix,
+            maxFiles, flagValue(flags, "ckpt"))
+          None
+        }
       case Seq("vingest", stagedDir, prefix, rest @ _*) =>
         val (flags, pos) = rest.partition(_.startsWith("--"))
-        val every = flagValue(flags, "retrain-every").map(_.toInt)
-        val skew = flagValue(flags, "retrain-skew").map(_.toDouble)
-        val policy =
-          if (every.isEmpty && skew.isEmpty) None
-          else Some(graft.streaming.DocStreams.RetrainPolicy(
-            everyNBatches = every.getOrElse(8),
-            skewThreshold = skew.getOrElse(3.0)))
-        val fired = graft.streaming.DocStreams.vectorIngestAppend(spark,
-          stagedDir, prefix, pos.headOption.map(_.toInt), policy,
-          flagValue(flags, "ckpt"))
-        if (policy.isDefined)
-          System.err.println(s"[graft] retrain policy fired $fired time(s)")
-        Right(None)
+        for {
+          _ <- checkFlags(flags, "ckpt", "retrain-every", "retrain-skew")
+          maxFiles <- posIntOpt(pos, "maxFilesPerUnit")
+          every <- intFlag(flags, "retrain-every")
+          skew <- doubleFlag(flags, "retrain-skew")
+        } yield {
+          val policy =
+            if (every.isEmpty && skew.isEmpty) None
+            else Some(graft.streaming.DocStreams.RetrainPolicy(
+              everyNBatches = every.getOrElse(8),
+              skewThreshold = skew.getOrElse(3.0)))
+          val fired = graft.streaming.DocStreams.vectorIngestAppend(spark,
+            stagedDir, prefix, maxFiles, policy, flagValue(flags, "ckpt"))
+          if (policy.isDefined)
+            System.err.println(s"[graft] retrain policy fired $fired time(s)")
+          None
+        }
       case Seq("hserve", stagedDir, textPrefix, vecPrefix, outDir, rest @ _*) =>
         val (flags, pos) = rest.partition(_.startsWith("--"))
-        val k = pos.headOption.map(_.toInt).getOrElse(10)
-        graft.streaming.DocStreams.hybridServe(spark, stagedDir, textPrefix,
-          vecPrefix, outDir, k, flagValue(flags, "ckpt"),
-          maxSinkDirs = flagValue(flags, "sink-max-dirs").map(_.toInt))
-        Right(None)
+        for {
+          _ <- checkFlags(flags, "ckpt", "sink-max-dirs")
+          k <- posInt(pos, "k", 10)
+          maxDirs <- intFlag(flags, "sink-max-dirs")
+        } yield {
+          graft.streaming.DocStreams.hybridServe(spark, stagedDir, textPrefix,
+            vecPrefix, outDir, k, flagValue(flags, "ckpt"),
+            maxSinkDirs = maxDirs)
+          None
+        }
       // Registry access with twin resolution: the fixed-geometry forms
       // stay registered as oracle-stability baselines, but a user typing
       // their name gets the corpus-derived production twin (the plan that
       // survives x100 — SCALE_r7.md) unless --baseline opts out.
       case Seq("query", rest @ _*) =>
         val (flags, pos) = rest.partition(_.startsWith("--"))
-        pos match {
+        checkFlags(flags, "baseline").flatMap(_ => pos match {
           case Seq(name, sfDir) if graft.Queries.all.contains(name) =>
             val resolved =
               if (flags.contains("--baseline")) name
@@ -353,7 +452,7 @@ object Main {
             Left(s"unknown query '$name' — ${graft.Queries.all.size} " +
               "registered; see QUERIES.md")
           case _ => Left(Usage)
-        }
+        })
       case _ => Left(Usage)
     }
 

@@ -91,6 +91,33 @@ object MaintenanceLease {
     try Some(withLease(spark, prefix, op)(body))
     catch { case _: LeaseHeldException => None }
 
+  /** [[withLease]] keyed by a DIRECTORY instead of a table prefix — for
+    * stores that are a filesystem path rather than catalog tables (the
+    * serving sink, ADVICE r13). The lease file lives INSIDE the directory
+    * (`_graft_lease`, underscore-prefixed so parquet readers ignore it),
+    * which makes it per-path by construction: two writers pointed at the
+    * same sink contend on the same file with no prefix-collision concerns,
+    * and a sink moved or deleted takes its lease with it. Same acquire /
+    * token-checked-release / stale-expiry mechanics as the prefix lease.
+    */
+  def withDirLease[T](spark: SparkSession, dir: org.apache.hadoop.fs.Path,
+                      op: String)(body: => T): T = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_graft_lease")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = java.util.UUID.randomUUID().toString
+    acquire(fs, path, spark, dir.toString, op, token, retryAfterStale = true)
+    try body
+    finally release(fs, path, token)
+  }
+
+  /** [[withDirLease]] that yields None instead of throwing on contention —
+    * the directory twin of [[tryWithLease]].
+    */
+  def tryWithDirLease[T](spark: SparkSession, dir: org.apache.hadoop.fs.Path,
+                         op: String)(body: => T): Option[T] =
+    try Some(withDirLease(spark, dir, op)(body))
+    catch { case _: LeaseHeldException => None }
+
   private def readLease(fs: org.apache.hadoop.fs.FileSystem,
                         path: org.apache.hadoop.fs.Path): Option[String] =
     try {

@@ -468,6 +468,31 @@ object VectorIndex {
     * CLI's `vretrain` takes the snapshot automatically). Old directories
     * are never deleted, so no state is unrecoverable.
     */
+  /** Snapshot-fenced retrain under ONE lease (ADVICE r13): the fence copy
+    * and the retrain it protects are a single maintenance operation, so
+    * taking separate leases (snapshot releases, retrain re-acquires) left
+    * a gap — another writer grabbing the lease between them skipped the
+    * retrain but left the just-taken `_<tag>` snapshot lingering, and any
+    * append/delete landing in the gap would be silently reverted by a
+    * later rollback to the fence. Holding the lease across both makes the
+    * pair atomic against other writers: contention skips BOTH (no
+    * orphaned fence), and nothing can write between fence and retrain.
+    */
+  def snapshotFencedRetrain(spark: SparkSession, prefix: String,
+                            iters: Int = 2,
+                            tag: String = "preretrain"): Unit =
+    MaintenanceLease.withLease(spark, prefix, "snapshot-fenced-retrain") {
+      // one recoverAside serves both halves (snapshot and retrain each do
+      // exactly this under their own lease)
+      val t = s"${prefix}_vectors"
+      val loc = tableLocation(spark, t)
+      val root = new org.apache.hadoop.fs.Path(loc)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recoverAside(spark, t, root, fs, asideRootsFor(loc))
+      copyIndexImpl(spark, prefix, s"${prefix}_$tag")
+      retrainImpl(spark, prefix, iters, nlistOverride = None)
+    }
+
   def retrain(spark: SparkSession, prefix: String, iters: Int = 2,
               nlistOverride: Option[Int] = None): Unit =
     MaintenanceLease.withLease(spark, prefix, "vector-retrain") {

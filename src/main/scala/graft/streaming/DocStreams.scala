@@ -320,9 +320,16 @@ object DocStreams {
                     f"$batchId — retraining (fence: " +
                     s"${if (p.snapshotFence) s"${prefix}_preretrain" else "OFF"})")
                   policyOp("policy retrain") {
+                    // fence + retrain under ONE lease (ADVICE r13): with
+                    // separate leases a writer sneaking between them left
+                    // an orphaned fence snapshot and a rollback hazard for
+                    // whatever it wrote in the gap — contention now skips
+                    // the pair atomically
                     if (p.snapshotFence)
-                      graft.operators.VectorIndex.snapshot(s, prefix, "preretrain")
-                    graft.operators.VectorIndex.retrain(s, prefix, p.iters)
+                      graft.operators.VectorIndex
+                        .snapshotFencedRetrain(s, prefix, p.iters)
+                    else
+                      graft.operators.VectorIndex.retrain(s, prefix, p.iters)
                     retrains += 1
                   }
                 }
@@ -408,11 +415,14 @@ object DocStreams {
     * parquet files, so a year of unattended serving is ~9k directories —
     * the same growth the index compaction policies bound for the two
     * serving stores, here on the results log. With `maxSinkDirs` set,
-    * each batch is followed by a directory count; past the threshold all
-    * COMMITTED result dirs (everything except the current batch's, which
+    * each batch is followed by a directory count; past the threshold the
+    * COMMITTED batch dirs (everything except the current batch's, which
     * is the only one foreachBatch can replay-overwrite) merge into one
-    * `compacted_<batchId>` directory. The rewrite is results-invisible:
-    * the union read bin-packs the small files and writes few large ones.
+    * `compacted_<batchId>` generation — see [[compactServingSink]] for
+    * the two-tier absorption that keeps the rewrite cost proportional to
+    * the NEW batches, not the accumulated log. The rewrite is
+    * results-invisible: the union read bin-packs the small files and
+    * writes few large ones.
     *
     * Crash safety, same discipline as the index swaps (staged + marker +
     * recover-at-entry): the staged union is written under an
@@ -433,6 +443,23 @@ object DocStreams {
     val root = new org.apache.hadoop.fs.Path(outPath)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
+    // per-sink single-writer lease (ADVICE r13): a restart racing a
+    // still-live predecessor on the same outPath must not "recover" the
+    // live writer's in-progress staging/marker out from under it. Held
+    // lease = a live compactor owns the swap protocol right now — skip,
+    // its own recover-at-entry (or the stale-lease expiry if it crashed)
+    // heals the sink instead.
+    graft.operators.MaintenanceLease
+      .tryWithDirLease(s, root, "sink-recovery") {
+        recoverSinkCompactionLocked(s, root, fs)
+      }.getOrElse(
+        System.err.println(s"[graft] sink recovery at $outPath skipped " +
+          "(lease held by a live sink writer)"))
+  }
+
+  private def recoverSinkCompactionLocked(
+      s: SparkSession, root: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val marker = new org.apache.hadoop.fs.Path(root, "_sink_absorbed")
     val staging = new org.apache.hadoop.fs.Path(root, "_sink_staging")
     // a .tmp marker is an INCOMPLETE write (the real marker lands by
@@ -452,7 +479,7 @@ object DocStreams {
       in.close()
       val target = lines.head.stripPrefix("target=")
       System.err.println(s"[graft] completing crashed sink compaction at " +
-        s"$outPath (target $target)")
+        s"$root (target $target)")
       lines.tail.foreach(d =>
         fs.delete(new org.apache.hadoop.fs.Path(root, d), true): Unit)
       val targetPath = new org.apache.hadoop.fs.Path(root, target)
@@ -467,23 +494,76 @@ object DocStreams {
       fs.delete(staging, true): Unit
   }
 
+  /** TIERED absorption (VERDICT r13 "what's wrong" #2): a single-tier
+    * policy that absorbs prior `compacted_*` output along with the batch
+    * dirs re-reads and re-writes the ENTIRE accumulated log every cycle —
+    * over a long-lived serve that is O(cycles × total-log-size) write
+    * amplification, quadratic in sink lifetime. Two tiers instead:
+    * each over-threshold cycle absorbs only `batch_id=*` dirs into a new
+    * `compacted_<batchId>` generation (cost = the new batches, never the
+    * history), and the generations themselves merge only when THEIR count
+    * crosses the same threshold — once per ~maxDirs generations, i.e.
+    * ~maxDirs² batches. Dir count stays bounded at ~2×maxDirs; a byte of
+    * old data is rewritten once per generation merge, not once per cycle.
+    * At most one tier swaps per call so the crash protocol stays
+    * one-marker-per-swap.
+    */
   private[graft] def compactServingSink(s: SparkSession, outPath: String,
                                         maxDirs: Int,
                                         currentBatchId: Long): Boolean = {
-    recoverSinkCompaction(s, outPath)
     val root = new org.apache.hadoop.fs.Path(outPath)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return false
-    def resultDirs = fs.listStatus(root).toSeq.filter(d => d.isDirectory &&
-      (d.getPath.getName.startsWith("batch_id=") ||
-        d.getPath.getName.startsWith("compacted_")))
-    val dirs = resultDirs
-    if (dirs.size <= maxDirs) return false
-    // never absorb the CURRENT batch's dir: it is the one dir a replayed
-    // batch overwrites, and absorbing it would double its rows on replay
-    val absorb = dirs.map(_.getPath)
-      .filter(_.getName != s"batch_id=$currentBatchId")
-    if (absorb.size < 2) return false
+    // the whole cycle (recovery + absorb decision + staged swap) runs
+    // under the per-sink lease (ADVICE r13): two compactors on one
+    // outPath would interleave the shared _sink_staging/_sink_absorbed
+    // paths, deleting each other's staged union or absorbing a dir the
+    // other is mid-swap on. Contention throws LeaseHeldException — the
+    // in-stream call site treats it as skip-and-retry-next-batch
+    // (policyOp), same as the index stores' policies.
+    graft.operators.MaintenanceLease.withDirLease(s, root, "sink-compact") {
+      recoverSinkCompactionLocked(s, root, fs)
+      val dirs = fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath)
+      val batchDirs = dirs.filter(_.getName.startsWith("batch_id="))
+      val generations = dirs.filter(_.getName.startsWith("compacted_"))
+      if (generations.size > maxDirs)
+        // tier 1: merge the generations (rare — every ~maxDirs²
+        // batches). The `g` suffix keeps the target distinct from a
+        // tier-0 `compacted_<id>` landed at the same batchId.
+        swapServingSink(s, root, fs, generations,
+          s"compacted_${currentBatchId}g")
+      else if (batchDirs.size > maxDirs) {
+        // tier 0: absorb only the batch dirs — prior generations are
+        // not re-read. Never absorb the CURRENT batch's dir: it is the
+        // one dir a replayed batch overwrites, and absorbing it would
+        // double its rows on replay.
+        val target = s"compacted_$currentBatchId"
+        // a serve restarted on a FRESH checkpoint replays batchIds from
+        // 0, so the target name can collide with a generation an earlier
+        // run landed (AUDIT_r14): renaming onto it would fail AFTER the
+        // absorbed batch dirs deleted, and recovery would then drop the
+        // staged union as "already landed" — data loss. Absorbing the
+        // same-named generation frees the name and keeps its rows (the
+        // single-tier code got this for free by absorbing everything).
+        val absorb = batchDirs
+          .filter(_.getName != s"batch_id=$currentBatchId") ++
+          generations.filter(_.getName == target)
+        if (absorb.size < 2) false
+        else swapServingSink(s, root, fs, absorb, target)
+      } else false
+    }
+  }
+
+  /** One staged swap: union `absorb` into `_sink_staging`, marker, delete
+    * absorbed, rename staging to `target` — the crash protocol
+    * [[recoverSinkCompaction]] completes. Caller holds the sink lease.
+    */
+  private def swapServingSink(s: SparkSession,
+                              root: org.apache.hadoop.fs.Path,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              absorb: Seq[org.apache.hadoop.fs.Path],
+                              target: String): Boolean = {
     val staging = new org.apache.hadoop.fs.Path(root, "_sink_staging")
     fs.delete(staging, true)
     // recursiveFileLookup disables partition inference — without it the
@@ -492,7 +572,6 @@ object DocStreams {
     s.read.option("recursiveFileLookup", "true")
       .parquet(absorb.map(_.toString): _*)
       .write.mode("overwrite").parquet(staging.toString)
-    val target = s"compacted_$currentBatchId"
     // the marker gates the destructive phase, so it must be all-or-
     // nothing: write to a .tmp and RENAME into place (atomic on local
     // and HDFS) — recovery treats a .tmp as never-started
@@ -542,15 +621,23 @@ object DocStreams {
     val probeLimit = math.min(bulkThreshold, Int.MaxValue - 1L).toInt + 1
     val ckpt = checkpointDir.getOrElse(
       graft.ScratchDirs.fresh("graft_stream", "hserve_ckpt").toString)
+    // a restarted serving stream heals crashed-compaction debris before
+    // answering anything (readers would under-return from a mid-swap
+    // sink). UNCONDITIONALLY (VERDICT r13 "what's missing" #1): the crash
+    // may have happened under a --sink-max-dirs run and the restart
+    // without it — gating recovery on the flag would strand the absorbed
+    // rows in the hidden staging dir indefinitely. A no-op when no
+    // marker/staging exists. And BEFORE the shuffle-partitions pin
+    // (VERDICT r13 "what's wrong" #1): recovery is real filesystem work
+    // that can fail — a failure here must abort the serve with the
+    // caller's session conf UNTOUCHED, not leave it pinned 4-wide.
+    recoverSinkCompaction(s, outPath)
     val schema = s.read.parquet(s"$stagedDir/requests.parquet").schema
     val src = s.readStream.schema(schema).option("basePath", stagedDir)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$stagedDir/requests.parquet*")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
-    // a restarted serving stream heals crashed-compaction debris before
-    // answering anything (readers would under-return from a mid-swap sink)
-    if (maxSinkDirs.isDefined) recoverSinkCompaction(s, outPath)
     try {
       val q = src.writeStream
         .outputMode(OutputMode.Append)
@@ -595,9 +682,12 @@ object DocStreams {
             }
           }
           // the sink's file-growth policy, AFTER this batch's results are
-          // durable; absorbs only COMMITTED dirs (never batch $batchId's)
-          maxSinkDirs.foreach(t =>
-            compactServingSink(s, outPath, t, batchId): Unit)
+          // durable; absorbs only COMMITTED dirs (never batch $batchId's).
+          // Lease contention (another writer on the same sink) skips the
+          // round — same skip-not-fail semantics as the index policies.
+          maxSinkDirs.foreach(t => policyOp("sink compaction") {
+            compactServingSink(s, outPath, t, batchId): Unit
+          })
         }
         .start()
       q.awaitTermination()

