@@ -69,7 +69,10 @@ object Main {
       |                                           <prefix>_preretrain first; vrollback to undo)
       |  vsnapshot <prefix> <tag>                 point-in-time copy of the vector index
       |  vrollback <prefix> <tag>                 restore the vector index from a snapshot
-      |  forget  <ids.parquet> <textPrefix> <vecPrefix>  purge ids from BOTH serving stores
+      |  forget  <ids.parquet> <textPrefix> <vecPrefix> [--sink=<outDir>]
+      |                                           purge ids from BOTH serving stores, and with
+      |                                           --sink from the hserve results log (erasure
+      |                                           completes end-to-end: indexes first, then log)
       |  singest <stagedDir> <prefix> [maxFilesPerUnit] [--ckpt=<dir>]
       |                                           STREAM staged corpus files (documents.parquet*)
       |                                           into the text index, one micro-batch per file;
@@ -372,14 +375,27 @@ object Main {
           spark.read.parquet(idsPath).select(col("id")), prefix)
         Right(None)
       // right-to-be-forgotten across BOTH serving stores: one id table,
-      // the text index keyed doc_id, the vector index keyed id
-      case Seq("forget", idsPath, textPrefix, vecPrefix) =>
-        val ids = spark.read.parquet(idsPath)
-        Indexer.deleteFromBucketedIndex(spark, textPrefix,
-          ids.select(col("doc_id")))
-        graft.operators.VectorIndex.delete(spark,
-          ids.select(col("doc_id").as("id")), vecPrefix)
-        Right(None)
+      // the text index keyed doc_id, the vector index keyed id — and,
+      // with --sink=, the serving RESULTS log too (the accumulated result
+      // rows still name the purged documents). Ordering is part of the
+      // contract: indexes purge FIRST, so a serve resumed mid-forget can
+      // only re-serve from stores that no longer contain the ids.
+      case Seq("forget", idsPath, textPrefix, vecPrefix, rest @ _*) =>
+        val (flags, pos) = rest.partition(_.startsWith("--"))
+        for {
+          _ <- checkFlags(flags, "sink")
+          _ <- if (pos.isEmpty) Right(()) else Left(Usage)
+        } yield {
+          val ids = spark.read.parquet(idsPath)
+          Indexer.deleteFromBucketedIndex(spark, textPrefix,
+            ids.select(col("doc_id")))
+          graft.operators.VectorIndex.delete(spark,
+            ids.select(col("doc_id").as("id")), vecPrefix)
+          flagValue(flags, "sink").foreach(out =>
+            graft.streaming.DocStreams.forgetFromServingSink(spark, out,
+              ids.select(col("doc_id"))))
+          None
+        }
       // Streaming ingest/serving on the CLI: the reference re-runs
       // index.sh from cron to grow its store; these commands run the
       // streaming equivalent — arriving files become micro-batches, the

@@ -522,6 +522,48 @@ object TextIndexQueries {
       .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
   }
 
+  // ---- Results-log erasure: forget on the serving sink -----------------------
+  // The deletion path's last mile (VERDICT r13 closed the stores; the
+  // accumulated RESULTS still named the purged docs): serve the batch
+  // requests into a fresh sink, then erase every result row whose doc_id
+  // is in the forget set (doc_id % 7 = 0 — deterministic, guaranteed to
+  // intersect the top-k lists). The oracle is the serving oracle with the
+  // same filter on its final rows: erasure must remove EXACTLY the
+  // targeted rows and leave every byte of the rest intact. The shared
+  // prebuilt indexes are NOT purged here (every other prebuilt row reads
+  // them); the index-then-sink ordering contract is CliSpec's `forget
+  // --sink` fixture.
+  private val sinkForgetOut = scala.collection.mutable.Map[String, String]()
+
+  def sinkForget(s: SparkSession, dir: String): DataFrame = {
+    val out = synchronized {
+      sinkForgetOut.getOrElseUpdate(dir, {
+        import s.implicits._
+        val t = ensurePrebuilt(s, dir)
+        val v = graft.queries.SimilarityQueries.persistedVectorIndexPrefix(s, dir)
+        val staged = graft.streaming.DocStreams.stagedRequestSplits(
+          HybridBatch.toDF("query_id", "query_text"), nFiles = 3)
+        val outPath = graft.ScratchDirs
+          .fresh("graft_stream", "hservefgt_out").toString
+        graft.streaming.DocStreams.hybridServe(s, staged, t, v, outPath)
+        graft.streaming.DocStreams.forgetFromServingSink(s, outPath,
+          docs(s, dir).select(col("doc_id"))
+            .filter(col("doc_id") % 7 === 0))
+        outPath
+      })
+    }
+    s.read.option("recursiveFileLookup", "true").parquet(out)
+      .select(col("query_id"), col("doc_id"), col("title"), col("text_rank"),
+        col("vec_rank"), col("rrf"))
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+  }
+
+  lazy val sinkForgetSql: String =
+    s"""SELECT * FROM (
+       |${hybridRrfBatchPrebuiltSql}
+       |) q WHERE doc_id % 7 <> 0
+       |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+
   val hybridRrfPrebuiltSql: String =
     s"""${bm25TopCtes(TokCte)},
        |${graft.queries.SimilarityQueries.ivfPqProbeZeroCtes},
@@ -1671,6 +1713,7 @@ object TextIndexQueries {
     "hybrid_rrf_bulk" -> (hybridRrfBulk _),
     "stream_hybrid_serving" -> (streamHybridServing _),
     "stream_hybrid_serving_bulk" -> (streamHybridServingBulk _),
+    "sink_forget" -> (sinkForget _),
     "search_facets" -> (searchFacets _),
     "phrase_bigram_index" -> (phraseBigramIndex _),
     "bm25_fielded" -> (bm25Fielded _),
@@ -1723,6 +1766,9 @@ object TextIndexQueries {
     // routed (bulk-join) serving stream: same oracle — the route is
     // results-invisible by contract
     "stream_hybrid_serving_bulk" -> hybridRrfBatchPrebuiltSql,
+    // erasure on the results log: the serving oracle minus the forgotten
+    // doc_ids — forget must remove exactly those rows, nothing else
+    "sink_forget" -> sinkForgetSql,
     "search_facets" -> searchFacetsSql,
     "phrase_bigram_index" -> phraseBigramIndexSql,
     "bm25_fielded" -> bm25FieldedSql,

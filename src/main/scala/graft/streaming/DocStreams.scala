@@ -480,13 +480,28 @@ object DocStreams {
       val target = lines.head.stripPrefix("target=")
       System.err.println(s"[graft] completing crashed sink compaction at " +
         s"$root (target $target)")
-      lines.tail.foreach(d =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, d), true): Unit)
       val targetPath = new org.apache.hadoop.fs.Path(root, target)
-      if (fs.exists(staging) && !fs.exists(targetPath)) {
+      // the staging's existence decides HOW FAR the crashed swap got —
+      // critical when the target's name is also in the absorbed list (a
+      // swap absorbing a same-named prior generation, the tier-0
+      // collision form, or an in-place purge): post-rename, the dir at
+      // the target name is the RESULT, and deleting every listed dir
+      // unconditionally would destroy it (AUDIT_r14 #14)
+      if (fs.exists(staging)) {
+        // rename not reached: every listed dir is still the absorbed
+        // SOURCE (a same-named one is the old generation) — delete them
+        // all, then land the staging
+        lines.tail.foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, d), true): Unit)
         if (!fs.rename(staging, targetPath))
           sys.error(s"sink compaction recovery rename failed for $target")
-      } else fs.delete(staging, true)
+      } else
+        // staging gone = the rename happened (it was complete before the
+        // marker existed, so only the rename can have consumed it): the
+        // swap is done — clear any absorbed leftovers EXCEPT the landed
+        // target, then the marker
+        lines.tail.filter(_ != target).foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, d), true): Unit)
       fs.delete(marker, false): Unit
     } else
       // no marker: an incomplete staged write whose rows are all still
@@ -555,22 +570,83 @@ object DocStreams {
     }
   }
 
-  /** One staged swap: union `absorb` into `_sink_staging`, marker, delete
-    * absorbed, rename staging to `target` — the crash protocol
+  /** Right-to-be-forgotten for the serving RESULTS log (the last place a
+    * purged document survives): `forget` on the CLI deletes a document
+    * from both serving stores, but every result row the sink accumulated
+    * still names it — doc_id, title snippet, ranks. This op rewrites the
+    * sink without those rows, completing the erasure path end-to-end.
+    * Reference anchor: the deletion half of the index lifecycle
+    * (`/root/reference/app/app.py` keyspace teardown re-creates tables;
+    * here deletion is a first-class operator on every store, and the
+    * results log is a store).
+    *
+    * Mechanics: the whole log necessarily rewrites (erasure must touch
+    * every byte), as ONE staged swap of everything except the
+    * highest-numbered batch dir into a purged `compacted_forget`
+    * generation, plus an in-place purge swap of that last batch dir —
+    * kept under its own name because it is the one dir a resumed stream
+    * can replay-overwrite; folding it into the generation would DUPLICATE
+    * its rows when the replay lands. Both swaps run the marker protocol
+    * under the sink lease, so a crash at any point recovers.
+    *
+    * Operator contract: purge the INDEXES first (the CLI `forget
+    * --sink=` orders this), so a serve resumed mid-purge can only
+    * re-serve from stores that no longer contain the forgotten ids —
+    * nothing can re-introduce them into the sink afterwards.
+    *
+    * @param ids one `doc_id` column; rows whose doc_id matches are erased
+    */
+  def forgetFromServingSink(s: SparkSession, outPath: String,
+                            ids: DataFrame): Unit = {
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val forgetIds = ids.select(col("doc_id"))
+    // left_anti keys the purge; broadcast is safe (a forget set is an
+    // operator-supplied id list, not data-scale) but NOT forced — a
+    // genuinely huge erasure list shuffles like any other join
+    val purge = (df: DataFrame) =>
+      df.join(forgetIds, df("doc_id") === forgetIds("doc_id"), "left_anti")
+    graft.operators.MaintenanceLease.withDirLease(s, root, "sink-forget") {
+      recoverSinkCompactionLocked(s, root, fs)
+      val dirs = fs.listStatus(root).toSeq.filter(d => d.isDirectory &&
+        (d.getPath.getName.startsWith("batch_id=") ||
+          d.getPath.getName.startsWith("compacted_"))).map(_.getPath)
+      val lastBatch = dirs.filter(_.getName.startsWith("batch_id="))
+        .sortBy(_.getName.stripPrefix("batch_id=").toLongOption
+          .getOrElse(-1L)).lastOption
+      val bulk = dirs.filterNot(lastBatch.contains)
+      if (bulk.nonEmpty)
+        swapServingSink(s, root, fs, bulk, "compacted_forget", purge): Unit
+      lastBatch.foreach(p =>
+        swapServingSink(s, root, fs, Seq(p), p.getName, purge): Unit)
+    }
+  }
+
+  /** One staged swap: union `absorb` (through `transform` — identity for
+    * compaction, an anti-join for forget) into `_sink_staging`, marker,
+    * delete absorbed, rename staging to `target` — the crash protocol
     * [[recoverSinkCompaction]] completes. Caller holds the sink lease.
+    * The target name MAY be in the absorb set (same-named prior
+    * generation, or an in-place purge): the staging write happens before
+    * the marker, and recovery distinguishes pre- from post-rename by the
+    * staging's existence, so the same-named source deletes as a source
+    * and the landed result is never mistaken for one.
     */
   private def swapServingSink(s: SparkSession,
                               root: org.apache.hadoop.fs.Path,
                               fs: org.apache.hadoop.fs.FileSystem,
                               absorb: Seq[org.apache.hadoop.fs.Path],
-                              target: String): Boolean = {
+                              target: String,
+                              transform: DataFrame => DataFrame =
+                                identity): Boolean = {
     val staging = new org.apache.hadoop.fs.Path(root, "_sink_staging")
     fs.delete(staging, true)
     // recursiveFileLookup disables partition inference — without it the
     // batch_id=K path components would be inferred as a partition column
     // and conflict with the compacted_M dirs' non-kv names
-    s.read.option("recursiveFileLookup", "true")
-      .parquet(absorb.map(_.toString): _*)
+    transform(s.read.option("recursiveFileLookup", "true")
+      .parquet(absorb.map(_.toString): _*))
       .write.mode("overwrite").parquet(staging.toString)
     // the marker gates the destructive phase, so it must be all-or-
     // nothing: write to a .tmp and RENAME into place (atomic on local

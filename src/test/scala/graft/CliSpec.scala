@@ -383,6 +383,27 @@ class CliSpec extends SparkSpec {
       .toOption.flatten.get.collect().map(_.getAs[Long]("cand_id")).toSet
     assert(vOut.nonEmpty && vOut.intersect(gone).isEmpty,
       "vector search served forgotten id")
+    // --sink: the accumulated RESULTS log still names the forgotten docs
+    // until forget purges it too — erasure end-to-end (indexes above ran
+    // FIRST, so nothing can re-serve the ids into the sink). Manufacture
+    // a results log naming both forgotten and surviving docs.
+    import spark.implicits._
+    val sinkOut = ScratchDirs.fresh("graft_cli", "forget_sink").toString
+    val allIds = (gone.toSeq.sorted ++ Seq(probeId))
+    allIds.zipWithIndex.foreach { case (id, i) =>
+      Seq((900L + i, id, s"title_$id", 1L, 1L, 0.03))
+        .toDF("query_id", "doc_id", "title", "text_rank", "vec_rank", "rrf")
+        .coalesce(1).write.parquet(s"$sinkOut/batch_id=$i")
+    }
+    assert(cli.Main.run(spark,
+      Seq("forget", idsPath, tPrefix, vPrefix, s"--sink=$sinkOut")).isRight)
+    val sinkLeft = spark.read.option("recursiveFileLookup", "true")
+      .parquet(sinkOut).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(sinkLeft.intersect(gone).isEmpty,
+      "the results log still names forgotten docs after forget --sink")
+    assert(sinkLeft.contains(probeId),
+      "forget --sink erased rows it was not asked to erase")
   }
 
   test("vmerge combines shard indexes; vstats sizes stay consistent") {
@@ -510,6 +531,7 @@ class CliSpec extends SparkSpec {
       .contains("unknown flag"))
     assert(left("hbatch", "r", "t", "v", "--force").contains("unknown flag"))
     assert(left("query", "q1_agg", dir, "--base").contains("unknown flag"))
+    assert(left("forget", "i", "t", "v", "--snk=o").contains("unknown flag"))
   }
 
   test("fsearch recovers the typo'd flagship query over the persisted index") {

@@ -1196,6 +1196,72 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.option("recursiveFileLookup", "true").parquet(out2)
       .as[Long].collect().toSet == Set(0L, 1L, 2L, 100L),
       "target-name collision lost the prior generation's rows")
+    // post-rename crash with a SELF-ABSORBED target name (AUDIT_r14
+    // #14): the marker lists the target's own name among the absorbed
+    // dirs (the collision-absorb form above); if the crash lands AFTER
+    // the staging renamed into place but BEFORE the marker deleted,
+    // recovery must recognize the landed result (staging gone ⇒ swap
+    // completed) and PRESERVE it — the pre-fix protocol deleted every
+    // listed dir and lost the whole swap.
+    val mk3 = fs.create(
+      new org.apache.hadoop.fs.Path(root2, "_sink_absorbed"), true)
+    mk3.write(("target=compacted_2\nbatch_id=0\nbatch_id=1\ncompacted_2")
+      .getBytes("UTF-8"))
+    mk3.close()
+    DocStreams.recoverSinkCompaction(spark, out2)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root2, "compacted_2")),
+      "recovery deleted a landed swap whose target was in its own " +
+        "absorbed list")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root2, "_sink_absorbed")))
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(out2)
+      .as[Long].collect().toSet == Set(0L, 1L, 2L, 100L),
+      "post-rename recovery changed the sink rows")
+  }
+
+  test("forgetFromServingSink erases exactly the targeted doc_ids, " +
+    "keeps the last batch dir replay-safe, and is idempotent") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    val out = ScratchDirs.fresh("graft_stream", "sinkfgt").toString
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a synthetic results log in the sink layout: 3 batch dirs + 1
+    // generation, rows keyed by doc_id with a payload column that must
+    // survive byte-identically
+    def writeDir(name: String, ids: Seq[Long]): Unit =
+      ids.map(i => (i, s"payload_$i")).toDF("doc_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+    writeDir("compacted_5", 0L to 9L)
+    writeDir("batch_id=6", 10L to 13L)
+    writeDir("batch_id=7", 14L to 17L)
+    writeDir("batch_id=8", Seq(18L, 21L, 28L))
+    def rows: Set[(Long, String)] = spark.read
+      .option("recursiveFileLookup", "true").parquet(out)
+      .as[(Long, String)].collect().toSet
+    val before = rows
+    val forgotten = Seq(0L, 7L, 14L, 21L) // spans generation + both tiers
+    DocStreams.forgetFromServingSink(spark, out,
+      forgotten.toDF("doc_id"))
+    assert(rows == before.filterNot(r => forgotten.contains(r._1)),
+      "forget did not remove exactly the targeted rows")
+    val names = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+    // everything except the HIGHEST batch dir collapses into the purged
+    // generation; batch_id=8 is purged IN PLACE under its own name (the
+    // one dir a resumed stream replay-overwrites — absorbing it would
+    // duplicate its rows when the replay lands)
+    assert(names == Seq("batch_id=8", "compacted_forget"), names)
+    assert(spark.read.parquet(s"$out/batch_id=8")
+      .as[(Long, String)].collect().toSet ==
+      Set((18L, "payload_18"), (28L, "payload_28")),
+      "the last batch dir was not purged in place")
+    // idempotent: a re-run (e.g. after a mid-forget crash) changes nothing
+    DocStreams.forgetFromServingSink(spark, out, forgotten.toDF("doc_id"))
+    assert(rows == before.filterNot(r => forgotten.contains(r._1)))
+    // a forget on an empty or missing sink is a no-op
+    DocStreams.forgetFromServingSink(spark,
+      ScratchDirs.fresh("graft_stream", "sinkfgt_none").toString,
+      forgotten.toDF("doc_id"))
   }
 
   test("serving-sink lease: a held lease skips compaction and recovery; " +
