@@ -407,8 +407,11 @@ object Main {
           _ <- checkFlags(flags, "ckpt")
           maxFiles <- posIntOpt(pos, "maxFilesPerUnit")
         } yield {
-          graft.streaming.DocStreams.ingestAppend(spark, stagedDir, prefix,
-            maxFiles, flagValue(flags, "ckpt"))
+          val report = graft.streaming.DocStreams.ingestAppend(spark,
+            stagedDir, prefix, maxFiles, flagValue(flags, "ckpt"))
+          if (report.replaySkips > 0)
+            System.err.println(s"[graft] ${report.replaySkips} replayed " +
+              "batch(es) skipped (effectively-once)")
           None
         }
       case Seq("vingest", stagedDir, prefix, rest @ _*) =>
@@ -424,10 +427,14 @@ object Main {
             else Some(graft.streaming.DocStreams.RetrainPolicy(
               everyNBatches = every.getOrElse(8),
               skewThreshold = skew.getOrElse(3.0)))
-          val fired = graft.streaming.DocStreams.vectorIngestAppend(spark,
+          val report = graft.streaming.DocStreams.vectorIngestAppend(spark,
             stagedDir, prefix, maxFiles, policy, flagValue(flags, "ckpt"))
           if (policy.isDefined)
-            System.err.println(s"[graft] retrain policy fired $fired time(s)")
+            System.err.println(s"[graft] retrain policy fired " +
+              s"${report.retrains} time(s)")
+          if (report.replaySkips > 0)
+            System.err.println(s"[graft] ${report.replaySkips} replayed " +
+              "batch(es) skipped (effectively-once)")
           None
         }
       case Seq("hserve", stagedDir, textPrefix, vecPrefix, outDir, rest @ _*) =>

@@ -409,6 +409,13 @@ object VectorIndex {
     * snapshot, then append/delete/retrain; if the batch was bad, roll
     * back). Cost is one read+write of the index, the same shape as a
     * compaction pass.
+    *
+    * Erasure note (AUDIT_r14 #19): a snapshot taken BEFORE a
+    * delete/forget still contains the purged vectors, and rolling back
+    * to it resurrects them — inherent to point-in-time copies, whose
+    * purpose is to undo exactly such operations. Erasure compliance for
+    * snapshots is a retention policy: drop fences older than the forget
+    * (re-snapshot afterwards if a fence is still wanted).
     */
   def snapshot(spark: SparkSession, prefix: String, tag: String): Unit =
     copyIndex(spark, prefix, s"${prefix}_$tag")

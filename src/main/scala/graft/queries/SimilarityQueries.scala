@@ -1253,6 +1253,7 @@ object SimilarityQueries {
           prefix, maxFilesPerUnit = None,
           retrainPolicy = Some(graft.streaming.DocStreams.RetrainPolicy(
             everyNBatches = 3, skewThreshold = 0.0, iters = IvfIters)))
+          .retrains
         if (fired != 1)
           sys.error(s"retrain policy fired $fired times, fixture expects " +
             "exactly 1 (at the final micro-batch)")

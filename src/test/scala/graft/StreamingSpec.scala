@@ -700,7 +700,9 @@ class StreamingSpec extends SparkSpec {
     // first session: three micro-batches arrive and commit
     val staged = DocStreams.stagedDocSplits(
       rest.filter(pmod(col("doc_id"), lit(5)) < 3), nFiles = 3)
-    DocStreams.ingestAppend(spark, staged, prefix, checkpointDir = Some(ckpt))
+    assert(DocStreams.ingestAppend(spark, staged, prefix,
+      checkpointDir = Some(ckpt)).replaySkips == 0,
+      "a fresh ingest reported replay skips")
     // simulate the at-least-once crash window: the last batch's append
     // JOB committed but the streaming checkpoint's commit record was
     // lost — on restart Spark re-executes that batch from its logged
@@ -725,8 +727,11 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(extra, "documents.parquet1"),
       java.nio.file.Paths.get(staged, "documents.parquet4"))
     // second session, SAME checkpoint: replays the uncommitted batch
-    // (skipped by its marker) and processes only the two new files
-    DocStreams.ingestAppend(spark, staged, prefix, checkpointDir = Some(ckpt))
+    // (skipped by its marker) and processes only the two new files —
+    // and REPORTS the skip (the counter the stderr log used to hide)
+    assert(DocStreams.ingestAppend(spark, staged, prefix,
+      checkpointDir = Some(ckpt)).replaySkips == 1,
+      "the resumed ingest did not report exactly the one replayed batch")
     // no document lost, none double-appended: doc_info is exactly the
     // corpus, and search equals a from-scratch build
     assert(spark.table(s"${prefix}_doc_info").count() == d.count(),
@@ -840,7 +845,7 @@ class StreamingSpec extends SparkSpec {
           "the policy would retrain a healthy index")
       val staged = DocStreams.stagedEmbSplits(b.toDF("id", "v"), nFiles = 3)
       DocStreams.vectorIngestAppend(spark, staged, prefix,
-        maxFilesPerUnit = None, retrainPolicy = policy)
+        maxFilesPerUnit = None, retrainPolicy = policy).retrains
     }
     // policy OFF: the drifted corpus serves through stale quantizers
     assert(runIngest("vecdrift_stream_off", None) == 0)
@@ -944,7 +949,8 @@ class StreamingSpec extends SparkSpec {
     val staged = DocStreams.stagedEmbSplits(
       rest.filter(pmod(col("id"), lit(2)) === 0), nFiles = 2)
     assert(DocStreams.vectorIngestAppend(spark, staged, prefix, None, policy,
-      Some(ckpt)) == 0, "cadence-4 policy fired inside a 2-batch session")
+      Some(ckpt)).retrains == 0,
+      "cadence-4 policy fired inside a 2-batch session")
     // two more files arrive; the resumed session processes batchIds 2-3,
     // so the GLOBAL count reaches the cadence at batch 3 and fires exactly
     // once — the old per-run in-memory counter would have reset (1, 2)
@@ -958,7 +964,7 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(extra, "embeddings.parquet1"),
       java.nio.file.Paths.get(staged, "embeddings.parquet3"))
     val fired = DocStreams.vectorIngestAppend(spark, staged, prefix, None,
-      policy, Some(ckpt))
+      policy, Some(ckpt)).retrains
     assert(fired == 1,
       s"resumed cadence fired $fired times; the global batch count (not a " +
         "per-run counter) must drive the policy")
