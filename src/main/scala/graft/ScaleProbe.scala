@@ -273,7 +273,48 @@ object ScaleProbe {
       }
     }
 
-    val policyProbes = Set("ingest_policy", "retrain_policy", "serve_route")
+    // `sink_ops`: throughput probe for the serving-sink maintenance ops
+    // (r14) — a synthetic results log (20 batch dirs) at two row scales,
+    // timing one tier-0 compaction cycle and one full forget rewrite.
+    // Both are one read + one write of the touched data, so the x10
+    // ratio should track data volume (linear), not dir count.
+    if (args.contains("sink_ops")) {
+      // untimed warmup point first (discarded): the first compaction/
+      // forget of a session pays JIT + codegen first-touch, which at
+      // these sub-second costs would dominate the x1 reading
+      Seq(("warmup", 10000L), ("x1", 100000L), ("x10", 1000000L))
+        .foreach { case (tag, n) =>
+        val out = graft.ScratchDirs
+          .fresh("graft_probe", s"sinkops_$tag").toString
+        val df = spark.range(n).select(
+          (col("id") % 1000).as("query_id"), col("id").as("doc_id"),
+          concat(lit("title_"), col("id")).as("title"),
+          lit(1L).as("text_rank"), lit(1L).as("vec_rank"),
+          lit(0.03).as("rrf"))
+        (0 until 20).foreach(i => df.filter(col("doc_id") % 20 === i)
+          .coalesce(1).write.parquet(s"$out/batch_id=$i"))
+        val t0 = System.nanoTime()
+        graft.streaming.DocStreams.compactServingSink(spark, out, 10, 19L)
+        val tCompact = (System.nanoTime() - t0) / 1e9
+        // forget 1% of doc_ids across the whole log
+        val ids = spark.range(n).filter(col("id") % 100 === 0)
+          .select(col("id").as("doc_id"))
+        val t1 = System.nanoTime()
+        graft.streaming.DocStreams.forgetFromServingSink(spark, out, ids)
+        val tForget = (System.nanoTime() - t1) / 1e9
+        val left = spark.read.option("recursiveFileLookup", "true")
+          .parquet(out).count()
+        require(left == n - n / 100, s"sink_ops $tag: expected " +
+          s"${n - n / 100} rows after forget, read $left")
+        if (tag != "warmup")
+          println(f"sink_ops $tag: rows=$n compact(19 dirs)=$tCompact%.2f s " +
+            f"forget(1%% of ids, full-log rewrite)=$tForget%.2f s " +
+            f"remaining=$left")
+      }
+    }
+
+    val policyProbes =
+      Set("ingest_policy", "retrain_policy", "serve_route", "sink_ops")
     val targets =
       if (args.exists(policyProbes)) args.toSeq.filterNot(policyProbes)
       else if (args.nonEmpty) args.toSeq
