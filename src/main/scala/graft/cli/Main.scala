@@ -64,6 +64,9 @@ object Main {
       |  vdelete <ids.parquet> <prefix>           forget vectors (id column) from the vector index
       |  vmerge <prefixA> <prefixB> <out>         merge shard indexes (adopts A's quantizers, re-encodes B)
       |  vstats <prefix>                          one-row describe: sizes + list-occupancy skew
+      |  sstats <outDir>                          one-row describe of an hserve results sink:
+      |                                           batch dirs / generations / rows / bytes +
+      |                                           crash-debris flag
       |  vretrain <prefix> [iters=2]              re-Lloyd centroids+codebooks from the forward
       |                                           store and re-encode (snapshot-fenced: takes
       |                                           <prefix>_preretrain first; vrollback to undo)
@@ -351,6 +354,9 @@ object Main {
         Right(None)
       case Seq("vstats", prefix) =>
         Right(Some(graft.operators.VectorIndex.describe(spark, prefix)))
+      case Seq("sstats", outDir) =>
+        Right(Some(
+          graft.streaming.DocStreams.describeServingSink(spark, outDir)))
       case Seq("vretrain", prefix, rest @ _*) =>
         posInt(rest, "iters", 2).map { iters =>
           // fence the multi-table swap: a crash mid-retrain leaves a mixed

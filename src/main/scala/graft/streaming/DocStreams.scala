@@ -633,6 +633,40 @@ object DocStreams {
     }
   }
 
+  /** One-row describe of a serving-results sink — the observability the
+    * other two stores get from `stats`/`vstats` (CLI `sstats`): how many
+    * batch dirs and generations the log holds (the compaction policy's
+    * own trigger quantities), total result rows, total bytes, and
+    * whether crash debris (marker/staging) is present. Read-only; takes
+    * no lease (a mid-swap read sees the documented maintenance
+    * transient, same as any other reader).
+    */
+  def describeServingSink(s: SparkSession, outPath: String): DataFrame = {
+    import s.implicits._
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val (nBatch, nGen, bytes, debris) =
+      if (!fs.exists(root)) (0L, 0L, 0L, false)
+      else {
+        val st = fs.listStatus(root).toSeq
+        val dirs = st.filter(_.isDirectory).map(_.getPath.getName)
+        val resultDirs = st.filter(d => d.isDirectory &&
+          (d.getPath.getName.startsWith("batch_id=") ||
+            d.getPath.getName.startsWith("compacted_")))
+        (dirs.count(_.startsWith("batch_id=")).toLong,
+          dirs.count(_.startsWith("compacted_")).toLong,
+          resultDirs.map(d => fs.getContentSummary(d.getPath).getLength).sum,
+          fs.exists(new org.apache.hadoop.fs.Path(root, "_sink_absorbed")) ||
+            fs.exists(new org.apache.hadoop.fs.Path(root, "_sink_staging")))
+      }
+    val rows =
+      if (nBatch + nGen == 0) 0L
+      else s.read.option("recursiveFileLookup", "true")
+        .parquet(outPath).count()
+    Seq((nBatch, nGen, rows, bytes, debris))
+      .toDF("batch_dirs", "generations", "rows", "bytes", "crash_debris")
+  }
+
   /** One staged swap: union `absorb` (through `transform` — identity for
     * compaction, an anti-join for forget) into `_sink_staging`, marker,
     * delete absorbed, rename staging to `target` — the crash protocol

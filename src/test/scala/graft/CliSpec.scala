@@ -404,6 +404,25 @@ class CliSpec extends SparkSpec {
       "the results log still names forgotten docs after forget --sink")
     assert(sinkLeft.contains(probeId),
       "forget --sink erased rows it was not asked to erase")
+    // sstats: the sink's one-row describe (the stats/vstats symmetry) —
+    // post-forget layout is one purged generation + the in-place-purged
+    // last batch dir, no crash debris
+    val st = cli.Main.run(spark, Seq("sstats", sinkOut))
+      .toOption.flatten.get.collect()
+    assert(st.length == 1)
+    val r = st.head
+    assert(r.getAs[Long]("batch_dirs") == 1L &&
+      r.getAs[Long]("generations") == 1L &&
+      r.getAs[Long]("rows") == sinkLeft.size.toLong &&
+      r.getAs[Long]("bytes") > 0L &&
+      !r.getAs[Boolean]("crash_debris"),
+      s"sstats misdescribed the sink: ${r.mkString(", ")}")
+    // and on a path that is not a sink: a zero row, not an error
+    val empty = cli.Main.run(spark,
+      Seq("sstats", ScratchDirs.fresh("graft_cli", "nosink").toString))
+      .toOption.flatten.get.collect().head
+    assert(empty.getAs[Long]("rows") == 0L &&
+      empty.getAs[Long]("batch_dirs") == 0L)
   }
 
   test("vmerge combines shard indexes; vstats sizes stay consistent") {
