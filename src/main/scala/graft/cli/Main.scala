@@ -89,9 +89,11 @@ object Main {
       |                                           the drift policy (occupancy-skew check every N
       |                                           batches; snapshot-fenced retrain past T)
       |  hserve  <stagedDir> <tPfx> <vPfx> <outDir> [k] [--ckpt=<dir>] [--sink-max-dirs=<n>]
+      |          [--sink-retain=<r>]
       |                                           ONLINE hybrid serving of a staged request stream
       |                                           (requests.parquet*), results appended under
-      |                                           outDir/batch_id=N; stable --ckpt resumes
+      |                                           outDir/batch_id=N; stable --ckpt resumes;
+      |                                           --sink-retain drops results older than r batches
       |  query   <name> <sfDir> [--baseline]      run a registry query over a testdata dir;
       |                                           fixed-geometry baselines resolve to their
       |                                           corpus-derived production twin unless
@@ -446,13 +448,14 @@ object Main {
       case Seq("hserve", stagedDir, textPrefix, vecPrefix, outDir, rest @ _*) =>
         val (flags, pos) = rest.partition(_.startsWith("--"))
         for {
-          _ <- checkFlags(flags, "ckpt", "sink-max-dirs")
+          _ <- checkFlags(flags, "ckpt", "sink-max-dirs", "sink-retain")
           k <- posInt(pos, "k", 10)
           maxDirs <- intFlag(flags, "sink-max-dirs")
+          retain <- intFlag(flags, "sink-retain")
         } yield {
           graft.streaming.DocStreams.hybridServe(spark, stagedDir, textPrefix,
             vecPrefix, outDir, k, flagValue(flags, "ckpt"),
-            maxSinkDirs = maxDirs)
+            maxSinkDirs = maxDirs, retainBatches = retain)
           None
         }
       // Registry access with twin resolution: the fixed-geometry forms

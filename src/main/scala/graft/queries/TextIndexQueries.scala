@@ -564,6 +564,44 @@ object TextIndexQueries {
        |) q WHERE doc_id % 7 <> 0
        |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
 
+  // ---- Results-log retention: bound the sink's lifetime ----------------------
+  // The third sink-maintenance leg (compaction bounds dirs, forget is
+  // erasure, retention bounds AGE): serve the batch requests with
+  // --sink-retain=2, so the final batch's retention pass drops results
+  // older than 2 batches. Batch order is deterministic (file i = batch
+  // i; stagedRequestSplits places query_id % 3 == 0 → file 0), so with
+  // query_ids {0, 50, 100} exactly query 0's batch ages out: the oracle
+  // is the serving oracle minus query_id 0 — retention must drop whole
+  // aged batches and nothing newer.
+  private val sinkRetentionOut = scala.collection.mutable.Map[String, String]()
+
+  def sinkRetention(s: SparkSession, dir: String): DataFrame = {
+    val out = synchronized {
+      sinkRetentionOut.getOrElseUpdate(dir, {
+        import s.implicits._
+        val t = ensurePrebuilt(s, dir)
+        val v = graft.queries.SimilarityQueries.persistedVectorIndexPrefix(s, dir)
+        val staged = graft.streaming.DocStreams.stagedRequestSplits(
+          HybridBatch.toDF("query_id", "query_text"), nFiles = 3)
+        val outPath = graft.ScratchDirs
+          .fresh("graft_stream", "hserveret_out").toString
+        graft.streaming.DocStreams.hybridServe(s, staged, t, v, outPath,
+          retainBatches = Some(2))
+        outPath
+      })
+    }
+    s.read.option("recursiveFileLookup", "true").parquet(out)
+      .select(col("query_id"), col("doc_id"), col("title"), col("text_rank"),
+        col("vec_rank"), col("rrf"))
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+  }
+
+  lazy val sinkRetentionSql: String =
+    s"""SELECT * FROM (
+       |${hybridRrfBatchPrebuiltSql}
+       |) q WHERE query_id <> 0
+       |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+
   val hybridRrfPrebuiltSql: String =
     s"""${bm25TopCtes(TokCte)},
        |${graft.queries.SimilarityQueries.ivfPqProbeZeroCtes},
@@ -1714,6 +1752,7 @@ object TextIndexQueries {
     "stream_hybrid_serving" -> (streamHybridServing _),
     "stream_hybrid_serving_bulk" -> (streamHybridServingBulk _),
     "sink_forget" -> (sinkForget _),
+    "sink_retention" -> (sinkRetention _),
     "search_facets" -> (searchFacets _),
     "phrase_bigram_index" -> (phraseBigramIndex _),
     "bm25_fielded" -> (bm25Fielded _),
@@ -1769,6 +1808,9 @@ object TextIndexQueries {
     // erasure on the results log: the serving oracle minus the forgotten
     // doc_ids — forget must remove exactly those rows, nothing else
     "sink_forget" -> sinkForgetSql,
+    // retention on the results log: the serving oracle minus the one
+    // query whose batch ages past --sink-retain=2
+    "sink_retention" -> sinkRetentionSql,
     "search_facets" -> searchFacetsSql,
     "phrase_bigram_index" -> phraseBigramIndexSql,
     "bm25_fielded" -> bm25FieldedSql,

@@ -633,6 +633,55 @@ object DocStreams {
     }
   }
 
+  /** RETENTION for the serving-results log (default OFF) — the third leg
+    * of sink maintenance after compaction (bound the dir count) and
+    * forget (erasure): bound the log's LIFETIME. A year of unattended
+    * serving otherwise retains every result ever produced; with
+    * `retainBatches` set, each batch drops result dirs whose id is at or
+    * below `currentBatchId - retainBatches`.
+    *
+    * Dir age comes from the id its name carries: `batch_id=K` is batch
+    * K; a generation `compacted_N`/`compacted_Ng` holds only batches
+    * <= N (tier-0 absorbs dirs older than its landing batch, tier-1
+    * merges such generations), so dropping it at N <= cutoff never
+    * over-deletes — a generation survives until its NEWEST absorbed
+    * batch ages out (retention lags for absorbed data, never the other
+    * direction). A non-numeric id (`compacted_forget`, which holds
+    * mixed-age purged history) is never dropped: unknown age is treated
+    * as young. Deletion needs no staging protocol — it is idempotent
+    * and a crash mid-pass is just an earlier retry state — but runs
+    * under the sink lease so it cannot interleave a live compaction's
+    * swap (deleting a dir the marker lists mid-swap would make recovery
+    * double-count its absence as completed work).
+    *
+    * @return the number of dirs dropped
+    */
+  private[graft] def retainServingSink(s: SparkSession, outPath: String,
+                                       retainBatches: Int,
+                                       currentBatchId: Long): Int = {
+    require(retainBatches >= 1, s"retainBatches must be >= 1 ($retainBatches)")
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val cutoff = currentBatchId - retainBatches
+    def idOf(name: String): Option[Long] =
+      if (name.startsWith("batch_id="))
+        name.stripPrefix("batch_id=").toLongOption
+      else if (name.startsWith("compacted_"))
+        name.stripPrefix("compacted_").stripSuffix("g").toLongOption
+      else None
+    graft.operators.MaintenanceLease.withDirLease(s, root, "sink-retention") {
+      val drop = fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(p => idOf(p.getName).exists(_ <= cutoff))
+      drop.foreach(p => fs.delete(p, true): Unit)
+      if (drop.nonEmpty)
+        System.err.println(s"[graft] sink retention at $outPath dropped " +
+          s"${drop.size} result dir(s) at or below batch $cutoff")
+      drop.size
+    }
+  }
+
   /** One-row describe of a serving-results sink — the observability the
     * other two stores get from `stats`/`vstats` (CLI `sstats`): how many
     * batch dirs and generations the log holds (the compaction policy's
@@ -717,6 +766,9 @@ object DocStreams {
     * @param maxSinkDirs bound on the sink's result-directory count (the
     *   file-growth policy for the serving log — see
     *   [[compactServingSink]]); None = off, the pre-r13 layout
+    * @param retainBatches bound on the sink's LIFETIME: each batch drops
+    *   result dirs at or below `batchId - retainBatches` — see
+    *   [[retainServingSink]]; None = off, results are kept forever
     * @param bulkThreshold micro-batches above this many requests serve
     *   through the bulk JOIN plan instead of the literal-pruned batch
     *   plan (VERDICT r12 "what's missing" #1): a micro-batch is "whatever
@@ -733,7 +785,8 @@ object DocStreams {
                   checkpointDir: Option[String] = None,
                   bulkThreshold: Long =
                     graft.operators.Search.BulkRequestThreshold,
-                  maxSinkDirs: Option[Int] = None): Unit = {
+                  maxSinkDirs: Option[Int] = None,
+                  retainBatches: Option[Int] = None): Unit = {
     // a negative threshold would make the probe limit(0) and silently
     // DROP every request; clamp the probe at Int range for huge values
     // (AUDIT_r13 #3)
@@ -801,10 +854,14 @@ object DocStreams {
                 .parquet(s"$outPath/batch_id=$batchId")
             }
           }
-          // the sink's file-growth policy, AFTER this batch's results are
-          // durable; absorbs only COMMITTED dirs (never batch $batchId's).
-          // Lease contention (another writer on the same sink) skips the
-          // round — same skip-not-fail semantics as the index policies.
+          // the sink's maintenance policies, AFTER this batch's results
+          // are durable. Retention first (dropping aged dirs shrinks what
+          // compaction would absorb), then the file-growth bound; both
+          // treat lease contention (another writer on the same sink) as
+          // skip-and-retry-next-batch — the index policies' semantics.
+          retainBatches.foreach(r => policyOp("sink retention") {
+            retainServingSink(s, outPath, r, batchId): Unit
+          })
           maxSinkDirs.foreach(t => policyOp("sink compaction") {
             compactServingSink(s, outPath, t, batchId): Unit
           })

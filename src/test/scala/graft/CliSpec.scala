@@ -525,6 +525,10 @@ class CliSpec extends SparkSpec {
       .contains("integer"))
     assert(left("hserve", "s", "t", "v", "o", "--sink-max-dirs=0")
       .contains(">= 1"))
+    assert(left("hserve", "s", "t", "v", "o", "--sink-retain=abc")
+      .contains("integer"))
+    assert(left("hserve", "s", "t", "v", "o", "--sink-retain=0")
+      .contains(">= 1"))
     assert(left("vingest", "s", "p", "--retrain-every=abc")
       .contains("integer"))
     // double flags

@@ -1270,6 +1270,44 @@ class StreamingSpec extends SparkSpec {
       forgotten.toDF("doc_id"))
   }
 
+  test("sink retention drops exactly the aged dirs: whole generations " +
+    "only when their newest absorbed batch ages out, unknown ages never") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    val out = ScratchDirs.fresh("graft_stream", "sinkret").toString
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeDir(name: String): Unit =
+      Seq(name).toDF("src").coalesce(1).write.parquet(s"$out/$name")
+    Seq("batch_id=6", "batch_id=9", "batch_id=10", "compacted_5",
+      "compacted_7g", "compacted_forget").foreach(writeDir)
+    // retain 3 at batch 10: cutoff 7 — drops batch 6, compacted_5 (holds
+    // batches <= 5), compacted_7g (<= 7); keeps batches 9/10 and the
+    // non-numeric compacted_forget (mixed-age purged history: unknown
+    // age is treated as young, retention never guesses)
+    assert(DocStreams.retainServingSink(spark, out, 3, 10L) == 3)
+    val names = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+    assert(names == Seq("batch_id=10", "batch_id=9", "compacted_forget"),
+      names)
+    // idempotent; and nothing to drop means zero
+    assert(DocStreams.retainServingSink(spark, out, 3, 10L) == 0)
+    // a held sink lease fails fast (the in-stream call site wraps with
+    // the skip-and-retry policyOp, like compaction)
+    val o = fs.create(new org.apache.hadoop.fs.Path(root, "_graft_lease"),
+      true)
+    o.write(("op=other host=h pid=0 token=zz " +
+      s"epoch=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
+    o.close()
+    intercept[graft.operators.MaintenanceLease.LeaseHeldException] {
+      DocStreams.retainServingSink(spark, out, 1, 99L)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_graft_lease"), false)
+    // a missing sink is a no-op
+    assert(DocStreams.retainServingSink(spark,
+      s"$out/nope", 1, 99L) == 0)
+  }
+
   test("serving-sink lease: a held lease skips compaction and recovery; " +
     "a failed recovery aborts the serve without leaking the pinned " +
     "shuffle width") {
