@@ -602,6 +602,59 @@ object TextIndexQueries {
        |) q WHERE query_id <> 0
        |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
 
+  // ---- Forget + retention compose: the purged generation must AGE ------------
+  // VERDICT r14 "what's wrong" #1 at the oracle gate: a forget's output
+  // generation is named by its highest absorbed batch id, so retention
+  // can age it out like any other generation. Serve the batch requests
+  // (batches 0..2), forget doc_id % 7 = 0 (batches 0,1 collapse into
+  // compacted_1; batch 2 purges in place), then serve the SAME requests
+  // again on the resumed checkpoint with retain=2 (batches 3..5): the
+  // per-batch retention passes drop compacted_1 (cutoff 1 at batch 3),
+  // batch 2, and batch 3 — survivors are exactly batches 4 and 5, i.e.
+  // queries 100 and 50 re-served IN FULL from the unpurged shared
+  // indexes. The r14 `compacted_forget` name was retention-immune: under
+  // it the purged pre-forget history survives forever and this row goes
+  // hash-red. Oracle = the serving oracle minus the one query whose
+  // re-serve batch aged out.
+  private val sinkForgetAgedOut = scala.collection.mutable.Map[String, String]()
+
+  def sinkForgetAged(s: SparkSession, dir: String): DataFrame = {
+    val out = synchronized {
+      sinkForgetAgedOut.getOrElseUpdate(dir, {
+        import s.implicits._
+        val t = ensurePrebuilt(s, dir)
+        val v = graft.queries.SimilarityQueries.persistedVectorIndexPrefix(s, dir)
+        val reqs = HybridBatch.toDF("query_id", "query_text")
+        val staged = graft.streaming.DocStreams.stagedRequestSplits(
+          reqs, nFiles = 3)
+        val ckpt = graft.ScratchDirs
+          .fresh("graft_stream", "hservefga_ckpt").toString
+        val outPath = graft.ScratchDirs
+          .fresh("graft_stream", "hservefga_out").toString
+        graft.streaming.DocStreams.hybridServe(s, staged, t, v, outPath,
+          checkpointDir = Some(ckpt))
+        graft.streaming.DocStreams.forgetFromServingSink(s, outPath,
+          docs(s, dir).select(col("doc_id"))
+            .filter(col("doc_id") % 7 === 0))
+        graft.streaming.DocStreams.stageRequestSplitsInto(staged, reqs,
+          nFiles = 3, startAt = 3)
+        graft.streaming.DocStreams.hybridServe(s, staged, t, v, outPath,
+          checkpointDir = Some(ckpt), retainBatches = Some(2))
+        outPath
+      })
+    }
+    s.read.option("recursiveFileLookup", "true").parquet(out)
+      .select(col("query_id"), col("doc_id"), col("title"), col("text_rank"),
+        col("vec_rank"), col("rrf"))
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+  }
+
+  lazy val sinkForgetAgedSql: String =
+    s"""SELECT * FROM (
+       |${hybridRrfBatchPrebuiltSql}
+       |) q WHERE query_id <> 0
+       |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+
   val hybridRrfPrebuiltSql: String =
     s"""${bm25TopCtes(TokCte)},
        |${graft.queries.SimilarityQueries.ivfPqProbeZeroCtes},
@@ -1753,6 +1806,7 @@ object TextIndexQueries {
     "stream_hybrid_serving_bulk" -> (streamHybridServingBulk _),
     "sink_forget" -> (sinkForget _),
     "sink_retention" -> (sinkRetention _),
+    "sink_forget_aged" -> (sinkForgetAged _),
     "search_facets" -> (searchFacets _),
     "phrase_bigram_index" -> (phraseBigramIndex _),
     "bm25_fielded" -> (bm25Fielded _),
@@ -1811,6 +1865,11 @@ object TextIndexQueries {
     // retention on the results log: the serving oracle minus the one
     // query whose batch ages past --sink-retain=2
     "sink_retention" -> sinkRetentionSql,
+    // forget THEN retention: the purged generation is named by its
+    // highest absorbed batch id, so it ages out — only the two re-served
+    // batches inside the horizon survive (the r14 compacted_forget name
+    // kept the pre-forget history forever and reds this row)
+    "sink_forget_aged" -> sinkForgetAgedSql,
     "search_facets" -> searchFacetsSql,
     "phrase_bigram_index" -> phraseBigramIndexSql,
     "bm25_fielded" -> bm25FieldedSql,

@@ -1253,14 +1253,22 @@ class StreamingSpec extends SparkSpec {
     val names = fs.listStatus(root).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName).sorted
     // everything except the HIGHEST batch dir collapses into the purged
-    // generation; batch_id=8 is purged IN PLACE under its own name (the
-    // one dir a resumed stream replay-overwrites — absorbing it would
-    // duplicate its rows when the replay lands)
-    assert(names == Seq("batch_id=8", "compacted_forget"), names)
+    // generation, NAMED BY ITS HIGHEST ABSORBED ID (compacted_7 — the
+    // absorbed dirs hold only batches <= 7, so retention can age it out;
+    // the r14 compacted_forget name was retention-immune forever,
+    // VERDICT r14 #1); batch_id=8 is purged IN PLACE under its own name
+    // (the one dir a resumed stream replay-overwrites — absorbing it
+    // would duplicate its rows when the replay lands)
+    assert(names == Seq("batch_id=8", "compacted_7"), names)
     assert(spark.read.parquet(s"$out/batch_id=8")
       .as[(Long, String)].collect().toSet ==
       Set((18L, "payload_18"), (28L, "payload_28")),
       "the last batch dir was not purged in place")
+    // a COMPLETED forget leaves no erasure marker or persisted id list
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
+      "_sink_forget_pending")) && !fs.exists(
+      new org.apache.hadoop.fs.Path(root, "_sink_forget_ids")),
+      "a completed forget left its erasure marker or id list behind")
     // idempotent: a re-run (e.g. after a mid-forget crash) changes nothing
     DocStreams.forgetFromServingSink(spark, out, forgotten.toDF("doc_id"))
     assert(rows == before.filterNot(r => forgotten.contains(r._1)))
@@ -1283,8 +1291,10 @@ class StreamingSpec extends SparkSpec {
       "compacted_7g", "compacted_forget").foreach(writeDir)
     // retain 3 at batch 10: cutoff 7 — drops batch 6, compacted_5 (holds
     // batches <= 5), compacted_7g (<= 7); keeps batches 9/10 and the
-    // non-numeric compacted_forget (mixed-age purged history: unknown
-    // age is treated as young, retention never guesses)
+    // non-numeric compacted_forget (a legacy r14 forget generation —
+    // nothing writes that name anymore, but any dir whose name carries
+    // no numeric id is unknown-age, treated as young: retention never
+    // guesses)
     assert(DocStreams.retainServingSink(spark, out, 3, 10L) == 3)
     val names = fs.listStatus(root).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName).sorted
@@ -1306,6 +1316,152 @@ class StreamingSpec extends SparkSpec {
     // a missing sink is a no-op
     assert(DocStreams.retainServingSink(spark,
       s"$out/nope", 1, 99L) == 0)
+  }
+
+  test("a forget's purged generation is AGEABLE: serve -> forget -> " +
+    "serve past the retention horizon drops it (VERDICT r14 #1)") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    val dir = "/root/testdata/sf0.001"
+    val tPrefix = "graft_fgtage_t"
+    val vPrefix = "graft_fgtage_v"
+    // FULL corpus in both stores: the hybrid joins candidates back to
+    // doc_info for titles, so a text index over a doc subset silently
+    // drops the vector arm's out-of-subset candidates
+    graft.operators.Indexer.buildBucketedIndex(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      tPrefix)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    graft.operators.VectorIndex.trainAndBuild(spark, emb, vPrefix,
+      nlist = 8, iters = 1, pqM = 4, pqKs = 8)
+    val staged = DocStreams.stagedRequestSplits(
+      Seq((0L, "spark filter join"), (1L, "customer data"),
+        (2L, "stream data")).toDF("query_id", "query_text"), nFiles = 3)
+    val ckpt = ScratchDirs.fresh("graft_stream", "fgtage_ckpt").toString
+    val out = ScratchDirs.fresh("graft_stream", "fgtage_out").toString
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirNames: Seq[String] = fs.listStatus(root).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+    // round 1: batches 0..2 served, no retention
+    DocStreams.hybridServe(spark, staged, tPrefix, vPrefix, out, k = 5,
+      checkpointDir = Some(ckpt))
+    val someServed = spark.read
+      .option("recursiveFileLookup", "true").parquet(out)
+      .select("doc_id").head().getLong(0)
+    DocStreams.forgetFromServingSink(spark, out,
+      Seq(someServed).toDF("doc_id"))
+    // the purged generation carries its highest absorbed id (batches
+    // 0 and 1 collapse -> compacted_1), so retention can age it — the
+    // r14 compacted_forget name was permanently retention-immune
+    assert(dirNames == Seq("batch_id=2", "compacted_1"), dirNames)
+    // round 2: three more requests on the SAME checkpoint with
+    // --sink-retain=2 — batches 3..5; retention at batch 3 (cutoff 1)
+    // drops the purged generation, at 4 drops batch 2, at 5 drops batch 3
+    DocStreams.stageRequestSplitsInto(staged,
+      Seq((3L, "big data simple"), (4L, "orders revenue"),
+        (5L, "region nation")).toDF("query_id", "query_text"),
+      nFiles = 3, startAt = 3)
+    DocStreams.hybridServe(spark, staged, tPrefix, vPrefix, out, k = 5,
+      checkpointDir = Some(ckpt), retainBatches = Some(2))
+    assert(dirNames == Seq("batch_id=4", "batch_id=5"),
+      s"the purged generation (or an aged batch) survived retention: " +
+        s"$dirNames")
+    val perDir = dirNames.map(n => n -> spark.read.parquet(s"$out/$n")
+      .select("query_id").distinct().as[Long].collect().toSeq.sorted)
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(out)
+      .select("query_id").distinct().as[Long].collect().toSet ==
+      Set(4L, 5L),
+      s"retention kept rows outside the horizon (per-dir: $perDir)")
+  }
+
+  test("a forget crashed mid-erasure is visible (forget_pending) and " +
+    "auto-completes at the next maintenance entry (VERDICT r14 #3)") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    val out = ScratchDirs.fresh("graft_stream", "sinkfgt_crash").toString
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeDir(name: String, ids: Seq[Long]): Unit =
+      ids.map(i => (i, s"payload_$i")).toDF("doc_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+    def rows: Set[(Long, String)] = spark.read
+      .option("recursiveFileLookup", "true").parquet(out)
+      .as[(Long, String)].collect().toSet
+    def pending: Boolean = DocStreams.describeServingSink(spark, out)
+      .head().getAs[Boolean]("forget_pending")
+    def writeMarker(): Unit = {
+      val o = fs.create(
+        new org.apache.hadoop.fs.Path(root, "_sink_forget_pending"), true)
+      o.write("ids=_sink_forget_ids\n".getBytes("UTF-8"))
+      o.close()
+    }
+    val forgotten = Seq(7L, 21L)
+    // crash point A: id list + marker durable, neither swap ran — the
+    // erasure is owed in full
+    writeDir("compacted_3", 0L to 9L)
+    writeDir("batch_id=4", 10L to 14L)
+    writeDir("batch_id=5", Seq(15L, 21L))
+    forgotten.toDF("doc_id").write.mode("overwrite")
+      .parquet(s"$out/_sink_forget_ids")
+    writeMarker()
+    assert(pending, "sstats did not surface the owed erasure")
+    DocStreams.recoverSinkCompaction(spark, out)
+    assert(!pending, "recovery did not clear the erasure marker")
+    assert(rows.map(_._1).intersect(forgotten.toSet).isEmpty,
+      "recovery did not complete the owed erasure")
+    assert(rows == ((0L to 14L).toSet ++ Set(15L))
+      .diff(forgotten.toSet).map(i => (i, s"payload_$i")),
+      "recovery purged more than the forgotten ids")
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(root, "_sink_forget_ids")))
+    // crash point B (the VERDICT scenario): the bulk swap LANDED but the
+    // last-batch in-place purge did not — the forgotten id in the newest
+    // batch dir must still be erased, with no swap debris to go on
+    val out2 = ScratchDirs.fresh("graft_stream", "sinkfgt_crash2").toString
+    val root2 = new org.apache.hadoop.fs.Path(out2)
+    def writeDir2(name: String, ids: Seq[Long]): Unit =
+      ids.map(i => (i, s"payload_$i")).toDF("doc_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out2/$name")
+    writeDir2("compacted_4", (0L to 14L).filterNot(forgotten.contains))
+    writeDir2("batch_id=5", Seq(15L, 21L))
+    forgotten.toDF("doc_id").write.mode("overwrite")
+      .parquet(s"$out2/_sink_forget_ids")
+    val o2 = fs.create(
+      new org.apache.hadoop.fs.Path(root2, "_sink_forget_pending"), true)
+    o2.write("ids=_sink_forget_ids\n".getBytes("UTF-8"))
+    o2.close()
+    DocStreams.recoverSinkCompaction(spark, out2)
+    val rows2 = spark.read
+      .option("recursiveFileLookup", "true").parquet(out2)
+      .as[(Long, String)].collect().toSet
+    assert(rows2 == ((0L to 15L).toSet.diff(forgotten.toSet))
+      .map(i => (i, s"payload_$i")),
+      "between-swaps recovery left the newest batch dir half-erased")
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(root2, "_sink_forget_pending")))
+    // a .tmp erasure marker (or an id list with NO marker) is a forget
+    // that never entered its destructive phase: debris drops, nothing
+    // purges
+    val out3 = ScratchDirs.fresh("graft_stream", "sinkfgt_crash3").toString
+    val root3 = new org.apache.hadoop.fs.Path(out3)
+    Seq((21L, "payload_21")).toDF("doc_id", "payload")
+      .coalesce(1).write.parquet(s"$out3/batch_id=0")
+    forgotten.toDF("doc_id").write.mode("overwrite")
+      .parquet(s"$out3/_sink_forget_ids")
+    val o3 = fs.create(new org.apache.hadoop.fs.Path(root3,
+      "_sink_forget_pending.tmp"), true)
+    o3.write("ids=".getBytes("UTF-8")); o3.close()
+    DocStreams.recoverSinkCompaction(spark, out3)
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(out3)
+      .as[(Long, String)].collect().toSet == Set((21L, "payload_21")),
+      "a never-started forget's debris purged rows")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root3,
+      "_sink_forget_ids")) && !fs.exists(new org.apache.hadoop.fs.Path(
+      root3, "_sink_forget_pending.tmp")),
+      "never-started forget debris was not dropped")
   }
 
   test("serving-sink lease: a held lease skips compaction and recovery; " +
