@@ -66,7 +66,9 @@ object Main {
       |  vstats <prefix>                          one-row describe: sizes + list-occupancy skew
       |  sstats <outDir>                          one-row describe of an hserve results sink:
       |                                           batch dirs / generations / rows / bytes +
-      |                                           crash-debris flag
+      |                                           crash-debris and forget-pending flags
+      |                                           (forget_pending = a crashed erasure is owed;
+      |                                           the next forget/serve/compaction completes it)
       |  vretrain <prefix> [iters=2]              re-Lloyd centroids+codebooks from the forward
       |                                           store and re-encode (snapshot-fenced: takes
       |                                           <prefix>_preretrain first; vrollback to undo)
@@ -75,7 +77,12 @@ object Main {
       |  forget  <ids.parquet> <textPrefix> <vecPrefix> [--sink=<outDir>]
       |                                           purge ids from BOTH serving stores, and with
       |                                           --sink from the hserve results log (erasure
-      |                                           completes end-to-end: indexes first, then log)
+      |                                           completes end-to-end: indexes first, then log);
+      |                                           STOP the hserve stream first — a concurrent
+      |                                           serve can land pre-purge results after forget
+      |                                           returns; a crash mid-erasure leaves
+      |                                           forget_pending in sstats and auto-completes at
+      |                                           the next forget/serve/compaction on the sink
       |  singest <stagedDir> <prefix> [maxFilesPerUnit] [--ckpt=<dir>]
       |                                           STREAM staged corpus files (documents.parquet*)
       |                                           into the text index, one micro-batch per file;
@@ -145,41 +152,72 @@ object Main {
       }
     }
 
-  /** First positional as an integer with a default when absent. */
+  /** First positional as an integer with a default when absent, bounded
+    * below like the flags (ADVICE r14: a negative k or maxFiles is as
+    * silently wrong as `--sink-max-dirs=0`).
+    */
   private def posInt(rest: Seq[String], what: String,
-                     default: Int): Either[String, Int] =
+                     default: Int, min: Int = 1): Either[String, Int] =
     rest.headOption match {
       case None => Right(default)
-      case Some(v) => v.toIntOption
-        .toRight(s"$what expects an integer (got '$v')")
+      case Some(v) => v.toIntOption match {
+        case Some(n) if n >= min => Right(n)
+        case Some(n) => Left(s"$what must be >= $min (got $n)")
+        case None => Left(s"$what expects an integer (got '$v')")
+      }
     }
 
   /** First positional as an OPTIONAL integer (absent stays None). */
-  private def posIntOpt(rest: Seq[String],
-                        what: String): Either[String, Option[Int]] =
+  private def posIntOpt(rest: Seq[String], what: String,
+                        min: Int = 1): Either[String, Option[Int]] =
     rest.headOption match {
       case None => Right(None)
-      case Some(v) => v.toIntOption.map(Some(_))
-        .toRight(s"$what expects an integer (got '$v')")
+      case Some(v) => v.toIntOption match {
+        case Some(n) if n >= min => Right(Some(n))
+        case Some(n) => Left(s"$what must be >= $min (got $n)")
+        case None => Left(s"$what expects an integer (got '$v')")
+      }
     }
 
-  /** Required long positional (ids on the serving commands). */
+  /** Required long positional (ids on the serving commands — every
+    * stored id is non-negative, so a negative one is a usage error, not
+    * an empty result).
+    */
   private def argLong(v: String, what: String): Either[String, Long] =
-    v.toLongOption.toRight(s"$what expects an integer id (got '$v')")
+    v.toLongOption match {
+      case Some(n) if n >= 0L => Right(n)
+      case Some(n) => Left(s"$what must be >= 0 (got $n)")
+      case None => Left(s"$what expects an integer id (got '$v')")
+    }
 
-  /** Reject flags the command does not define: a typo'd flag name must
-    * not silently change behavior (`--sink-maxdirs=3` serving with NO
-    * compaction bound is worse than an error).
+  /** The flags that are pure switches — everything else allowed by a
+    * command takes `--name=<value>`.
+    */
+  private val BareFlags = Set("baseline", "force-batch")
+
+  /** Reject flags the command does not define, value-taking flags
+    * missing their `=value` (or given an empty one), and switches given
+    * a value: a typo'd or half-typed flag must not silently change
+    * behavior (`--sink-maxdirs=3` serving with NO compaction bound, or a
+    * bare `--sink` skipping the results-log purge while `forget` exits
+    * 0 — ADVICE r14).
     */
   private def checkFlags(flags: Seq[String],
-                         allowed: String*): Either[String, Unit] = {
-    val names = flags.map(_.stripPrefix("--").takeWhile(_ != '='))
-    names.find(n => !allowed.contains(n)) match {
-      case Some(bad) => Left(s"unknown flag --$bad (expected: " +
-        allowed.map("--" + _).mkString(", ") + ")")
-      case None => Right(())
+                         allowed: String*): Either[String, Unit] =
+    flags.foldLeft[Either[String, Unit]](Right(())) {
+      case (err @ Left(_), _) => err
+      case (_, f) =>
+        val name = f.stripPrefix("--").takeWhile(_ != '=')
+        if (!allowed.contains(name))
+          Left(s"unknown flag --$name (expected: " +
+            allowed.map("--" + _).mkString(", ") + ")")
+        else if (BareFlags.contains(name)) {
+          if (f != s"--$name") Left(s"--$name takes no value")
+          else Right(())
+        } else if (!f.startsWith(s"--$name=") || f == s"--$name=")
+          Left(s"--$name requires a value (--$name=<value>)")
+        else Right(())
     }
-  }
 
   /** Command dispatch, separated from main() so tests drive it in-process.
     * @return Left(error) or Right(optional result table to display)
@@ -203,7 +241,7 @@ object Main {
         Indexer.appendBucketedIndex(spark, readDocs(spark, in), prefix)
         Right(None)
       case Seq("compact", prefix, rest @ _*) =>
-        posInt(rest, "maxFiles", 8).map { maxFiles =>
+        posInt(rest, "maxFiles", 8, min = 0).map { maxFiles =>
           val did = Indexer.compactBucketedIndex(spark, prefix, maxFiles)
           System.err.println(
             if (did) s"[graft] compacted ${prefix}_postings"
@@ -344,7 +382,7 @@ object Main {
             textPrefix, vecPrefix, k))
         }
       case Seq("vcompact", prefix, rest @ _*) =>
-        posInt(rest, "maxFiles", 8).map { maxFiles =>
+        posInt(rest, "maxFiles", 8, min = 0).map { maxFiles =>
           val did = graft.operators.VectorIndex.compact(spark, prefix, maxFiles)
           System.err.println(
             if (did) s"[graft] compacted ${prefix}_vectors/_forward"
@@ -393,13 +431,27 @@ object Main {
         for {
           _ <- checkFlags(flags, "sink")
           _ <- if (pos.isEmpty) Right(()) else Left(Usage)
+          // a typo'd --sink path must fail, not report a successful
+          // erasure while the results log still names the ids (ADVICE
+          // r14); checked BEFORE the index purges so the whole command
+          // either runs or errors
+          sink <- flagValue(flags, "sink") match {
+            case None => Right(None)
+            case Some(out) =>
+              val p = new org.apache.hadoop.fs.Path(out)
+              val fs =
+                p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              if (fs.exists(p)) Right(Some(out))
+              else Left(s"--sink directory does not exist: $out " +
+                "(nothing would be purged from the results log)")
+          }
         } yield {
           val ids = spark.read.parquet(idsPath)
           Indexer.deleteFromBucketedIndex(spark, textPrefix,
             ids.select(col("doc_id")))
           graft.operators.VectorIndex.delete(spark,
             ids.select(col("doc_id").as("id")), vecPrefix)
-          flagValue(flags, "sink").foreach(out =>
+          sink.foreach(out =>
             graft.streaming.DocStreams.forgetFromServingSink(spark, out,
               ids.select(col("doc_id"))))
           None

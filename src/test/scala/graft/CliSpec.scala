@@ -415,8 +415,22 @@ class CliSpec extends SparkSpec {
       r.getAs[Long]("generations") == 1L &&
       r.getAs[Long]("rows") == sinkLeft.size.toLong &&
       r.getAs[Long]("bytes") > 0L &&
-      !r.getAs[Boolean]("crash_debris"),
+      !r.getAs[Boolean]("crash_debris") &&
+      !r.getAs[Boolean]("forget_pending"),
       s"sstats misdescribed the sink: ${r.mkString(", ")}")
+    // the completed forget's generation is AGEABLE: named by its highest
+    // absorbed batch id, never the r14 retention-immune compacted_forget
+    val genName = new java.io.File(sinkOut).listFiles()
+      .map(_.getName).filter(_.startsWith("compacted_")).toSeq
+    assert(genName.forall(_.stripPrefix("compacted_").stripSuffix("g")
+      .toLongOption.isDefined),
+      s"forget left a non-ageable generation: $genName")
+    // a typo'd --sink path is an error, not a silent success that leaves
+    // the results log un-purged (ADVICE r14)
+    assert(cli.Main.run(spark, Seq("forget", idsPath, tPrefix, vPrefix,
+      s"--sink=$sinkOut/no_such_dir")).swap.toOption
+      .exists(_.contains("does not exist")),
+      "forget --sink on a missing directory did not error")
     // and on a path that is not a sink: a zero row, not an error
     val empty = cli.Main.run(spark,
       Seq("sstats", ScratchDirs.fresh("graft_cli", "nosink").toString))
@@ -555,6 +569,31 @@ class CliSpec extends SparkSpec {
     assert(left("hbatch", "r", "t", "v", "--force").contains("unknown flag"))
     assert(left("query", "q1_agg", dir, "--base").contains("unknown flag"))
     assert(left("forget", "i", "t", "v", "--snk=o").contains("unknown flag"))
+    // ADVICE r14: a value-taking flag passed WITHOUT '=value' (or with an
+    // empty value) must error, not silently skip its behavior — a bare
+    // '--sink' exiting 0 is an erasure that silently did not happen, and
+    // a bare '--sink-max-dirs' serves with no compaction bound
+    assert(left("forget", "i", "t", "v", "--sink").contains("requires a value"))
+    assert(left("forget", "i", "t", "v", "--sink=").contains("requires a value"))
+    assert(left("hserve", "s", "t", "v", "o", "--sink-max-dirs")
+      .contains("requires a value"))
+    assert(left("hserve", "s", "t", "v", "o", "--ckpt=")
+      .contains("requires a value"))
+    assert(left("singest", "s", "p", "--ckpt").contains("requires a value"))
+    // and a SWITCH given a value is equally half-typed
+    assert(left("query", "q1_agg", dir, "--baseline=yes")
+      .contains("takes no value"))
+    assert(left("hbatch", "r", "t", "v", "--force-batch=1")
+      .contains("takes no value"))
+    // ADVICE r14: negative numerics are as wrong as zero ones — bounded
+    // below like the flags
+    assert(left("search", "p", "q", "-5").contains(">= 1"))
+    // maxFiles=0 is the legitimate force-compaction form; only negatives
+    // are out of range
+    assert(left("compact", "p", "-1").contains(">= 0"))
+    assert(left("prepare", "d", "o", "0").contains(">= 1"))
+    assert(left("vingest", "s", "p", "-3").contains(">= 1"))
+    assert(left("vsearch", "p", "-7").contains(">= 0"))
   }
 
   test("fsearch recovers the typo'd flagship query over the persisted index") {
