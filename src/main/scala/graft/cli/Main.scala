@@ -69,6 +69,13 @@ object Main {
       |                                           crash-debris and forget-pending flags
       |                                           (forget_pending = a crashed erasure is owed;
       |                                           the next forget/serve/compaction completes it)
+      |  scompact <outDir> [maxDirs=8]            compact a STOPPED serve's results sink in place
+      |                                           (same tiered cycle as hserve --sink-max-dirs;
+      |                                           0 forces a merge; also heals crash debris and
+      |                                           completes a crashed forget)
+      |  sretain <outDir> <retainBatches>         age-bound a STOPPED serve's results sink: drop
+      |                                           dirs at or below (newest carried id) - retain
+      |                                           (same rule as hserve --sink-retain)
       |  vretrain <prefix> [iters=2]              re-Lloyd centroids+codebooks from the forward
       |                                           store and re-encode (snapshot-fenced: takes
       |                                           <prefix>_preretrain first; vrollback to undo)
@@ -189,6 +196,18 @@ object Main {
       case Some(n) => Left(s"$what must be >= 0 (got $n)")
       case None => Left(s"$what expects an integer id (got '$v')")
     }
+
+  /** A sink-maintenance command's target directory must exist: a typo'd
+    * path silently "succeeding" (nothing compacted, nothing retained,
+    * nothing purged) is the ADVICE r14 silent-failure class.
+    */
+  private def requireSinkDir(spark: SparkSession,
+                             outDir: String): Either[String, Unit] = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Right(())
+    else Left(s"sink directory does not exist: $outDir")
+  }
 
   /** The flags that are pure switches — everything else allowed by a
     * command takes `--name=<value>`.
@@ -397,6 +416,30 @@ object Main {
       case Seq("sstats", outDir) =>
         Right(Some(
           graft.streaming.DocStreams.describeServingSink(spark, outDir)))
+      case Seq("scompact", outDir, rest @ _*) =>
+        for {
+          maxDirs <- posInt(rest, "maxDirs", 8, min = 0)
+          _ <- requireSinkDir(spark, outDir)
+        } yield {
+          val did = graft.streaming.DocStreams
+            .compactServingSinkNow(spark, outDir, maxDirs)
+          System.err.println(
+            if (did) s"[graft] compacted serving sink $outDir"
+            else s"[graft] nothing to compact at $outDir " +
+              s"(dirs within threshold $maxDirs, or no id-carrying dirs)")
+          None
+        }
+      case Seq("sretain", outDir, retainStr) =>
+        for {
+          retain <- posInt(Seq(retainStr), "retainBatches", 1)
+          _ <- requireSinkDir(spark, outDir)
+        } yield {
+          val dropped = graft.streaming.DocStreams
+            .retainServingSinkNow(spark, outDir, retain)
+          System.err.println(s"[graft] sink retention at $outDir dropped " +
+            s"$dropped result dir(s)")
+          None
+        }
       case Seq("vretrain", prefix, rest @ _*) =>
         posInt(rest, "iters", 2).map { iters =>
           // fence the multi-table swap: a crash mid-retrain leaves a mixed
@@ -437,13 +480,9 @@ object Main {
           // either runs or errors
           sink <- flagValue(flags, "sink") match {
             case None => Right(None)
-            case Some(out) =>
-              val p = new org.apache.hadoop.fs.Path(out)
-              val fs =
-                p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              if (fs.exists(p)) Right(Some(out))
-              else Left(s"--sink directory does not exist: $out " +
-                "(nothing would be purged from the results log)")
+            case Some(out) => requireSinkDir(spark, out)
+              .map(_ => Some(out)).left.map(_ +
+                " (nothing would be purged from the results log)")
           }
         } yield {
           val ids = spark.read.parquet(idsPath)

@@ -565,7 +565,9 @@ object DocStreams {
     */
   private[graft] def compactServingSink(s: SparkSession, outPath: String,
                                         maxDirs: Int,
-                                        currentBatchId: Long): Boolean = {
+                                        currentBatchId: Long,
+                                        excludeBatch: Option[String] = None)
+      : Boolean = {
     val root = new org.apache.hadoop.fs.Path(outPath)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return false
@@ -590,9 +592,11 @@ object DocStreams {
           s"compacted_${currentBatchId}g")
       else if (batchDirs.size > maxDirs) {
         // tier 0: absorb only the batch dirs — prior generations are
-        // not re-read. Never absorb the CURRENT batch's dir: it is the
-        // one dir a replayed batch overwrites, and absorbing it would
-        // double its rows on replay.
+        // not re-read. Never absorb the CURRENT batch's dir (in-stream:
+        // the one a replayed batch overwrites; standalone: the newest
+        // batch dir, same replay exposure if a crashed serve resumes) —
+        // absorbing it would double its rows on replay.
+        val keepBatch = excludeBatch.getOrElse(s"batch_id=$currentBatchId")
         val target = s"compacted_$currentBatchId"
         // a serve restarted on a FRESH checkpoint replays batchIds from
         // 0, so the target name can collide with a generation an earlier
@@ -601,12 +605,75 @@ object DocStreams {
         // staged union as "already landed" — data loss. Absorbing the
         // same-named generation frees the name and keeps its rows (the
         // single-tier code got this for free by absorbing everything).
-        val absorb = batchDirs
-          .filter(_.getName != s"batch_id=$currentBatchId") ++
+        val absorb = batchDirs.filter(_.getName != keepBatch) ++
           generations.filter(_.getName == target)
         if (absorb.size < 2) false
         else swapServingSink(s, root, fs, absorb, target)
       } else false
+    }
+  }
+
+  /** The as-of batch id a STANDALONE maintenance op derives from the
+    * sink's own layout: the highest id any result dir carries (a batch
+    * dir contributes its batch id, a generation its absorbed max). None
+    * when the sink holds no id-carrying dir (empty, or only a legacy
+    * unknown-age generation) — the caller must no-op rather than guess.
+    */
+  private def sinkMaxId(fs: org.apache.hadoop.fs.FileSystem,
+                        root: org.apache.hadoop.fs.Path): Option[Long] =
+    fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(d => sinkDirId(d.getPath.getName)).maxOption
+
+  /** STANDALONE sink compaction — the same tiered cycle the in-stream
+    * policy runs per batch (`hserve --sink-max-dirs`), callable against
+    * a STOPPED serve's results log (CLI `scompact`), so bounding an idle
+    * sink's dir count no longer requires starting a serve. The as-of id
+    * for the generation name comes from the layout itself (its highest
+    * carried id — naming lower would break the retention invariant "a
+    * generation holds only batches <= its name" if a higher-id dir were
+    * absorbed); the NEWEST batch dir is excluded from absorption by its
+    * own name, preserving the replay-overwrite safety a resumed serve
+    * relies on even though the documented contract (like `forget
+    * --sink`) is serve-stopped. Runs full recovery first under the sink
+    * lease, so it also heals crashed-swap debris and completes a crashed
+    * forget. No-ops (false) when no dir carries an id.
+    */
+  def compactServingSinkNow(s: SparkSession, outPath: String,
+                            maxDirs: Int): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    sinkMaxId(fs, root) match {
+      case None =>
+        // nothing to name a generation by, but the heal-crash-debris
+        // half of the contract still applies
+        recoverSinkCompaction(s, outPath)
+        false
+      case Some(asOf) =>
+        val newestBatch = fs.listStatus(root).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+          .maxByOption(n => sinkDirId(n).getOrElse(-1L))
+        compactServingSink(s, outPath, maxDirs, asOf,
+          excludeBatch = newestBatch.orElse(Some("")))
+    }
+  }
+
+  /** STANDALONE sink retention — the in-stream age bound (`hserve
+    * --sink-retain`) callable against a stopped serve's log (CLI
+    * `sretain`): drops every result dir whose carried id is at or below
+    * (highest id in the layout) − retainBatches. Ages are relative to
+    * the newest data the log holds, so an idle sink can be bounded
+    * without serving a batch. No-ops (0) when no dir carries an id —
+    * unknown age is never guessed at, same as the per-dir rule.
+    */
+  def retainServingSinkNow(s: SparkSession, outPath: String,
+                           retainBatches: Int): Int = {
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    sinkMaxId(fs, root) match {
+      case None => 0
+      case Some(asOf) => retainServingSink(s, outPath, retainBatches, asOf)
     }
   }
 

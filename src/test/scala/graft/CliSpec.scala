@@ -439,6 +439,63 @@ class CliSpec extends SparkSpec {
       empty.getAs[Long]("batch_dirs") == 0L)
   }
 
+  test("scompact and sretain bound a STOPPED serve's sink without " +
+    "starting a serve") {
+    import spark.implicits._
+    def mkSink(tag: String, n: Int): String = {
+      val out = ScratchDirs.fresh("graft_cli", tag).toString
+      (0 until n).foreach { i =>
+        Seq((i.toLong, s"payload_$i")).toDF("doc_id", "payload")
+          .coalesce(1).write.parquet(s"$out/batch_id=$i")
+      }
+      out
+    }
+    def dirNames(out: String): Seq[String] =
+      new java.io.File(out).listFiles().filter(_.isDirectory)
+        .map(_.getName).toSeq.sorted
+    def docIds(out: String): Set[Long] = spark.read
+      .option("recursiveFileLookup", "true").parquet(out)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // scompact: tier-0 absorbs everything but the NEWEST batch dir (the
+    // replay-overwritable one), names the generation by the layout's
+    // highest carried id, loses no rows
+    val cOut = mkSink("scompact", 5)
+    assert(cli.Main.run(spark, Seq("scompact", cOut, "2")).isRight)
+    assert(dirNames(cOut) == Seq("batch_id=4", "compacted_4"),
+      dirNames(cOut))
+    assert(docIds(cOut) == (0L to 4L).toSet, "scompact lost rows")
+    // within threshold: a no-op, not an error
+    assert(cli.Main.run(spark, Seq("scompact", cOut, "8")).isRight)
+    assert(dirNames(cOut) == Seq("batch_id=4", "compacted_4"))
+    // sretain: ages are relative to the newest id the layout carries
+    val rOut = mkSink("sretain", 5)
+    assert(cli.Main.run(spark, Seq("sretain", rOut, "2")).isRight)
+    assert(dirNames(rOut) == Seq("batch_id=3", "batch_id=4"),
+      dirNames(rOut))
+    assert(docIds(rOut) == Set(3L, 4L), "sretain dropped the wrong dirs")
+    // a crashed forget completes at the next scompact (the standalone op
+    // runs full recovery first, same as the in-stream cycle)
+    val fOut = mkSink("scompact_fgt", 3)
+    Seq(1L).toDF("doc_id").write.parquet(s"$fOut/_sink_forget_ids")
+    val root = new org.apache.hadoop.fs.Path(fOut)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(
+      new org.apache.hadoop.fs.Path(root, "_sink_forget_pending"), true)
+    o.write("ids=_sink_forget_ids\n".getBytes("UTF-8")); o.close()
+    assert(cli.Main.run(spark, Seq("scompact", fOut, "8")).isRight)
+    assert(docIds(fOut) == Set(0L, 2L),
+      "scompact did not complete the crashed forget")
+    // a typo'd sink path errors instead of silently bounding nothing
+    Seq(Seq("scompact", s"$cOut/no_such", "2"),
+      Seq("sretain", s"$rOut/no_such", "2")).foreach(cmd =>
+      assert(cli.Main.run(spark, cmd).swap.toOption
+        .exists(_.contains("does not exist")), cmd.mkString(" ")))
+    // bad numerics are usage errors
+    assert(cli.Main.run(spark, Seq("scompact", cOut, "-1")).isLeft)
+    assert(cli.Main.run(spark, Seq("sretain", rOut, "0")).isLeft)
+    assert(cli.Main.run(spark, Seq("sretain", rOut, "abc")).isLeft)
+  }
+
   test("vmerge combines shard indexes; vstats sizes stay consistent") {
     import spark.implicits._
     val e = spark.read.parquet(s"$dir/embeddings.parquet")

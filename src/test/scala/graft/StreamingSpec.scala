@@ -1464,6 +1464,45 @@ class StreamingSpec extends SparkSpec {
       "never-started forget debris was not dropped")
   }
 
+  test("standalone sink maintenance derives its as-of id from the " +
+    "layout: naming never regresses below an absorbed id, the newest " +
+    "batch dir survives, unknown-age layouts no-op") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    val out = ScratchDirs.fresh("graft_stream", "sink_standalone").toString
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeDir(name: String, ids: Seq[Long]): Unit =
+      ids.map(i => (i, s"payload_$i")).toDF("doc_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+    // a regressed-lineage shape: an old generation carries the HIGHEST
+    // id while a fresh checkpoint's batches restarted at 0. The as-of id
+    // must come from the generation (naming the target compacted_1
+    // would break "a generation holds only batches <= its name" — a
+    // later retention pass would drop batch-9 data as age-1), and the
+    // newest BATCH dir must still be the one excluded from absorption.
+    writeDir("compacted_9", 100L to 104L)
+    writeDir("batch_id=0", Seq(0L))
+    writeDir("batch_id=1", Seq(1L))
+    assert(DocStreams.compactServingSinkNow(spark, out, maxDirs = 1))
+    val names = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+    assert(names == Seq("batch_id=1", "compacted_9"), names)
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(out)
+      .select("doc_id").as[Long].collect().toSet ==
+      ((100L to 104L).toSet ++ Set(0L, 1L)),
+      "standalone compaction lost rows")
+    // a layout with NO id-carrying dir (a legacy unknown-age generation
+    // alone): both ops no-op — age is never guessed at
+    val legacy = ScratchDirs.fresh("graft_stream", "sink_legacy").toString
+    Seq((7L, "payload_7")).toDF("doc_id", "payload").coalesce(1)
+      .write.parquet(s"$legacy/compacted_forget")
+    assert(!DocStreams.compactServingSinkNow(spark, legacy, maxDirs = 0))
+    assert(DocStreams.retainServingSinkNow(spark, legacy, 1) == 0)
+    assert(new java.io.File(legacy, "compacted_forget").exists(),
+      "standalone maintenance touched an unknown-age layout")
+  }
+
   test("serving-sink lease: a held lease skips compaction and recovery; " +
     "a failed recovery aborts the serve without leaking the pinned " +
     "shuffle width") {
