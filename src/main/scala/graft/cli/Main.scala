@@ -69,6 +69,10 @@ object Main {
       |                                           crash-debris and forget-pending flags
       |                                           (forget_pending = a crashed erasure is owed;
       |                                           the next forget/serve/compaction completes it)
+      |                                           + lineages (how many serve checkpoints have
+      |                                           written the sink; >1 means batch ids may have
+      |                                           regressed and forget/retention age premises
+      |                                           need operator care)
       |  scompact <outDir> [maxDirs=8]            compact a STOPPED serve's results sink in place
       |                                           (same tiered cycle as hserve --sink-max-dirs;
       |                                           0 forces a merge; also heals crash debris and

@@ -737,6 +737,20 @@ object DocStreams {
       // persisted id list is a different erasure request — it must land
       // in full before this one replaces the list)
       recoverSinkLocked(s, root, fs)
+      // forget's "highest batch dir = the replay-overwritable dir"
+      // premise holds within ONE serve lineage; warn when the sink has
+      // seen more (AUDIT_r15 #9 — the op still runs: the erasure itself
+      // purges every dir regardless of id order)
+      locally {
+        val lineages = countSinkLineages(fs, root)
+        if (lineages > 1)
+          System.err.println(s"[graft] WARNING: sink $outPath holds " +
+            s"results from $lineages serve lineages — batch ids may " +
+            "have regressed; if a crashed serve from an older lineage " +
+            "is resumed after this forget, its replayed batch can " +
+            "rewrite a dir this op absorbed (run forget again after " +
+            "any such resume)")
+      }
       val idsDir = new org.apache.hadoop.fs.Path(root, "_sink_forget_ids")
       ids.select(col("doc_id")).write.mode("overwrite")
         .parquet(idsDir.toString)
@@ -865,6 +879,42 @@ object DocStreams {
     }
   }
 
+  /** Register the serving LINEAGE writing this sink and return how many
+    * distinct lineages have ever written it. A lineage is a checkpoint:
+    * batch ids are monotone within one and RESTART AT ZERO under a fresh
+    * one, which silently breaks the age/replay premises the sink's
+    * maintenance ops rest on (forget's "highest batch dir = the
+    * replay-overwritable dir", retention's "higher id = younger" —
+    * the carried accepted-risk of AUDIT_r15 #9/#14). This does not
+    * detect or prevent the regression — it makes the precondition's
+    * violation VISIBLE: `sstats` reports `lineages`, serve start and
+    * `forget --sink` warn when it exceeds one, and the operator contract
+    * (one stable checkpoint per sink) becomes checkable instead of
+    * implicit. One create-if-absent marker file per lineage
+    * (`_sink_lineage_<hash>` — underscore-hidden from readers): no
+    * rewrite, no crash window, idempotent re-registration.
+    */
+  private[graft] def registerSinkLineage(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, checkpoint: String): Int = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val marker = new org.apache.hadoop.fs.Path(root, s"_sink_lineage_$digest")
+    if (!fs.exists(marker)) {
+      val out = fs.create(marker, false)
+      out.write((checkpoint + "\n").getBytes("UTF-8"))
+      out.close()
+    }
+    countSinkLineages(fs, root)
+  }
+
+  private def countSinkLineages(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path): Int =
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).count(st =>
+      !st.isDirectory && st.getPath.getName.startsWith("_sink_lineage_"))
+
   /** Numeric age a sink dir's name carries: `batch_id=K` is batch K; a
     * generation `compacted_N`/`compacted_Ng` holds only batches <= N.
     * None for any other name — unknown age, which retention treats as
@@ -881,18 +931,21 @@ object DocStreams {
     * other two stores get from `stats`/`vstats` (CLI `sstats`): how many
     * batch dirs and generations the log holds (the compaction policy's
     * own trigger quantities), total result rows, total bytes, whether
-    * crash debris (marker/staging) is present, and whether an erasure is
+    * crash debris (marker/staging) is present, whether an erasure is
     * OWED (`forget_pending` — a forget crashed between its swaps; the
-    * next forget/serve/compaction on the sink completes it). Read-only;
-    * takes no lease (a mid-swap read sees the documented maintenance
-    * transient, same as any other reader).
+    * next forget/serve/compaction on the sink completes it), and how
+    * many serve LINEAGES have written it (`lineages` — more than one
+    * means batch ids may have regressed and the maintenance ops' age
+    * premises are no longer guaranteed; see [[registerSinkLineage]]).
+    * Read-only; takes no lease (a mid-swap read sees the documented
+    * maintenance transient, same as any other reader).
     */
   def describeServingSink(s: SparkSession, outPath: String): DataFrame = {
     import s.implicits._
     val root = new org.apache.hadoop.fs.Path(outPath)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val (nBatch, nGen, bytes, debris, fgtPending) =
-      if (!fs.exists(root)) (0L, 0L, 0L, false, false)
+    val (nBatch, nGen, bytes, debris, fgtPending, lineages) =
+      if (!fs.exists(root)) (0L, 0L, 0L, false, false, 0L)
       else {
         val st = fs.listStatus(root).toSeq
         val dirs = st.filter(_.isDirectory).map(_.getPath.getName)
@@ -905,15 +958,16 @@ object DocStreams {
           fs.exists(new org.apache.hadoop.fs.Path(root, "_sink_absorbed")) ||
             fs.exists(new org.apache.hadoop.fs.Path(root, "_sink_staging")),
           fs.exists(
-            new org.apache.hadoop.fs.Path(root, "_sink_forget_pending")))
+            new org.apache.hadoop.fs.Path(root, "_sink_forget_pending")),
+          countSinkLineages(fs, root).toLong)
       }
     val rows =
       if (nBatch + nGen == 0) 0L
       else s.read.option("recursiveFileLookup", "true")
         .parquet(outPath).count()
-    Seq((nBatch, nGen, rows, bytes, debris, fgtPending))
+    Seq((nBatch, nGen, rows, bytes, debris, fgtPending, lineages))
       .toDF("batch_dirs", "generations", "rows", "bytes", "crash_debris",
-        "forget_pending")
+        "forget_pending", "lineages")
   }
 
   /** One staged swap: union `absorb` (through `transform` — identity for
@@ -1005,6 +1059,21 @@ object DocStreams {
     // that can fail — a failure here must abort the serve with the
     // caller's session conf UNTOUCHED, not leave it pinned 4-wide.
     recoverSinkCompaction(s, outPath)
+    // make a violated single-lineage precondition VISIBLE before any
+    // batch lands: a fresh checkpoint over an old sink regresses batch
+    // ids, silently breaking forget/retention age premises (AUDIT_r15
+    // #9/#14 — contract-covered, now checkable via sstats `lineages`)
+    locally {
+      val sinkRoot = new org.apache.hadoop.fs.Path(outPath)
+      val sinkFs =
+        sinkRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val lineages = registerSinkLineage(sinkFs, sinkRoot, ckpt)
+      if (lineages > 1)
+        System.err.println(s"[graft] WARNING: sink $outPath now holds " +
+          s"results from $lineages serve lineages — batch ids may have " +
+          "regressed; forget/retention age premises assume ONE stable " +
+          "checkpoint per sink (sstats reports `lineages`)")
+    }
     val schema = s.read.parquet(s"$stagedDir/requests.parquet").schema
     val src = s.readStream.schema(schema).option("basePath", stagedDir)
       .option("maxFilesPerTrigger", "1")

@@ -1375,6 +1375,26 @@ class StreamingSpec extends SparkSpec {
       .select("query_id").distinct().as[Long].collect().toSet ==
       Set(4L, 5L),
       s"retention kept rows outside the horizon (per-dir: $perDir)")
+    // lineage observability: both serves above resumed ONE checkpoint,
+    // so the sink records a single lineage; a FRESH-checkpoint serve
+    // over the same sink (the batch-id-regression scenario the
+    // maintenance ops' age premises assume away) registers a second —
+    // the precondition break is now visible in sstats instead of purely
+    // contractual
+    def lineages: Long = DocStreams.describeServingSink(spark, out)
+      .head().getAs[Long]("lineages")
+    assert(lineages == 1L,
+      s"two serves on one checkpoint recorded $lineages lineages")
+    val ckpt2 = ScratchDirs.fresh("graft_stream", "fgtage_ckpt2").toString
+    DocStreams.hybridServe(spark, staged, tPrefix, vPrefix, out, k = 5,
+      checkpointDir = Some(ckpt2))
+    assert(lineages == 2L,
+      s"a fresh-checkpoint serve did not register a second lineage " +
+        s"(got $lineages)")
+    // idempotent: re-registering a known checkpoint adds nothing
+    val root2 = new org.apache.hadoop.fs.Path(out)
+    val fs2 = root2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(DocStreams.registerSinkLineage(fs2, root2, ckpt2) == 2)
   }
 
   test("a forget crashed mid-erasure is visible (forget_pending) and " +
