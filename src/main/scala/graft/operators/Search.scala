@@ -465,7 +465,27 @@ object Search {
         BM25.idf(col("n_docs"), col("df")), col("length"), col("avg_len")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    val top = scored.groupBy(col("query_id"), col("doc_id"))
+    // Bulk form: place the (query_id, doc_id) exchange BEFORE the partial
+    // aggregation, not after it. The scored relation leaves the term join
+    // partitioned by TERM, where a (query, doc) pair appears at most once
+    // per shared term — map-side partial aggregation achieves no reduction
+    // there, yet builds a per-task hash map over the entire partition
+    // (multi-million entries at bench scale: spill + GC, the dominant cost
+    // of the arm — optimization round r15, guide §2.3/§5). Repartitioning
+    // the narrow (query_id, doc_id, score) projection first ships the same
+    // bytes the old partial-agg output did, and both aggregation phases
+    // then run post-exchange where groups are co-located, so the partial
+    // map holds |groups in partition| entries and fully reduces. The
+    // (query_id, doc_id) key keeps a hot query's candidate set spread
+    // across the cluster (skew safety, guide §2.5); the rank window's
+    // WindowGroupLimit then cuts to k per query per partition before the
+    // small query_id exchange, exactly as before.
+    val preAgg = {
+      val narrow = scored.select(col("query_id"), col("doc_id"), col("score"))
+      if (broadcastRequests) narrow
+      else narrow.repartition(col("query_id"), col("doc_id"))
+    }
+    val top = preAgg.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("score")).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -717,27 +717,57 @@ object VectorIndex {
     val c = spark.table(s"${prefix}_centroids")
     val pw = Window.partitionBy(col("probe_id"))
       .orderBy(col("psim").desc, col("cent_id").asc)
+    // The probe→list assignment carries ONLY (probe_id, cent_id) into the
+    // candidate join. The ADC LUT is deliberately NOT a column of this
+    // relation: as a projected expression feeding the join it sat in the
+    // same codegen stage as the join's match loop, and the generated code
+    // re-evaluated the full mSub×ks×subDim expression PER CANDIDATE row
+    // rather than per probe — measured 31× the per-probe cost at sf0.1
+    // (30 s of a 32 s arm; optimization round r15). It now lives in its
+    // own one-row-per-probe relation (`luts`) attached by join below, so
+    // it is computed exactly |probes| times, which is ADC's entire point.
     val probeCents = probes
       .select(col("id").as("probe_id"), col("v").as("pv"))
       .crossJoin(broadcast(c))
       .withColumn("psim", Similarity.cosine(col("pv"), col("cv")))
       .withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= nprobe)
-      .select(col("probe_id"), col("pv"),
-        Pq.lutCol(col("pv"), codes, pqM, pqSubDim).as("lut"), col("cent_id"))
+      .select(col("probe_id"), col("cent_id"))
+    val luts0 = probes.select(col("id").as("probe_id"),
+      Pq.lutCol(col("v"), codes, pqM, pqSubDim).as("lut"))
+    // batch form: probe-derived broadcasts are its contract (the literal
+    // IN-lists upstream already are); bulk form: plain shuffle join — the
+    // exchange it rides is the one the shortlist window needs anyway
+    val luts = if (broadcastProbes) broadcast(luts0) else luts0
+    val pvs0 = probes.select(col("id").as("probe_id"), col("v").as("pv"))
+    val pvs = if (broadcastProbes) broadcast(pvs0) else pvs0
+    // Narrow candidate stream: (probe_id, cand_id, codes, cent_id) — the
+    // raw vectors (pv 8·dim bytes, cv 8·dim bytes) no longer ride the
+    // candidate explosion through its exchanges and window sorts; they
+    // re-attach AFTER the shortlist cut, at `shortlist` rows per probe
+    // (guide §8: decide on light rows, attach heavy bytes once).
     val vecs = spark.table(s"${prefix}_vectors")
-      .select(col("id").as("cand_id"), col("v").as("cv"), col("codes"),
-        col("cent_id"))
+      .select(col("id").as("cand_id"), col("codes"), col("cent_id"))
+    // exact re-rank reads the candidate's raw vector from the probed
+    // lists by (cent_id, cand_id): in the broadcast form the shortlist
+    // side broadcasts, so DPP keeps this scan pruned to the probed lists
+    val vecsV = spark.table(s"${prefix}_vectors")
+      .select(col("id").as("cand_id"), col("v").as("cv"), col("cent_id"))
     val cw = Window.partitionBy(col("probe_id"))
       .orderBy(col("qscore").desc, col("cand_id").asc)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
-    (if (broadcastProbes) broadcast(probeCents) else probeCents)
+    val shortlisted = (if (broadcastProbes) broadcast(probeCents) else probeCents)
       .join(vecs, Seq("cent_id"))
       .filter(col("probe_id") =!= col("cand_id"))
+      .join(luts, Seq("probe_id"))
       .withColumn("qscore", Pq.adcScore(col("lut"), col("codes"), pqM))
+      .drop("lut", "codes")
       .withColumn("qrank", row_number().over(cw))
       .filter(col("qrank") <= shortlist)
+    (if (broadcastProbes) broadcast(shortlisted) else shortlisted)
+      .join(vecsV, Seq("cent_id", "cand_id"))
+      .join(pvs, Seq("probe_id"))
       .withColumn("cosine", Similarity.cosine(col("pv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -378,7 +378,7 @@ object TextIndexQueries {
   // |requests| + touched index data at any request count; PlanSpec pins
   // that the plan carries no request-derived IN-list and no broadcast of a
   // request-derived side.
-  private def bulkRequests(s: SparkSession, dir: String): DataFrame =
+  private[queries] def bulkRequests(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id").cast("long").as("query_id"),
       array_join(slice(graft.functions.Tokenizer.tokenize(col("text")), 1, 5),
@@ -762,7 +762,7 @@ object TextIndexQueries {
         col("score").cast("double").as("score"))
 
   /** The plain full-corpus persisted index (also probed by the batch path). */
-  private def ensurePrebuilt(s: SparkSession, dir: String): String =
+  private[queries] def ensurePrebuilt(s: SparkSession, dir: String): String =
     memoizedIndex("graft_idx_", dir) { prefix =>
       Indexer.buildBucketedIndex(s, docs(s, dir), prefix)
     }
