@@ -124,7 +124,6 @@ object Bench {
     val fixtureScaled =
       FixtureScaled.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary":$canary,"fixture_scaled":$fixtureScaled,"total_net":$totalNet,"sf":"$sfDir","runs_per_query":3,"warmup_runs":1,"reported":"min"}"""
-    println(line)
     // Stdout capture can truncate the head of a long line; the file is the
     // auditable artifact with all per-query numbers. Default is a
     // TIMESTAMPED file under bench_out/ (gitignored) so re-running Bench
@@ -135,8 +134,27 @@ object Bench {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench_out"))
         java.nio.file.Paths.get(s"bench_out/BENCH_${System.currentTimeMillis() / 1000}.json")
       }
+    emitResult(line, out, () => spark.stop(), println, System.err.println)
+  }
+
+  /** Emit the artifact file, the stderr note, stop Spark, and FINALLY print
+    * the one-line JSON. The ORDER is the contract: the JSON must be the
+    * LAST stdout line of the run — the driver parses the captured stream's
+    * tail, and round 14's bench went unparsed (`BENCH_r14.json parsed:
+    * null`, costing the round its official PERF table) because the
+    * "[bench] wrote ..." note, printed AFTER the JSON, trailed it in the
+    * combined capture (sbt re-tags stderr as `[error]` stdout lines).
+    * Everything that can still write a line — the artifact note AND
+    * spark.stop()'s shutdown logging — now runs BEFORE the JSON print.
+    * BenchEmitSpec pins the ordering.
+    */
+  private[graft] def emitResult(line: String, out: java.nio.file.Path,
+                                stop: () => Unit,
+                                stdout: String => Unit,
+                                stderr: String => Unit): Unit = {
     java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
-    System.err.println(s"[bench] wrote $out")
-    spark.stop()
+    stderr(s"[bench] wrote $out")
+    stop()
+    stdout(line)
   }
 }

@@ -485,10 +485,47 @@ object Search {
       if (broadcastRequests) narrow
       else narrow.repartition(col("query_id"), col("doc_id"))
     }
-    val top = preAgg.groupBy(col("query_id"), col("doc_id"))
+    val summed = preAgg.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("score")).as("score"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    // Bulk form: the per-query top-k runs as a bounded TOP-K AGGREGATE
+    // (graft.plans.TopKAgg), not a rank window. The window form sorted the
+    // ENTIRE (query, doc) aggregate by (query_id, score, doc_id) — tens of
+    // millions of rows at the bench fixture, corpus-bound at 100 TB — kept
+    // k per query per partition, exchanged, and sorted again, all to
+    // discard everything but k rows per query. The aggregate's partial
+    // buffers cap at k entries per (query, partition): no sort anywhere,
+    // and the query_id exchange carries only the k-entry buffers. Ordering
+    // inside the buffer is the window's exact total order
+    // (score DESC, doc_id ASC), so posexplode reproduces the same rows
+    // with the same ranks. Batch (broadcast) form keeps the window — its
+    // volumes are literal-pruned and its plans are regression-adjudicated.
+    val top =
+      if (broadcastRequests)
+        summed
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k)
+      else {
+        // object-hash aggregation falls back to SORT-based past 128
+        // distinct keys per task by default — which would re-introduce a
+        // full sort of the aggregate by query_id. Top-k buffers are
+        // bounded (k entries ≈ 4+16k bytes each), so even 64k in-flight
+        // groups per task is ~20 MB: raise the fallback threshold. This
+        // is load-bound per TASK (keys per partition), so it is
+        // scale-neutral: a bigger corpus grows partition COUNT, not the
+        // per-task group count, which the (query_id, doc_id) exchange
+        // above spreads evenly.
+        queries.sparkSession.conf
+          .set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 65536)
+        summed
+          .groupBy(col("query_id"))
+          .agg(graft.plans.TopKAgg.topK(col("score"),
+            col("doc_id").cast("long"), k).as("top"))
+          .select(col("query_id"),
+            posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("query_id"), col("e.doc_id").as("doc_id"),
+            col("e.score").as("score"),
+            (col("pos") + 1).cast("long").as("rank"))
+      }
     // display metadata joins the winners only (cost ∝ |queries|·k) —
     // mirrors the single-query search(); the winners side broadcasts in
     // the batch form but stays a shuffle join under an unbounded bulk run

@@ -762,8 +762,15 @@ object VectorIndex {
           .filter(col("qrank") <= shortlist)
           .withColumn("cosine", Similarity.cosine(col("pv"), col("cv")))
       } else {
-        val luts = probes.select(col("id").as("probe_id"),
-          Pq.lutCol(col("v"), codes, pqM, pqSubDim).as("lut"))
+        // ONE projection of the caller's probe plan; the three consumers
+        // below (list assignment, LUT relation, late pv re-attach) all
+        // derive from it, so an expensive probe derivation (e.g. the bulk
+        // hybrid's forward-table ⋈ requests join) canonicalizes to one
+        // subtree and its exchanges are physically REUSED across the three
+        // instantiations rather than re-derived per consumer (ADVICE r15).
+        val p0 = probes.select(col("id").as("probe_id"), col("v").as("pv"))
+        val luts = p0.select(col("probe_id"),
+          Pq.lutCol(col("pv"), codes, pqM, pqSubDim).as("lut"))
         // Bulk form: the candidate explosion is |probes| × probed-list
         // rows and crosses a real exchange for the shortlist window, so
         // the candidate stream stays NARROW — (probe_id, cand_id, codes,
@@ -775,8 +782,7 @@ object VectorIndex {
         // already scans in full, in exchange for keeping ~1 KiB of vector
         // payload per candidate row out of the probe_id exchange and both
         // window sorts.
-        val probeCents = probes
-          .select(col("id").as("probe_id"), col("v").as("pv"))
+        val probeCents = p0
           .crossJoin(broadcast(c))
           .withColumn("psim", Similarity.cosine(col("pv"), col("cv")))
           .withColumn("pr", row_number().over(pw))
@@ -786,7 +792,7 @@ object VectorIndex {
           .select(col("id").as("cand_id"), col("codes"), col("cent_id"))
         val vecsV = spark.table(s"${prefix}_vectors")
           .select(col("id").as("cand_id"), col("v").as("cv"), col("cent_id"))
-        val pvs = probes.select(col("id").as("probe_id"), col("v").as("pv"))
+        val pvs = p0
         probeCents
           .join(vecs, Seq("cent_id"))
           .filter(col("probe_id") =!= col("cand_id"))

@@ -216,7 +216,7 @@ object DedupQueries {
     * (componentLabels, graph_pagerank) so no internal plan stacks on an
     * x100-fatal candidate generator.
     */
-  private def shingledPairs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def shingledPairs(s: SparkSession, dir: String): DataFrame = {
     val sets = shingledSets(s, dir)
     val sigs = sets.select(
       col("id") +: Dedup.minHashSignaturesHashed(col("toks"), NumHashes): _*)

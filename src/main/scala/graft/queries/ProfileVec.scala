@@ -37,7 +37,10 @@ object ProfileVec {
     val probes = spark.table(s"${vecPrefix}_forward")
       .join(requests.select(col("query_id").as("id")), "id")
       .select(col("id"), col("v"))
-    val (k, nprobe, shortlist) = (10, 8, 40)
+    // the production constants, not literals: if SimilarityQueries' served
+    // geometry drifts, the profiler must profile the SAME plan (ADVICE r15)
+    val (k, nprobe, shortlist) =
+      (10, SimilarityQueries.ivfNProbe, SimilarityQueries.ivfShortlist)
 
     val codes = spark.table(s"${vecPrefix}_codes")
       .orderBy("m", "k").collect()

@@ -31,7 +31,7 @@ object ProfileVec2 {
     val probes = spark.table(s"${vecPrefix}_forward")
       .join(requests.select(col("query_id").as("id")), "id")
       .select(col("id"), col("v"))
-    val nprobe = 8
+    val nprobe = SimilarityQueries.ivfNProbe // production constant (ADVICE r15)
 
     val codes = spark.table(s"${vecPrefix}_codes")
       .orderBy("m", "k").collect()

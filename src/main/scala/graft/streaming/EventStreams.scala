@@ -76,10 +76,18 @@ object EventStreams {
     * per call: checkpoints and sinks stay per-run fresh (runToSink), so
     * each invocation recomputes the result from the staged parquet.
     */
-  private val stagedDirCache = scala.collection.mutable.Map[String, String]()
+  private val stagedDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
 
+  /** Per-KEY memoization (ADVICE r15): the map insert is the only globally
+    * synchronized step; the multi-second staging build itself runs under a
+    * per-key lazy holder, so first-call staging of UNRELATED stream rows
+    * proceeds concurrently (and a reentrant build of a different key
+    * cannot deadlock on one object monitor). The lazy val guarantees each
+    * key's build still runs exactly once.
+    */
   private def memoStaged(key: String)(build: => String): String =
-    synchronized { stagedDirCache.getOrElseUpdate(key, build) }
+    stagedDirCache.computeIfAbsent(key, _ => { lazy val v = build; () => v })()
 
   /** Write `df` as ONE flat parquet file at `dir/name` (stream-source
     * staging: files must match the `events.parquet*` glob, and writing
