@@ -309,8 +309,17 @@ object DedupQueries {
         // every near-dup edge, not just the %5 cost-subset's)
         val pairs = shingledPairs(s, dir)
           .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+        // checkEvery=2, not 4: ProfileCC (r16) measured this graph's loop
+        // converging in ONE propagation round at every SF probed — shingled
+        // near-dup clusters are dense and shallow, and the fused round-1
+        // seeding already lands most labels — so checkEvery=4 computed 3
+        // provably-idle extra rounds per run (1.4-1.9 s vs 0.8-1.1 s). At 2
+        // the wasted work is bounded by one idle round, and a deeper graph
+        // pays one extra counting job per 2 rounds instead of none per 4 —
+        // the phash rep graph's loop (measured diameter 8, rounds
+        // data-inherent) keeps checkEvery=4 where it is optimal.
         graft.operators.Components
-          .connectedComponents(pairs, checkEvery = 4, pointerJump = false)
+          .connectedComponents(pairs, checkEvery = 2, pointerJump = false)
           .registeredCache()
       })
     }

@@ -128,13 +128,18 @@ object EventStreams {
     * and that count is frozen into the checkpoint at creation — for a
     * bounded single-file backfill the right size tracks the INPUT volume,
     * not the session's batch-analytics setting (32 stores per stateful op
-    * on a 60k-row file is pure open/commit overhead; 2 measured WORSE than
-    * 4 — too little shuffle parallelism for the join probe). The session
-    * conf is restored after the run; a live deployment sizes this to key
-    * cardinality instead.
+    * on a 60k-row file is pure open/commit overhead). r8 measured 2 worse
+    * than 4 on the then-current tree; re-measured in r16 (after the
+    * staging memoization changed what the timed region contains), 2 now
+    * wins or ties everywhere probed — the stream-stream join rows most of
+    * all (stream_attribution 8.9→4.9 s: its 5 state stores per partition
+    * per side make per-store open/commit the dominant batch cost), with
+    * flatMapGroupsWithState rows 0.1-0.4 s better and the native
+    * session-window row a wash. The session conf is restored after the
+    * run; a live deployment sizes this to key cardinality instead.
     */
   private[streaming] def runToSink(df: DataFrame, mode: OutputMode, tag: String,
-                                   statePartitions: Int = 4): DataFrame = {
+                                   statePartitions: Int = 2): DataFrame = {
     val s = df.sparkSession
     // unique per-run sink + checkpoint: Append mode needs a fresh
     // checkpoint anyway (resuming an old one would skip already-read
